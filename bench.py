@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a cheap count() over the full result (no
+driver-side collect of payload rows). First query pays JVM/session
+warmup; a warmup no-op runs first so per-query numbers reflect
+execution, not session start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from kafkastreams_example_spark.queries import REGISTRY  # noqa: E402
+from kafkastreams_example_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scale-relevant shapes (big agg, joins, windows,
+# dedup families, text/LSH, similarity) — not every registry entry.
+BENCH_QUERIES = [
+    "agg_pricing_summary",
+    "join_customer_orders",
+    "join_multiway_region",
+    "window_rank",
+    "dedup_exact",
+    "dedup_windowed",
+    "dedup_refresh",
+    "agg_windowed_events",
+    "text_stats",
+    "doc_fingerprint",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "shingle_jaccard",
+    "simhash",
+    "sim_topk",
+    "cosine_pairs",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the session + parquet reader once
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Approximate / near-duplicate detection: MinHash+LSH, shingle
+Jaccard, SimHash.
+
+Hash choice: md5 hex strings, compared lexicographically. md5 is
+available and bit-identical in every engine (Spark, DuckDB, Trino…), and
+the minimum of hex strings is a valid min-hash (uniform over the token
+universe), so signatures are portable for oracle checking — no
+engine-specific hash() in the contract.
+
+Scale design (the LSH path is the 100 TB story):
+- signatures: explode(distinct tokens) → groupBy(doc) with H min-aggs.
+  One shuffle on doc_id; map-side partial mins keep shuffle volume at
+  O(docs × H), independent of token count.
+- banding: signatures → (band_id, band_hash) pairs; candidate pairs come
+  from a self-equi-join on the band hash — i.e. only docs that collide
+  in some band are ever paired. Never all-pairs. Band-hash hot buckets
+  (boilerplate docs) are the skew risk: cap bucket size or salt in a
+  real deployment; AQE skew-join splitting covers moderate skew.
+- shingle path: 5-gram shingles are near-unique, so the shingle
+  equi-join produces a candidate set ≈ true near-dups, and exact Jaccard
+  is computed only for candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+
+def _exploded_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = F.array_distinct(tokenize(text_col))
+    return docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: mh_i = min over distinct tokens of
+    md5(i ':' token). Columns: id, mh0..mh{H-1} (hex strings)."""
+    ex = _exploded_tokens(docs, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band
+    (band hash = md5 over its rows_per_band signature slots).
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    max_bucket drops band buckets with more members than the cap before
+    pairing — the standard guard in LSH dedup pipelines: an oversized
+    bucket means the band carries no discriminative signal (boilerplate
+    / tiny vocabulary), and pairing it is O(bucket²) for no precision.
+    At 100 TB this cap is what bounds the worst-case join fan-out.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes)
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        slots = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *slots)).alias("bh")))
+    exploded = sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    from pyspark.sql import Window
+
+    bucket_n = F.count("*").over(Window.partitionBy("band", "bh"))
+    exploded = exploded.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def _shingles(text_col: str, n: int) -> Column:
+    """n-gram word shingles as strings (empty array when too short)."""
+    toks = tokenize(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    Join is on shingle value (near-unique for n≥5), so candidate volume
+    stays proportional to true overlap rather than |docs|².
+    Output: id_a, id_b, n_shared, jaccard (double).
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", "n_shared", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per doc from token md5 prefixes.
+
+    Token hash = first 8 md5 hex chars as an int (portable); bit j of
+    the fingerprint is the sign of Σ_tokens (2·bit_j(hash) − 1).
+    Implemented as explode(tokens × bits) → two hash-aggregations —
+    shuffle O(docs × bits), fine for a fingerprint stage; at extreme
+    scale the per-doc loop would move into one pandas_udf projection
+    (no shuffle at all), kept expression-only here for oracle parity.
+    """
+    ex = _exploded_tokens(docs, text_col, id_col)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+    ex = ex.select(id_col, h.alias("h"))
+    bit = ex.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"), F.col("h")
+    ).select(
+        id_col,
+        "j",
+        # python wrapper of shiftright only takes int shifts; the SQL
+        # expression accepts a column shift amount
+        (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1).alias("s"),
+    )
+    perbit = bit.groupBy(id_col, "j").agg(F.sum("s").alias("tot"))
+    fp = F.sum(
+        F.when(F.col("tot") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(0)
+    )
+    return perbit.groupBy(id_col).agg(fp.alias("simhash"))

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; at 100 TB the plan
+shape is what matters: the (small) query set is broadcast, candidates
+stream through a narrow per-row projection (dot product via higher-order
+functions — JVM-side, codegen'd, no Python), and top-k is a per-query
+window over only the scored rows. No all-pairs materialization unless
+explicitly asked for (cosine_pairs, threshold-gated).
+
+Determinism: all arithmetic is double (cast from float once), summation
+is sequential left-to-right via F.aggregate — IEEE-reproducible and
+matching the DuckDB oracle's list_sum(list_transform(...)) evaluation.
+
+The IVF-style bucketed variant (probe a subset of centroid buckets) is
+the planned scale path — see queries registry; centroids are seeded
+deterministically so the oracle can reproduce bucket assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def embedding_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return emb.select(
+        "vec_id", F.size(vec_col).alias("dim"), _norm(v).alias("l2_norm"), "label"
+    )
+
+
+def _unit(col: Column) -> Column:
+    """Pre-normalized (unit-length) double vector: cosine of two unit
+    vectors is a single dot product, so the O(n²) pair stage does 1
+    array-aggregate per pair instead of 3. Computed once per row."""
+    v = _as_double(col)
+    n = _norm(v)
+    return F.transform(v, lambda x: x / n)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query id.
+
+    Plan: pre-normalize per row (O(n)), broadcast(queries) ⋈ candidates
+    (cross of Q×N rows, narrow), one dot per pair, row_number per query.
+    Output: query_id, neighbor_id, rank, cosine (double).
+    """
+    from pyspark.sql import Window
+
+    unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
+    queries = unit.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("uv").alias("qv")
+    )
+    cands = unit.select(F.col(id_col).alias("neighbor_id"), F.col("uv").alias("cv"))
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold.
+
+    All-pairs is O(n²) by definition — acceptable for candidate-set
+    sizes (post-LSH) or modest n; at corpus scale, bucket first (LSH /
+    IVF) and run this within buckets only. Output: id_a, id_b, cosine.
+    """
+    unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
+    a = unit.select(F.col(id_col).alias("id_a"), F.col("uv").alias("va"))
+    b = unit.select(F.col(id_col).alias("id_b"), F.col("uv").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

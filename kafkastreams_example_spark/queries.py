@@ -1,0 +1,826 @@
+"""The engine's declared query surface: every operator from SURVEY.md §2
+as a (Spark callable, DuckDB oracle SQL) pair.
+
+Each entry is one `queries()` key in __spark_entry__.py; the oracle SQL
+runs on the same parquet via DuckDB views. Column names and value
+semantics are aligned across engines (see operators/relational.py for
+the decimal-exact aggregation discipline; timestamps are emitted as
+formatted strings to avoid ns/µs representation skew).
+
+Reference parity citations are on each query; the reference is
+lokeshallam/kafkastreams-example at /root/reference (see SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table
+from .operators.filters import filter_equals, filter_not_null
+from .operators.json_codec import json_decode, json_encode
+from .operators.dedup import (
+    dedup_exact,
+    dedup_windowed,
+    dedup_null_passthrough,
+    dedup_refresh_batch,
+)
+from .operators.relational import broadcast_dim, davg, dsum
+from .functions.text import (
+    STOPWORDS,
+    text_stats,
+    text_quality,
+    lang_id_heuristic,
+    doc_fingerprint,
+)
+from .functions.dedup_approx import (
+    minhash_signatures,
+    minhash_lsh_pairs,
+    shingle_jaccard_pairs,
+    simhash,
+)
+from .functions.similarity import cosine_topk, cosine_pairs, embedding_norms
+from .functions.multimodal import attach_binary_payload, decode_media_meta, frame_sample_plan
+from .schema import PROPS_SCHEMA_DDL
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = ()
+
+
+def _ts_s(col: str) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# --------------------------------------------------------------------------
+# Reference surface (SURVEY.md §2a): filter / json codec / dedup family
+# --------------------------------------------------------------------------
+
+
+def q_filter_level(spark, sf_dir):
+    """F1 equality filter (KafkaStreamsApplication.java:110), events
+    analog: event_type == 'error'."""
+    ev = load_table(spark, sf_dir, "events")
+    return filter_equals(ev, "event_type", "error").select(
+        "event_id", "user_id", "event_type", "value", _ts_s("ts").alias("ts_s")
+    )
+
+
+SQL_FILTER_LEVEL = """
+SELECT event_id, user_id, event_type, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events WHERE event_type = 'error'
+"""
+
+
+def q_filter_notnull(spark, sf_dir):
+    """F2 not-null filter (KStreamDistinct.java:150); the nullable dedup
+    id analog is nullif(event_type,'view')."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dedup_id", F.nullif(F.col("event_type"), F.lit("view"))
+    )
+    return filter_not_null(ev, "dedup_id").select("event_id", "dedup_id")
+
+
+SQL_FILTER_NOTNULL = """
+SELECT event_id, nullif(event_type, 'view') AS dedup_id
+FROM events WHERE nullif(event_type, 'view') IS NOT NULL
+"""
+
+
+def q_json_decode(spark, sf_dir):
+    """S2 JSON decode (JsonDeserializer.java:26-38): props payload → k."""
+    ev = load_table(spark, sf_dir, "events")
+    return json_decode(ev, "props", PROPS_SCHEMA_DDL, out="p").select(
+        "event_id", F.col("p.k").alias("k")
+    )
+
+
+SQL_JSON_DECODE = """
+SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events
+"""
+
+
+def q_json_encode(spark, sf_dir):
+    """E1 JSON encode (JsonSerializer.java:22-31): compact to_json."""
+    ev = load_table(spark, sf_dir, "events")
+    return json_encode(ev, ["event_id", "event_type"], out="js").select("event_id", "js")
+
+
+SQL_JSON_ENCODE = """
+SELECT event_id,
+       to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS js
+FROM events
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """D1 with infinite window: deterministic first row per key."""
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_exact(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select("user_id", "event_type", "event_id", _ts_s("ts").alias("ts_s"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_dedup_windowed(spark, sf_dir):
+    """D1 quantized: first event per (event_type, 10-min tumbling
+    bucket) — KStreamDistinct.java:42-112, window = 10 min (:135-136)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_windowed(ev, "event_type", "ts", 600, tiebreak=["event_id"])
+    return out.select("event_id", "event_type", _ts_s("ts").alias("ts_s"))
+
+
+SQL_DEDUP_WINDOWED = """
+SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type, floor(epoch(CAST(ts AS TIMESTAMP)) / 600)
+                                   ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_dedup_null_passthrough(spark, sf_dir):
+    """D1 null-id rule (KStreamDistinct.java:71-72): null dedup ids
+    always survive; 'view' events play the no-exception records."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.nullif(F.col("event_type"), F.lit("view"))
+    out = dedup_null_passthrough(ev, key, "ts", 600, tiebreak=["event_id"])
+    return out.select("event_id", "event_type", _ts_s("ts").alias("ts_s"))
+
+
+SQL_DEDUP_NULL_PASSTHROUGH = """
+SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY nullif(event_type, 'view'),
+                     floor(epoch(CAST(ts AS TIMESTAMP)) / 600)
+        ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE nullif(event_type, 'view') IS NULL OR rn = 1
+"""
+
+
+def q_dedup_refresh(spark, sf_dir):
+    """D1 exact in-order semantics: refresh-on-duplicate
+    (KStreamDistinct.java:97-99) ≡ session-gap dedup with
+    gap = window/2 = 5 min (:56-57, :88-91)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = dedup_refresh_batch(ev, F.col("event_type"), "ts", 300.0, tiebreak=["event_id"])
+    return out.select("event_id", "event_type", _ts_s("ts").alias("ts_s"))
+
+
+SQL_DEDUP_REFRESH = """
+WITH g AS (
+  SELECT event_id, event_type, ts,
+         lag(epoch(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_s
+  FROM events)
+SELECT event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM g WHERE prev_s IS NULL OR epoch(CAST(ts AS TIMESTAMP)) - prev_s > 300.0
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY.md §2c): aggs / joins / windows / sorts / set ops
+# --------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: hash agg with map-side partials;
+    the flagship batch plan (scan → partial agg → 1 shuffle → final)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # full decimal arithmetic: source values are exact 2-decimal, so the
+    # products are exact decimals in every engine — no double rounding
+    # anywhere (double→decimal casts of computed products round
+    # differently across engines near midpoints)
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = ep * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS TIMESTAMP) <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_customer_orders(spark, sf_dir):
+    """Fact⋈dim equi-join + agg; customer is broadcast (map-side join,
+    no shuffle of orders)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(broadcast_dim(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+SQL_JOIN_CUSTOMER_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+  COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_multiway_region(spark, sf_dir):
+    """3-way snowflake join: both dims broadcast; single agg shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(broadcast_dim(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast_dim(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            davg("c_acctbal").alias("avg_acctbal"),
+        )
+    )
+
+
+SQL_JOIN_MULTIWAY_REGION = """
+SELECT r_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    """Left-semi join: customers with ≥1 open ('O') order — no
+    row-multiplication, dedup-free EXISTS shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    """Left-anti join: customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_agg_distinct(spark, sf_dir):
+    """Distinct aggregate alongside plain aggregates (expand + two-phase
+    agg under the hood)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum("o_totalprice").alias("sum_total"),
+    )
+
+
+SQL_AGG_DISTINCT = """
+SELECT o_orderstatus, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_having(spark, sf_dir):
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+        .filter(F.col("n_orders") > 50)
+    )
+
+
+SQL_AGG_HAVING = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 50
+"""
+
+
+def q_window_rank(spark, sf_dir):
+    """Ranking window: top-3 orders per customer (row_number with a
+    total-order tiebreaker for determinism)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", "o_totalprice")
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, rnk, o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_window_running(spark, sf_dir):
+    """Analytic window: per-customer running total (decimal-exact
+    cumulative sum, ROWS UNBOUNDED PRECEDING)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return orders.select("o_custkey", "o_orderkey", run.alias("run_total"))
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+FROM orders
+"""
+
+
+def q_sort_limit(spark, sf_dir):
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no full sort/shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_setop_intersect(spark, sf_dir):
+    """INTERSECT: customers having both finished and open orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+SQL_SETOP_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_setop_except(spark, sf_dir):
+    """EXCEPT: customers with finished but no open orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)
+
+
+SQL_SETOP_EXCEPT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """Scalar function library sweep: string/date/math/conditional, all
+    JVM expressions inside whole-stage codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.length("o_orderstatus").alias("status_len"),
+        F.concat_ws("#", "o_orderstatus", "o_orderpriority").alias("tag"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        # decimal×decimal, not round(double): the source is exact
+        # 2-decimal, so decimal arithmetic is exact in every engine,
+        # while round-on-double hits true .xx5 midpoints that engines
+        # break differently
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit("0.1").cast("decimal(2,1)"))
+        .cast("double")
+        .alias("tithe"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("dist1k"),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("bucket"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+SELECT o_orderkey,
+  upper(substring(o_orderpriority, 1, 3)) AS pri3,
+  length(o_orderstatus) AS status_len,
+  concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS o_month,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) AS DOUBLE) AS tithe,
+  abs(o_totalprice - 1000.0) AS dist1k,
+  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
+FROM orders
+"""
+
+
+def q_agg_windowed_events(spark, sf_dir):
+    """Streaming-analog tumbling-window aggregate in batch: events per
+    (event_type, 1-hour bucket). In streaming this is exactly
+    window(ts,'1 hour') + watermark; the batch form is oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    return ev.groupBy("event_type", bucket.alias("hour_bucket")).agg(
+        F.count("*").alias("n_events"), dsum("value").alias("sum_value")
+    )
+
+
+SQL_AGG_WINDOWED_EVENTS = """
+SELECT event_type, CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour_bucket,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north-star LLM-pipeline surface)
+# --------------------------------------------------------------------------
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len
+FROM t
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+_SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+s AS (SELECT doc_id, len(toks) AS n_tokens,
+        CAST(len(list_filter(toks, x -> list_contains({_SW}, x))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio
+      FROM t)
+SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio,
+  stopword_ratio * 0.5 + type_token_ratio * 0.5 AS quality_score
+FROM s
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id_heuristic(load_table(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents)
+SELECT doc_id, lang AS lang_label,
+  CASE WHEN list_contains(toks, 'the') AND list_contains(toks, 'a') THEN 'en'
+       WHEN list_contains(toks, 'spark') AND list_contains(toks, 'stream') THEN 'code'
+       ELSE 'unk' END AS lang_pred
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    """Exact content dedup at corpus scale: group by fingerprint, keep
+    min doc_id, count members (hash-groupBy, one shuffle on the hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = doc_fingerprint(docs)
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_members")
+    )
+
+
+SQL_DEDUP_EXACT_DOCS = r"""
+SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_doc_id, count(*) AS n_members
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    return minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+_MH_AGGS = ",\n  ".join(f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(8))
+
+SQL_MINHASH_SIGNATURE = f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents)
+SELECT doc_id, {_MH_AGGS}
+FROM w GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
+sig AS (SELECT doc_id, {_MH_AGGS} FROM w GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bh FROM sig),
+capped AS (
+  SELECT doc_id, band, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS n FROM bands)
+  WHERE n <= 64)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+def q_shingle_jaccard(spark, sf_dir):
+    return shingle_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.0)
+
+
+SQL_SHINGLE_JACCARD = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
+       FROM t),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared,
+  CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+SQL_SIMHASH = f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM w),
+bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS tot
+         FROM h, (SELECT unnest(range(0, 32)) AS j) AS js
+         GROUP BY doc_id, j)
+SELECT doc_id,
+  SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+# pre-normalized vectors, mirroring similarity._unit: cosine of unit
+# vectors is one dot product; division sequence matches Spark's exactly
+_COS = "list_sum(list_transform(list_zip(a.uv, b.uv), p -> p[1] * p[2]))"
+_EMB_U = """
+SELECT vec_id, label, list_transform(dv, x -> x / nrm) AS uv
+FROM (SELECT vec_id, label, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm
+      FROM (SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+            FROM embeddings))
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = embedding_norms(load_table(spark, sf_dir, "embeddings"))
+    return emb.select("vec_id", "dim", F.round("l2_norm", 6).alias("l2_norm"), "label")
+
+
+SQL_EMBEDDING_NORMS = """
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings)
+SELECT vec_id, len(dv) AS dim,
+  round(sqrt(list_sum(list_transform(dv, x -> x * x))), 6) AS l2_norm, label
+FROM e
+"""
+
+
+def q_sim_topk(spark, sf_dir):
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+SQL_SIM_TOPK = f"""
+WITH u AS ({_EMB_U}),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cosine
+  FROM u a JOIN u b ON b.vec_id != a.vec_id
+  WHERE a.vec_id IN (0, 1, 2, 3, 4)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_cosine_pairs(spark, sf_dir):
+    return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+SQL_COSINE_PAIRS = f"""
+WITH u AS ({_EMB_U})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS}, 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE {_COS} >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + pandas-UDF decode)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Real mapInPandas decode path over a binary payload column; the
+    'decode' itself is the deterministic fake (no codec libs here)."""
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return decode_media_meta(docs, decoder="fake")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  CAST(64 + CAST(('0x' || substring(md5(text), 1, 4)) AS BIGINT) % 1984 AS INT) AS width,
+  CAST(64 + CAST(('0x' || substring(md5(text), 5, 4)) AS BIGINT) % 1984 AS INT) AS height,
+  'fake/raw' AS format
+FROM documents
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return frame_sample_plan(docs)
+
+
+SQL_FRAME_SAMPLE = """
+WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+           FROM documents)
+SELECT doc_id, byte_len, CAST(off AS INT) AS frame_idx,
+       CAST(off * 32 AS INT) AS byte_offset
+FROM d, LATERAL (SELECT unnest(range(0, greatest(byte_len // 32, 1)))) AS t(off)
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    # reference surface
+    "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
+    "filter_notnull": QuerySpec(q_filter_notnull, SQL_FILTER_NOTNULL, ("reference", "filter")),
+    "json_decode": QuerySpec(q_json_decode, SQL_JSON_DECODE, ("reference", "json")),
+    "json_encode": QuerySpec(q_json_encode, SQL_JSON_ENCODE, ("reference", "json")),
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT, ("reference", "dedup")),
+    "dedup_windowed": QuerySpec(q_dedup_windowed, SQL_DEDUP_WINDOWED, ("reference", "dedup")),
+    "dedup_null_passthrough": QuerySpec(
+        q_dedup_null_passthrough, SQL_DEDUP_NULL_PASSTHROUGH, ("reference", "dedup")
+    ),
+    "dedup_refresh": QuerySpec(q_dedup_refresh, SQL_DEDUP_REFRESH, ("reference", "dedup")),
+    # relational core
+    "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY, ("relational",)),
+    "join_customer_orders": QuerySpec(q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS, ("relational",)),
+    "join_multiway_region": QuerySpec(q_join_multiway_region, SQL_JOIN_MULTIWAY_REGION, ("relational",)),
+    "join_semi": QuerySpec(q_join_semi, SQL_JOIN_SEMI, ("relational",)),
+    "join_anti": QuerySpec(q_join_anti, SQL_JOIN_ANTI, ("relational",)),
+    "agg_distinct": QuerySpec(q_agg_distinct, SQL_AGG_DISTINCT, ("relational",)),
+    "agg_rollup": QuerySpec(q_agg_rollup, SQL_AGG_ROLLUP, ("relational",)),
+    "agg_having": QuerySpec(q_agg_having, SQL_AGG_HAVING, ("relational",)),
+    "window_rank": QuerySpec(q_window_rank, SQL_WINDOW_RANK, ("relational",)),
+    "window_running": QuerySpec(q_window_running, SQL_WINDOW_RUNNING, ("relational",)),
+    "sort_limit": QuerySpec(q_sort_limit, SQL_SORT_LIMIT, ("relational",)),
+    "setop_intersect": QuerySpec(q_setop_intersect, SQL_SETOP_INTERSECT, ("relational",)),
+    "setop_except": QuerySpec(q_setop_except, SQL_SETOP_EXCEPT, ("relational",)),
+    "scalar_funcs": QuerySpec(q_scalar_funcs, SQL_SCALAR_FUNCS, ("relational",)),
+    "agg_windowed_events": QuerySpec(q_agg_windowed_events, SQL_AGG_WINDOWED_EVENTS, ("relational", "streaming-analog")),
+    # text analysis
+    "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS, ("text",)),
+    "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY, ("text",)),
+    "lang_id": QuerySpec(q_lang_id, SQL_LANG_ID, ("text",)),
+    "doc_fingerprint": QuerySpec(q_doc_fingerprint, SQL_DOC_FINGERPRINT, ("text",)),
+    "dedup_exact_docs": QuerySpec(q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS, ("text", "dedup")),
+    "minhash_signature": QuerySpec(q_minhash_signature, SQL_MINHASH_SIGNATURE, ("text", "dedup")),
+    "minhash_lsh_pairs": QuerySpec(q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS, ("text", "dedup")),
+    "shingle_jaccard": QuerySpec(q_shingle_jaccard, SQL_SHINGLE_JACCARD, ("text", "dedup")),
+    "simhash": QuerySpec(q_simhash, SQL_SIMHASH, ("text", "dedup")),
+    # similarity
+    "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS, ("similarity",)),
+    "sim_topk": QuerySpec(q_sim_topk, SQL_SIM_TOPK, ("similarity",)),
+    "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),
+    # multimodal
+    "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
+    "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-aware defaults.
+
+The defaults here are chosen for correctness parity with the DuckDB
+oracle (UTC session time zone, nanos-as-long parquet reads — the driver
+testdata stores TIMESTAMP(NANOS) which Spark cannot read natively) and
+for 100 TB-readiness (AQE with coalesce + skew-join handling enabled, so
+the same logical plans re-plan at runtime on a real cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rough analog of the reference's 1000 ms commit interval
+# (KafkaStreamsApplication.java:63): our streaming pipelines default to a
+# 1 s processing-time trigger (see streaming/pipelines.py).
+DEFAULT_TRIGGER = "1 second"
+
+
+def get_spark(
+    app_name: str = "kafkastreams-example-spark",
+    cpus: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    On a real cluster these configs are deploy-time; in local mode we set
+    master=local[$SPARK_GRAFT_CPUS]. shuffle_partitions defaults to the
+    core count — at 100 TB you would instead size it so post-shuffle
+    partitions land near spark.sql.adaptive.advisoryPartitionSizeInBytes
+    and let AQE coalesce (enabled below).
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Deterministic timestamp semantics, matching the (tz-naive) oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata is TIMESTAMP(NANOS) parquet; Spark has no ns type,
+        # so read as long and convert in sources.tables.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # runtime join-strategy switches. Essential at scale, free locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas-UDF path (similarity / multimodal / stateful).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # RocksDB-backed state for streaming stateful ops (dedup): the Spark
+        # analog of the reference's persistent window store
+        # (KStreamDistinct.java:135-144).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_shuffle_partitions()))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _default_shuffle_partitions() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return max(int(cpus), 4)
+    return os.cpu_count() or 8

@@ -1,0 +1,40 @@
+"""Batch parquet sources for the driver testdata tables.
+
+At 100 TB these reads stay efficient because everything downstream is
+declarative: Catalyst pushes filters and prunes columns into the parquet
+scan (verify with .explain → PushedFilters / ReadSchema), and
+spark.sql.files.maxPartitionBytes controls split sizing. The only
+engine-specific wrinkle is the ns-timestamp conversion below, which is a
+cheap per-row projection fused into the scan stage by whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import NANO_TS_COLUMNS, TABLE_NAMES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, converting ns-timestamp columns.
+
+    The driver parquet stores TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong=true Spark reads them as long
+    nanoseconds. Truncating-divide to µs matches DuckDB's
+    CAST(x AS TIMESTAMP) exactly (verified in tests/test_parity.py).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,69 @@
+"""DuckDB-oracle parity for every registered query — a local replica of
+the driver's correctness gate (row count + schema-width + order-
+insensitive value comparison), run at sf0.001 for speed.
+
+Comparison: both results sorted column-name-major, values normalized
+(floats rounded to 9 significant-ish decimals to absorb <1 ulp
+formatting differences; everything else exact).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from kafkastreams_example_spark.queries import REGISTRY
+from kafkastreams_example_spark.schema import TABLE_NAMES
+
+from conftest import SF_DIR
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def _norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, int):
+        return f"{v:.9g}" if abs(v) < 2**53 else str(v)
+    return v
+
+
+def _normrows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    normed = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(normed, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_oracle_parity(spark, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        assert len(srows) >= 0
+        return
+    dcols, drows = _duck(spec.oracle)
+    assert sorted(scols) == sorted(c.lower() for c in dcols), (
+        f"{name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), f"{name}: rowcount spark={len(srows)} duck={len(drows)}"
+    a = _normrows(srows, scols)
+    b = _normrows(drows, dcols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
