@@ -1,0 +1,70 @@
+"""Streaming pipelines: the reference's two topologies, Spark-first.
+
+Pipeline 1 (filter): KafkaStreamsApplication.java:92-114 —
+stream → filter(level=='INFO') → to. Here: any streaming DataFrame of
+decoded LogEvents → filter → sink. The transform is a pure function of
+DataFrames, so the SAME code runs in batch (oracle-checkable, the
+TopologyTestDriver pattern) and streaming.
+
+Pipeline 2 (dedup): KStreamDistinct.java:129-153 —
+stream → windowed dedup on exception_class → not-null filter → to.
+Standard tier: withWatermark + dropDuplicatesWithinWatermark
+(first-seen-timestamp semantics). Exact reference parity
+(refresh-on-duplicate) is dedup_refresh.py.
+
+Scale notes: the dedup key shuffle fixes the reference's cross-partition
+dedup miss (SURVEY.md §3 — Kafka Streams never repartitions by the
+dedup id). State is RocksDB-backed (session.py) with watermark-driven
+eviction ≈ the reference's 10-min store retention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEDUP_WINDOW = "10 minutes"  # KStreamDistinct.java:135-136
+
+
+def filter_pipeline(decoded: DataFrame, level: str = "INFO") -> DataFrame:
+    """stream → keep level==INFO (null level drops — documented
+    divergence from the reference's NPE, SURVEY.md §1)."""
+    return decoded.filter(F.col("event.level") == level)
+
+
+def dedup_pipeline_within_watermark(
+    decoded: DataFrame,
+    window: str = DEDUP_WINDOW,
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Windowed dedup, built-in tier: suppress records whose
+    exception_class was already seen within the watermark window;
+    null-id records always pass (KStreamDistinct.java:71-72).
+
+    Differences vs the reference (documented, SURVEY.md §2a D1):
+    dropDuplicatesWithinWatermark keeps the FIRST-seen timestamp (no
+    refresh-on-duplicate), and lateness is bounded by the watermark
+    rather than a ±window/2 probe.
+    """
+    keyed = decoded.withColumn("dedup_id", F.col("event.exception.exception_class"))
+    with_wm = keyed.withWatermark(ts_col, window)
+    nulls = with_wm.filter(F.col("dedup_id").isNull())
+    dups = with_wm.filter(F.col("dedup_id").isNotNull()).dropDuplicatesWithinWatermark(
+        ["dedup_id"]
+    )
+    return dups.unionByName(nulls).drop("dedup_id")
+
+
+def windowed_count_pipeline(
+    decoded: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed aggregation (the §2b gap the reference never
+    had): tumbling-window counts per level with late-data handling."""
+    return (
+        decoded.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col("event.level").alias("level"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,177 @@
+"""Streaming semantics tests — the MemoryStream/TopologyTestDriver
+analog (SURVEY.md §5): file-source micro-batches + memory sink, driving
+the dedup edge cases from FIXTURES.md §5.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreams_example_spark.schema import LOG_SCHEMA
+from kafkastreams_example_spark.streaming.pipelines import (
+    filter_pipeline,
+    dedup_pipeline_within_watermark,
+)
+from kafkastreams_example_spark.streaming.dedup_refresh import dedup_refresh_stream
+
+MIN = 60 * 1000  # ms
+
+
+def _event(row_id: int, ts_ms: int, exc: str | None):
+    return {"row_id": row_id, "ts_ms": ts_ms, "dedup_id": exc}
+
+
+def _write_batch(d: Path, name: str, rows: list[dict]):
+    (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _run_dedup_batch(spark, src: Path, ckpt: Path, out_dir: Path):
+    """One availableNow round into a json file sink (file sinks support
+    checkpoint recovery across rounds; the memory sink does not)."""
+    stream = (
+        spark.readStream.schema("row_id BIGINT, ts_ms BIGINT, dedup_id STRING")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = dedup_refresh_stream(stream)
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _read_sink(spark, out_dir: Path) -> set[int]:
+    df = spark.read.schema("row_id BIGINT, ts_ms BIGINT").json(str(out_dir))
+    return {r["row_id"] for r in df.collect()}
+
+
+def test_dedup_refresh_reference_semantics(spark, tmp_path):
+    """FIXTURES.md §5 cases 1,3,5 + in-order refresh chain."""
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    rows = [
+        # NPE chain: 0 passes; 3min dup; 7min dup-of-refreshed (gap 4min);
+        # 20min passes again (gap 13min > 5min)
+        _event(0, 0 * MIN, "NPE"),
+        _event(1, 3 * MIN, "NPE"),
+        _event(2, 7 * MIN, "NPE"),
+        _event(3, 20 * MIN, "NPE"),
+        # null ids always pass (KStreamDistinct.java:71-72)
+        _event(4, 1 * MIN, None),
+        _event(5, 1 * MIN, None),
+        # distinct key unaffected
+        _event(6, 3 * MIN, "OOM"),
+    ]
+    _write_batch(src, "b1.json", rows)
+    out_dir = tmp_path / "out"
+    _run_dedup_batch(spark, src, ckpt, out_dir)
+    assert _read_sink(spark, out_dir) == {0, 3, 4, 5, 6}
+
+
+def test_dedup_refresh_out_of_order_and_expiry(spark, tmp_path):
+    """FIXTURES.md §5 cases 2,4: centered probe suppresses a record
+    older than a remembered one (≤ left half-window); state survives
+    across micro-batches via the checkpoint."""
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    # batch 1: OOM seen at t=10min
+    _write_batch(src, "b1.json", [_event(0, 10 * MIN, "OOM")])
+    _run_dedup_batch(spark, src, ckpt, out_dir)
+    # batch 2: out-of-order record at t=6min — 4min OLDER than stored,
+    # inside the left half-window (5min) → suppressed (:88-91);
+    # then t=30min — far past → passes
+    _write_batch(src, "b2.json", [_event(1, 6 * MIN, "OOM"), _event(2, 30 * MIN, "OOM")])
+    _run_dedup_batch(spark, src, ckpt, out_dir)
+    assert _read_sink(spark, out_dir) == {0, 2}
+
+
+def _decoded_fixture_df(spark, streaming_dir: Path | None = None):
+    """LogEvent rows shaped like sources.kafka.decode_log_events output."""
+    rows = [
+        ("k1", "2024-02-05 15:00:00", {"level": "INFO", "message": "ok", "exception": None}),
+        ("k2", "2024-02-05 15:00:01", {"level": "ERROR", "message": "boom",
+                                        "exception": {"exception_class": "NPE"}}),
+        ("k3", "2024-02-05 15:02:00", {"level": "ERROR", "message": "boom2",
+                                        "exception": {"exception_class": "NPE"}}),
+        ("k4", "2024-02-05 15:00:02", {"level": None, "message": "null level", "exception": None}),
+    ]
+    data = [
+        {"key": k, "event_time": t, "event": e} for k, t, e in rows
+    ]
+    import json as _json
+
+    jdf = spark.createDataFrame([(   _json.dumps(d),) for d in data], "value STRING")
+    return jdf.select(
+        F.get_json_object("value", "$.key").alias("key"),
+        F.to_timestamp(F.get_json_object("value", "$.event_time")).alias("event_time"),
+        F.from_json(F.get_json_object("value", "$.event"), LOG_SCHEMA).alias("event"),
+    )
+
+
+def test_filter_pipeline_batch_semantics(spark):
+    """Filter topology (KafkaStreamsApplication.java:108-111) on a
+    batch DF — same transform the streaming pipeline uses. Null level
+    drops (documented divergence from the reference NPE)."""
+    decoded = _decoded_fixture_df(spark)
+    out = filter_pipeline(decoded).select("key").collect()
+    assert {r["key"] for r in out} == {"k1"}
+
+
+def test_dedup_within_watermark_streaming(spark, tmp_path):
+    """Built-in dedup tier on a real stream: second NPE within the
+    window suppressed, null-id records pass."""
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"key": "k1", "ts_ms": 0, "level": "ERROR", "exc": "NPE"},
+        {"key": "k2", "ts_ms": 2 * MIN, "level": "ERROR", "exc": "NPE"},
+        {"key": "k3", "ts_ms": 1 * MIN, "level": "INFO", "exc": None},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("key STRING, ts_ms BIGINT, level STRING, exc STRING")
+        .json(str(src))
+        .select(
+            "key",
+            F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+            F.struct(
+                F.col("level").alias("level"),
+                F.struct(F.col("exc").alias("exception_class")).alias("exception"),
+            ).alias("event"),
+        )
+    )
+    # exception struct with null class should behave as null id
+    stream = stream.withColumn(
+        "event",
+        F.when(F.col("event.exception.exception_class").isNull(),
+               F.col("event").withField("exception", F.lit(None).cast(
+                   "struct<exception_class:string>")))
+        .otherwise(F.col("event")),
+    )
+    out = dedup_pipeline_within_watermark(stream)
+    table = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"] for r in spark.table(table).collect()}
+    # within one micro-batch dropDuplicatesWithinWatermark keeps an
+    # arbitrary record per key (not necessarily the earliest): exactly
+    # one NPE survivor, and the null-id record always passes
+    assert len(got & {"k1", "k2"}) == 1 and "k3" in got and len(got) == 2
