@@ -1,0 +1,77 @@
+"""Plan-shape tests: scale-readiness as assertions.
+
+Correctness at sf0.01 says nothing about 100 TB; these tests pin the
+physical properties that matter there — predicate pushdown into the
+parquet scan, column pruning, broadcast joins for dims, narrow
+(shuffle-free) per-row operators, and whole-stage codegen in the hot
+paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreams_example_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_shuffle,
+    assert_pushed_filters,
+    plan_string,
+)
+from kafkastreams_example_spark.queries import (
+    q_filter_level,
+    q_join_customer_orders,
+    q_join_multiway_region,
+    q_text_stats,
+    q_agg_pricing_summary,
+)
+from kafkastreams_example_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def test_filter_pushes_to_scan(spark):
+    df = q_filter_level(spark, SF_DIR)
+    assert_pushed_filters(df, "IsNotNull(event_type)", "EqualTo(event_type,error)")
+
+
+def test_projection_prunes_columns(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_string(li)
+    # ReadSchema must contain only the two referenced columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_extendedprice" not in read[0] and "l_orderkey" in read[0]
+
+
+def test_dim_joins_broadcast(spark):
+    assert_broadcast_join(q_join_customer_orders(spark, SF_DIR), 1)
+    assert_broadcast_join(q_join_multiway_region(spark, SF_DIR), 2)
+
+
+def test_narrow_ops_do_not_shuffle(spark):
+    # per-document text stats are a pure projection: no Exchange at all
+    assert_no_shuffle(q_text_stats(spark, SF_DIR))
+
+
+def test_agg_uses_partial_aggregation(spark):
+    # map-side partial agg: two HashAggregate levels around one Exchange
+    plan = plan_string(q_agg_pricing_summary(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_hot_path_stays_in_codegen(spark):
+    # the filter pipeline's scan→filter→project chain is fused into
+    # whole-stage codegen (no interpreted row processing)
+    # formatted mode marks codegen'd operators with a leading '*'
+    plan = plan_string(q_filter_level(spark, SF_DIR))
+    assert "* Filter" in plan and "* Project" in plan
+
+
+def test_sort_limit_is_topk_not_global_sort(spark):
+    # orderBy().limit() must compile to TakeOrderedAndProject
+    # (per-partition heaps), not a full Exchange rangepartitioning sort
+    orders = load_table(spark, SF_DIR, "orders")
+    df = orders.orderBy(F.col("o_totalprice").desc()).limit(10)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
