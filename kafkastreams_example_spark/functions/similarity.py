@@ -89,6 +89,76 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: the 100 TB path for similarity
+    search.
+
+    Deterministic training-free centroids (the first n_centroids
+    vectors by id — a stand-in for k-means; the bucketing mechanics are
+    what matters at scale). Every vector is assigned to its nearest
+    centroid once (O(n·C), broadcast centroids, no shuffle of the big
+    side); a query probes only its n_probe nearest centroid buckets, so
+    the scored candidate set is ~n_probe/n_centroids of the corpus
+    instead of all of it. Output schema matches cosine_topk; results
+    are approximate (a true neighbor outside probed buckets is missed).
+    """
+    from pyspark.sql import Window
+
+    unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
+    cents = unit.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col("uv").alias("cv")
+    )
+
+    def nearest(df: DataFrame, side_id: str, rank_limit: int, out: str) -> DataFrame:
+        scored = F.broadcast(cents).join(df, how="cross").select(
+            F.col(side_id), "cent_id", _dot(F.col("uv"), F.col("cv")).alias("cs")
+        )
+        w = Window.partitionBy(side_id).orderBy(F.col("cs").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= rank_limit)
+            .select(side_id, F.col("cent_id").alias(out))
+        )
+
+    assigned = nearest(unit, id_col, 1, "bucket")  # each vector's home bucket
+    queries = unit.filter(F.col(id_col).isin(query_ids))
+    probes = nearest(queries, id_col, n_probe, "bucket").withColumnRenamed(
+        id_col, "query_id"
+    )
+
+    # home bucket is unique per vector (row_number rank 1), so no pair
+    # can arrive twice through different probed buckets — no distinct
+    cand = assigned.join(unit, id_col).select(
+        F.col(id_col).alias("cand_id"), "bucket", F.col("uv").alias("cv2")
+    )
+
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col("uv").alias("qv"))
+    scored = (
+        probes.join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            _dot(F.col("qv"), F.col("cv2")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -522,6 +522,355 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Relational core, batch 2: outer joins, window variants, cube, as-of /
+# range joins, sessionization, function-library sweeps
+# --------------------------------------------------------------------------
+
+
+def q_join_outer_left(spark, sf_dir):
+    """Left outer join keeping order-less customers (n_orders = 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+    )
+
+
+SQL_JOIN_OUTER_LEFT = """
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def q_union_all(spark, sf_dir):
+    """UNION ALL (bag semantics) of two order slices."""
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey"
+    )
+    return hi.unionByName(urgent)
+
+
+SQL_UNION_ALL = """
+SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000
+UNION ALL
+SELECT o_orderkey, o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def q_window_lag_lead(spark, sf_dir):
+    """lag/lead/ntile: per-customer order deltas and quartiles."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    prev = F.lag("o_totalprice").over(w)
+    nxt = F.lead("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_total"),
+        nxt.alias("next_total"),
+        F.ntile(4).over(wq).alias("quartile"),
+    )
+
+
+SQL_WINDOW_LAG_LEAD = """
+SELECT o_custkey, o_orderkey,
+  lag(o_totalprice) OVER w AS prev_total,
+  lead(o_totalprice) OVER w AS next_total,
+  ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_window_moving_avg(spark, sf_dir):
+    """Frame window: 3-order moving average per customer (decimal-exact
+    sum ÷ frame count, both engines bit-identical)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    msum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    mcnt = F.count("*").over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey", (msum / mcnt).alias("moving_avg3")
+    )
+
+
+SQL_WINDOW_MOVING_AVG = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+    / COUNT(*) OVER w AS moving_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_agg_cube(spark, sf_dir):
+    """CUBE grouping sets over (status, priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_total")
+    )
+
+
+SQL_AGG_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: for each order, the latest event of the same user at
+    or before the order date.
+
+    Implemented as the scalable union-merge shape (tag both sides,
+    one sort-partition by key, carry the last event forward) — a single
+    shuffle on the key, no row-multiplying range join. The same window
+    formulation is ANSI SQL for the oracle.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts"),
+        F.lit(0).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    merged = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("asof_event_id", F.last("event_id", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "o_orderkey",
+            F.col("k").alias("o_custkey"),
+            "asof_event_id",
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH merged AS (
+  SELECT user_id AS k, ts, 0 AS side, event_id, CAST(NULL AS BIGINT) AS o_orderkey
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ts, 1 AS side,
+         CAST(NULL AS BIGINT) AS event_id, o_orderkey
+  FROM orders)
+SELECT o_orderkey, k AS o_custkey,
+  last_value(event_id IGNORE NULLS)
+    OVER (PARTITION BY k ORDER BY ts, side, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
+FROM merged
+QUALIFY side = 1
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Range join: events of the same user within 1 day after the order
+    date, counted per order. Equi-key + range predicate → Spark plans a
+    hash join with the range as a post-filter (no cartesian)."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (ev.user_id == orders.o_custkey)
+        & (ev.ts >= orders.o_orderdate)
+        & (ev.ts < F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    return (
+        orders.join(ev, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("event_id").alias("n_events_1d"))
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT o_orderkey, COUNT(event_id) AS n_events_1d
+FROM orders LEFT JOIN events
+  ON user_id = o_custkey
+ AND ts >= CAST(o_orderdate AS TIMESTAMP)
+ AND ts < CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY
+GROUP BY o_orderkey
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag → gap flag →
+    running sum = session id → per-session aggregates). One shuffle on
+    user_id; the batch analog of session_window streaming aggregation
+    and the same shape as dedup_refresh_batch."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer milliseconds, not double seconds: double epoch conversion
+    # differs across engines by 1 ulp, and the session-gap comparison /
+    # duration subtraction would amplify it into visible mismatches
+    ms = F.unix_millis("ts")
+    gap = ms - F.lag(ms).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(ms) - F.min(ms)).alias("duration_ms"),
+    )
+
+
+SQL_SESSION_STATS = """
+WITH g AS (
+  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+    CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR epoch_ms(CAST(ts AS TIMESTAMP))
+              - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT user_id, event_id, ms,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(ms) - MIN(ms) AS duration_ms
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_scalar_funcs2(spark, sf_dir):
+    """Function-library sweep 2: date arithmetic and string surgery."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_eoy"
+        ),
+        F.lpad("o_orderstatus", 3, "_").alias("status_pad"),
+        F.translate("o_orderpriority", "-", " ").alias("pri_spaced"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias("pri_code"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("capped"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floored"),
+    )
+
+
+SQL_SCALAR_FUNCS2 = """
+SELECT o_orderkey,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+  lpad(o_orderstatus, 3, '_') AS status_pad,
+  translate(o_orderpriority, '-', ' ') AS pri_spaced,
+  split_part(o_orderpriority, '-', 1) AS pri_code,
+  least(o_totalprice, 100000.0) AS capped,
+  greatest(o_totalprice, 100000.0) AS floored
+FROM orders
+"""
+
+
+def q_map_funcs(spark, sf_dir):
+    """JSON payload as a map column: keys + typed element access."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        m.getItem("k").alias("k"),
+    )
+
+
+SQL_MAP_FUNCS = """
+SELECT event_id,
+  array_to_string(json_keys(props), ',') AS prop_keys,
+  CAST(props->>'k' AS INT) AS k
+FROM events
+"""
+
+
+def q_array_funcs(spark, sf_dir):
+    """Array function sweep over tokenized documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias("sorted_vocab"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_position(toks, "spark").cast("int").alias("spark_pos"),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_words,
+  array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
+  array_to_string(list_sort(list_distinct(toks)), '|') AS sorted_vocab,
+  list_contains(toks, 'spark') AS has_spark,
+  CAST(coalesce(list_position(toks, 'spark'), 0) AS INT) AS spark_pos
+FROM t
+"""
+
+
+def q_agg_minmax(spark, sf_dir):
+    """min/max over numerics, strings and timestamps per group."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.max("o_totalprice").alias("max_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.min("o_orderpriority").alias("min_pri"),
+        _ts_s(F.min("o_orderdate")).alias("first_order"),
+        _ts_s(F.max("o_orderdate")).alias("last_order"),
+    )
+
+
+SQL_AGG_MINMAX = """
+SELECT o_orderstatus,
+  MAX(o_totalprice) AS max_total, MIN(o_totalprice) AS min_total,
+  MIN(o_orderpriority) AS min_pri,
+  strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order,
+  strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # Text analysis (north-star LLM-pipeline surface)
 # --------------------------------------------------------------------------
 
@@ -719,6 +1068,48 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (the at-scale ANN path)."""
+    from .functions.similarity import ivf_topk
+
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+_DOT2 = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+SQL_IVF_TOPK = f"""
+WITH u AS ({_EMB_U}),
+cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < 16),
+ascore AS (
+  SELECT u.vec_id, c.cent_id, {_DOT2.format(a="u.uv", b="c.cv")} AS cs
+  FROM u CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, cent_id AS bucket
+  FROM (SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+        FROM ascore) WHERE r = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS bucket
+  FROM (SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+        FROM ascore WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE r <= 4),
+cand AS (
+  SELECT a.vec_id AS cand_id, a.bucket, u.uv AS cv2
+  FROM assigned a JOIN u ON u.vec_id = a.vec_id),
+scored AS (
+  SELECT p.query_id, c.cand_id AS neighbor_id,
+         {_DOT2.format(a="qu.uv", b="c.cv2")} AS cosine
+  FROM probes p JOIN cand c USING (bucket)
+  JOIN u qu ON qu.vec_id = p.query_id
+  WHERE p.query_id != c.cand_id)
+SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
 def q_cosine_pairs(spark, sf_dir):
     return cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
@@ -798,6 +1189,19 @@ REGISTRY: dict[str, QuerySpec] = {
     "setop_except": QuerySpec(q_setop_except, SQL_SETOP_EXCEPT, ("relational",)),
     "scalar_funcs": QuerySpec(q_scalar_funcs, SQL_SCALAR_FUNCS, ("relational",)),
     "agg_windowed_events": QuerySpec(q_agg_windowed_events, SQL_AGG_WINDOWED_EVENTS, ("relational", "streaming-analog")),
+    # relational core, batch 2
+    "join_outer_left": QuerySpec(q_join_outer_left, SQL_JOIN_OUTER_LEFT, ("relational",)),
+    "union_all": QuerySpec(q_union_all, SQL_UNION_ALL, ("relational",)),
+    "window_lag_lead": QuerySpec(q_window_lag_lead, SQL_WINDOW_LAG_LEAD, ("relational",)),
+    "window_moving_avg": QuerySpec(q_window_moving_avg, SQL_WINDOW_MOVING_AVG, ("relational",)),
+    "agg_cube": QuerySpec(q_agg_cube, SQL_AGG_CUBE, ("relational",)),
+    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, ("relational", "temporal")),
+    "range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN, ("relational", "temporal")),
+    "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS, ("relational", "temporal")),
+    "scalar_funcs2": QuerySpec(q_scalar_funcs2, SQL_SCALAR_FUNCS2, ("relational",)),
+    "map_funcs": QuerySpec(q_map_funcs, SQL_MAP_FUNCS, ("relational",)),
+    "array_funcs": QuerySpec(q_array_funcs, SQL_ARRAY_FUNCS, ("relational", "text")),
+    "agg_minmax": QuerySpec(q_agg_minmax, SQL_AGG_MINMAX, ("relational",)),
     # text analysis
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS, ("text",)),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY, ("text",)),
@@ -811,6 +1215,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # similarity
     "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS, ("similarity",)),
     "sim_topk": QuerySpec(q_sim_topk, SQL_SIM_TOPK, ("similarity",)),
+    "ivf_topk": QuerySpec(q_ivf_topk, SQL_IVF_TOPK, ("similarity",)),
     "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),
     # multimodal
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),

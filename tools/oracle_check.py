@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every registry
+query on Spark and its oracle on DuckDB at a given scale factor and
+compare (row count + column set + order-insensitive normalized values).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kafkastreams_example_spark.queries import REGISTRY  # noqa: E402
+from kafkastreams_example_spark.schema import TABLE_NAMES  # noqa: E402
+from kafkastreams_example_spark.session import get_spark  # noqa: E402
+
+
+def norm(v):
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.9g}"
+    if isinstance(v, int):
+        return f"{v:.9g}" if abs(v) < 2**53 else str(v)
+    return v
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or sorted(REGISTRY)
+    spark = get_spark(app_name="oracle-check", cpus="8", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    fails = []
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        sdf = spec.fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if spec.oracle is None:
+            print(f"{name}: rows={len(srows)} (rows-only) [{time.perf_counter()-t0:.1f}s]")
+            continue
+        cur = con.execute(spec.oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        oi = sorted(range(len(scols)), key=lambda i: scols[i])
+        di = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+        a = sorted([tuple(norm(r[i]) for i in oi) for r in srows], key=key)
+        b = sorted([tuple(norm(r[i]) for i in di) for r in drows], key=key)
+        ok = a == b and sorted(scols) == sorted(c.lower() for c in dcols)
+        if not ok:
+            fails.append(name)
+            bad = [(x, y) for x, y in zip(a, b) if x != y][:2]
+            print(f"{name}: MISMATCH rows={len(srows)}/{len(drows)} first={bad}")
+        else:
+            print(f"{name}: ok rows={len(srows)} [{time.perf_counter()-t0:.1f}s]")
+    print("FAILS:", fails if fails else "none")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
