@@ -52,6 +52,50 @@ def dsum_expr(expr: Column, scale: int = 2) -> Column:
     return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    Phase 1 groups by (keys, random salt) so a hot key's rows spread
+    over salt_buckets reducers; phase 2 re-aggregates the partials by
+    the real keys. Correct for decomposable aggregates (sum/count/min/
+    max — pass the MERGE expression in `aggs`, applied to the phase-1
+    partial column of the same name). AQE's skew handling covers
+    moderate skew automatically; salting is the explicit tool for the
+    pathological single-hot-key case (one exception_class producing 90%
+    of a 100 TB stream).
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    merge = {
+        name: _merge_expr(name, expr) for name, expr in aggs.items()
+    }
+    return partial.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in merge.items()]
+    )
+
+
+def _merge_expr(name: str, original: Column) -> Column:
+    """Merge step for common decomposable aggregates, inferred from the
+    phase-1 expression string (count → sum of partial counts; sum/min/
+    max → same function over partials)."""
+    s = str(original)
+    col = F.col(name)
+    if "count(" in s:
+        return F.sum(col)
+    if "min(" in s:
+        return F.min(col)
+    if "max(" in s:
+        return F.max(col)
+    return F.sum(col)
+
+
 def broadcast_dim(df: DataFrame) -> DataFrame:
     """Mark a dimension table for broadcast: dim⋈fact never shuffles the
     fact side. At 100 TB this is the difference between a map-side join

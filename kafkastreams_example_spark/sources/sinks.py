@@ -1,0 +1,59 @@
+"""Batch sinks: partitioned and bucketed parquet — the layout half of
+the 100 TB story.
+
+- Hive-style partitioning (partitionBy) turns equality/range predicates
+  on the partition column into directory pruning: a scan of 1/N of the
+  data reads 1/N of the files, before any row is touched.
+- Bucketing (bucketBy on the join/agg key) pre-shuffles data at write
+  time: two tables bucketed on the same key by the same count join with
+  NO Exchange at read time — at scale this converts every recurring
+  fact⋈fact join from a multi-TB shuffle into a local zip of buckets.
+
+Both are declarative table layouts: downstream queries stay unchanged
+and Catalyst exploits the layout automatically (verified in
+tests/test_sinks.py via plan assertions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write Hive-partitioned parquet. Choose partition columns with
+    bounded cardinality (date, category) — 10⁴⁺ tiny partitions hurt
+    more than they help; high-cardinality keys belong in bucketing."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Write a bucketed (and optionally sorted) table. Joins and
+    aggregations on bucket_col between tables bucketed the same way
+    skip the shuffle entirely; sorting within buckets additionally
+    enables merge-join without a sort step. Pass `path` for an external
+    table (warehouse.dir is a static config and can't move per-job)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_partition_pruned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partitioned dataset; prune via ordinary filters on the
+    partition column (Catalyst emits PartitionFilters)."""
+    return spark.read.parquet(path)

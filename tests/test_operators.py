@@ -1,0 +1,120 @@
+"""Operator unit/property tests: dedup-family invariants (the SURVEY §5
+property list) and the skew-salting equivalence."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from kafkastreams_example_spark.operators.dedup import (
+    dedup_exact,
+    dedup_null_passthrough,
+    dedup_refresh_batch,
+    dedup_windowed,
+)
+from kafkastreams_example_spark.operators.relational import dsum, salted_agg
+from kafkastreams_example_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+BASE = datetime(2024, 1, 1)
+
+# (key_idx or None, offset_seconds) event streams; small alphabets force
+# collisions so the dedup paths actually exercise
+EVENTS = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.integers(0, 3600),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _df(spark, events):
+    rows = [
+        (
+            i,
+            None if k is None else f"k{k}",
+            BASE + timedelta(seconds=off),
+        )
+        for i, (k, off) in enumerate(events)
+    ]
+    return spark.createDataFrame(rows, "row_id INT, key STRING, ts TIMESTAMP")
+
+
+@settings(max_examples=12, deadline=None)
+@given(EVENTS)
+def test_dedup_refresh_invariants(spark, events):
+    """(a) null-key rows are preserved bit-exact; (b) among survivors of
+    one key, consecutive gaps exceed the threshold; (c) every input key
+    with rows has ≥1 survivor."""
+    df = _df(spark, events)
+    out = dedup_refresh_batch(df, F.col("key"), "ts", 300.0, tiebreak=["row_id"]).collect()
+    inp = df.collect()
+
+    null_in = sorted(r["row_id"] for r in inp if r["key"] is None)
+    null_out = sorted(r["row_id"] for r in out if r["key"] is None)
+    assert null_in == null_out
+
+    by_key: dict[str, list] = {}
+    for r in out:
+        if r["key"] is not None:
+            by_key.setdefault(r["key"], []).append(r)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: (r["ts"], r["row_id"]))
+        for a, b in zip(rows, rows[1:]):
+            assert (b["ts"] - a["ts"]).total_seconds() > 300.0, (key, a, b)
+
+    keys_in = {r["key"] for r in inp if r["key"] is not None}
+    assert keys_in == set(by_key)
+
+
+@settings(max_examples=8, deadline=None)
+@given(EVENTS)
+def test_dedup_windowed_one_survivor_per_bucket(spark, events):
+    df = _df(spark, events)
+    out = dedup_windowed(df, "key", "ts", 600, tiebreak=["row_id"]).collect()
+    seen = set()
+    for r in out:
+        bucket = (r["key"], int(r["ts"].timestamp() // 600))
+        assert bucket not in seen
+        seen.add(bucket)
+
+
+def test_dedup_exact_keeps_first_by_order(spark):
+    df = _df(spark, [(0, 100), (0, 50), (0, 50), (1, 10)])
+    out = dedup_exact(df, ["key"], ["ts", "row_id"]).collect()
+    got = {r["key"]: r["row_id"] for r in out}
+    # k0: two rows tie at t=50 → row_id 1 wins; k1 trivially row 3
+    assert got == {"k0": 1, "k1": 3}
+
+
+def test_dedup_null_passthrough_keeps_all_nulls(spark):
+    df = _df(spark, [(None, 0), (None, 0), (0, 0), (0, 1)])
+    out = dedup_null_passthrough(df, F.col("key"), "ts", 600, tiebreak=["row_id"]).collect()
+    assert sorted(r["row_id"] for r in out) == [0, 1, 2]
+
+
+def test_salted_agg_matches_plain(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    # decimal partials so the two-phase sum is exact (a double partial
+    # sum would re-introduce order dependence at the merge step)
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    plain = {
+        r["o_orderstatus"]: (r["n"], r["total"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count("o_orderkey").alias("n"), total.alias("total"))
+        .collect()
+    }
+    salted = {
+        r["o_orderstatus"]: (r["n"], r["total"])
+        for r in salted_agg(
+            orders,
+            ["o_orderstatus"],
+            {"n": F.count("o_orderkey"), "total": total},
+        ).collect()
+    }
+    assert plain == salted

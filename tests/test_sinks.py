@@ -1,0 +1,58 @@
+"""Sink-layout tests: partition pruning and shuffle-free bucketed joins
+— asserted on physical plans, not assumed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreams_example_spark.plans.explain import plan_string
+from kafkastreams_example_spark.sources.sinks import (
+    read_partition_pruned,
+    write_bucketed,
+    write_partitioned,
+)
+from kafkastreams_example_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(ev, path, ["event_type"])
+
+    back = read_partition_pruned(spark, path).filter(F.col("event_type") == "error")
+    plan = plan_string(back)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    # pruned read returns exactly the error slice
+    expected = ev.filter(F.col("event_type") == "error").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(
+        orders, "orders_b", "o_orderkey", 8, sort_col="o_orderkey",
+        path=str(tmp_path / "orders_b"),
+    )
+    write_bucketed(
+        li, "lineitem_b", "l_orderkey", 8, sort_col="l_orderkey",
+        path=str(tmp_path / "lineitem_b"),
+    )
+    try:
+        ob = spark.table("orders_b")
+        lb = spark.table("lineitem_b")
+        # disable broadcast so the join strategy decision is about
+        # bucketing, not table size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = plan_string(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it computes the same thing as the unbucketed join
+        assert joined.count() == orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
