@@ -1222,6 +1222,183 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF: the canonical text-pipeline weighting. tf per (doc,term)
+    → document frequency per term → idf = ln(N/df) → top-3 terms per
+    doc. Two narrow aggregations + one broadcastable join (term-level
+    df table is tiny relative to the corpus)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokenize
+
+    terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH terms AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.term,
+         tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, rnk, round(tfidf, 6) AS tfidf
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+"""
+
+
+def q_corpus_top_terms(spark, sf_dir):
+    """Corpus-level term frequencies: top-20 tokens (the vocabulary
+    profile step of a data pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokenize
+
+    return (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+SQL_CORPUS_TOP_TERMS = f"""
+SELECT term, COUNT(*) AS n
+FROM (SELECT unnest({_TOK}) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
+def q_subquery_above_avg(spark, sf_dir):
+    """Correlated-style scalar subquery: parts priced above their
+    type's average (decomposed as agg + broadcast join — the plan
+    Catalyst produces for the correlated form anyway)."""
+    part = load_table(spark, sf_dir, "part")
+    avg_by_type = part.groupBy("p_type").agg(davg("p_retailprice").alias("avg_price"))
+    return (
+        part.join(F.broadcast(avg_by_type), "p_type")
+        .filter(F.col("p_retailprice") > F.col("avg_price"))
+        .select("p_partkey", "p_type", "p_retailprice", "avg_price")
+    )
+
+
+SQL_SUBQUERY_ABOVE_AVG = """
+WITH a AS (SELECT p_type,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(p_retailprice) AS avg_price
+           FROM part GROUP BY p_type)
+SELECT p_partkey, part.p_type, p_retailprice, avg_price
+FROM part JOIN a ON part.p_type = a.p_type
+WHERE p_retailprice > avg_price
+"""
+
+
+def q_regexp_extract(spark, sf_dir):
+    """Regexp surface: capture-group extraction + boolean match."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", r"(\d+)", 1).alias("first_num"),
+        F.col("p_name").rlike("[aeiou]{2}").alias("has_double_vowel"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+    )
+
+
+SQL_REGEXP_EXTRACT = r"""
+SELECT p_partkey,
+  coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+  coalesce(regexp_extract(p_name, '(\d+)', 1), '') AS first_num,
+  regexp_matches(p_name, '[aeiou]{2}') AS has_double_vowel,
+  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+"""
+
+
+def q_agg_filtered(spark, sf_dir):
+    """Conditional aggregation (FILTER / count_if shapes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.count(F.when(F.col("l_tax") == 0.0, 1)).alias("n_taxfree"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.max(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))).alias(
+            "max_discounted_price"
+        ),
+    )
+
+
+SQL_AGG_FILTERED = """
+SELECT l_returnflag,
+  COUNT(*) FILTER (l_discount > 0.05) AS n_discounted,
+  COUNT(*) FILTER (l_tax = 0.0) AS n_taxfree,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  MAX(l_extendedprice) FILTER (l_discount > 0.05) AS max_discounted_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_date_arith(spark, sf_dir):
+    """Date arithmetic: add_months, last_day, quarter, week truncation."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week_start"),
+    )
+
+
+SQL_DATE_ARITH = """
+SELECT o_orderkey,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start
+FROM orders
+"""
+
+
+def q_bit_aggs(spark, sf_dir):
+    """Bitwise aggregates over int columns."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.bit_and("p_size").alias("size_and"),
+        F.bit_or("p_size").alias("size_or"),
+        F.bit_xor("p_size").alias("size_xor"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+SQL_BIT_AGGS = """
+SELECT p_brand,
+  bit_and(p_size) AS size_and, bit_or(p_size) AS size_or,
+  bit_xor(p_size) AS size_xor, COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -1412,6 +1589,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "stats_moments": QuerySpec(q_stats_moments, SQL_STATS_MOMENTS, ("relational",)),
     "sql_q3_shipping": QuerySpec(q_sql_q3_shipping, SQL_SQL_Q3_SHIPPING, ("relational", "sql-api")),
     "approx_distinct": QuerySpec(q_approx_distinct, None, ("relational", "approximate")),
+    # relational/text batch 4
+    "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS, ("text",)),
+    "corpus_top_terms": QuerySpec(q_corpus_top_terms, SQL_CORPUS_TOP_TERMS, ("text",)),
+    "subquery_above_avg": QuerySpec(q_subquery_above_avg, SQL_SUBQUERY_ABOVE_AVG, ("relational",)),
+    "regexp_extract": QuerySpec(q_regexp_extract, SQL_REGEXP_EXTRACT, ("relational", "text")),
+    "agg_filtered": QuerySpec(q_agg_filtered, SQL_AGG_FILTERED, ("relational",)),
+    "date_arith": QuerySpec(q_date_arith, SQL_DATE_ARITH, ("relational",)),
+    "bit_aggs": QuerySpec(q_bit_aggs, SQL_BIT_AGGS, ("relational",)),
     # text analysis
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS, ("text",)),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY, ("text",)),
