@@ -29,19 +29,27 @@ BENCH_QUERIES = [
     "agg_pricing_summary",
     "join_customer_orders",
     "join_multiway_region",
+    "sql_q3_shipping",
     "window_rank",
     "dedup_exact",
     "dedup_windowed",
     "dedup_refresh",
     "agg_windowed_events",
+    "asof_join",
+    "range_join",
+    "session_stats",
     "text_stats",
     "doc_fingerprint",
+    "tfidf_top_terms",
     "minhash_signature",
     "minhash_lsh_pairs",
     "shingle_jaccard",
     "simhash",
     "sim_topk",
+    "ivf_topk",
     "cosine_pairs",
+    "dedup_embeddings",
+    "clean_pipeline",
     "multimodal_meta",
 ]
 

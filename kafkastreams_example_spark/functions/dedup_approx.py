@@ -124,7 +124,17 @@ def shingle_jaccard_pairs(
         id_col,
         F.conv(F.substring(F.md5("sh_str"), 1, 15), 16, 10).cast("bigint").alias("sh"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # the exploded+hashed shingle set feeds both self-join sides; without
+    # persisting, Catalyst re-derives the whole tokenize→shingle→md5
+    # pipeline per side (8 scans observed). At warehouse scale this
+    # intermediate would be a staged table; in-process, MEMORY_AND_DISK.
+    sh = sh.persist()
+    # per-doc set sizes as a narrow projection over the source — no
+    # explode, no shuffle
+    sizes = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(_shingles(text_col, n))).alias("n_sh"),
+    )
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -1501,6 +1501,197 @@ WHERE {_COS} >= 0.35
 """
 
 
+def q_dedup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP (not just pair detection):
+    survivors are vectors with no lower-id neighbor above the
+    threshold — cosine pairs → anti-join, the standard keep-first
+    clustering approximation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, threshold=0.35)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+SQL_DEDUP_EMBEDDINGS = f"""
+WITH u AS ({_EMB_U}),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  WHERE {_COS} >= 0.35)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """Conversion funnel: per user, first signup and first purchase
+    after it; aggregate conversion counts. Two conditional min-
+    aggregations over one shuffle — no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ms)).alias("first_signup_ms"),
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ms.alias("p_ms"))
+        .join(per_user, "user_id")
+        .filter(F.col("p_ms") >= F.col("first_signup_ms"))
+        .groupBy("user_id")
+        .agg(F.min("p_ms").alias("first_purchase_ms"))
+    )
+    return (
+        per_user.join(purch, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("first_signup_ms").isNotNull().alias("signed_up"),
+            F.col("first_purchase_ms").isNotNull().alias("converted"),
+            (F.col("first_purchase_ms") - F.col("first_signup_ms")).alias("ms_to_convert"),
+        )
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(epoch_ms(CAST(ts AS TIMESTAMP))) FILTER (event_type = 'signup') AS first_signup_ms
+  FROM events GROUP BY user_id),
+purch AS (
+  SELECT e.user_id, MIN(epoch_ms(CAST(e.ts AS TIMESTAMP))) AS first_purchase_ms
+  FROM events e JOIN per_user p ON e.user_id = p.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_ms(CAST(e.ts AS TIMESTAMP)) >= p.first_signup_ms
+  GROUP BY e.user_id)
+SELECT p.user_id,
+  first_signup_ms IS NOT NULL AS signed_up,
+  first_purchase_ms IS NOT NULL AS converted,
+  first_purchase_ms - first_signup_ms AS ms_to_convert
+FROM per_user p LEFT JOIN purch ON p.user_id = purch.user_id
+"""
+
+
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank, cume_dist,
+    dense_rank over order totals per status."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+SELECT o_orderkey, o_orderstatus,
+  round(percent_rank() OVER w, 9) AS pct_rank,
+  round(cume_dist() OVER w, 9) AS cume,
+  dense_rank() OVER w AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def q_null_handling(spark, sf_dir):
+    """Null-handling function sweep: coalesce/nullif/nvl2-shape/
+    null-safe equality."""
+    ev = load_table(spark, sf_dir, "events")
+    dedup_id = F.nullif(F.col("event_type"), F.lit("view"))
+    return ev.select(
+        "event_id",
+        F.coalesce(dedup_id, F.lit("(none)")).alias("id_or_default"),
+        dedup_id.isNull().alias("is_view"),
+        F.when(dedup_id.isNotNull(), F.lit("keyed")).otherwise(F.lit("passthrough")).alias(
+            "route"
+        ),
+        dedup_id.eqNullSafe(F.lit("error")).alias("is_error_nullsafe"),
+    )
+
+
+SQL_NULL_HANDLING = """
+SELECT event_id,
+  coalesce(nullif(event_type, 'view'), '(none)') AS id_or_default,
+  nullif(event_type, 'view') IS NULL AS is_view,
+  CASE WHEN nullif(event_type, 'view') IS NOT NULL THEN 'keyed'
+       ELSE 'passthrough' END AS route,
+  nullif(event_type, 'view') IS NOT DISTINCT FROM 'error' AS is_error_nullsafe
+FROM events
+"""
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Corpus word-bigram counts (n-gram generation, top-30)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokenize
+
+    toks = tokenize("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(30)
+    )
+
+
+SQL_BIGRAM_COUNTS = f"""
+WITH t AS (SELECT {_TOK} AS toks FROM documents),
+b AS (SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bigram
+      FROM t)
+SELECT bigram, COUNT(*) AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30
+"""
+
+
+def q_clean_pipeline(spark, sf_dir):
+    """Composed cleaning pipeline — the operators in series, as a real
+    corpus job would run them: quality-filter → exact-dedup by
+    fingerprint (keep min doc_id) → per-language stats. One narrow
+    stage + two shuffles end to end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokenize
+
+    toks = tokenize("text")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    scored = docs.select(
+        "doc_id", "lang", "text", n_tok.alias("n_tokens"), ttr.alias("ttr")
+    ).filter((F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.3))
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    deduped = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+SQL_CLEAN_PIPELINE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text, len({_TOK}) AS n_tokens,
+         CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}) AS ttr
+  FROM documents),
+filtered AS (SELECT * FROM scored WHERE n_tokens >= 10 AND ttr >= 0.3),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM filtered) WHERE rn = 1)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM deduped GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (binary payload + pandas-UDF decode)
 # --------------------------------------------------------------------------
@@ -1597,6 +1788,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "agg_filtered": QuerySpec(q_agg_filtered, SQL_AGG_FILTERED, ("relational",)),
     "date_arith": QuerySpec(q_date_arith, SQL_DATE_ARITH, ("relational",)),
     "bit_aggs": QuerySpec(q_bit_aggs, SQL_BIT_AGGS, ("relational",)),
+    # batch 5
+    "dedup_embeddings": QuerySpec(q_dedup_embeddings, SQL_DEDUP_EMBEDDINGS, ("similarity", "dedup")),
+    "events_funnel": QuerySpec(q_events_funnel, SQL_EVENTS_FUNNEL, ("relational", "temporal")),
+    "window_distribution": QuerySpec(q_window_distribution, SQL_WINDOW_DISTRIBUTION, ("relational",)),
+    "null_handling": QuerySpec(q_null_handling, SQL_NULL_HANDLING, ("relational",)),
+    "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS, ("text",)),
+    "clean_pipeline": QuerySpec(q_clean_pipeline, SQL_CLEAN_PIPELINE, ("text", "pipeline")),
     # text analysis
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS, ("text",)),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY, ("text",)),
