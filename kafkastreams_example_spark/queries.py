@@ -1399,6 +1399,69 @@ FROM part GROUP BY p_brand
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates: doc pairs whose 32-bit fingerprints
+    are within hamming distance 3 (bit_count(xor)). The all-pairs form
+    is for candidate sets; at scale, band the fingerprint bytes (same
+    LSH shape as minhash) before pairing."""
+    fp = simhash(load_table(spark, sf_dir, "documents"))
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.expr("ha ^ hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM w),
+bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS tot
+         FROM h, (SELECT unnest(range(0, 32)) AS j) AS js
+         GROUP BY doc_id, j),
+fp AS (SELECT doc_id,
+         SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_window_nth(spark, sf_dir):
+    """first_value/last_value/nth_value with explicit full-partition
+    frames (the defaults differ subtly across engines; pin them)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_total"),
+        F.last("o_totalprice").over(w).alias("last_total"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
+    )
+
+
+SQL_WINDOW_NTH = """
+SELECT o_custkey, o_orderkey,
+  first_value(o_totalprice) OVER w AS first_total,
+  last_value(o_totalprice) OVER w AS last_total,
+  nth_value(o_totalprice, 2) OVER w AS second_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings)
 # --------------------------------------------------------------------------
@@ -1795,6 +1858,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "null_handling": QuerySpec(q_null_handling, SQL_NULL_HANDLING, ("relational",)),
     "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS, ("text",)),
     "clean_pipeline": QuerySpec(q_clean_pipeline, SQL_CLEAN_PIPELINE, ("text", "pipeline")),
+    "simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS, ("text", "dedup")),
+    "window_nth": QuerySpec(q_window_nth, SQL_WINDOW_NTH, ("relational",)),
     # text analysis
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS, ("text",)),
     "text_quality": QuerySpec(q_text_quality, SQL_TEXT_QUALITY, ("text",)),
