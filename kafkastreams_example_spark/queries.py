@@ -1399,6 +1399,27 @@ FROM part GROUP BY p_brand
 """
 
 
+def q_agg_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — verified bit-identical
+    to DuckDB's quantile_cont). At 100 TB you'd use approx_percentile
+    sketches; the exact form is the correctness baseline."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("med_total"),
+        F.percentile("o_totalprice", 0.9).alias("p90_total"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+SQL_AGG_PERCENTILES = """
+SELECT o_orderstatus,
+  quantile_cont(o_totalprice, 0.5) AS med_total,
+  quantile_cont(o_totalprice, 0.9) AS p90_total,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidates: doc pairs whose 32-bit fingerprints
     are within hamming distance 3 (bit_count(xor)). The all-pairs form
@@ -1859,6 +1880,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS, ("text",)),
     "clean_pipeline": QuerySpec(q_clean_pipeline, SQL_CLEAN_PIPELINE, ("text", "pipeline")),
     "simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS, ("text", "dedup")),
+    "agg_percentiles": QuerySpec(q_agg_percentiles, SQL_AGG_PERCENTILES, ("relational",)),
     "window_nth": QuerySpec(q_window_nth, SQL_WINDOW_NTH, ("relational",)),
     # text analysis
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS, ("text",)),

@@ -46,15 +46,23 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 DEFAULT_WINDOW_MS = 10 * 60 * 1000  # KStreamDistinct.java:135-136
 
 
-def make_refresh_dedup_fn(window_ms: int = DEFAULT_WINDOW_MS):
-    """Build the per-key stateful function. State: (last_seen_ms,)."""
+def make_refresh_dedup_fn(window_ms: int = DEFAULT_WINDOW_MS, evict: bool = False):
+    """Build the per-key stateful function. State: (last_seen_ms,).
+
+    evict=True arms a processing-time timeout that forgets ids unseen
+    for a full retention window (:135-141) — required for bounded state
+    on continuous streams, but ONLY for continuous triggers: with
+    Trigger.AvailableNow, pending processing-time timers keep the query
+    alive indefinitely (it never self-terminates), so batch-style runs
+    must leave evict=False.
+    """
     left_ms = window_ms // 2  # :56
     right_ms = window_ms - left_ms  # :57
 
     def dedup_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
+        if evict and state.hasTimedOut:
             # id unseen for a full retention window → forget it (:135-141)
             state.remove()
             return
@@ -70,7 +78,8 @@ def make_refresh_dedup_fn(window_ms: int = DEFAULT_WINDOW_MS):
             # either way the stored timestamp becomes this record's
             last = ts
         state.update((int(last),))
-        state.setTimeoutDuration(window_ms)
+        if evict:
+            state.setTimeoutDuration(window_ms)
         yield batch.loc[keep, ["row_id", "ts_ms"]]
 
     return dedup_fn
@@ -82,12 +91,17 @@ def dedup_refresh_stream(
     id_col: str = "dedup_id",
     ts_col: str = "event_time",
     row_id_col: str = "row_id",
+    evict_state: bool = False,
 ) -> DataFrame:
     """Wire the stateful dedup: rows with null ids bypass (split-union,
     KStreamDistinct.java:71-72), the rest shuffle by id and run the
     keyed processor. Returns surviving (row_id, ts_ms) pairs to re-join
     against the full record — keeping shuffled/state rows minimal no
     matter how wide the event payload is.
+
+    evict_state=True (continuous deployments only) bounds state via a
+    processing-time TTL; leave False for Trigger.AvailableNow runs —
+    pending timers prevent availableNow queries from terminating.
     """
     from pyspark.sql import functions as F
 
@@ -102,11 +116,15 @@ def dedup_refresh_stream(
     # sees this case (Kafka record timestamps always exist)
     nonnull = keyed.filter(F.col("dedup_id").isNotNull() & F.col("ts_ms").isNotNull())
     survivors = nonnull.groupBy("dedup_id").applyInPandasWithState(
-        make_refresh_dedup_fn(window_ms),
+        make_refresh_dedup_fn(window_ms, evict=evict_state),
         outputStructType="row_id BIGINT, ts_ms BIGINT",
         stateStructType="last_seen_ms BIGINT",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict_state
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     null_rows = keyed.filter(F.col("dedup_id").isNull()).select("row_id", "ts_ms")
     return survivors.unionByName(null_rows)
