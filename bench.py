@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "join_customer_orders",
     "join_multiway_region",
     "sql_q3_shipping",
+    "sql_q5_local_supplier",
     "window_rank",
     "dedup_exact",
     "dedup_windowed",

@@ -465,6 +465,74 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 """
 
 
+def q_setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL bag semantics (multiset counting, a
+    different physical shape from the DISTINCT set ops)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersectAll(o)
+
+
+SQL_SETOP_INTERSECT_ALL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_cross_join_dims(spark, sf_dir):
+    """Explicit cartesian product of two small dims (the deliberate
+    cross join every engine must support — and confine to small sides)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return nation.crossJoin(region).select("n_name", "r_name")
+
+
+SQL_CROSS_JOIN_DIMS = """
+SELECT n_name, r_name FROM nation CROSS JOIN region
+"""
+
+
+def q_sql_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5-shaped 5-way join with a cross-table equality (customer
+    and supplier in the same nation), revenue per nation. The heaviest
+    join shape in the registry: two fact tables + three broadcast dims."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+SQL_SQL_Q5_LOCAL_SUPPLIER = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def q_scalar_funcs(spark, sf_dir):
     """Scalar function library sweep: string/date/math/conditional, all
     JVM expressions inside whole-stage codegen."""
@@ -1841,6 +1909,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sort_limit": QuerySpec(q_sort_limit, SQL_SORT_LIMIT, ("relational",)),
     "setop_intersect": QuerySpec(q_setop_intersect, SQL_SETOP_INTERSECT, ("relational",)),
     "setop_except": QuerySpec(q_setop_except, SQL_SETOP_EXCEPT, ("relational",)),
+    "setop_intersect_all": QuerySpec(q_setop_intersect_all, SQL_SETOP_INTERSECT_ALL, ("relational",)),
+    "cross_join_dims": QuerySpec(q_cross_join_dims, SQL_CROSS_JOIN_DIMS, ("relational",)),
+    "sql_q5_local_supplier": QuerySpec(q_sql_q5_local_supplier, SQL_SQL_Q5_LOCAL_SUPPLIER, ("relational", "sql-api")),
     "scalar_funcs": QuerySpec(q_scalar_funcs, SQL_SCALAR_FUNCS, ("relational",)),
     "agg_windowed_events": QuerySpec(q_agg_windowed_events, SQL_AGG_WINDOWED_EVENTS, ("relational", "streaming-analog")),
     # relational core, batch 2
