@@ -120,6 +120,99 @@ FROM events
 """
 
 
+def q_json_deadletter(spark, sf_dir):
+    """S2 strictness divergence, oracle-checked: corrupt every 100th
+    payload in-query; PERMISSIVE from_json yields null → dead-letter
+    flag instead of the reference's hard crash
+    (JsonDeserializer.java:33-34, SURVEY.md §1)."""
+    ev = load_table(spark, sf_dir, "events")
+    # corrupt the PREFIX: from_json tolerates trailing garbage after a
+    # complete object, so suffix corruption wouldn't trip the parser
+    raw = F.when(F.col("event_id") % 100 == 0, F.concat(F.lit("{{"), F.col("props"))).otherwise(
+        F.col("props")
+    )
+    # PERMISSIVE from_json yields a struct with all-null FIELDS on
+    # malformed input (not a null struct); every valid payload carries
+    # k, so null k ⟺ dead letter here
+    parsed = F.from_json(raw, PROPS_SCHEMA_DDL)
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("k").isNull().alias("is_dead"),
+    )
+
+
+SQL_JSON_DEADLETTER = """
+WITH r AS (
+  SELECT event_id,
+         CASE WHEN event_id % 100 = 0 THEN '{{' || props ELSE props END AS raw
+  FROM events)
+SELECT event_id,
+  CASE WHEN json_valid(raw) THEN CAST(raw->>'k' AS INT) END AS k,
+  NOT json_valid(raw) AS is_dead
+FROM r
+"""
+
+
+def q_reference_pipeline(spark, sf_dir):
+    """The reference's filter+dedup pipeline end-to-end in batch, JSON
+    wire format included: build a LogEvent-shaped JSON per event (ERROR
+    events carry an exception struct), decode with LOG_SCHEMA-style
+    parsing, filter level=='INFO'-analog, dedup by exception_class with
+    null passthrough — the whole topology
+    (KafkaStreamsApplication.java:92-114 + KStreamDistinct.java:129-153)
+    as one oracle-checked query. JSON strings are constructed with
+    concat (identically in both engines) so the codec is exercised on
+    the decode side."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.when(
+        F.col("event_type") == "error",
+        F.concat(
+            F.lit('{"level":"ERROR","exception":{"exception_class":"E'),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit('"}}'),
+        ),
+    ).otherwise(F.concat(F.lit('{"level":"'), F.upper("event_type"), F.lit('"}')))
+    decoded = ev.select(
+        "event_id",
+        "ts",
+        F.from_json(
+            js, "level STRING, exception STRUCT<exception_class: STRING>"
+        ).alias("ev"),
+    )
+    kept = decoded.filter(F.col("ev.level") != "VIEW")  # the F1-filter analog
+    key = F.col("ev.exception.exception_class")
+    deduped = dedup_null_passthrough(
+        kept.withColumn("dedup_id", key), F.col("dedup_id"), "ts", 600, tiebreak=["event_id"]
+    )
+    return deduped.select(
+        "event_id", F.col("ev.level").alias("level"), "dedup_id"
+    )
+
+
+SQL_REFERENCE_PIPELINE = """
+WITH js AS (
+  SELECT event_id, ts,
+    CASE WHEN event_type = 'error'
+         THEN '{"level":"ERROR","exception":{"exception_class":"E'
+              || CAST(user_id % 3 AS VARCHAR) || '"}}'
+         ELSE '{"level":"' || upper(event_type) || '"}' END AS raw
+  FROM events),
+decoded AS (
+  SELECT event_id, ts, raw->>'level' AS level,
+         raw->'exception'->>'exception_class' AS dedup_id
+  FROM js),
+kept AS (SELECT * FROM decoded WHERE level != 'VIEW'),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY dedup_id, floor(epoch(CAST(ts AS TIMESTAMP)) / 600)
+    ORDER BY ts, event_id) AS rn
+  FROM kept)
+SELECT event_id, level, dedup_id
+FROM ranked WHERE dedup_id IS NULL OR rn = 1
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     """D1 with infinite window: deterministic first row per key."""
     ev = load_table(spark, sf_dir, "events")
@@ -1895,6 +1988,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_null_passthrough, SQL_DEDUP_NULL_PASSTHROUGH, ("reference", "dedup")
     ),
     "dedup_refresh": QuerySpec(q_dedup_refresh, SQL_DEDUP_REFRESH, ("reference", "dedup")),
+    "json_deadletter": QuerySpec(q_json_deadletter, SQL_JSON_DEADLETTER, ("reference", "json")),
+    "reference_pipeline": QuerySpec(q_reference_pipeline, SQL_REFERENCE_PIPELINE, ("reference", "pipeline")),
     # relational core
     "agg_pricing_summary": QuerySpec(q_agg_pricing_summary, SQL_AGG_PRICING_SUMMARY, ("relational",)),
     "join_customer_orders": QuerySpec(q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS, ("relational",)),

@@ -14,6 +14,12 @@ Reference behavior reproduced (SURVEY.md §2a):
 These builders only declare plans; nothing here needs a broker until
 .start(), so unit tests drive the same transforms on batch DataFrames
 (the TopologyTestDriver pattern, SURVEY.md §3 entry point 3).
+
+Deployment note: the Kafka connector artifact
+(org.apache.spark:spark-sql-kafka-0-10_2.13) is not bundled with a
+plain pyspark install (and is absent in this environment) — ship it
+via spark-submit --packages / cluster classpath. The decode/encode
+transforms below are connector-independent and fully tested.
 """
 
 from __future__ import annotations
@@ -40,24 +46,43 @@ def read_kafka_stream(
     )
 
 
+CORRUPT_FIELD = "_corrupt_record"
+
+
 def decode_log_events(raw: DataFrame) -> DataFrame:
     """S2: bytes → typed LogEvent columns, keeping key + record timestamp.
 
-    Output: key string, event_time timestamp, event struct<LOG_SCHEMA>.
-    Malformed JSON yields event IS NULL (dead-letter rows) rather than the
-    reference's hard failure (JsonDeserializer.java:33-34).
+    Output: key string, event_time timestamp, event struct<LOG_SCHEMA +
+    _corrupt_record>. PERMISSIVE from_json does NOT return a null struct
+    on malformed input — it returns all-null fields — so reliable
+    dead-letter detection needs columnNameOfCorruptRecord: the field
+    carries the raw payload on parse failure and is null on success
+    (vs the reference's hard crash, JsonDeserializer.java:33-34).
     """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(list(LOG_SCHEMA.fields) + [StructField(CORRUPT_FIELD, StringType())])
     return raw.select(
         F.col("key").cast("string").alias("key"),
         F.col("timestamp").alias("event_time"),
-        F.from_json(F.col("value").cast("string"), LOG_SCHEMA).alias("event"),
+        F.from_json(
+            F.col("value").cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_FIELD},
+        ).alias("event"),
     )
 
 
 def split_dead_letters(decoded: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(good, dead) split on parse success."""
-    good = decoded.filter(F.col("event").isNotNull())
-    dead = decoded.filter(F.col("event").isNull())
+    """(good, dead) split on parse success; good rows shed the corrupt
+    marker field, dead rows keep the raw payload for replay."""
+    corrupt = F.col("event").getField(CORRUPT_FIELD)
+    good = decoded.filter(corrupt.isNull()).withColumn(
+        "event", F.col("event").dropFields(CORRUPT_FIELD)
+    )
+    dead = decoded.filter(corrupt.isNotNull()).select(
+        "key", "event_time", corrupt.alias("raw_payload")
+    )
     return good, dead
 
 

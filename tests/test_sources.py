@@ -36,6 +36,35 @@ def test_csv_dead_letter_split(spark, tmp_path):
     assert dead.count() == 1
 
 
+def test_kafka_codec_dead_letter_roundtrip(spark):
+    """decode → split → encode round trip: malformed payloads routed to
+    the dead queue with the raw bytes preserved; good rows shed the
+    corrupt marker and re-encode compactly (S2/E1 parity with
+    PERMISSIVE upgrade, JsonDeserializer.java:33-34)."""
+    import datetime
+
+    from kafkastreams_example_spark.sources.kafka import (
+        decode_log_events,
+        encode_log_events,
+        split_dead_letters,
+    )
+
+    rows = [
+        ("k1", b'{"version":1,"level":"INFO","message":"ok"}'),
+        ("k2", b"{{{not json"),
+    ]
+    raw = spark.createDataFrame(
+        [(k, v, datetime.datetime(2024, 1, 1)) for k, v in rows],
+        "key STRING, value BINARY, timestamp TIMESTAMP",
+    )
+    good, dead = split_dead_letters(decode_log_events(raw))
+    assert [r["key"] for r in good.collect()] == ["k1"]
+    assert "_corrupt_record" not in good.schema["event"].dataType.fieldNames()
+    assert [(r["key"], r["raw_payload"]) for r in dead.collect()] == [("k2", "{{{not json")]
+    enc = {r["key"]: r["value"] for r in encode_log_events(good).collect()}
+    assert enc["k1"] == '{"version":1,"message":"ok","level":"INFO"}'
+
+
 def test_windowed_count_pipeline_streaming(spark, tmp_path):
     """Streaming tumbling-window aggregation over decoded LogEvents
     (complete mode: closed and open windows both visible)."""
