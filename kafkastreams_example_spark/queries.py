@@ -1396,11 +1396,14 @@ def q_tfidf_top_terms(spark, sf_dir):
     terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(F.broadcast(df_), "term").select(
+    # corpus size as a broadcast 1-row join, not a driver-side count():
+    # .count() would be a second full scan scheduled eagerly; this stays
+    # one lazy plan and the scalar rides the (tiny) df_ broadcast
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (

@@ -36,6 +36,35 @@ def test_csv_dead_letter_split(spark, tmp_path):
     assert dead.count() == 1
 
 
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch idempotent sink: batch dirs written once; replaying
+    the same batch id is a no-op (simulated by re-invoking the sink fn
+    with the replayed id)."""
+    from kafkastreams_example_spark.streaming.foreach_sink import (
+        idempotent_parquet_sink,
+        start_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text('{"a": 1}\n{"a": 2}')
+    stream = spark.readStream.schema("a INT").json(str(src))
+    out = tmp_path / "out"
+    q = start_foreach_batch(
+        stream, str(out), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(str(out)).collect()
+    assert sorted(r["a"] for r in first) == [1, 2]
+
+    # simulate a post-failure replay of batch 0 with different content:
+    # the sink must not overwrite the committed batch
+    replay = spark.createDataFrame([(99,)], "a INT")
+    idempotent_parquet_sink(str(out))(replay, 0)
+    again = spark.read.parquet(str(out)).collect()
+    assert sorted(r["a"] for r in again) == [1, 2]
+
+
 def test_kafka_codec_dead_letter_roundtrip(spark):
     """decode → split → encode round trip: malformed payloads routed to
     the dead queue with the raw bytes preserved; good rows shed the
