@@ -36,6 +36,37 @@ def test_csv_dead_letter_split(spark, tmp_path):
     assert dead.count() == 1
 
 
+def test_app_config_from_properties(tmp_path):
+    """C1 lifecycle parity: the reference's .properties surface parses
+    into an AppConfig with the reference's defaults (1 s trigger =
+    commit interval 1000 ms, startingOffsets latest)."""
+    from kafkastreams_example_spark.streaming.apps import (
+        config_from_properties,
+        load_properties,
+    )
+
+    p = tmp_path / "streamconfig.properties"
+    p.write_text(
+        "# dedup app\n"
+        "application.id=kafka-streams-distinct\n"
+        "bootstrap.servers=broker:9092\n"
+        "input.topic.name=splunknew\n"
+        "output.topic.name=splunknew-distict-streams\n"
+    )
+    conf = config_from_properties(load_properties(str(p)), "/tmp/ckpt")
+    assert conf.application_id == "kafka-streams-distinct"
+    assert conf.input_topic == "splunknew"
+    assert conf.output_topic == "splunknew-distict-streams"
+    assert conf.trigger_interval == "1 second"
+    assert conf.starting_offsets == "latest"
+
+
+def test_topic_admin_degrades_without_library():
+    from kafkastreams_example_spark.streaming.apps import create_topics
+
+    assert create_topics("broker:9092", ["t1"]) is False
+
+
 def test_foreach_batch_idempotent_sink(spark, tmp_path):
     """foreachBatch idempotent sink: batch dirs written once; replaying
     the same batch id is a no-op (simulated by re-invoking the sink fn
