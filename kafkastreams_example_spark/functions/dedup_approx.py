@@ -152,6 +152,65 @@ def shingle_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs: every doc
+    gets the minimum doc id of its component as cluster_id (the
+    canonical representative) — the clustering step that turns pairwise
+    near-dup detection into dedup groups.
+
+    Iterative min-label propagation over DataFrames: per round, each
+    node takes the min of its own label and its neighbors' labels;
+    converges in O(component diameter) rounds (near-dup clusters are
+    shallow). Each round is one join + one aggregation; the loop runs
+    on the driver but all data stays distributed — the standard
+    DataFrame-only connected-components shape when a graph library
+    isn't warranted.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+        )
+        # localCheckpoint, not persist: persist caches data but the
+        # LOGICAL plan still nests one join deeper per round, and deep
+        # components (long chains) overflow the planner around ~10
+        # rounds; checkpointing truncates lineage each iteration
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

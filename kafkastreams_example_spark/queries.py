@@ -1584,6 +1584,81 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (iterative min-label
+    propagation) over shingle-candidate pairs; cluster id = min doc id
+    of the component. The oracle expresses the same closure as a
+    recursive CTE."""
+    from .functions.dedup_approx import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, threshold=0.0).select("id_a", "id_b")
+    return dedup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+shs AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh_str
+       FROM t),
+sh AS (SELECT doc_id,
+              CAST(('0x' || substring(md5(sh_str), 1, 15)) AS BIGINT) AS sh
+       FROM shs),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node)
+  SELECT * FROM r)
+SELECT node AS doc_id, MIN(lab) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+def q_session_window_agg(spark, sf_dir):
+    """Built-in session_window aggregation (30-min gap) — the native
+    form of session_stats' manual lag/cumsum sessionization; in
+    streaming the identical expression runs with a watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_AGG = """
+WITH g AS (
+  SELECT user_id, ts, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+    CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+              OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR epoch_ms(CAST(ts AS TIMESTAMP))
+              - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+                OVER (PARTITION BY user_id ORDER BY ts) >= 1800000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+SELECT user_id,
+  strftime(to_timestamp(MIN(ms) / 1000.0), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(to_timestamp((MAX(ms) + 1800000) / 1000.0), '%Y-%m-%d %H:%M:%S') AS session_end,
+  COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidates: doc pairs whose 32-bit fingerprints
     are within hamming distance 3 (bit_count(xor)). The all-pairs form
@@ -2050,6 +2125,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "clean_pipeline": QuerySpec(q_clean_pipeline, SQL_CLEAN_PIPELINE, ("text", "pipeline")),
     "simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS, ("text", "dedup")),
     "agg_percentiles": QuerySpec(q_agg_percentiles, SQL_AGG_PERCENTILES, ("relational",)),
+    "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS, ("text", "dedup", "iterative")),
+    "session_window_agg": QuerySpec(q_session_window_agg, SQL_SESSION_WINDOW_AGG, ("relational", "temporal")),
     "window_nth": QuerySpec(q_window_nth, SQL_WINDOW_NTH, ("relational",)),
     # text analysis
     "text_stats": QuerySpec(q_text_stats, SQL_TEXT_STATS, ("text",)),

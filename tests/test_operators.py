@@ -98,6 +98,23 @@ def test_dedup_null_passthrough_keeps_all_nulls(spark):
     assert sorted(r["row_id"] for r in out) == [0, 1, 2]
 
 
+def test_dedup_clusters_deep_chain(spark):
+    """Connected components must survive deep components: a 12-node
+    chain (diameter 11) requires ~11 propagation rounds — without
+    lineage truncation the nested plan overflows the planner."""
+    from kafkastreams_example_spark.functions.dedup_approx import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a BIGINT, id_b BIGINT"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
+    assert set(out.values()) == {100} and len(out) == 12
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a BIGINT, id_b BIGINT")
+    out2 = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_salted_agg_matches_plain(spark):
     orders = load_table(spark, SF_DIR, "orders")
     # decimal partials so the two-phase sum is exact (a double partial
