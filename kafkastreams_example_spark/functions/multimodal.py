@@ -80,6 +80,36 @@ def decode_media_meta(
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 
 
+def extract_media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_features: int = 4,
+) -> DataFrame:
+    """Feature-extraction stage: binary payload → fixed-width numeric
+    feature columns via Arrow-batched mapInPandas (the embed-images /
+    fingerprint-audio shape). The deterministic stand-in derives
+    features from the md5 digest; a real model inference call drops
+    into the same batch loop with identical schema/partitioning."""
+    import hashlib
+
+    names = [f"f{i}" for i in range(n_features)]
+    out_schema = f"{id_col} BIGINT, " + ", ".join(f"{n} INT" for n in names)
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            feats = []
+            for p in pdf[payload_col]:
+                d = hashlib.md5(p).digest()
+                feats.append([d[i] for i in range(n_features)])
+            out = pdf[[id_col]].copy()
+            for i, n in enumerate(names):
+                out[n] = [f[i] for f in feats]
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     payload_col: str = "payload",

@@ -2036,6 +2036,43 @@ FROM documents
 """
 
 
+def q_media_features(spark, sf_dir):
+    """Feature extraction over binary payloads (mapInPandas batch loop;
+    deterministic md5-derived stand-in features, oracle-checked byte
+    for byte)."""
+    from .functions.multimodal import extract_media_features
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_media_features(docs)
+
+
+SQL_MEDIA_FEATURES = """
+SELECT doc_id,
+  CAST(('0x' || substring(md5(text), 1, 2)) AS INT) AS f0,
+  CAST(('0x' || substring(md5(text), 3, 2)) AS INT) AS f1,
+  CAST(('0x' || substring(md5(text), 5, 2)) AS INT) AS f2,
+  CAST(('0x' || substring(md5(text), 7, 2)) AS INT) AS f3
+FROM documents
+"""
+
+
+def q_sort_limit_offset(spark, sf_dir):
+    """Pagination: ORDER BY … LIMIT … OFFSET (page 3 of 10-row pages)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_SORT_LIMIT_OFFSET = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return frame_sample_plan(docs)
@@ -2146,6 +2183,8 @@ REGISTRY: dict[str, QuerySpec] = {
     # multimodal
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
+    "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, ("multimodal",)),
+    "sort_limit_offset": QuerySpec(q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET, ("relational",)),
 }
 
 
