@@ -159,6 +159,47 @@ def ivf_topk(
     )
 
 
+def hyperplane_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH bucketing (sign of dot with n_planes
+    deterministic pseudo-random hyperplanes → an n_planes-bit bucket).
+    Cosine-similar vectors collide with probability 1 − θ/π per bit, so
+    bucket equality is the candidate filter for angular near-neighbor
+    search — the second ANN bucketing tier next to IVF.
+
+    Hyperplanes are derived from md5("plane:dim") so any engine can
+    reproduce them exactly (the oracle embeds the same literals).
+    """
+    planes = hyperplane_matrix(n_planes, dim)
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
+    return emb.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def hyperplane_matrix(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5): component
+    (p, d) = md5("p:d") first 8 hex digits / 2^32 − 0.5. Engine-portable
+    by construction."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -2015,6 +2015,85 @@ FROM deduped GROUP BY lang
 """
 
 
+def q_ann_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (8-bit angular buckets)."""
+    from .functions.similarity import hyperplane_buckets
+
+    return hyperplane_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_ann_hyperplane() -> str:
+    from .functions.similarity import hyperplane_matrix
+
+    planes = hyperplane_matrix(8, 64)
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(x) for x in plane)
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(dv, [{lits}]),"
+            f" p -> p[1] * p[2])) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    expr = " + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings)
+SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM e
+"""
+
+
+SQL_ANN_HYPERPLANE = _sql_ann_hyperplane()
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split by content hash — the
+    portable, rerun-stable alternative to RNG sampling for corpus
+    pipelines (md5 of doc id, mod 10: 8/1/1 split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 10
+    split = (
+        F.when(h <= 7, "train").when(h == 8, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id,
+  CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS h
+      FROM documents)
+"""
+
+
+def q_profile_events(spark, sf_dir):
+    """Column profiling: per-column null counts, distinct counts, and
+    numeric ranges in one pass — the stats stage before heavy pipeline
+    work."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.count("event_type").alias("event_type_nonnull"),
+        F.countDistinct("event_type").alias("event_type_distinct"),
+        F.countDistinct("user_id").alias("user_id_distinct"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        dsum("value").alias("value_sum"),
+    )
+
+
+SQL_PROFILE_EVENTS = """
+SELECT COUNT(*) AS n_rows,
+  COUNT(event_type) AS event_type_nonnull,
+  COUNT(DISTINCT event_type) AS event_type_distinct,
+  COUNT(DISTINCT user_id) AS user_id_distinct,
+  MIN(value) AS value_min, MAX(value) AS value_max,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (binary payload + pandas-UDF decode)
 # --------------------------------------------------------------------------
@@ -2179,6 +2258,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS, ("similarity",)),
     "sim_topk": QuerySpec(q_sim_topk, SQL_SIM_TOPK, ("similarity",)),
     "ivf_topk": QuerySpec(q_ivf_topk, SQL_IVF_TOPK, ("similarity",)),
+    "ann_hyperplane": QuerySpec(q_ann_hyperplane, SQL_ANN_HYPERPLANE, ("similarity",)),
+    "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
+    "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
     "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),
     # multimodal
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
