@@ -111,19 +111,18 @@ def shingle_jaccard_pairs(
 
     Join is on shingle value (near-unique for n≥5), so candidate volume
     stays proportional to true overlap rather than |docs|². Shingles are
-    hashed to 60-bit ints (md5 prefix) before the join: the shuffle
-    carries 8 bytes per shingle instead of an ~n-word string, and the
-    equi-join compares ints. Collisions are ~n²/2⁶⁰ — none at any
-    realistic corpus — and deterministic, so the oracle sees identical
-    candidate sets. Output: id_a, id_b, n_shared, jaccard (double).
+    hashed to 64-bit ints (native xxhash64) before the join: the
+    shuffle carries 8 bytes per shingle instead of an ~n-word string
+    and the equi-join compares ints. The hash is internal to the join —
+    the operator's OUTPUT (pairs + Jaccard) is hash-free, so the oracle
+    can join on raw shingles; collisions (~n²/2⁶⁴) would be the only
+    observable difference and don't occur at any realistic corpus.
+    Output: id_a, id_b, n_shared, jaccard (double).
     """
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh_str"),
-    ).select(
-        id_col,
-        F.conv(F.substring(F.md5("sh_str"), 1, 15), 16, 10).cast("bigint").alias("sh"),
-    )
+    ).select(id_col, F.xxhash64("sh_str").alias("sh"))
     # the exploded+hashed shingle set feeds both self-join sides; without
     # persisting, Catalyst re-derives the whole tokenize→shingle→md5
     # pipeline per side (8 scans observed). At warehouse scale this

@@ -1349,13 +1349,10 @@ def q_shingle_jaccard(spark, sf_dir):
 
 SQL_SHINGLE_JACCARD = f"""
 WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-shs AS (SELECT doc_id, unnest(list_distinct(
+sh AS (SELECT doc_id, unnest(list_distinct(
          list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
-                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh_str
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
        FROM t),
-sh AS (SELECT doc_id,
-              CAST(('0x' || substring(md5(sh_str), 1, 15)) AS BIGINT) AS sh
-       FROM shs),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1598,13 +1595,10 @@ def q_dedup_clusters(spark, sf_dir):
 
 SQL_DEDUP_CLUSTERS = f"""
 WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-shs AS (SELECT doc_id, unnest(list_distinct(
+sh AS (SELECT doc_id, unnest(list_distinct(
          list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
-                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh_str
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
        FROM t),
-sh AS (SELECT doc_id,
-              CAST(('0x' || substring(md5(sh_str), 1, 15)) AS BIGINT) AS sh
-       FROM shs),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2),
