@@ -1,0 +1,57 @@
+"""User-defined function surface: Arrow-vectorized pandas UDFs as the
+engine's extension point (the Spark analog of the reference's
+ValueTransformer/Processor extension API for stateless per-record
+logic, KStreamDistinct.java:42 / KStreamDistinct_example.java:39).
+
+Policy (enforced by example here): row-at-a-time Python UDFs are
+forbidden in the hot path — every UDF is a @pandas_udf over Arrow
+batches (10-100× the row-at-a-time throughput), and anything
+expressible with built-in expressions should be an expression instead
+(JVM-side, codegen, pushdown-friendly). UDFs exist for logic Catalyst
+can't express: model calls, codec libraries, bespoke numerics.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+# NOTE: return types are concrete DataType objects, not DDL strings —
+# a DDL string makes the @pandas_udf decorator parse it at module
+# import, which requires an ACTIVE SparkSession and breaks any import
+# that happens before session creation.
+
+
+@pandas_udf(StringType())
+def normalize_text(s: pd.Series) -> pd.Series:
+    """Vectorized text normalizer: lowercase, trim, collapse internal
+    whitespace — the canonical pre-fingerprint cleanup. (Expressible as
+    expressions too; kept as the minimal real pandas-UDF example and
+    registered for SQL use.)"""
+    return s.str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+
+
+@pandas_udf(DoubleType())
+def byte_entropy(s: pd.Series) -> pd.Series:
+    """Shannon entropy of each string's bytes — a quality signal that
+    genuinely needs numpy (histogram + log), i.e. a UDF with a reason
+    to exist."""
+    import numpy as np
+
+    def one(x: str) -> float:
+        if not x:
+            return 0.0
+        counts = np.bincount(np.frombuffer(x.encode(), dtype=np.uint8), minlength=256)
+        p = counts[counts > 0] / counts.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    return s.map(one)
+
+
+def register_udfs(spark: SparkSession) -> None:
+    """Expose the UDF library to the SQL surface."""
+    spark.udf.register("normalize_text", normalize_text)
+    spark.udf.register("byte_entropy", byte_entropy)

@@ -2009,6 +2009,26 @@ FROM deduped GROUP BY lang
 """
 
 
+def q_udf_normalize(spark, sf_dir):
+    """The pandas-UDF extension surface, oracle-checked: vectorized
+    normalize (lower/trim/collapse-ws) + md5 of the normalized text.
+    The oracle reproduces the normalization in plain SQL — the UDF's
+    output contract is what's checked, not its implementation."""
+    from .functions.udf import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select("doc_id", F.md5(norm).alias("norm_md5"), F.length(norm).alias("norm_len"))
+
+
+SQL_UDF_NORMALIZE = r"""
+SELECT doc_id,
+  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_md5,
+  length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS norm_len
+FROM documents
+"""
+
+
 def q_ann_hyperplane(spark, sf_dir):
     """Random-hyperplane LSH bucket assignment (8-bit angular buckets)."""
     from .functions.similarity import hyperplane_buckets
@@ -2253,6 +2273,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_topk": QuerySpec(q_sim_topk, SQL_SIM_TOPK, ("similarity",)),
     "ivf_topk": QuerySpec(q_ivf_topk, SQL_IVF_TOPK, ("similarity",)),
     "ann_hyperplane": QuerySpec(q_ann_hyperplane, SQL_ANN_HYPERPLANE, ("similarity",)),
+    "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
     "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),

@@ -115,6 +115,21 @@ def test_dedup_clusters_deep_chain(spark):
     assert out2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_udf_registration_and_entropy(spark):
+    """UDF surface: SQL-registered pandas UDFs compute on Arrow
+    batches; entropy sanity: uniform bytes > repeated byte."""
+    from kafkastreams_example_spark.functions.udf import register_udfs
+
+    register_udfs(spark)
+    row = spark.sql(
+        "SELECT byte_entropy('aaaa') AS low, byte_entropy('abcd') AS high, "
+        "normalize_text('  A   b  ') AS norm"
+    ).collect()[0]
+    assert row["low"] == 0.0
+    assert row["high"] == 2.0
+    assert row["norm"] == "a b"
+
+
 def test_salted_agg_matches_plain(spark):
     orders = load_table(spark, SF_DIR, "orders")
     # decimal partials so the two-phase sum is exact (a double partial
