@@ -53,6 +53,35 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    size-targeted files. Streaming sinks and fine partitioning produce
+    file counts that degrade scan planning (one task per tiny file);
+    periodic compaction is standard warehouse hygiene. Returns the
+    output file count."""
+    import glob
+    import os
+
+    df = spark.read.parquet(path)
+    total = _dataset_bytes(path)
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    dest = out_path or f"{path}__compact"
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(dest)
+    return len(glob.glob(os.path.join(dest, "*.parquet")))
+
+
+def _dataset_bytes(path: str) -> int:
+    import glob
+    import os
+
+    return sum(os.path.getsize(p) for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+
+
 def read_partition_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned dataset; prune via ordinary filters on the
     partition column (Catalyst emits PartitionFilters)."""

@@ -115,6 +115,22 @@ def test_dedup_clusters_deep_chain(spark):
     assert out2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_ivf_recall_against_exact(spark):
+    """IVF top-k is approximate by design; pin a recall floor against
+    the exact brute-force results so bucketing regressions surface."""
+    from kafkastreams_example_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, [0, 1, 2, 3, 4], 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, [0, 1, 2, 3, 4], 5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
 def test_udf_registration_and_entropy(spark):
     """UDF surface: SQL-registered pandas UDFs compute on Arrow
     batches; entropy sanity: uniform bytes > repeated byte."""

@@ -67,6 +67,28 @@ def test_hot_path_stays_in_codegen(spark):
     assert "* Filter" in plan and "* Project" in plan
 
 
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join compiles to union + one window shuffle — no Join
+    operator, no row multiplication."""
+    from kafkastreams_example_spark.queries import q_asof_join
+    from kafkastreams_example_spark.plans.explain import count_shuffles
+
+    df = q_asof_join(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "Join" not in plan.replace("join", "Join") or "SortMergeJoin" not in plan
+    assert count_shuffles(df) <= 1
+
+
+def test_cosine_pairs_is_narrow(spark):
+    """The BLAS pair scan is mapInPandas over the source — no join, no
+    shuffle before the Python stage."""
+    from kafkastreams_example_spark.queries import q_cosine_pairs
+
+    plan = plan_string(q_cosine_pairs(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_sort_limit_is_topk_not_global_sort(spark):
     # orderBy().limit() must compile to TakeOrderedAndProject
     # (per-partition heaps), not a full Exchange rangepartitioning sort

@@ -29,6 +29,18 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert back.count() == expected
 
 
+def test_compaction_reduces_file_count(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)  # 64 tiny files
+    from kafkastreams_example_spark.sources.sinks import compact
+
+    n = compact(spark, frag, target_file_bytes=8 * 1024 * 1024)
+    assert n < 64
+    back = spark.read.parquet(frag + "__compact")
+    assert back.count() == ev.count()
+
+
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     orders = load_table(spark, SF_DIR, "orders")
     li = load_table(spark, SF_DIR, "lineitem")

@@ -96,6 +96,65 @@ def test_dedup_refresh_out_of_order_and_expiry(spark, tmp_path):
     assert _read_sink(spark, out_dir) == {0, 2}
 
 
+def test_stream_stream_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks and a time-range
+    condition — impressions ⋈ clicks within 10 min (the ad-attribution
+    shape; a capability class absent from the reference, SURVEY §2b)."""
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    MIN_ = 60_000
+    # NOT epoch 0: rows at the initial watermark value (0) are filtered
+    # as late before the join ever sees them
+    T0 = 1_704_067_200_000  # 2024-01-01
+    (imp_dir / "b.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ad_id": 1, "ts_ms": T0},
+                {"ad_id": 2, "ts_ms": T0},
+            ]
+        )
+    )
+    (clk_dir / "b.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ad_id": 1, "ts_ms": T0 + 5 * MIN_},   # within window → joins
+                {"ad_id": 2, "ts_ms": T0 + 30 * MIN_},  # too late → dropped
+            ]
+        )
+    )
+    imps = (
+        spark.readStream.schema("ad_id BIGINT, ts_ms BIGINT").json(str(imp_dir))
+        .select("ad_id", F.timestamp_millis(F.col("ts_ms")).alias("imp_time"))
+        .withWatermark("imp_time", "20 minutes")
+    )
+    clicks = (
+        spark.readStream.schema("ad_id BIGINT, ts_ms BIGINT").json(str(clk_dir))
+        .select(F.col("ad_id").alias("c_ad_id"), F.timestamp_millis(F.col("ts_ms")).alias("click_time"))
+        .withWatermark("click_time", "20 minutes")
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("ad_id") == F.col("c_ad_id"))
+        & (F.col("click_time") >= F.col("imp_time"))
+        & (F.col("click_time") <= F.col("imp_time") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    table = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["ad_id"] for r in spark.table(table).collect()}
+    assert got == {1}
+
+
 def _decoded_fixture_df(spark, streaming_dir: Path | None = None):
     """LogEvent rows shaped like sources.kafka.decode_log_events output."""
     rows = [
