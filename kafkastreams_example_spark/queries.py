@@ -663,6 +663,47 @@ FROM orders
 """
 
 
+def q_string_funcs3(spark, sf_dir):
+    """String library long tail: reverse/repeat/position/affix tests."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rev"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("brand2x"),
+        F.instr("p_name", "a").alias("a_pos"),
+        F.col("p_name").startswith("p").alias("starts_p"),
+        F.col("p_name").endswith("0").alias("ends_0"),
+        F.col("p_name").contains("art").alias("has_art"),
+        F.ascii("p_brand").alias("brand_ascii"),
+    )
+
+
+SQL_STRING_FUNCS3 = """
+SELECT p_partkey,
+  reverse(p_name) AS rev,
+  repeat(substring(p_brand, 1, 2), 2) AS brand2x,
+  CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+  starts_with(p_name, 'p') AS starts_p,
+  ends_with(p_name, '0') AS ends_0,
+  contains(p_name, 'art') AS has_art,
+  ascii(p_brand) AS brand_ascii
+FROM part
+"""
+
+
+def q_map_explode(spark, sf_dir):
+    """Map explosion: JSON payload → one row per (key, value) entry."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select("event_id", F.explode(m).alias("key", "val"))
+
+
+SQL_MAP_EXPLODE = """
+SELECT event_id, k AS key, CAST(json_extract_string(props, '$.' || k) AS INT) AS val
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+"""
+
+
 def q_agg_windowed_events(spark, sf_dir):
     """Streaming-analog tumbling-window aggregate in batch: events per
     (event_type, 1-hour bucket). In streaming this is exactly
@@ -2227,6 +2268,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN, ("relational", "temporal")),
     "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS, ("relational", "temporal")),
     "scalar_funcs2": QuerySpec(q_scalar_funcs2, SQL_SCALAR_FUNCS2, ("relational",)),
+    "string_funcs3": QuerySpec(q_string_funcs3, SQL_STRING_FUNCS3, ("relational",)),
+    "map_explode": QuerySpec(q_map_explode, SQL_MAP_EXPLODE, ("relational",)),
     "map_funcs": QuerySpec(q_map_funcs, SQL_MAP_FUNCS, ("relational",)),
     "array_funcs": QuerySpec(q_array_funcs, SQL_ARRAY_FUNCS, ("relational", "text")),
     "agg_minmax": QuerySpec(q_agg_minmax, SQL_AGG_MINMAX, ("relational",)),
