@@ -19,6 +19,15 @@ from pyspark.sql import functions as F
 from ..schema import NANO_TS_COLUMNS, TABLE_NAMES
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensively apply the two runtime-settable confs correctness
+    depends on, for sessions we did not build (e.g. an external
+    driver's): ns-parquet reads fail outright without nanosAsLong, and
+    a non-UTC session timezone shifts every date_format output."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, converting ns-timestamp columns.
 
@@ -27,6 +36,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanoseconds. Truncating-divide to µs matches DuckDB's
     CAST(x AS TIMESTAMP) exactly (verified in tests/test_parity.py).
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANO_TS_COLUMNS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
