@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "cosine_pairs",
     "dedup_embeddings",
     "clean_pipeline",
+    "reference_pipeline",
     "multimodal_meta",
 ]
 
