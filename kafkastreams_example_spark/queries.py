@@ -955,7 +955,7 @@ def q_session_stats(spark, sf_dir):
 
 SQL_SESSION_STATS = """
 WITH g AS (
-  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+  SELECT user_id, event_id, ts, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
     CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP)))
               OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
            OR epoch_ms(CAST(ts AS TIMESTAMP))
@@ -964,9 +964,12 @@ WITH g AS (
          THEN 1 ELSE 0 END AS new_sess
   FROM events),
 s AS (
+  -- prefix-sum MUST order by the same total order as the lag above
+  -- (full-resolution ts, event_id); ordering by ms-truncated time can
+  -- split sub-millisecond ties differently from the Spark side.
   SELECT user_id, event_id, ms,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM g)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        MAX(ms) - MIN(ms) AS duration_ms
@@ -1416,7 +1419,7 @@ bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS tot
          FROM h, (SELECT unnest(range(0, 32)) AS j) AS js
          GROUP BY doc_id, j)
 SELECT doc_id,
-  SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+  CAST(SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -2045,7 +2048,7 @@ deduped AS (
       PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
       ORDER BY doc_id) AS rn
     FROM filtered) WHERE rn = 1)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM deduped GROUP BY lang
 """
 
