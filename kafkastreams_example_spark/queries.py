@@ -1698,18 +1698,44 @@ FROM s GROUP BY user_id, sid
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates: doc pairs whose 32-bit fingerprints
-    are within hamming distance 3 (bit_count(xor)). The all-pairs form
-    is for candidate sets; at scale, band the fingerprint bytes (same
-    LSH shape as minhash) before pairing."""
+    """SimHash near-dup pairs: docs whose 32-bit fingerprints are
+    within hamming distance 3 (bit_count(xor)).
+
+    Banded LSH plan, not all-pairs: the fingerprint is split into 4
+    byte bands; hamming ≤ 3 means at most 3 bits differ, which can
+    touch at most 3 of the 4 bands, so every qualifying pair shares at
+    least one band value exactly (pigeonhole). Candidates come from an
+    equi-join on (band index, band value) — a hash join Catalyst can
+    shuffle-partition — then the exact hamming filter and a distinct
+    (a pair can collide in several bands). Output is identical to the
+    all-pairs form (the oracle runs all-pairs); the plan scales as the
+    candidate count, not n²."""
     fp = simhash(load_table(spark, sf_dir, "documents"))
-    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.expr("ha ^ hb"))
+    # one exploded-band plan aliased twice: both join inputs are
+    # canonically identical up to the exchange, so Spark reuses one
+    # shuffle (ReusedExchange) instead of computing simhash twice
+    exploded = (
+        fp.withColumn("band", F.explode(F.array(*[F.lit(j) for j in range(4)])))
+        .withColumn(
+            "val", F.expr("cast(shiftright(simhash, cast(band * 8 as int)) & 255 as int)")
+        )
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        joined.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 

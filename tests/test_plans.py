@@ -79,14 +79,39 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     assert count_shuffles(df) <= 1
 
 
-def test_cosine_pairs_is_narrow(spark):
-    """The BLAS pair scan is mapInPandas over the source — no join, no
-    shuffle before the Python stage."""
+def test_cosine_pairs_never_collects_to_driver(spark, monkeypatch):
+    """The block-tiled pair scan is fully distributed: building the
+    plan must not materialize anything on the driver (the round-1
+    implementation collected the whole unit matrix), and the physical
+    plan must be cogrouped-Pandas tiles, never a nested-loop/cartesian
+    pair join."""
+    from pyspark.sql import DataFrame
+
     from kafkastreams_example_spark.queries import q_cosine_pairs
 
-    plan = plan_string(q_cosine_pairs(spark, SF_DIR))
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    assert "MapInPandas" in plan
+    def _boom(self, *a, **k):  # any driver materialization is a bug
+        raise AssertionError("cosine_pairs collected rows to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom, raising=False)
+    df = q_cosine_pairs(spark, SF_DIR)
+    monkeypatch.undo()
+    plan = plan_string(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_is_banded_equi_join(spark):
+    """Hamming-≤3 pairing must come from the byte-band LSH equi-join
+    (hash-joinable, scales with candidate count), never the O(n²)
+    BroadcastNestedLoopJoin the bare id_a < id_b predicate produces."""
+    from kafkastreams_example_spark.queries import q_simhash_pairs
+
+    plan = plan_string(q_simhash_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # the banded equi-join is a real hash join
 
 
 def test_sort_limit_is_topk_not_global_sort(spark):
