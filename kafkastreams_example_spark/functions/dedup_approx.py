@@ -106,6 +106,7 @@ def shingle_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.2,
+    max_df: int = 64,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
@@ -117,23 +118,35 @@ def shingle_jaccard_pairs(
     the operator's OUTPUT (pairs + Jaccard) is hash-free, so the oracle
     can join on raw shingles; collisions (~n²/2⁶⁴) would be the only
     observable difference and don't occur at any realistic corpus.
+
+    max_df caps shingle document frequency BEFORE the self-join — the
+    same guard as minhash_lsh_pairs' max_bucket: one boilerplate
+    shingle shared by k docs would otherwise emit O(k²) join rows, the
+    classic skew scale-killer. A shingle in more than max_df docs
+    carries no near-dup signal, so the Jaccard universe is defined as
+    the df ≤ max_df shingles: both the candidate join AND the per-doc
+    set sizes use the capped set (the oracle mirrors this exactly).
     Output: id_a, id_b, n_shared, jaccard (double).
     """
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh_str"),
     ).select(id_col, F.xxhash64("sh_str").alias("sh"))
-    # the exploded+hashed shingle set feeds both self-join sides; without
-    # persisting, Catalyst re-derives the whole tokenize→shingle→md5
-    # pipeline per side (8 scans observed). At warehouse scale this
-    # intermediate would be a staged table; in-process, MEMORY_AND_DISK.
-    sh = sh.persist()
-    # per-doc set sizes as a narrow projection over the source — no
-    # explode, no shuffle
-    sizes = docs.select(
-        F.col(id_col),
-        F.size(F.array_distinct(_shingles(text_col, n))).alias("n_sh"),
+    from pyspark.sql import Window
+
+    # document frequency per shingle (rows are distinct per doc already)
+    sh = (
+        sh.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
     )
+    # the exploded+hashed+capped shingle set feeds the sizes agg and both
+    # self-join sides; without persisting, Catalyst re-derives the whole
+    # tokenize→shingle→hash→window pipeline per consumer. At warehouse
+    # scale this intermediate would be a staged table; in-process,
+    # MEMORY_AND_DISK.
+    sh = sh.persist()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

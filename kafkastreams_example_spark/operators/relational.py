@@ -52,48 +52,72 @@ def dsum_expr(expr: Column, scale: int = 2) -> Column:
     return F.sum(expr.cast(f"decimal(18,{scale})")).cast("double")
 
 
+#: Supported salted aggregate kinds: kind → (partial fn, merge fn).
+#: ``avg`` is handled structurally in salted_agg (a (sum, count) partial
+#: pair merged as sum-of-sums / sum-of-counts) and so isn't listed here.
+_SALTED_AGG_SPECS: dict[str, tuple] = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, str | Column]],
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys.
 
     Phase 1 groups by (keys, random salt) so a hot key's rows spread
     over salt_buckets reducers; phase 2 re-aggregates the partials by
-    the real keys. Correct for decomposable aggregates (sum/count/min/
-    max — pass the MERGE expression in `aggs`, applied to the phase-1
-    partial column of the same name). AQE's skew handling covers
-    moderate skew automatically; salting is the explicit tool for the
-    pathological single-hot-key case (one exception_class producing 90%
-    of a 100 TB stream).
+    the real keys. AQE's skew handling covers moderate skew
+    automatically; salting is the explicit tool for the pathological
+    single-hot-key case (one exception_class producing 90% of a 100 TB
+    stream).
+
+    ``aggs`` maps output name → (kind, column), where kind is one of
+    ``sum``/``count``/``min``/``max``/``avg``. The partial and merge
+    functions come from an explicit spec per kind — never inferred from
+    the expression — and an unknown kind raises instead of silently
+    merging with the wrong function. ``avg`` is decomposed into a
+    (sum, count) partial pair and merged as sum-of-sums over
+    sum-of-counts; for cross-engine-exact averages pass a decimal-cast
+    column (see ``davg``).
     """
+    unknown = sorted(
+        {kind for kind, _ in aggs.values()} - set(_SALTED_AGG_SPECS) - {"avg"}
+    )
+    if unknown:
+        raise ValueError(
+            f"salted_agg: unsupported aggregate kind(s) {unknown}; "
+            f"supported: {sorted(_SALTED_AGG_SPECS) + ['avg']}"
+        )
+    partial_exprs: list[Column] = []
+    merge_exprs: list[Column] = []
+    for name, (kind, col) in aggs.items():
+        c = _c(col)
+        if kind == "avg":
+            partial_exprs.append(F.sum(c).alias(f"__{name}_sum"))
+            partial_exprs.append(F.count(c).alias(f"__{name}_cnt"))
+            # exact total (decimal sums stay exact through both phases),
+            # then ONE double division — the davg discipline; avoids
+            # Spark's decimal-division scale rules differing between the
+            # salted and unsalted plans
+            merge_exprs.append(
+                (F.sum(f"__{name}_sum").cast("double") / F.sum(f"__{name}_cnt")).alias(
+                    name
+                )
+            )
+        else:
+            partial_fn, merge_fn = _SALTED_AGG_SPECS[kind]
+            partial_exprs.append(partial_fn(c).alias(name))
+            merge_exprs.append(merge_fn(F.col(name)).alias(name))
     salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
-    partial = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(name) for name, expr in aggs.items()]
-    )
-    merge = {
-        name: _merge_expr(name, expr) for name, expr in aggs.items()
-    }
-    return partial.groupBy(*keys).agg(
-        *[expr.alias(name) for name, expr in merge.items()]
-    )
-
-
-def _merge_expr(name: str, original: Column) -> Column:
-    """Merge step for common decomposable aggregates, inferred from the
-    phase-1 expression string (count → sum of partial counts; sum/min/
-    max → same function over partials)."""
-    s = str(original)
-    col = F.col(name)
-    if "count(" in s:
-        return F.sum(col)
-    if "min(" in s:
-        return F.min(col)
-    if "max(" in s:
-        return F.max(col)
-    return F.sum(col)
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*merge_exprs)
 
 
 def broadcast_dim(df: DataFrame) -> DataFrame:

@@ -1393,10 +1393,15 @@ def q_shingle_jaccard(spark, sf_dir):
 
 SQL_SHINGLE_JACCARD = f"""
 WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(
+sh0 AS (SELECT doc_id, unnest(list_distinct(
          list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
                         i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
        FROM t),
+-- mirror the engine's max_df=64 hot-shingle cap: the Jaccard universe
+-- is the discriminative (df <= 64) shingles only
+sh AS (SELECT * FROM (
+         SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+       WHERE df <= 64),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1639,10 +1644,14 @@ def q_dedup_clusters(spark, sf_dir):
 
 SQL_DEDUP_CLUSTERS = f"""
 WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(
+sh0 AS (SELECT doc_id, unnest(list_distinct(
          list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
                         i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
        FROM t),
+-- mirror the engine's max_df=64 hot-shingle cap (see SQL_SHINGLE_JACCARD)
+sh AS (SELECT * FROM (
+         SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+       WHERE df <= 64),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2),

@@ -148,21 +148,41 @@ def test_udf_registration_and_entropy(spark):
 
 def test_salted_agg_matches_plain(spark):
     orders = load_table(spark, SF_DIR, "orders")
-    # decimal partials so the two-phase sum is exact (a double partial
-    # sum would re-introduce order dependence at the merge step)
-    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    # decimal addends so the two-phase sum/avg are exact (a double
+    # partial sum would re-introduce order dependence at the merge step)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
     plain = {
-        r["o_orderstatus"]: (r["n"], r["total"])
+        r["o_orderstatus"]: (r["n"], r["total"], r["lo"], r["hi"], r["mean"])
         for r in orders.groupBy("o_orderstatus")
-        .agg(F.count("o_orderkey").alias("n"), total.alias("total"))
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.sum(dec).alias("total"),
+            F.min(dec).alias("lo"),
+            F.max(dec).alias("hi"),
+            (F.sum(dec).cast("double") / F.count(dec)).alias("mean"),
+        )
         .collect()
     }
     salted = {
-        r["o_orderstatus"]: (r["n"], r["total"])
+        r["o_orderstatus"]: (r["n"], r["total"], r["lo"], r["hi"], r["mean"])
         for r in salted_agg(
             orders,
             ["o_orderstatus"],
-            {"n": F.count("o_orderkey"), "total": total},
+            {
+                "n": ("count", "o_orderkey"),
+                "total": ("sum", dec),
+                "lo": ("min", dec),
+                "hi": ("max", dec),
+                "mean": ("avg", dec),
+            },
         ).collect()
     }
     assert plain == salted
+
+
+def test_salted_agg_rejects_unknown_kind(spark):
+    import pytest
+
+    orders = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(ValueError, match="unsupported aggregate kind"):
+        salted_agg(orders, ["o_orderstatus"], {"xs": ("collect_list", "o_orderkey")})
