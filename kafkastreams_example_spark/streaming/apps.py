@@ -23,7 +23,7 @@ from __future__ import annotations
 import signal
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.kafka import (
     decode_log_events,
@@ -89,25 +89,50 @@ def build_filter_app(spark: SparkSession, conf: AppConfig):
     )
 
 
+def dedup_topology(
+    decoded: DataFrame, exact_parity: bool = False, evict_state: bool = True
+):
+    """The dedup transform between source and sink (KStreamDistinct.java:
+    145-151): windowed dedup on exception_class → not-null filter →
+    encode. Takes decoded (key, event_time, event) rows, returns
+    (key STRING, value STRING) ready for the Kafka sink.
+
+    exact_parity=True swaps in the refresh-on-duplicate stateful
+    processor. The record payload is encoded to its sink form FIRST and
+    carried through the stateful function's output schema — re-joining
+    survivors to the source stream would be a second stateful op, which
+    Structured Streaming restricts, and any synthetic row id would be
+    replay-unstable (see dedup_refresh_stream). evict_state must be
+    False when driven with Trigger.AvailableNow (pending
+    processing-time timers never fire, the query never terminates);
+    True for the continuous production trigger.
+    """
+    from pyspark.sql import functions as F
+
+    if exact_parity:
+        keyed = decoded.select(
+            F.col("event.exception.exception_class").alias("dedup_id"),
+            F.col("event_time"),
+            F.col("key"),
+            F.to_json(F.col("event")).alias("value"),
+        )
+        survivors = dedup_refresh_stream(
+            keyed, payload_cols=("key", "value"), evict_state=evict_state
+        )
+        return survivors.select("key", "value")
+    return encode_log_events(dedup_pipeline_within_watermark(decoded))
+
+
 def build_dedup_app(spark: SparkSession, conf: AppConfig, exact_parity: bool = False):
     """Topology 2 (KStreamDistinct.java:129-153): kafka → decode →
     windowed dedup on exception_class → not-null filter → encode →
-    kafka. exact_parity=True swaps in the refresh-on-duplicate stateful
+    kafka. exact_parity=True uses the refresh-on-duplicate stateful
     processor (evicting state — continuous trigger)."""
-    from pyspark.sql import functions as F
-
     raw = read_kafka_stream(spark, conf.bootstrap_servers, conf.input_topic, conf.starting_offsets)
     good, _dead = split_dead_letters(decode_log_events(raw))
-    if exact_parity:
-        keyed = good.withColumn(
-            "dedup_id", F.col("event.exception.exception_class")
-        ).withColumn("row_id", F.monotonically_increasing_id())
-        survivors = dedup_refresh_stream(keyed, evict_state=True)
-        out = survivors.join(keyed, ["row_id"]).select("key", "event_time", "event")
-    else:
-        out = dedup_pipeline_within_watermark(good)
+    out = dedup_topology(good, exact_parity=exact_parity, evict_state=True)
     return write_kafka_stream(
-        encode_log_events(out),
+        out,
         conf.bootstrap_servers,
         conf.output_topic,
         conf.checkpoint_location,

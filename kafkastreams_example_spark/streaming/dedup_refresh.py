@@ -8,13 +8,14 @@ express (SURVEY.md §4):
 - per record with dedup id k and event time ts:
   - k null → pass through untouched (:71-72) — handled by the caller's
     split-union, null keys never enter the stateful path;
-  - state holds last-seen ts for k; duplicate iff stored ts is within
+  - state holds the set of remembered timestamps for k within the
+    retention window (the reference's WindowStore keeps every put(),
+    it never replaces); duplicate iff ANY remembered ts is within
     [ts − window/2, ts + window/2] (:56-59, :86-95) — centered, so
     out-of-order records slightly OLDER than a remembered event are
     also suppressed;
-  - duplicate → suppress AND overwrite stored ts with the duplicate's
-    ts (:76-77, :97-99): continuous duplicates extend suppression
-    indefinitely;
+  - duplicate → suppress AND put the duplicate's ts (:76-77, :97-99):
+    continuous duplicates extend suppression indefinitely;
   - not duplicate → emit and remember (id, ts) (:101-103).
 - state eviction ≈ store retention (= window size, :135-136): a
   processing-time timeout clears state for ids unseen for one window,
@@ -26,7 +27,8 @@ protobuf (absent in this environment); applyInPandasWithState is the
 Arrow-only equivalent and expresses identical semantics for a
 value-state + timeout processor.
 
-Scale: state is one 8-byte timestamp per key, RocksDB-backed, hash-
+Scale: state is the ≤1-window set of 8-byte timestamps per key (the
+same bound as the reference's segmented store), RocksDB-backed, hash-
 partitioned by the dedup key — the shuffle the reference lacks
 (SURVEY.md §3), so duplicates are caught across input partitions.
 Within a micro-batch, rows are processed in event-time order for
@@ -46,8 +48,31 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 DEFAULT_WINDOW_MS = 10 * 60 * 1000  # KStreamDistinct.java:135-136
 
 
-def make_refresh_dedup_fn(window_ms: int = DEFAULT_WINDOW_MS, evict: bool = False):
-    """Build the per-key stateful function. State: (last_seen_ms,).
+def make_refresh_dedup_fn(
+    window_ms: int = DEFAULT_WINDOW_MS,
+    evict: bool = False,
+    out_cols: tuple[str, ...] = ("row_id", "ts_ms"),
+):
+    """Build the per-key stateful function. State: (seen timestamps,).
+
+    The reference's WindowStore retains MULTIPLE entries per key —
+    put() adds, it never replaces (:97-103: a probe hit puts the
+    duplicate's timestamp, a miss puts the new event's), and the range
+    fetch (:88-91) probes everything still inside retention. So the
+    state here is the sorted set of remembered timestamps within the
+    last retention window, pruned behind the key's max seen event time.
+    A single last-seen scalar diverges: key@0 (emit), key@9min (emit,
+    gap > half-window), then out-of-order key@3.5min must STILL be
+    suppressed by the 0min entry — which only a multi-entry store
+    remembers. State size is bounded by one entry per distinct
+    timestamp inside the window — the same bound the reference's
+    segmented store has.
+
+    Retention note: the reference expires entries by task-global stream
+    time; we prune per key (max seen ts for that key), which retains
+    idle keys' entries slightly longer — strictly more suppression
+    never reachable by an in-retention probe, and the evict timeout
+    bounds idle-key state overall.
 
     evict=True arms a processing-time timeout that forgets ids unseen
     for a full retention window (:135-141) — required for bounded state
@@ -56,6 +81,8 @@ def make_refresh_dedup_fn(window_ms: int = DEFAULT_WINDOW_MS, evict: bool = Fals
     alive indefinitely (it never self-terminates), so batch-style runs
     must leave evict=False.
     """
+    from bisect import bisect_left
+
     left_ms = window_ms // 2  # :56
     right_ms = window_ms - left_ms  # :57
 
@@ -67,20 +94,33 @@ def make_refresh_dedup_fn(window_ms: int = DEFAULT_WINDOW_MS, evict: bool = Fals
             state.remove()
             return
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_ms", "row_id"], kind="mergesort")
-        last = state.get[0] if state.exists else None
+        # event-time order with the payload columns as a deterministic
+        # tie-break (arrival order is nondeterministic under parallel
+        # consumption anyway)
+        tiebreak = [c for c in out_cols if c != "ts_ms"]
+        batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
+        seen: list[int] = [int(s) for s in state.get[0]] if state.exists else []
         keep = []
         for ts in batch["ts_ms"].astype("int64"):
             ts = int(ts)
-            is_dup = last is not None and (ts - left_ms) <= last <= (ts + right_ms)
-            keep.append(not is_dup)
-            # remember on miss (:101-103), refresh on hit (:97-99):
-            # either way the stored timestamp becomes this record's
-            last = ts
-        state.update((int(last),))
+            # duplicate iff ANY remembered entry is inside the centered
+            # probe window [ts − left, ts + right] (:86-95)
+            i = bisect_left(seen, ts - left_ms)
+            keep.append(not (i < len(seen) and seen[i] <= ts + right_ms))
+            # WindowStore.put on BOTH branches: hit → add the
+            # duplicate's timestamp (refresh, :97-99), miss → remember
+            # the new event (:101-103)
+            j = bisect_left(seen, ts)
+            if j >= len(seen) or seen[j] != ts:
+                seen.insert(j, ts)
+        # retention = window size (:135-136): drop entries a full window
+        # behind this key's stream time
+        lo = seen[-1] - window_ms
+        seen = [s for s in seen if s >= lo]
+        state.update((seen,))
         if evict:
             state.setTimeoutDuration(window_ms)
-        yield batch.loc[keep, ["row_id", "ts_ms"]]
+        yield batch.loc[keep, list(out_cols)]
 
     return dedup_fn
 
@@ -90,14 +130,21 @@ def dedup_refresh_stream(
     window_ms: int = DEFAULT_WINDOW_MS,
     id_col: str = "dedup_id",
     ts_col: str = "event_time",
-    row_id_col: str = "row_id",
+    payload_cols: tuple[str, ...] = ("row_id",),
     evict_state: bool = False,
 ) -> DataFrame:
     """Wire the stateful dedup: rows with null ids bypass (split-union,
     KStreamDistinct.java:71-72), the rest shuffle by id and run the
-    keyed processor. Returns surviving (row_id, ts_ms) pairs to re-join
-    against the full record — keeping shuffled/state rows minimal no
-    matter how wide the event payload is.
+    keyed processor. Returns surviving (payload_cols..., ts_ms) rows.
+
+    The payload columns ride THROUGH the stateful function's output
+    schema — joining survivors back to the source stream would be a
+    second stateful op after applyInPandasWithState, which Structured
+    Streaming restricts (and any synthetic join key such as
+    monotonically_increasing_id is both unsupported on streams and
+    replay-unstable). Callers needing row identity should pass a
+    replay-stable id derived from source coordinates, e.g.
+    xxhash64(topic, partition, offset) for a Kafka stream.
 
     evict_state=True (continuous deployments only) bounds state via a
     processing-time TTL; leave False for Trigger.AvailableNow runs —
@@ -107,18 +154,24 @@ def dedup_refresh_stream(
 
     keyed = decoded.select(
         F.col(id_col).alias("dedup_id"),
-        (F.col(ts_col).cast("double") * 1000).cast("bigint").alias("ts_ms"),
-        F.col(row_id_col).alias("row_id"),
+        # exact integer milliseconds — double epoch math differs by 1
+        # ulp across engines and truncates wrong near representation
+        # boundaries (README exactness discipline)
+        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        *[F.col(c) for c in payload_cols],
     )
+    out_cols = tuple(payload_cols) + ("ts_ms",)
+    dtypes = dict(keyed.dtypes)
+    out_ddl = ", ".join(f"`{c}` {dtypes[c]}" for c in out_cols)
     # a record with a dedup id but no event time can't participate in
     # windowed dedup: dead-letter it (dropped here), consistent with the
     # PERMISSIVE-parse upgrade in sources/kafka.py — the reference never
     # sees this case (Kafka record timestamps always exist)
     nonnull = keyed.filter(F.col("dedup_id").isNotNull() & F.col("ts_ms").isNotNull())
     survivors = nonnull.groupBy("dedup_id").applyInPandasWithState(
-        make_refresh_dedup_fn(window_ms, evict=evict_state),
-        outputStructType="row_id BIGINT, ts_ms BIGINT",
-        stateStructType="last_seen_ms BIGINT",
+        make_refresh_dedup_fn(window_ms, evict=evict_state, out_cols=out_cols),
+        outputStructType=out_ddl,
+        stateStructType="seen ARRAY<BIGINT>",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout
@@ -126,5 +179,5 @@ def dedup_refresh_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
-    null_rows = keyed.filter(F.col("dedup_id").isNull()).select("row_id", "ts_ms")
+    null_rows = keyed.filter(F.col("dedup_id").isNull()).select(*out_cols)
     return survivors.unionByName(null_rows)

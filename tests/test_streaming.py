@@ -96,6 +96,80 @@ def test_dedup_refresh_out_of_order_and_expiry(spark, tmp_path):
     assert _read_sink(spark, out_dir) == {0, 2}
 
 
+def test_dedup_refresh_remembers_older_entries(spark, tmp_path):
+    """WindowStore parity: the store retains EVERY remembered timestamp
+    within retention (put adds, KStreamDistinct.java:97-103), so an
+    out-of-order record must be suppressed by an OLD entry even after a
+    newer one was remembered. key@0 emits; key@9min emits (gap > 5min
+    half-window); then key@3.5min in a later micro-batch probes
+    [-1.5, 8.5]min and finds the 0min entry (inside 10-min retention)
+    → suppressed. A single last-seen scalar would only remember 9min
+    and wrongly emit."""
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    out_dir = tmp_path / "out"
+    _write_batch(
+        src, "b1.json", [_event(0, 0 * MIN, "NPE"), _event(1, 9 * MIN, "NPE")]
+    )
+    _run_dedup_batch(spark, src, ckpt, out_dir)
+    _write_batch(src, "b2.json", [_event(2, int(3.5 * MIN), "NPE")])
+    _run_dedup_batch(spark, src, ckpt, out_dir)
+    assert _read_sink(spark, out_dir) == {0, 1}
+
+
+def test_dedup_topology_exact_parity_wiring(spark, tmp_path):
+    """build_dedup_app's exact-parity transform, driven as a real
+    stream (file source standing in for the Kafka endpoints): decoded
+    (key, event_time, event) rows → stateful refresh-dedup with the
+    encoded payload riding through the state function's output schema →
+    (key, value) sink rows. No post-stateful join, no synthetic row
+    ids — the wiring ADVICE flagged as unrunnable in round 1."""
+    from kafkastreams_example_spark.streaming.apps import dedup_topology
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"key": "a", "ts_ms": 0 * MIN, "level": "ERROR", "exc": "NPE", "msg": "m0"},
+        {"key": "b", "ts_ms": 3 * MIN, "level": "ERROR", "exc": "NPE", "msg": "m1"},
+        {"key": "c", "ts_ms": 1 * MIN, "level": "INFO", "exc": None, "msg": "m2"},
+    ]
+    _write_batch(src, "b1.json", rows)
+    decoded = (
+        spark.readStream.schema(
+            "key STRING, ts_ms BIGINT, level STRING, exc STRING, msg STRING"
+        )
+        .json(str(src))
+        .select(
+            "key",
+            F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+            F.struct(
+                F.col("level").alias("level"),
+                F.col("msg").alias("message"),
+                F.when(
+                    F.col("exc").isNotNull(),
+                    F.struct(F.col("exc").alias("exception_class")),
+                ).alias("exception"),
+            ).alias("event"),
+        )
+    )
+    out = dedup_topology(decoded, exact_parity=True, evict_state=False)
+    table = f"parity_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: r["value"] for r in spark.table(table).collect()}
+    # NPE@0 survives, NPE@3min suppressed (within ±5min), null-id passes
+    assert set(got) == {"a", "c"}
+    assert json.loads(got["a"])["exception"]["exception_class"] == "NPE"
+    assert json.loads(got["c"])["message"] == "m2"
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Stream-stream inner join with watermarks and a time-range
     condition — impressions ⋈ clicks within 10 min (the ad-attribution
