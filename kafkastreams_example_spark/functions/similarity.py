@@ -97,25 +97,33 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the 100 TB path for similarity
     search.
 
-    Deterministic training-free centroids (the first n_centroids
-    vectors by id — a stand-in for k-means; the bucketing mechanics are
-    what matters at scale). Every vector is assigned to its nearest
-    centroid once (O(n·C), broadcast centroids, no shuffle of the big
-    side); a query probes only its n_probe nearest centroid buckets, so
-    the scored candidate set is ~n_probe/n_centroids of the corpus
-    instead of all of it. Output schema matches cosine_topk; results
-    are approximate (a true neighbor outside probed buckets is missed).
+    Centroids: pass a trained (cent_id, cv) frame — typically
+    kmeans_centroids() — for real inverted-file quality (the recall
+    floor test pins ≥0.6 vs brute force on that path). The default
+    (first n_centroids vectors by id) is the training-free
+    deterministic fallback that any engine can reproduce exactly, which
+    is what the SQL oracle checks. Every vector is assigned to its
+    nearest centroid once (O(n·C), broadcast centroids, no shuffle of
+    the big side); a query probes only its n_probe nearest centroid
+    buckets, so the scored candidate set is ~n_probe/n_centroids of the
+    corpus instead of all of it. Output schema matches cosine_topk;
+    results are approximate (a true neighbor outside probed buckets is
+    missed).
     """
     from pyspark.sql import Window
 
     unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
-    cents = unit.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col("uv").alias("cv")
-    )
+    if centroids is None:
+        cents = unit.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col("uv").alias("cv")
+        )
+    else:
+        cents = centroids.select("cent_id", "cv")
 
     def nearest(df: DataFrame, side_id: str, rank_limit: int, out: str) -> DataFrame:
         scored = F.broadcast(cents).join(df, how="cross").select(
@@ -157,6 +165,67 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over unit vectors —
+    the real centroid trainer for the IVF path (replacing the
+    first-k-by-id stand-ins).
+
+    Spherical k-means: init = the first k vectors by id (deterministic,
+    no RNG); each iteration assigns every vector to its
+    highest-cosine centroid (broadcast centroids — the corpus is never
+    shuffled) and recomputes centroids as the re-normalized element-wise
+    mean via posexplode → (cluster, dim) avg → array rebuild. A cluster
+    that loses all members keeps its previous centroid. The iteration
+    count is fixed (no driver-side convergence probe — at scale each
+    round is one narrow pass + a k×dim agg) and each round
+    localCheckpoints the k-row centroid frame to keep lineage flat.
+
+    Output: (cent_id, cv) with cv unit-length — drop-in for ivf_topk's
+    centroids parameter. Iterative + float means ⇒ no SQL oracle (the
+    driver's documented rows-only class); pinned instead by the
+    ivf-recall floor test.
+    """
+    from pyspark.sql import Window
+
+    unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
+    cents = unit.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cent_id"), F.col("uv").alias("cv")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cent_id"))
+    for _ in range(iters):
+        assigned = (
+            F.broadcast(cents)
+            .join(unit, how="cross")
+            .select(id_col, "cent_id", "uv", _dot(F.col("uv"), F.col("cv")).alias("cs"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("uv").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("mv")
+            )
+            .select("cent_id", _unit(F.col("mv")).alias("cv_new"))
+        )
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select("cent_id", F.coalesce("cv_new", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
 
 
 def hyperplane_buckets(

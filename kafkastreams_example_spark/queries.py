@@ -2137,6 +2137,35 @@ SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM e
 SQL_ANN_HYPERPLANE = _sql_ann_hyperplane()
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Deterministic Lloyd k-means cluster profile over the embedding
+    corpus (k=8, 3 fixed iterations): per cluster, member count and
+    mean member-to-centroid cosine (cohesion). The trainer behind
+    ivf_topk's real-centroid mode (functions/similarity.py:
+    kmeans_centroids). Iterative float-mean training is the driver's
+    documented rows-only class (no SQL oracle); quality is pinned by
+    the ≥0.6 IVF recall floor test instead."""
+    from pyspark.sql import Window
+
+    from .functions.similarity import _dot, _unit, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=3)
+    unit = emb.select("vec_id", _unit(F.col("embedding")).alias("uv"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    assigned = (
+        F.broadcast(cents)
+        .join(unit, how="cross")
+        .select("vec_id", "cent_id", _dot(F.col("uv"), F.col("cv")).alias("cs"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+    )
+    return assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("cs"), 3).alias("cohesion"),
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test split by content hash — the
     portable, rerun-stable alternative to RNG sampling for corpus
@@ -2354,6 +2383,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_topk": QuerySpec(q_sim_topk, SQL_SIM_TOPK, ("similarity",)),
     "ivf_topk": QuerySpec(q_ivf_topk, SQL_IVF_TOPK, ("similarity",)),
     "ann_hyperplane": QuerySpec(q_ann_hyperplane, SQL_ANN_HYPERPLANE, ("similarity",)),
+    "kmeans_centroids": QuerySpec(q_kmeans_centroids, None, ("similarity", "iterative")),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),

@@ -116,19 +116,32 @@ def test_dedup_clusters_deep_chain(spark):
 
 
 def test_ivf_recall_against_exact(spark):
-    """IVF top-k is approximate by design; pin a recall floor against
-    the exact brute-force results so bucketing regressions surface."""
-    from kafkastreams_example_spark.functions.similarity import cosine_topk, ivf_topk
+    """IVF top-k is approximate by design; pin recall floors against
+    the exact brute-force results so bucketing regressions surface.
+    Trained (k-means) centroids must clear ≥0.6; the training-free
+    oracle-exact fallback keeps its looser floor."""
+    from kafkastreams_example_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
 
     emb = load_table(spark, SF_DIR, "embeddings")
+    qids = [0, 1, 2, 3, 4]
     exact = {
-        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, [0, 1, 2, 3, 4], 5).collect()
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, qids, 5).collect()
     }
-    approx = {
-        (r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, [0, 1, 2, 3, 4], 5).collect()
+    fallback = {
+        (r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, qids, 5).collect()
     }
-    recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    assert len(exact & fallback) / len(exact) >= 0.2, "fallback IVF recall collapsed"
+    cents = kmeans_centroids(emb, k=16, iters=3)
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, qids, 5, centroids=cents).collect()
+    }
+    recall = len(exact & trained) / len(exact)
+    assert recall >= 0.6, f"k-means IVF recall below floor: {recall}"
 
 
 def test_udf_registration_and_entropy(spark):
