@@ -49,27 +49,41 @@ def read_kafka_stream(
 CORRUPT_FIELD = "_corrupt_record"
 
 
-def decode_log_events(raw: DataFrame) -> DataFrame:
+def decode_log_events(raw: DataFrame, mode: str = "PERMISSIVE") -> DataFrame:
     """S2: bytes → typed LogEvent columns, keeping key + record timestamp.
 
-    Output: key string, event_time timestamp, event struct<LOG_SCHEMA +
-    _corrupt_record>. PERMISSIVE from_json does NOT return a null struct
-    on malformed input — it returns all-null fields — so reliable
-    dead-letter detection needs columnNameOfCorruptRecord: the field
-    carries the raw payload on parse failure and is null on success
-    (vs the reference's hard crash, JsonDeserializer.java:33-34).
+    mode="PERMISSIVE" (default): output is key string, event_time
+    timestamp, event struct<LOG_SCHEMA + _corrupt_record>. PERMISSIVE
+    from_json does NOT return a null struct on malformed input — it
+    returns all-null fields — so reliable dead-letter detection needs
+    columnNameOfCorruptRecord: the field carries the raw payload on
+    parse failure and is null on success. This is the documented
+    semantic upgrade over the reference's hard crash.
+
+    mode="FAILFAST": exact Jackson-strictness parity — malformed JSON
+    raises at execution (JsonDeserializer.java:33-34 wraps the parse
+    error as SerializationException and kills the app). No corrupt
+    field in the schema; do not pair with split_dead_letters.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
-    schema = StructType(list(LOG_SCHEMA.fields) + [StructField(CORRUPT_FIELD, StringType())])
-    return raw.select(
-        F.col("key").cast("string").alias("key"),
-        F.col("timestamp").alias("event_time"),
-        F.from_json(
+    if mode == "FAILFAST":
+        event = F.from_json(
+            F.col("value").cast("string"), LOG_SCHEMA, {"mode": "FAILFAST"}
+        )
+    else:
+        schema = StructType(
+            list(LOG_SCHEMA.fields) + [StructField(CORRUPT_FIELD, StringType())]
+        )
+        event = F.from_json(
             F.col("value").cast("string"),
             schema,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_FIELD},
-        ).alias("event"),
+        )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("timestamp").alias("event_time"),
+        event.alias("event"),
     )
 
 

@@ -52,6 +52,7 @@ def make_refresh_dedup_fn(
     window_ms: int = DEFAULT_WINDOW_MS,
     evict: bool = False,
     out_cols: tuple[str, ...] = ("row_id", "ts_ms"),
+    clock: str = "event",
 ):
     """Build the per-key stateful function. State: (seen timestamps,).
 
@@ -74,6 +75,18 @@ def make_refresh_dedup_fn(
     never reachable by an in-retention probe, and the evict timeout
     bounds idle-key state overall.
 
+    clock selects the reference variant being replicated. "event"
+    (default) is D1: probe/remember use the record's own event time
+    (context.timestamp(), KStreamDistinct.java:77,80,87). "stream" is
+    D1′: the FixedKeyProcessor variant substitutes the running stream
+    time for every timestamp (context.currentStreamTimeMs(),
+    KStreamDistinct_example.java:65,94,97) — monotone, so out-of-order
+    records probe at the clock's high-water mark instead of their own
+    time. The reference's stream time is task-global; here it is
+    approximated per key (max event time seen for the key), the
+    closest analog under key-partitioned state — divergence documented,
+    covered by tests/test_streaming.py.
+
     evict=True arms a processing-time timeout that forgets ids unseen
     for a full retention window (:135-141) — required for bounded state
     on continuous streams, but ONLY for continuous triggers: with
@@ -82,6 +95,9 @@ def make_refresh_dedup_fn(
     must leave evict=False.
     """
     from bisect import bisect_left
+
+    if clock not in ("event", "stream"):
+        raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
 
     left_ms = window_ms // 2  # :56
     right_ms = window_ms - left_ms  # :57
@@ -100,9 +116,16 @@ def make_refresh_dedup_fn(
         tiebreak = [c for c in out_cols if c != "ts_ms"]
         batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
         seen: list[int] = [int(s) for s in state.get[0]] if state.exists else []
+        # stream clock high-water mark: remembered entries are stream
+        # times, so the max survives in state across batches
+        hwm = seen[-1] if seen else None
         keep = []
         for ts in batch["ts_ms"].astype("int64"):
             ts = int(ts)
+            if clock == "stream":
+                # D1′: every timestamp is the monotone stream time
+                hwm = ts if hwm is None else max(hwm, ts)
+                ts = hwm
             # duplicate iff ANY remembered entry is inside the centered
             # probe window [ts − left, ts + right] (:86-95)
             i = bisect_left(seen, ts - left_ms)
@@ -132,6 +155,7 @@ def dedup_refresh_stream(
     ts_col: str = "event_time",
     payload_cols: tuple[str, ...] = ("row_id",),
     evict_state: bool = False,
+    clock: str = "event",
 ) -> DataFrame:
     """Wire the stateful dedup: rows with null ids bypass (split-union,
     KStreamDistinct.java:71-72), the rest shuffle by id and run the
@@ -169,7 +193,9 @@ def dedup_refresh_stream(
     # sees this case (Kafka record timestamps always exist)
     nonnull = keyed.filter(F.col("dedup_id").isNotNull() & F.col("ts_ms").isNotNull())
     survivors = nonnull.groupBy("dedup_id").applyInPandasWithState(
-        make_refresh_dedup_fn(window_ms, evict=evict_state, out_cols=out_cols),
+        make_refresh_dedup_fn(
+            window_ms, evict=evict_state, out_cols=out_cols, clock=clock
+        ),
         outputStructType=out_ddl,
         stateStructType="seen ARRAY<BIGINT>",
         outputMode="append",

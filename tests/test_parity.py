@@ -39,7 +39,9 @@ def _norm(v):
             return "nan"
         return f"{v:.9g}"
     if isinstance(v, int):
-        return f"{v:.9g}" if abs(v) < 2**53 else str(v)
+        # exact — the float-style 9-sig-fig collapse would silently
+        # equate different large ints (epoch ms, big sums)
+        return v
     return v
 
 

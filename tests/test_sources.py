@@ -125,6 +125,35 @@ def test_kafka_codec_dead_letter_roundtrip(spark):
     assert enc["k1"] == '{"version":1,"message":"ok","level":"INFO"}'
 
 
+def test_kafka_decode_failfast_matches_jackson_strictness(spark):
+    """FAILFAST decode mode: malformed JSON raises at execution —
+    exact parity with the reference serde's hard failure
+    (JsonDeserializer.java:33-34 wraps the Jackson error as
+    SerializationException and the app dies). Well-formed payloads
+    decode identically to PERMISSIVE mode."""
+    import datetime
+
+    import pytest
+
+    from kafkastreams_example_spark.sources.kafka import decode_log_events
+
+    ok = spark.createDataFrame(
+        [("k1", b'{"version":1,"level":"INFO","message":"ok"}',
+          datetime.datetime(2024, 1, 1))],
+        "key STRING, value BINARY, timestamp TIMESTAMP",
+    )
+    row = decode_log_events(ok, mode="FAILFAST").collect()[0]
+    assert row["event"]["level"] == "INFO" and row["event"]["version"] == 1
+    assert "_corrupt_record" not in row["event"].asDict()
+
+    bad = spark.createDataFrame(
+        [("k2", b"{{{not json", datetime.datetime(2024, 1, 1))],
+        "key STRING, value BINARY, timestamp TIMESTAMP",
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        decode_log_events(bad, mode="FAILFAST").collect()
+
+
 def test_windowed_count_pipeline_streaming(spark, tmp_path):
     """Streaming tumbling-window aggregation over decoded LogEvents
     (complete mode: closed and open windows both visible)."""

@@ -117,6 +117,52 @@ def test_dedup_refresh_remembers_older_entries(spark, tmp_path):
     assert _read_sink(spark, out_dir) == {0, 1}
 
 
+def test_dedup_refresh_stream_time_variant(spark, tmp_path):
+    """D1′ (KStreamDistinct_example.java:65,94,97): the FixedKeyProcessor
+    variant substitutes stream time for every timestamp. Divergence
+    case: k@10min, then out-of-order k@2min. Event clock (D1) probes
+    centered on 2min → [−3, 7]min misses the 10min entry → emits.
+    Stream clock (D1′) probes at the 10min high-water mark → [5, 15]min
+    finds it → suppresses."""
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        dedup_refresh_stream,
+    )
+
+    def run(clock: str, base: Path) -> set[int]:
+        src, ckpt, out_dir = base / "src", base / "ckpt", base / "out"
+        src.mkdir(parents=True)
+        _write_batch(src, "b1.json", [_event(0, 10 * MIN, "OOM")])
+        stream = (
+            spark.readStream.schema("row_id BIGINT, ts_ms BIGINT, dedup_id STRING")
+            .json(str(src))
+            .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+        )
+        out = dedup_refresh_stream(stream, clock=clock)
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        _write_batch(src, "b2.json", [_event(1, 2 * MIN, "OOM")])
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return _read_sink(spark, out_dir)
+
+    assert run("event", tmp_path / "ev") == {0, 1}
+    assert run("stream", tmp_path / "st") == {0}
+
+
 def test_dedup_topology_exact_parity_wiring(spark, tmp_path):
     """build_dedup_app's exact-parity transform, driven as a real
     stream (file source standing in for the Kafka endpoints): decoded

@@ -28,7 +28,10 @@ def norm(v):
     if isinstance(v, float):
         return "nan" if math.isnan(v) else f"{v:.9g}"
     if isinstance(v, int):
-        return f"{v:.9g}" if abs(v) < 2**53 else str(v)
+        # ints compare EXACTLY — 9-sig-fig collapse is for absorbing
+        # float formatting skew only; applying it to ≥10-digit ints
+        # (epoch ms, large sums) would silently pass real mismatches
+        return v
     return v
 
 
