@@ -2396,9 +2396,123 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 
+# Driver-gate evaluation order. The round-1 driver recorded correctness
+# rows for exactly the first 50 registry entries, leaving the whole
+# text/similarity/multimodal tail formally unevidenced — so the entries
+# that still lack a driver row run FIRST (cheapest first, by measured
+# sf0.01 wall time), followed by session_stats (round-1 hash fix to
+# confirm), then the already-evidenced queries cheapest-first. Under any
+# truncation — count cap or time budget — this order maximizes new
+# evidence per round.
+_GATE_ORDER = [
+    # — no driver row in CORRECTNESS_r01 —
+    "lang_id",
+    "sort_limit_offset",
+    "regexp_extract",
+    "null_handling",
+    "text_stats",
+    "doc_fingerprint",
+    "embedding_norms",
+    "dataset_split",
+    "subquery_above_avg",
+    "bit_aggs",
+    "text_quality",
+    "dedup_exact_docs",
+    "multimodal_meta",
+    "frame_sample",
+    "media_features",
+    "corpus_top_terms",
+    "minhash_signature",
+    "udf_normalize",
+    "profile_events",
+    "date_arith",
+    "events_funnel",
+    "agg_percentiles",
+    "simhash",
+    "agg_filtered",
+    "window_distribution",
+    "session_window_agg",
+    "window_nth",
+    "shingle_jaccard",
+    "sim_topk",
+    "clean_pipeline",
+    "simhash_pairs",
+    "ann_hyperplane",
+    "minhash_lsh_pairs",
+    "ivf_topk",
+    "dedup_embeddings",
+    "bigram_counts",
+    "kmeans_centroids",
+    "cosine_pairs",
+    "dedup_clusters",
+    # — round-1 driver FAIL, fixed this round —
+    "session_stats",
+    # — already driver-green in round 1 —
+    "filter_level",
+    "filter_notnull",
+    "json_decode",
+    "join_anti",
+    "sort_limit",
+    "string_funcs3",
+    "map_funcs",
+    "unpivot_part",
+    "json_encode",
+    "dedup_exact",
+    "join_semi",
+    "window_rank",
+    "setop_intersect",
+    "setop_except",
+    "setop_intersect_all",
+    "cross_join_dims",
+    "union_all",
+    "array_funcs",
+    "approx_distinct",
+    "dedup_windowed",
+    "json_deadletter",
+    "join_customer_orders",
+    "join_multiway_region",
+    "window_running",
+    "join_outer_left",
+    "pivot_events",
+    "agg_string_concat",
+    "stats_moments",
+    "dedup_null_passthrough",
+    "dedup_refresh",
+    "agg_rollup",
+    "agg_having",
+    "agg_windowed_events",
+    "window_moving_avg",
+    "map_explode",
+    "grouping_sets",
+    "reference_pipeline",
+    "scalar_funcs",
+    "window_lag_lead",
+    "range_join",
+    "agg_minmax",
+    "agg_pricing_summary",
+    "scalar_funcs2",
+    "tfidf_top_terms",
+    "agg_distinct",
+    "asof_join",
+    "sql_q5_local_supplier",
+    "sql_q3_shipping",
+    "agg_cube",
+]
+
+
+def _gate_order() -> list[str]:
+    """_GATE_ORDER with unlisted registry additions appended — a new
+    query never silently drops out of the driver contract."""
+    missing = [n for n in _GATE_ORDER if n not in REGISTRY]
+    assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
+    return _GATE_ORDER + [n for n in REGISTRY if n not in _GATE_ORDER]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _gate_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    return {
+        name: REGISTRY[name].oracle for name in _gate_order() if REGISTRY[name].oracle
+    }

@@ -17,7 +17,7 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from kafkastreams_example_spark.queries import REGISTRY  # noqa: E402
+from kafkastreams_example_spark.queries import REGISTRY, _gate_order  # noqa: E402
 from kafkastreams_example_spark.schema import TABLE_NAMES  # noqa: E402
 from kafkastreams_example_spark.session import get_spark  # noqa: E402
 
@@ -37,7 +37,7 @@ def norm(v):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or sorted(REGISTRY)
+    names = sys.argv[2:] or _gate_order()  # replicate the driver's order
     unknown = [n for n in names if n not in REGISTRY]
     if unknown:
         print(f"unknown queries: {unknown}; known: {sorted(REGISTRY)}")
