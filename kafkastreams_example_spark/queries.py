@@ -2292,6 +2292,234 @@ FROM d, LATERAL (SELECT unnest(range(0, greatest(byte_len // 32, 1)))) AS t(off)
 # Registry
 # --------------------------------------------------------------------------
 
+def q_doc_chunking(spark, sf_dir):
+    """Document chunking for training pipelines: fixed-size overlapping
+    token windows (size 32, stride 24 — 8-token overlap), the standard
+    pre-tokenization step before packing sequences. Pure Catalyst:
+    tokenize → explode window starts → slice; narrow except the explode
+    fan-out (≈ n_tokens/stride rows per doc), no shuffle. Chunk content
+    is emitted as an md5 so the compare stays narrow."""
+    from .functions.text import tokenize
+
+    size, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride))
+    ex = t.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start"), size)
+    return ex.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+SQL_DOC_CHUNKING = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks), 1) + 1, 24)) AS start
+      FROM t),
+c AS (SELECT doc_id, CAST((start - 1) / 24 AS INT) AS chunk_idx,
+             list_slice(toks, start, start + 31) AS chunk
+      FROM s)
+SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c WHERE len(chunk) > 0
+"""
+
+
+def q_locf_fill(spark, sf_dir):
+    """Last-observation-carried-forward gap fill: the latest 'purchase'
+    value per user carried over subsequent events (last IGNORE NULLS
+    with a running frame) — the canonical sparse-signal densification
+    window. One shuffle on user_id; values pass through untouched (no
+    arithmetic), so cross-engine equality is exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(val, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+SQL_LOCF_FILL = """
+SELECT event_id, user_id,
+  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM events
+"""
+
+
+def q_window_range_frame(spark, sf_dir):
+    """RANGE-frame window (value-based, not row-based): trailing-7-day
+    revenue per customer ordered by epoch day. Distinct from every ROWS
+    frame in the registry — peers at the same day share one frame, so
+    the result is tie-order independent. Decimal sum → double (exactness
+    discipline)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return orders.withColumn("day", day).select(
+        "o_orderkey",
+        "day",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_7d"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT o_orderkey, day,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+FROM (SELECT *, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders)
+"""
+
+
+def q_subquery_exists(spark, sf_dir):
+    """Correlated EXISTS subquery through the SQL API — Catalyst
+    rewrites it to a left-semi hash join (same physical shape as
+    join_semi, different language surface)."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+SQL_SUBQUERY_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_jaccard_est(spark, sf_dir):
+    """MinHash Jaccard ESTIMATION on the LSH candidate pairs: est =
+    (matching signature slots)/H. The estimator that makes
+    signature-only dedup decisions possible at scale — no token-set
+    rejoin. n/8 is exactly representable in double, so no rounding is
+    needed for cross-engine equality."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sig = minhash_signatures(docs)
+    a = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(8)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(8)]
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(8)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(8.0)).alias("jaccard_est"))
+    )
+
+
+SQL_JACCARD_EST = f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
+sig AS (SELECT doc_id, {_MH_AGGS} FROM w GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bh FROM sig),
+capped AS (
+  SELECT doc_id, band, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS n FROM bands)
+  WHERE n <= 64),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+  ((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+  + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+  + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+  + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+  + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END
+  + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END
+  + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END
+  + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) / 8.0) AS jaccard_est
+FROM pairs JOIN sig sa ON sa.doc_id = id_a
+           JOIN sig sb ON sb.doc_id = id_b
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates
+    (en 50%, others 20%) decided by a content-stable md5 bucket — the
+    rerun-stable, engine-portable alternative to RNG sampling when
+    rebalancing a training corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 50).otherwise(20)
+    return docs.withColumn("bucket", bucket).filter(F.col("bucket") < rate).select(
+        "doc_id", "lang", "bucket"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, bucket
+FROM (SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents)
+WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+"""
+
+
+def q_token_histogram(spark, sf_dir):
+    """Corpus token-length histogram (bucket width 10) — the length
+    profile every data pipeline reports before choosing sequence
+    lengths. Two tiny aggs; the scan stays narrow (text only)."""
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokenize("text"))
+    bucket = (n - (n % 10)).alias("token_bucket")
+    return (
+        docs.select(bucket)
+        .groupBy("token_bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+SELECT CAST(n - (n % 10) AS INT) AS token_bucket, COUNT(*) AS n_docs
+FROM (SELECT len({_TOK}) AS n FROM documents)
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -2384,6 +2612,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "ivf_topk": QuerySpec(q_ivf_topk, SQL_IVF_TOPK, ("similarity",)),
     "ann_hyperplane": QuerySpec(q_ann_hyperplane, SQL_ANN_HYPERPLANE, ("similarity",)),
     "kmeans_centroids": QuerySpec(q_kmeans_centroids, None, ("similarity", "iterative")),
+    # round-2 additions: training-pipeline + relational long tail
+    "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING, ("text", "pipeline")),
+    "locf_fill": QuerySpec(q_locf_fill, SQL_LOCF_FILL, ("relational", "temporal")),
+    "window_range_frame": QuerySpec(q_window_range_frame, SQL_WINDOW_RANGE_FRAME, ("relational",)),
+    "subquery_exists": QuerySpec(q_subquery_exists, SQL_SUBQUERY_EXISTS, ("relational", "sql-api")),
+    "jaccard_est": QuerySpec(q_jaccard_est, SQL_JACCARD_EST, ("text", "dedup")),
+    "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("text", "pipeline")),
+    "token_histogram": QuerySpec(q_token_histogram, SQL_TOKEN_HISTOGRAM, ("text",)),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -2445,6 +2681,14 @@ _GATE_ORDER = [
     "kmeans_centroids",
     "cosine_pairs",
     "dedup_clusters",
+    # — new in round 2, never evaluated —
+    "token_histogram",
+    "stratified_sample",
+    "locf_fill",
+    "window_range_frame",
+    "subquery_exists",
+    "doc_chunking",
+    "jaccard_est",
     # — round-1 driver FAIL, fixed this round —
     "session_stats",
     # — already driver-green in round 1 —
