@@ -2520,6 +2520,177 @@ GROUP BY 1
 """
 
 
+def q_ngram_lm_score(spark, sf_dir):
+    """Unigram language-model scoring: per-doc mean log-probability of
+    its tokens under the corpus unigram distribution — the cheap
+    perplexity-style quality signal used to rank/filter training text.
+    Two hash aggs build the LM (term counts + total), then a broadcast
+    join scores each (doc, term) occurrence; the corpus total rides a
+    1-row cross join (never a driver count()). round(.,6) absorbs the
+    float-sum ordering ulp between engines."""
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    lm = tf.groupBy("term").agg(F.count("*").alias("tc"))
+    total = tf.select(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("tc") / F.col("n_total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("lp") / F.count("*"), 6).alias("mean_logprob"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+SQL_NGRAM_LM_SCORE = f"""
+WITH tf AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+lm AS (SELECT term, COUNT(*) AS tc FROM tf GROUP BY term),
+tot AS (SELECT COUNT(*) AS n_total FROM tf),
+scored AS (
+  SELECT doc_id, ln(CAST(tc AS DOUBLE) / n_total) AS lp
+  FROM tf JOIN lm USING (term) CROSS JOIN tot)
+SELECT doc_id, round(SUM(lp) / COUNT(*), 6) AS mean_logprob,
+       COUNT(*) AS n_tokens
+FROM scored GROUP BY doc_id
+"""
+
+
+def q_quality_funnel(spark, sf_dir):
+    """Pipeline observability: documents surviving each cleaning stage
+    (raw → length ≥ 10 tokens → type-token ratio ≥ 0.3 → exact-dedup
+    survivor), as one (stage, n_docs) report — the funnel every corpus
+    job logs. Stages nest, so one pass computes per-doc flags and four
+    conditional counts; a single narrow agg, no joins."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    flagged = docs.select(
+        n_tok.alias("n_tokens"),
+        ttr.alias("ttr"),
+        F.row_number().over(Window.partitionBy(fp).orderBy("doc_id")).alias("rn"),
+    )
+    length_ok = F.col("n_tokens") >= 10
+    ttr_ok = length_ok & (F.col("ttr") >= 0.3)
+    dedup_ok = ttr_ok & (F.col("rn") == 1)
+    counts = flagged.agg(
+        F.count("*").alias("raw"),
+        F.count(F.when(length_ok, 1)).alias("length_filter"),
+        F.count(F.when(ttr_ok, 1)).alias("ttr_filter"),
+        F.count(F.when(dedup_ok, 1)).alias("exact_dedup"),
+    )
+    stages = ["raw", "length_filter", "ttr_filter", "exact_dedup"]
+    unpivot = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("stage_idx"), F.lit(s).alias("stage"), F.col(s).alias("n_docs"))
+            for i, s in enumerate(stages)
+        ])
+    )
+    return counts.select(unpivot.alias("u")).select("u.stage_idx", "u.stage", "u.n_docs")
+
+
+SQL_QUALITY_FUNNEL = f"""
+WITH f AS (
+  SELECT len({_TOK}) AS n_tokens,
+         CAST(len(list_distinct({_TOK})) AS DOUBLE) / len({_TOK}) AS ttr,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM documents),
+c AS (
+  SELECT COUNT(*) AS raw,
+         COUNT(CASE WHEN n_tokens >= 10 THEN 1 END) AS length_filter,
+         COUNT(CASE WHEN n_tokens >= 10 AND ttr >= 0.3 THEN 1 END) AS ttr_filter,
+         COUNT(CASE WHEN n_tokens >= 10 AND ttr >= 0.3 AND rn = 1 THEN 1 END) AS exact_dedup
+  FROM f)
+SELECT 0 AS stage_idx, 'raw' AS stage, raw AS n_docs FROM c
+UNION ALL SELECT 1, 'length_filter', length_filter FROM c
+UNION ALL SELECT 2, 'ttr_filter', ttr_filter FROM c
+UNION ALL SELECT 3, 'exact_dedup', exact_dedup FROM c
+"""
+
+
+def q_dedup_candidates_union(spark, sf_dir):
+    """Ensemble near-dup detection: the union of three independent
+    candidate generators — MinHash-LSH bands, SimHash byte bands
+    (hamming ≤ 3), and capped-shingle Jaccard (≥ 0.2) — with a source
+    bitmask per pair (1=minhash, 2=simhash, 4=shingle). Real pipelines
+    run several signals because each misses different near-dup classes;
+    the union is one distinct over already-bucketed joins, never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(docs).select("id_a", "id_b", F.lit(1).alias("src"))
+    sh = q_simhash_pairs(spark, sf_dir).select("id_a", "id_b", F.lit(2).alias("src"))
+    sj = shingle_jaccard_pairs(docs, threshold=0.2).select(
+        "id_a", "id_b", F.lit(4).alias("src")
+    )
+    return (
+        mh.unionByName(sh)
+        .unionByName(sj)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("src").cast("int").alias("sources"))
+    )
+
+
+SQL_DEDUP_CANDIDATES_UNION = f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
+sig AS (SELECT doc_id, {_MH_AGGS} FROM w GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bh FROM sig),
+capped AS (
+  SELECT doc_id, band, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS n FROM bands)
+  WHERE n <= 64),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM w),
+bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS tot
+         FROM h, (SELECT unnest(range(0, 32)) AS j) AS js
+         GROUP BY doc_id, j),
+fp AS (SELECT doc_id,
+         CAST(SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id),
+sh_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
+       FROM t),
+shc AS (SELECT * FROM (
+         SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+       WHERE df <= 64),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
+shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+           FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+sj_pairs AS (
+  SELECT id_a, id_b
+  FROM shared JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.2),
+unioned AS (
+  SELECT id_a, id_b, 1 AS src FROM mh_pairs
+  UNION ALL SELECT id_a, id_b, 2 FROM sh_pairs
+  UNION ALL SELECT id_a, id_b, 4 FROM sj_pairs)
+SELECT id_a, id_b, CAST(SUM(src) AS INT) AS sources
+FROM unioned GROUP BY id_a, id_b
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -2620,6 +2791,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "jaccard_est": QuerySpec(q_jaccard_est, SQL_JACCARD_EST, ("text", "dedup")),
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("text", "pipeline")),
     "token_histogram": QuerySpec(q_token_histogram, SQL_TOKEN_HISTOGRAM, ("text",)),
+    "ngram_lm_score": QuerySpec(q_ngram_lm_score, SQL_NGRAM_LM_SCORE, ("text",)),
+    "quality_funnel": QuerySpec(q_quality_funnel, SQL_QUALITY_FUNNEL, ("text", "pipeline")),
+    "dedup_candidates_union": QuerySpec(
+        q_dedup_candidates_union, SQL_DEDUP_CANDIDATES_UNION, ("text", "dedup")
+    ),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -2689,6 +2865,9 @@ _GATE_ORDER = [
     "subquery_exists",
     "doc_chunking",
     "jaccard_est",
+    "ngram_lm_score",
+    "quality_funnel",
+    "dedup_candidates_union",
     # — round-1 driver FAIL, fixed this round —
     "session_stats",
     # — already driver-green in round 1 —
@@ -2749,6 +2928,8 @@ def _gate_order() -> list[str]:
     query never silently drops out of the driver contract."""
     missing = [n for n in _GATE_ORDER if n not in REGISTRY]
     assert not missing, f"_GATE_ORDER names unknown queries: {missing}"
+    dupes = [n for n in set(_GATE_ORDER) if _GATE_ORDER.count(n) > 1]
+    assert not dupes, f"_GATE_ORDER has duplicates: {dupes}"
     return _GATE_ORDER + [n for n in REGISTRY if n not in _GATE_ORDER]
 
 
