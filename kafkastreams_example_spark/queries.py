@@ -1721,8 +1721,9 @@ def q_simhash_pairs(spark, sf_dir):
     candidate count, not n²."""
     fp = simhash(load_table(spark, sf_dir, "documents"))
     # one exploded-band plan aliased twice: both join inputs are
-    # canonically identical up to the exchange, so Spark reuses one
-    # shuffle (ReusedExchange) instead of computing simhash twice
+    # canonically identical, so the planner can either broadcast one
+    # side (small corpora — what AQE picks here) or reuse one shuffle
+    # (ReusedExchange) when both sides are big enough to sort-merge
     exploded = (
         fp.withColumn("band", F.explode(F.array(*[F.lit(j) for j in range(4)])))
         .withColumn(
@@ -2524,10 +2525,12 @@ def q_ngram_lm_score(spark, sf_dir):
     """Unigram language-model scoring: per-doc mean log-probability of
     its tokens under the corpus unigram distribution — the cheap
     perplexity-style quality signal used to rank/filter training text.
-    Two hash aggs build the LM (term counts + total), then a broadcast
-    join scores each (doc, term) occurrence; the corpus total rides a
-    1-row cross join (never a driver count()). round(.,6) absorbs the
-    float-sum ordering ulp between engines."""
+    Two hash aggs build the LM (term counts + total); scoring joins the
+    occurrences to the LM on term — a shuffle hash join, NOT a forced
+    broadcast: at web scale the vocabulary is itself huge, and AQE
+    still picks broadcast from stats when it genuinely fits. The corpus
+    total rides a 1-row broadcast cross join (never a driver count()).
+    round(.,6) absorbs the float-sum ordering ulp between engines."""
     from .functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2535,7 +2538,7 @@ def q_ngram_lm_score(spark, sf_dir):
     lm = tf.groupBy("term").agg(F.count("*").alias("tc"))
     total = tf.select(F.count("*").alias("n_total"))
     scored = (
-        tf.join(F.broadcast(lm), "term")
+        tf.join(lm, "term")
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("tc") / F.col("n_total")).alias("lp"))
     )
