@@ -68,3 +68,52 @@ def windowed_count_pipeline(
         .groupBy(F.window(ts_col, window), F.col("event.level").alias("level"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def sliding_window_pipeline(
+    decoded: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts per level: each event lands in
+    window/slide overlapping windows (the hopping-window class the
+    tumbling pipeline can't express — trend smoothing, rate alarms).
+    State per (window, level) evicts once the watermark passes the
+    window end."""
+    return (
+        decoded.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide), F.col("event.level").alias("level"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def attribution_join_pipeline(
+    imps: DataFrame,
+    clicks: DataFrame,
+    key: str = "ad_id",
+    imp_ts: str = "imp_time",
+    click_ts: str = "click_time",
+    within: str = "10 minutes",
+    how: str = "inner",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (impression→click
+    attribution): clicks attach to the impression they followed within
+    `within`. how='left_outer' also emits unattributed impressions with
+    a null click time — but only once the watermark passes the
+    impression's join interval, which is when Spark can prove no
+    matching click can still arrive. Both watermarks bound the join
+    state; click columns are prefixed c_ so the joined schema is
+    unambiguous."""
+    l = imps.withWatermark(imp_ts, watermark)
+    r = clicks.withWatermark(click_ts, watermark).select(
+        F.col(key).alias(f"c_{key}"), F.col(click_ts)
+    )
+    cond = (
+        (F.col(key) == F.col(f"c_{key}"))
+        & (F.col(click_ts) >= F.col(imp_ts))
+        & (F.col(click_ts) <= F.col(imp_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).select(key, imp_ts, click_ts)

@@ -275,6 +275,103 @@ def test_stream_stream_join(spark, tmp_path):
     assert got == {1}
 
 
+def test_sliding_window_counts(spark, tmp_path):
+    """Hopping windows: a 10min/5min sliding count puts each event in
+    two windows. Events at T0 and T0+6min (T0 aligned to the 5-min
+    grid): T0 → windows [T0−5,T0+5) and [T0,T0+10); T0+6 → [T0+5,T0+15)
+    and [T0,T0+10) — the shared middle window counts both."""
+    from kafkastreams_example_spark.streaming.pipelines import sliding_window_pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    T0 = 1_704_067_200_000  # 2024-01-01, multiple of 5 minutes
+    rows = [
+        {"ts_ms": T0, "level": "INFO"},
+        {"ts_ms": T0 + 6 * MIN, "level": "INFO"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    decoded = (
+        spark.readStream.schema("ts_ms BIGINT, level STRING")
+        .json(str(src))
+        .select(
+            F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+            F.struct(F.col("level").alias("level")).alias("event"),
+        )
+    )
+    out = sliding_window_pipeline(decoded)
+    table = f"slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"].isoformat(), r["n"]) for r in spark.table(table).collect()
+    }
+    assert got == {
+        ("2023-12-31T23:55:00", 1),  # [T0-5, T0+5): first event only
+        ("2024-01-01T00:00:00", 2),  # [T0, T0+10): both
+        ("2024-01-01T00:05:00", 1),  # [T0+5, T0+15): second event only
+    }
+
+
+def test_attribution_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: the unattributed
+    impression emits with a null click — but only after the watermark
+    passes its join interval (batch 2's far-future row advances it)."""
+    from kafkastreams_example_spark.streaming.pipelines import attribution_join_pipeline
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    T0 = 1_704_067_200_000
+
+    def run_round():
+        imps = (
+            spark.readStream.schema("ad_id BIGINT, ts_ms BIGINT").json(str(imp_dir))
+            .select("ad_id", F.timestamp_millis(F.col("ts_ms")).alias("imp_time"))
+        )
+        clicks = (
+            spark.readStream.schema("ad_id BIGINT, ts_ms BIGINT").json(str(clk_dir))
+            .select("ad_id", F.timestamp_millis(F.col("ts_ms")).alias("click_time"))
+        )
+        joined = attribution_join_pipeline(imps, clicks, how="left_outer")
+        q = (
+            joined.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (imp_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [{"ad_id": 1, "ts_ms": T0}, {"ad_id": 2, "ts_ms": T0}]
+        )
+    )
+    (clk_dir / "b1.json").write_text(json.dumps({"ad_id": 1, "ts_ms": T0 + 5 * MIN}))
+    run_round()
+    # far-future rows push both watermarks well past T0's join interval
+    far = T0 + 120 * MIN
+    (imp_dir / "b2.json").write_text(json.dumps({"ad_id": 9, "ts_ms": far}))
+    (clk_dir / "b2.json").write_text(json.dumps({"ad_id": 9, "ts_ms": far}))
+    run_round()
+    df = spark.read.schema("ad_id BIGINT, imp_time STRING, click_time STRING").json(
+        str(out_dir)
+    )
+    got = {(r["ad_id"], r["click_time"] is not None) for r in df.collect()}
+    assert (1, True) in got, f"attributed impression missing: {got}"
+    assert (2, False) in got, f"unmatched impression never emitted: {got}"
+
+
 def _decoded_fixture_df(spark, streaming_dir: Path | None = None):
     """LogEvent rows shaped like sources.kafka.decode_log_events output."""
     rows = [
