@@ -114,6 +114,44 @@ def test_simhash_pairs_is_banded_equi_join(spark):
     assert "Join" in plan  # the banded equi-join is a real hash join
 
 
+def test_doc_chunking_is_narrow(spark):
+    """Chunking is tokenize → explode → slice: a pure per-row fan-out
+    with no Exchange — at 100 TB it pipelines straight off the scan."""
+    from kafkastreams_example_spark.plans.explain import assert_no_shuffle
+    from kafkastreams_example_spark.queries import q_doc_chunking
+
+    assert_no_shuffle(q_doc_chunking(spark, SF_DIR))
+
+
+def test_token_histogram_partial_aggregates(spark):
+    # map-side partial agg around one exchange — the histogram never
+    # moves per-doc rows, only per-bucket partials
+    from kafkastreams_example_spark.queries import q_token_histogram
+
+    from kafkastreams_example_spark.plans.explain import count_shuffles
+    from kafkastreams_example_spark.queries import q_token_histogram as q
+
+    plan = plan_string(q(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert count_shuffles(q(spark, SF_DIR)) == 1
+
+
+def test_window_range_frame_single_shuffle(spark):
+    from kafkastreams_example_spark.plans.explain import count_shuffles
+    from kafkastreams_example_spark.queries import q_window_range_frame
+
+    assert count_shuffles(q_window_range_frame(spark, SF_DIR)) <= 1
+
+
+def test_subquery_exists_becomes_semi_join(spark):
+    # Catalyst must rewrite the correlated EXISTS to a semi join, never
+    # a per-row subquery execution
+    from kafkastreams_example_spark.queries import q_subquery_exists
+
+    plan = plan_string(q_subquery_exists(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
 def test_sort_limit_is_topk_not_global_sort(spark):
     # orderBy().limit() must compile to TakeOrderedAndProject
     # (per-partition heaps), not a full Exchange rangepartitioning sort
