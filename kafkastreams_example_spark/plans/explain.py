@@ -43,6 +43,10 @@ def assert_no_shuffle(df: DataFrame) -> None:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    return plan_string(df).count("Exchange hashpartitioning") + plan_string(df).count(
+    # simple mode prints operators inline ("Exchange hashpartitioning(…)");
+    # formatted mode splits the arguments into a detail section, where
+    # these substrings never occur and the count is silently zero
+    plan = plan_string(df, "simple")
+    return plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )
