@@ -144,6 +144,36 @@ def test_ivf_recall_against_exact(spark):
     assert recall >= 0.6, f"k-means IVF recall below floor: {recall}"
 
 
+def test_doc_chunking_matches_python_reference(spark):
+    """Third-engine check for the chunker: recompute every expected
+    (chunk_idx, n_tokens, md5) in plain Python from the same
+    tokenization contract and compare exactly — catches off-by-one
+    window/stride bugs the DuckDB oracle could share by construction."""
+    import hashlib
+    import re
+
+    from kafkastreams_example_spark.queries import q_doc_chunking
+    from kafkastreams_example_spark.sources.tables import load_table
+
+    size, stride = 32, 24
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_DIR, "documents").collect()}
+    expected = set()
+    for doc_id, text in docs.items():
+        toks = re.findall("[a-z0-9]+", text.lower())
+        for start in range(0, max(len(toks), 1), stride):
+            chunk = toks[start : start + size]
+            if chunk:
+                expected.add(
+                    (doc_id, start // stride, len(chunk),
+                     hashlib.md5(" ".join(chunk).encode()).hexdigest())
+                )
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_hash"])
+        for r in q_doc_chunking(spark, SF_DIR).collect()
+    }
+    assert got == expected
+
+
 def test_udf_registration_and_entropy(spark):
     """UDF surface: SQL-registered pandas UDFs compute on Arrow
     batches; entropy sanity: uniform bytes > repeated byte."""
