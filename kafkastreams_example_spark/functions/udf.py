@@ -51,7 +51,39 @@ def byte_entropy(s: pd.Series) -> pd.Series:
     return s.map(one)
 
 
+def make_term_counts_udtf():
+    """Python UDTF (table function): one input row → (term, n) rows of
+    per-document token counts. The UDTF API is the third extension tier
+    next to pandas UDFs (scalar) and applyInPandasWithState (stateful):
+    arbitrary row→rows expansion driven from SQL via LATERAL. Tokenizer
+    matches functions.text.tokenize's [a-z0-9]+ contract, so the output
+    is oracle-checkable against unnest+GROUP BY.
+
+    Built lazily (decorator applied inside the function) so importing
+    this module never needs an active session.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    @udtf(
+        returnType=StructType(
+            [StructField("term", StringType()), StructField("n", LongType())]
+        )
+    )
+    class TermCounts:
+        def eval(self, text: str):
+            import re
+            from collections import Counter
+
+            if text:
+                for term, n in Counter(re.findall("[a-z0-9]+", text.lower())).items():
+                    yield term, n
+
+    return TermCounts
+
+
 def register_udfs(spark: SparkSession) -> None:
-    """Expose the UDF library to the SQL surface."""
+    """Expose the UDF/UDTF library to the SQL surface."""
     spark.udf.register("normalize_text", normalize_text)
     spark.udf.register("byte_entropy", byte_entropy)
+    spark.udtf.register("term_counts", make_term_counts_udtf())

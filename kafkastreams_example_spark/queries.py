@@ -2694,6 +2694,30 @@ FROM unioned GROUP BY id_a, id_b
 """
 
 
+def q_udtf_term_counts(spark, sf_dir):
+    """The UDTF extension surface, oracle-checked: a Python table
+    function expanding each document into (term, count) rows, invoked
+    from SQL via LATERAL — the row→rows extension tier next to scalar
+    pandas UDFs and the stateful processor. The output contract (same
+    [a-z0-9]+ tokenizer as functions.text) is what's checked, not the
+    implementation."""
+    from .functions.udf import register_udfs
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    register_udfs(spark)
+    return spark.sql(
+        "SELECT doc_id, t.term, t.n FROM documents, LATERAL term_counts(text) t"
+    )
+
+
+SQL_UDTF_TERM_COUNTS = f"""
+SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+GROUP BY doc_id, term
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -2799,6 +2823,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_candidates_union": QuerySpec(
         q_dedup_candidates_union, SQL_DEDUP_CANDIDATES_UNION, ("text", "dedup")
     ),
+    "udtf_term_counts": QuerySpec(q_udtf_term_counts, SQL_UDTF_TERM_COUNTS, ("text", "udf")),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -2871,6 +2896,7 @@ _GATE_ORDER = [
     "ngram_lm_score",
     "quality_funnel",
     "dedup_candidates_union",
+    "udtf_term_counts",
     # — round-1 driver FAIL, fixed this round —
     "session_stats",
     # — already driver-green in round 1 —
