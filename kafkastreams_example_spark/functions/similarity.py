@@ -189,8 +189,9 @@ def kmeans_centroids(
     localCheckpoints the k-row centroid frame to keep lineage flat.
 
     Output: (cent_id, cv) with cv unit-length — drop-in for ivf_topk's
-    centroids parameter. Iterative + float means ⇒ no SQL oracle (the
-    driver's documented rows-only class); pinned instead by the
+    centroids parameter. The FIXED iteration count makes the training
+    SQL-expressible as unrolled CTEs, so the cluster profile is fully
+    oracle-checked (queries._sql_kmeans_centroids) on top of the
     ivf-recall floor test.
     """
     from pyspark.sql import Window

@@ -2143,9 +2143,11 @@ def q_kmeans_centroids(spark, sf_dir):
     corpus (k=8, 3 fixed iterations): per cluster, member count and
     mean member-to-centroid cosine (cohesion). The trainer behind
     ivf_topk's real-centroid mode (functions/similarity.py:
-    kmeans_centroids). Iterative float-mean training is the driver's
-    documented rows-only class (no SQL oracle); quality is pinned by
-    the ≥0.6 IVF recall floor test instead."""
+    kmeans_centroids). Fully oracle-checked: the fixed iteration count
+    makes the training expressible as unrolled CTEs
+    (_sql_kmeans_centroids), verified value-identical to DuckDB at
+    sf0.001 and sf0.01; quality is additionally pinned by the ≥0.6 IVF
+    recall floor test."""
     from pyspark.sql import Window
 
     from .functions.similarity import _dot, _unit, kmeans_centroids
@@ -2164,6 +2166,67 @@ def q_kmeans_centroids(spark, sf_dir):
     return assigned.groupBy("cent_id").agg(
         F.count("*").alias("n_members"),
         F.round(F.avg("cs"), 3).alias("cohesion"),
+    )
+
+
+def _sql_kmeans_centroids(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB mirror of kmeans_centroids: init = first k by
+    id, then `iters` fixed Lloyd rounds (assign by argmax cosine with
+    (cs DESC, cent_id) tie-break → position-wise mean → re-normalize →
+    empty cluster keeps previous centroid), then the cohesion profile.
+    Float note: per-element sums/avgs differ from Spark by ≤1 ulp;
+    assignments only flip if two centroid cosines are within ~1e-15 —
+    never observed on the testdata (verified at sf0.001 and sf0.01, the
+    driver's gate scale). Output cohesion is round(.,3), far inside the
+    drift margin."""
+    dot = "list_sum(list_transform(list_zip(u.uv, c.cv), p -> p[1] * p[2]))"
+    cte = [
+        "u0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv FROM embeddings)",
+        "unit AS (SELECT vec_id, list_transform(dv, x -> x / n) AS uv FROM"
+        " (SELECT vec_id, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS n FROM u0))",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cent_id, uv AS cv FROM unit WHERE vec_id < {k})",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        cte.append(
+            f"s{t} AS (SELECT u.vec_id, u.uv, c.cent_id, {dot} AS cs"
+            f" FROM unit u CROSS JOIN c{p} c)"
+        )
+        cte.append(
+            f"a{t} AS (SELECT vec_id, uv, cent_id FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r FROM s{t})"
+            f" WHERE r = 1)"
+        )
+        cte.append(
+            f"b{t} AS (SELECT cent_id, i AS pos, avg(uv[i]) AS m"
+            f" FROM a{t}, (SELECT unnest(range(1, {dim + 1})) AS i) idx"
+            f" GROUP BY cent_id, i)"
+        )
+        cte.append(
+            f"m{t} AS (SELECT cent_id, list_transform(l, x -> x / n) AS nv FROM"
+            f" (SELECT cent_id, list(m ORDER BY pos) AS l,"
+            f" sqrt(list_sum(list_transform(list(m ORDER BY pos), x -> x * x))) AS n"
+            f" FROM b{t} GROUP BY cent_id))"
+        )
+        cte.append(
+            f"c{t} AS (SELECT c.cent_id, COALESCE(m.nv, c.cv) AS cv"
+            f" FROM c{p} c LEFT JOIN m{t} m USING (cent_id))"
+        )
+    final = iters + 1
+    cte.append(
+        f"s{final} AS (SELECT u.vec_id, c.cent_id, {dot} AS cs"
+        f" FROM unit u CROSS JOIN c{iters} c)"
+    )
+    cte.append(
+        f"a{final} AS (SELECT vec_id, cent_id, cs FROM"
+        f" (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r FROM s{final})"
+        f" WHERE r = 1)"
+    )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+SELECT cent_id, COUNT(*) AS n_members, round(avg(cs), 3) AS cohesion
+FROM a{final} GROUP BY cent_id
+"""
     )
 
 
@@ -2809,7 +2872,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sim_topk": QuerySpec(q_sim_topk, SQL_SIM_TOPK, ("similarity",)),
     "ivf_topk": QuerySpec(q_ivf_topk, SQL_IVF_TOPK, ("similarity",)),
     "ann_hyperplane": QuerySpec(q_ann_hyperplane, SQL_ANN_HYPERPLANE, ("similarity",)),
-    "kmeans_centroids": QuerySpec(q_kmeans_centroids, None, ("similarity", "iterative")),
+    "kmeans_centroids": QuerySpec(
+        q_kmeans_centroids, _sql_kmeans_centroids(), ("similarity", "iterative")
+    ),
     # round-2 additions: training-pipeline + relational long tail
     "doc_chunking": QuerySpec(q_doc_chunking, SQL_DOC_CHUNKING, ("text", "pipeline")),
     "locf_fill": QuerySpec(q_locf_fill, SQL_LOCF_FILL, ("relational", "temporal")),
