@@ -2781,6 +2781,95 @@ GROUP BY doc_id, term
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Train/eval contamination detection: for each held-out document
+    (source = 'src0' stands in for the benchmark set), how many of its
+    5-gram shingles appear anywhere in the training split, and how many
+    distinct training docs share at least one. The bipartite variant of
+    the shingle candidate join — same hashed-shingle, df-capped shuffle
+    shape, so it scales exactly like shingle_jaccard (the cap bounds
+    boilerplate fan-out)."""
+    from pyspark.sql import Window
+
+    from .functions.dedup_approx import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(_shingles("text", 5))).alias("sh_str"),
+    ).select("doc_id", "source", F.xxhash64("sh_str").alias("sh"))
+    sh = (
+        sh.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("__df") <= 64)
+        .drop("__df")
+    )
+    ev = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_doc"), "sh"
+    )
+    tr = sh.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "sh"
+    )
+    return (
+        ev.join(tr, "sh")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+
+
+SQL_CONTAMINATION = f"""
+WITH t AS (SELECT doc_id, source, {_TOK} AS toks FROM documents),
+sh0 AS (SELECT doc_id, source, unnest(list_distinct(
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
+       FROM t),
+sh AS (SELECT * FROM (
+         SELECT doc_id, source, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+       WHERE df <= 64)
+SELECT e.doc_id AS eval_doc,
+       COUNT(DISTINCT e.sh) AS n_shared_shingles,
+       COUNT(DISTINCT tr.doc_id) AS n_train_docs
+FROM (SELECT doc_id, sh FROM sh WHERE source = 'src0') e
+JOIN (SELECT doc_id, sh FROM sh WHERE source != 'src0') tr USING (sh)
+GROUP BY e.doc_id
+"""
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Intra-document repetition: share of a doc's 3-grams taken by its
+    single most frequent 3-gram — the classic generated/boilerplate
+    text detector. Non-distinct n-grams (every position counts), two
+    narrow aggs; the division is one int/int double op, identical
+    across engines without rounding."""
+    from .functions.dedup_approx import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_shingles("text", 3)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        (F.max("c").cast("double") / F.sum("c")).alias("max_gram_ratio"),
+    )
+
+
+SQL_REPETITION_RATIO = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(
+        list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS gram
+      FROM t),
+pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS max_gram_ratio
+FROM pg GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -2889,6 +2978,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_dedup_candidates_union, SQL_DEDUP_CANDIDATES_UNION, ("text", "dedup")
     ),
     "udtf_term_counts": QuerySpec(q_udtf_term_counts, SQL_UDTF_TERM_COUNTS, ("text", "udf")),
+    "contamination": QuerySpec(q_contamination, SQL_CONTAMINATION, ("text", "dedup", "pipeline")),
+    "repetition_ratio": QuerySpec(q_repetition_ratio, SQL_REPETITION_RATIO, ("text",)),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -2962,6 +3053,8 @@ _GATE_ORDER = [
     "quality_funnel",
     "dedup_candidates_union",
     "udtf_term_counts",
+    "contamination",
+    "repetition_ratio",
     # — round-1 driver FAIL, fixed this round —
     "session_stats",
     # — already driver-green in round 1 —
