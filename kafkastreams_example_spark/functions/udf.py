@@ -68,7 +68,10 @@ def make_term_counts_udtf():
     @udtf(
         returnType=StructType(
             [StructField("term", StringType()), StructField("n", LongType())]
-        )
+        ),
+        # Arrow-batched I/O, same policy as every pandas UDF here: the
+        # pickle row path is the slow tier and stays out of hot paths
+        useArrow=True,
     )
     class TermCounts:
         def eval(self, text: str):

@@ -2803,6 +2803,10 @@ def q_contamination(spark, sf_dir):
         sh.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("__df") <= 64)
         .drop("__df")
+        # both join sides derive from this frame — persist or the whole
+        # tokenize→shingle→window pipeline computes twice (same
+        # discipline as shingle_jaccard_pairs)
+        .persist()
     )
     ev = sh.filter(F.col("source") == "src0").select(
         F.col("doc_id").alias("eval_doc"), "sh"
