@@ -163,6 +163,57 @@ def test_dedup_refresh_stream_time_variant(spark, tmp_path):
     assert run("stream", tmp_path / "st") == {0}
 
 
+def test_session_window_streaming_matches_batch_claim(spark, tmp_path):
+    """session_window runs identically under a watermark on a stream —
+    the claim q_session_window_agg's docstring makes. Two users: one
+    with a 2-event session (gap < 5min) and a separate later session,
+    one single-event session. Watermark-closed sessions emit in append
+    mode once a later batch advances the clock."""
+    src = tmp_path / "src"
+    src.mkdir()
+    T0 = 1_704_067_200_000
+    rows = [
+        {"user_id": 1, "ts_ms": T0},
+        {"user_id": 1, "ts_ms": T0 + 2 * MIN},   # same session (gap 2min)
+        {"user_id": 1, "ts_ms": T0 + 20 * MIN},  # new session (gap 18min)
+        {"user_id": 2, "ts_ms": T0 + 1 * MIN},
+    ]
+    _write_batch(src, "b1.json", rows)
+    stream = (
+        spark.readStream.schema("user_id BIGINT, ts_ms BIGINT")
+        .json(str(src))
+        .select("user_id", F.timestamp_millis(F.col("ts_ms")).alias("event_time"))
+    )
+    out = (
+        stream.withWatermark("event_time", "10 minutes")
+        .groupBy("user_id", F.session_window("event_time", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    out_dir = tmp_path / "out"
+
+    def run():
+        # file sink, not memory: the memory sink cannot recover from a
+        # checkpoint across availableNow rounds
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # advance the watermark far past every session's close
+    _write_batch(src, "b2.json", [{"user_id": 9, "ts_ms": T0 + 120 * MIN}])
+    run()
+    df = spark.read.schema("user_id BIGINT, n_events BIGINT").json(str(out_dir))
+    got = sorted((r["user_id"], r["n_events"]) for r in df.collect() if r["user_id"] != 9)
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
 def test_dedup_topology_exact_parity_wiring(spark, tmp_path):
     """build_dedup_app's exact-parity transform, driven as a real
     stream (file source standing in for the Kafka endpoints): decoded
