@@ -2874,6 +2874,75 @@ FROM pg GROUP BY doc_id
 """
 
 
+def q_join_full_outer(spark, sf_dir):
+    """Full-outer join: every customer and every order-owner appears,
+    matched where possible (coalesced key, null-padded sides) — the one
+    outer-join shape the registry lacked. Shuffles both sides on the
+    key; AQE handles the skew split at scale."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+SQL_JOIN_FULL_OUTER = """
+SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment,
+       COALESCE(n_orders, 0) AS n_orders
+FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+"""
+
+
+def q_agg_boolean(spark, sf_dir):
+    """Boolean aggregate family: bool_and / bool_or / count_if per
+    order status — the predicate-summary aggregates (every/any/count
+    matching) the ANSI surface includes."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
+
+
+SQL_AGG_BOOLEAN = """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000.0) AS all_over_1k,
+       bool_or(o_totalprice > 400000.0) AS any_over_400k,
+       count_if(o_orderpriority = '1-URGENT') AS n_urgent
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_setop_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag difference with multiplicity (each occurrence
+    on the right removes ONE on the left), completing the set-op
+    family next to EXCEPT/INTERSECT/INTERSECT ALL/UNION ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("user_id", "event_type")
+    b = ev.filter(F.col("value") > 50).select("user_id", "event_type")
+    return a.exceptAll(b)
+
+
+SQL_SETOP_EXCEPT_ALL = """
+SELECT user_id, event_type FROM events
+EXCEPT ALL
+SELECT user_id, event_type FROM events WHERE value > 50
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -2984,6 +3053,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "udtf_term_counts": QuerySpec(q_udtf_term_counts, SQL_UDTF_TERM_COUNTS, ("text", "udf")),
     "contamination": QuerySpec(q_contamination, SQL_CONTAMINATION, ("text", "dedup", "pipeline")),
     "repetition_ratio": QuerySpec(q_repetition_ratio, SQL_REPETITION_RATIO, ("text",)),
+    "join_full_outer": QuerySpec(q_join_full_outer, SQL_JOIN_FULL_OUTER, ("relational",)),
+    "agg_boolean": QuerySpec(q_agg_boolean, SQL_AGG_BOOLEAN, ("relational",)),
+    "setop_except_all": QuerySpec(q_setop_except_all, SQL_SETOP_EXCEPT_ALL, ("relational",)),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -3059,6 +3131,9 @@ _GATE_ORDER = [
     "udtf_term_counts",
     "contamination",
     "repetition_ratio",
+    "join_full_outer",
+    "agg_boolean",
+    "setop_except_all",
     # — round-1 driver FAIL, fixed this round —
     "session_stats",
     # — already driver-green in round 1 —
