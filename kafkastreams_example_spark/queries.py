@@ -3114,10 +3114,13 @@ _GATE_ORDER = [
     "ivf_topk",
     "dedup_embeddings",
     "bigram_counts",
-    "kmeans_centroids",
     "cosine_pairs",
     "dedup_clusters",
+    # — round-1 driver FAIL, fixed this round: must land inside any
+    #   truncation window, ahead of the round-2 additions —
+    "session_stats",
     # — new in round 2, never evaluated —
+    "kmeans_centroids",
     "token_histogram",
     "stratified_sample",
     "locf_fill",
@@ -3134,8 +3137,6 @@ _GATE_ORDER = [
     "join_full_outer",
     "agg_boolean",
     "setop_except_all",
-    # — round-1 driver FAIL, fixed this round —
-    "session_stats",
     # — already driver-green in round 1 —
     "filter_level",
     "filter_notnull",
