@@ -2943,6 +2943,72 @@ SELECT user_id, event_type FROM events WHERE value > 50
 """
 
 
+def q_date_spine_gaps(spark, sf_dir):
+    """Calendar-spine gap detection: generate the full day series
+    between the first and last order date (a generated table, no
+    source rows) and anti-join the observed days — the
+    missing-partition / data-freshness check every ingestion pipeline
+    runs. The spine explodes from one aggregated row, so the only
+    per-row work is the anti join."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    observed = orders.select(F.col("o_orderdate").cast("date").alias("day")).distinct()
+    return (
+        spine.join(observed, "day", "left_anti")
+        .select(F.date_format("day", "yyyy-MM-dd").alias("missing_day"))
+    )
+
+
+SQL_DATE_SPINE_GAPS = """
+WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+                  MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+obs AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+SELECT strftime(CAST(s.day AS DATE), '%Y-%m-%d') AS missing_day
+FROM spine s LEFT JOIN obs o ON CAST(s.day AS DATE) = o.day
+WHERE o.day IS NULL
+"""
+
+
+def q_fuzzy_match(spark, sf_dir):
+    """Blocked fuzzy matching: supplier-name pairs within Levenshtein
+    distance 2, blocked on the name's last character so the quadratic
+    edit-distance compare only runs within blocks — the
+    entity-resolution shape for short fields (names, SKUs) where
+    token/shingle methods are useless. At 100 TB the blocking key is
+    what keeps this from being an all-pairs nested loop (real
+    deployments block on several keys and union, same plan shape)."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    blk = F.substring("s_name", -1, 1)
+    a = sup.select(
+        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a"), blk.alias("blk")
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b"), blk.alias("blk")
+    )
+    lev = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", lev.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+SQL_FUZZY_MATCH = """
+WITH s AS (SELECT s_suppkey, s_name, substring(s_name, length(s_name), 1) AS blk
+           FROM supplier)
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       levenshtein(a.s_name, b.s_name) AS edit_dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -3056,6 +3122,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_full_outer": QuerySpec(q_join_full_outer, SQL_JOIN_FULL_OUTER, ("relational",)),
     "agg_boolean": QuerySpec(q_agg_boolean, SQL_AGG_BOOLEAN, ("relational",)),
     "setop_except_all": QuerySpec(q_setop_except_all, SQL_SETOP_EXCEPT_ALL, ("relational",)),
+    "date_spine_gaps": QuerySpec(q_date_spine_gaps, SQL_DATE_SPINE_GAPS, ("relational", "temporal")),
+    "fuzzy_match": QuerySpec(q_fuzzy_match, SQL_FUZZY_MATCH, ("text", "dedup")),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -3137,6 +3205,8 @@ _GATE_ORDER = [
     "join_full_outer",
     "agg_boolean",
     "setop_except_all",
+    "date_spine_gaps",
+    "fuzzy_match",
     # — already driver-green in round 1 —
     "filter_level",
     "filter_notnull",
