@@ -255,3 +255,74 @@ def simhash(
         F.when(F.col("tot") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(0)
     )
     return perbit.groupBy(id_col).agg(fp.alias("simhash"))
+
+
+def deletion_neighborhood(col: Column | str, max_deletes: int = 2) -> Column:
+    """Symmetric-delete neighborhood D≤k(s): the string plus every
+    variant reachable by deleting up to `max_deletes` characters,
+    deduplicated. All JVM-side higher-order functions (sequence /
+    transform / flatten) — no Python, stays inside codegen.
+
+    |D≤k(s)| = O(L^k) short keys for a length-L string — viable for
+    short entity fields (names, SKUs, titles), not whole documents."""
+    s = F.col(col) if isinstance(col, str) else col
+
+    def del1(x: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.length(x)),
+            lambda i: F.concat(
+                F.substring(x, F.lit(1), i - 1), F.substring(x, i + 1, F.length(x))
+            ),
+        )
+
+    out = F.array(s)
+    frontier = F.array(s)
+    for _ in range(max_deletes):
+        frontier = F.flatten(F.transform(frontier, del1))
+        out = F.concat(out, frontier)
+    return F.array_distinct(out)
+
+
+def symdelete_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """ALL pairs within Levenshtein distance `max_dist`, found by
+    symmetric-delete (SymSpell-style) blocking — exact recall by
+    construction: if ed(a,b) ≤ k, an optimal alignment yields a common
+    subsequence reachable by ≤k deletions from each side, so
+    D≤k(a) ∩ D≤k(b) ≠ ∅ and the key equi-join sees every true pair.
+    The final levenshtein filter restores precision (a shared deletion
+    key only bounds ed ≤ 2k).
+
+    100 TB design: hash equi-join on short deletion keys — no nested
+    loop, no coarse single-character blocks. A deletion key shared by
+    m records implies those m records are pairwise within ed ≤ 2k, so
+    candidate mass tracks the data's true near-match mass; no df-cap
+    is applied because a cap would break the recall guarantee.
+
+    Output: id_a, id_b (id_a < id_b), edit_dist.
+    """
+    keyed = df.select(
+        F.col(id_col), F.col(text_col),
+        F.explode(deletion_neighborhood(text_col, max_dist)).alias("blk"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("name_a"), "blk"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("name_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()  # a pair can collide on many deletion keys
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+        .select(
+            "id_a", "id_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )

@@ -41,6 +41,7 @@ from .functions.dedup_approx import (
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
     simhash,
+    symdelete_fuzzy_pairs,
 )
 from .functions.similarity import cosine_topk, cosine_pairs, embedding_norms
 from .functions.multimodal import attach_binary_payload, decode_media_meta, frame_sample_plan
@@ -2975,36 +2976,26 @@ WHERE o.day IS NULL
 
 
 def q_fuzzy_match(spark, sf_dir):
-    """Blocked fuzzy matching: supplier-name pairs within Levenshtein
-    distance 2, blocked on the name's last character so the quadratic
-    edit-distance compare only runs within blocks — the
-    entity-resolution shape for short fields (names, SKUs) where
-    token/shingle methods are useless. At 100 TB the blocking key is
-    what keeps this from being an all-pairs nested loop (real
-    deployments block on several keys and union, same plan shape)."""
+    """Fuzzy matching with symmetric-delete (SymSpell-style) blocking:
+    ALL supplier-name pairs within Levenshtein distance 2 — exact
+    recall by construction (see functions.dedup_approx.
+    symdelete_fuzzy_pairs), replacing round 2's last-character
+    blocking whose ≤36 coarse blocks skewed reducers and silently
+    missed pairs whose final characters differ. The oracle is now the
+    ground-truth all-pairs semantics, so the gate checks recall rather
+    than sharing the blind spot. Reference parity: entity resolution
+    over short fields where shingle/token methods are useless."""
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    blk = F.substring("s_name", -1, 1)
-    a = sup.select(
-        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a"), blk.alias("blk")
-    )
-    b = sup.select(
-        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b"), blk.alias("blk")
-    )
-    lev = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", lev.alias("edit_dist"))
-        .filter(F.col("edit_dist") <= 2)
-    )
+    return symdelete_fuzzy_pairs(sup, "s_suppkey", "s_name", max_dist=2)
 
 
+# Oracle = ground-truth all-pairs semantics (exact at oracle scale);
+# the Spark side must reproduce it through blocking, so the gate now
+# checks RECALL, not just that both engines share the same blind spot.
 SQL_FUZZY_MATCH = """
-WITH s AS (SELECT s_suppkey, s_name, substring(s_name, length(s_name), 1) AS blk
-           FROM supplier)
 SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
        levenshtein(a.s_name, b.s_name) AS edit_dist
-FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
 WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
 
@@ -3145,7 +3136,19 @@ REGISTRY: dict[str, QuerySpec] = {
 # truncation — count cap or time budget — this order maximizes new
 # evidence per round.
 _GATE_ORDER = [
-    # — no driver row in CORRECTNESS_r01 —
+    # — never sampled by any driver round (r2 snapshot capped at 50
+    #   entries; these sat at positions 51+) — the only registry rows
+    #   without driver-green evidence. Front of the line for r3.
+    "udtf_term_counts",
+    "contamination",
+    "repetition_ratio",
+    "join_full_outer",
+    "agg_boolean",
+    "setop_except_all",
+    "date_spine_gaps",
+    "fuzzy_match",
+    # — new in round 3, never evaluated (inserted here as they land) —
+    # — green in r2 only; reconfirm while slots remain —
     "lang_id",
     "sort_limit_offset",
     "regexp_extract",
@@ -3199,14 +3202,6 @@ _GATE_ORDER = [
     "ngram_lm_score",
     "quality_funnel",
     "dedup_candidates_union",
-    "udtf_term_counts",
-    "contamination",
-    "repetition_ratio",
-    "join_full_outer",
-    "agg_boolean",
-    "setop_except_all",
-    "date_spine_gaps",
-    "fuzzy_match",
     # — already driver-green in round 1 —
     "filter_level",
     "filter_notnull",

@@ -229,3 +229,42 @@ def test_salted_agg_rejects_unknown_kind(spark):
     orders = load_table(spark, SF_DIR, "orders")
     with pytest.raises(ValueError, match="unsupported aggregate kind"):
         salted_agg(orders, ["o_orderstatus"], {"xs": ("collect_list", "o_orderkey")})
+
+
+def test_symdelete_fuzzy_pairs_exact_recall(spark):
+    """Symmetric-delete blocking must find EVERY pair within ed<=2 —
+    including insert/delete shifts and pairs whose first AND last
+    characters both differ (the classes prefix/suffix blocking misses).
+    Ground truth: brute-force Python Levenshtein over all pairs."""
+    from kafkastreams_example_spark.functions.dedup_approx import symdelete_fuzzy_pairs
+
+    names = [
+        "alpha", "alpXa", "aXphY",      # subs at interior + both-ends-ish
+        "Xlpha", "alphX",               # first-char-only / last-char-only subs
+        "alph", "alphaZZ",              # deletion, double insertion
+        "lphaa",                        # shift: delete front, insert back
+        "beta", "betta", "bet", "abetX",  # insertions/deletions with shifts
+        "gamma", "delta",               # far from everything else
+        "", "a", "ab",                  # degenerate shorts
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    truth = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 2
+    }
+    df = spark.createDataFrame(list(enumerate(names)), "id BIGINT, name STRING")
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in symdelete_fuzzy_pairs(df, "id", "name", max_dist=2).collect()
+    }
+    assert got == truth
