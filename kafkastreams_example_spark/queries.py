@@ -2922,7 +2922,7 @@ SQL_AGG_BOOLEAN = """
 SELECT o_orderstatus,
        bool_and(o_totalprice > 1000.0) AS all_over_1k,
        bool_or(o_totalprice > 400000.0) AS any_over_400k,
-       count_if(o_orderpriority = '1-URGENT') AS n_urgent
+       CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
 FROM orders GROUP BY o_orderstatus
 """
 

@@ -53,13 +53,22 @@ def main() -> int:
         t0 = time.perf_counter()
         sdf = spec.fn(spark, sf_dir)
         scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        # toPandas(), not collect(): the driver compares pandas frames on
+        # BOTH sides, so nullable numeric columns become float64+NaN
+        # symmetrically (collect() keeps None and would false-fail vs the
+        # oracle's NaN).
+        spdf = sdf.toPandas()
+        srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         if spec.oracle is None:
             print(f"{name}: rows={len(srows)} (rows-only) [{time.perf_counter()-t0:.1f}s]")
             continue
-        cur = con.execute(spec.oracle)
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
+        # Fetch through pandas, NOT fetchall(): the driver compares via a
+        # pandas frame, where DuckDB HUGEINT/UBIGINT become float64 ("1.0"
+        # vs Spark's 1). fetchall() keeps exact Python ints and can
+        # green-light oracles the driver will hash-fail (agg_boolean, r3).
+        pdf = con.execute(spec.oracle).df()
+        dcols = list(pdf.columns)
+        drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
         oi = sorted(range(len(scols)), key=lambda i: scols[i])
         di = sorted(range(len(dcols)), key=lambda i: dcols[i])
         key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
