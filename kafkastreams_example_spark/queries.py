@@ -3148,131 +3148,127 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 
-# Driver-gate evaluation order. The round-1 driver recorded correctness
-# rows for exactly the first 50 registry entries, leaving the whole
-# text/similarity/multimodal tail formally unevidenced — so the entries
-# that still lack a driver row run FIRST (cheapest first, by measured
-# sf0.01 wall time), followed by session_stats (round-1 hash fix to
-# confirm), then the already-evidenced queries cheapest-first. Under any
-# truncation — count cap or time budget — this order maximizes new
-# evidence per round.
+# Driver-gate evaluation order: oldest-evidence-first rotation. The
+# driver samples ~50 entries per round, so order = (entries changed this
+# round) then (entries whose latest driver row is oldest, cheapest-first
+# within a tier by measured sf0.01 wall time). This guarantees every
+# entry is re-evidenced at least every ~2 rounds under the truncation,
+# and anything just modified is confirmed immediately. Tiers reflect
+# CORRECTNESS_r0{1,2,3}.json latest-row ages as of round 4 — rotate
+# again next round.
 _GATE_ORDER = [
-    # — never sampled by any driver round (r2 snapshot capped at 50
-    #   entries; these sat at positions 51+) — the only registry rows
-    #   without driver-green evidence. Front of the line for r3.
-    "udtf_term_counts",
-    "contamination",
-    "repetition_ratio",
-    "join_full_outer",
+    # — changed or fixed in round 4: must re-evidence first —
     "agg_boolean",
-    "setop_except_all",
-    "date_spine_gaps",
-    "fuzzy_match",
-    # — new in round 3, never evaluated (inserted here as they land) —
-    # — green in r2 only; reconfirm while slots remain —
-    "lang_id",
-    "sort_limit_offset",
-    "regexp_extract",
-    "null_handling",
-    "text_stats",
-    "doc_fingerprint",
-    "embedding_norms",
-    "dataset_split",
-    "subquery_above_avg",
-    "bit_aggs",
-    "text_quality",
-    "dedup_exact_docs",
-    "multimodal_meta",
-    "frame_sample",
-    "media_features",
-    "corpus_top_terms",
-    "minhash_signature",
-    "udf_normalize",
-    "profile_events",
-    "date_arith",
-    "events_funnel",
-    "agg_percentiles",
-    "simhash",
-    "agg_filtered",
-    "window_distribution",
-    "session_window_agg",
-    "window_nth",
-    "shingle_jaccard",
-    "sim_topk",
-    "clean_pipeline",
-    "simhash_pairs",
-    "ann_hyperplane",
-    "minhash_lsh_pairs",
-    "ivf_topk",
     "dedup_embeddings",
-    "bigram_counts",
-    "cosine_pairs",
-    "dedup_clusters",
-    # — round-1 driver FAIL, fixed this round: must land inside any
-    #   truncation window, ahead of the round-2 additions —
-    "session_stats",
-    # — new in round 2, never evaluated —
-    "kmeans_centroids",
-    "token_histogram",
-    "stratified_sample",
-    "locf_fill",
-    "window_range_frame",
-    "subquery_exists",
-    "doc_chunking",
-    "jaccard_est",
-    "ngram_lm_score",
-    "quality_funnel",
-    "dedup_candidates_union",
-    # — already driver-green in round 1 —
+    "fuzzy_match",
+    # — last driver evidence is r1 (49 entries): the 50-slot window
+    #   re-confirms these, cheapest-first —
+    "agg_string_concat",
+    "array_funcs",
+    "cross_join_dims",
     "filter_level",
     "filter_notnull",
-    "json_decode",
-    "join_anti",
+    "json_encode",
+    "setop_except",
     "sort_limit",
     "string_funcs3",
-    "map_funcs",
-    "unpivot_part",
-    "json_encode",
-    "dedup_exact",
-    "join_semi",
-    "window_rank",
-    "setop_intersect",
-    "setop_except",
-    "setop_intersect_all",
-    "cross_join_dims",
-    "union_all",
-    "array_funcs",
+    "agg_cube",
+    "agg_having",
+    "agg_minmax",
+    "agg_windowed_events",
     "approx_distinct",
+    "join_anti",
+    "join_semi",
+    "pivot_events",
+    "setop_intersect_all",
+    "union_all",
+    "unpivot_part",
+    "agg_distinct",
+    "dedup_exact",
+    "dedup_refresh",
     "dedup_windowed",
+    "join_outer_left",
     "json_deadletter",
+    "map_funcs",
+    "setop_intersect",
+    "stats_moments",
+    "window_rank",
+    "window_running",
+    "agg_rollup",
+    "dedup_null_passthrough",
     "join_customer_orders",
     "join_multiway_region",
-    "window_running",
-    "join_outer_left",
-    "pivot_events",
-    "agg_string_concat",
-    "stats_moments",
-    "dedup_null_passthrough",
-    "dedup_refresh",
-    "agg_rollup",
-    "agg_having",
-    "agg_windowed_events",
-    "window_moving_avg",
-    "map_explode",
-    "grouping_sets",
-    "reference_pipeline",
-    "scalar_funcs",
-    "window_lag_lead",
-    "range_join",
-    "agg_minmax",
+    "json_decode",
     "agg_pricing_summary",
+    "grouping_sets",
+    "map_explode",
+    "scalar_funcs",
+    "window_moving_avg",
+    "asof_join",
+    "range_join",
+    "window_lag_lead",
+    "reference_pipeline",
     "scalar_funcs2",
     "tfidf_top_terms",
-    "agg_distinct",
-    "asof_join",
-    "sql_q5_local_supplier",
     "sql_q3_shipping",
-    "agg_cube",
+    "sql_q5_local_supplier",
+    # — last driver evidence is r2 —
+    "doc_chunking",
+    "locf_fill",
+    "window_range_frame",
+    "ngram_lm_score",
+    "subquery_exists",
+    "quality_funnel",
+    "jaccard_est",
+    "dedup_candidates_union",
+    # — re-evidenced green in r3, cheapest-first —
+    "stratified_sample",
+    "token_histogram",
+    "frame_sample",
+    "agg_filtered",
+    "corpus_top_terms",
+    "media_features",
+    "text_stats",
+    "udf_normalize",
+    "dataset_split",
+    "doc_fingerprint",
+    "bit_aggs",
+    "dedup_exact_docs",
+    "embedding_norms",
+    "null_handling",
+    "regexp_extract",
+    "text_quality",
+    "window_nth",
+    "agg_percentiles",
+    "clean_pipeline",
+    "date_arith",
+    "multimodal_meta",
+    "session_stats",
+    "sort_limit_offset",
+    "lang_id",
+    "session_window_agg",
+    "minhash_signature",
+    "profile_events",
+    "simhash",
+    "window_distribution",
+    "ann_hyperplane",
+    "sim_topk",
+    "events_funnel",
+    "subquery_above_avg",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ivf_topk",
+    "join_full_outer",
+    "shingle_jaccard",
+    "date_spine_gaps",
+    "setop_except_all",
+    "bigram_counts",
+    "kmeans_centroids",
+    "dedup_clusters",
+    "cosine_pairs",
+    "repetition_ratio",
+    "contamination",
+    "udtf_term_counts",
 ]
 
 
