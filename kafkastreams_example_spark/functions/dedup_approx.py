@@ -268,11 +268,16 @@ def deletion_neighborhood(col: Column | str, max_deletes: int = 2) -> Column:
     s = F.col(col) if isinstance(col, str) else col
 
     def del1(x: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.length(x)),
-            lambda i: F.concat(
-                F.substring(x, F.lit(1), i - 1), F.substring(x, i + 1, F.length(x))
-            ),
+        # guard length 0: sequence(1, 0) is DESCENDING [1, 0] and the
+        # i=0 slot only works because substring(x, 1, -1) happens to
+        # return '' — correctness must not hinge on that edge behavior
+        return F.when(F.length(x) < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(x)),
+                lambda i: F.concat(
+                    F.substring(x, F.lit(1), i - 1), F.substring(x, i + 1, F.length(x))
+                ),
+            )
         )
 
     out = F.array(s)
@@ -301,7 +306,20 @@ def symdelete_fuzzy_pairs(
     loop, no coarse single-character blocks. A deletion key shared by
     m records implies those m records are pairwise within ed ≤ 2k, so
     candidate mass tracks the data's true near-match mass; no df-cap
-    is applied because a cap would break the recall guarantee.
+    is applied because a cap would break the recall guarantee. The
+    cheap pruning predicates (id_a < id_b, |len(a) − len(b)| ≤ k) ride
+    INSIDE the join condition, so never-viable pairs die before the
+    distinct shuffle ever sees them.
+
+    Skew hazard, accepted: a deletion key shared by m records emits m²
+    join rows in one hash bucket (sequential ids whose trailing digits
+    delete to a common stem are the classic case). Salting cannot
+    remove this while keeping exact recall — pairs across salt groups
+    must still meet — so the guards are (a) the in-join pruning above
+    and (b) AQE skew-join splitting (`spark.sql.adaptive.skewJoin`,
+    on in session.get_spark), which re-parallelizes an oversized
+    partition by replicating the build side. If a domain tolerates
+    bounded recall loss, cap per-key fan-out upstream instead.
 
     Output: id_a, id_b (id_a < id_b), edit_dist.
     """
@@ -310,17 +328,22 @@ def symdelete_fuzzy_pairs(
         F.explode(deletion_neighborhood(text_col, max_dist)).alias("blk"),
     )
     a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("name_a"), "blk"
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("name_a"),
+        F.col("blk").alias("blk_a"),
     )
     b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col(text_col).alias("name_b"), "blk"
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("name_b"),
+        F.col("blk").alias("blk_b"),
     )
     return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= max_dist),
+        )
         .select("id_a", "id_b", "name_a", "name_b")
         .distinct()  # a pair can collide on many deletion keys
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
         .select(
             "id_a", "id_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
         )

@@ -3004,10 +3004,15 @@ def q_fuzzy_match(spark, sf_dir):
     blocking whose ≤36 coarse blocks skewed reducers and silently
     missed pairs whose final characters differ. The oracle is now the
     ground-truth all-pairs semantics, so the gate checks recall rather
-    than sharing the blind spot. Reference parity: entity resolution
-    over short fields where shingle/token methods are useless."""
+    than sharing the blind spot. Gated at max_dist=1: at the driver's
+    sf0.01 every supplier pair is within ed 2 (an all-pairs emitter
+    would pass vacuously), while at ed ≤ 1 only same-digit-neighbor
+    names match — the oracle exercises real recall AND precision at
+    gate scale. max_dist=2 recall is pinned by the brute-force
+    ground-truth unit test. Reference parity: entity resolution over
+    short fields where shingle/token methods are useless."""
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return symdelete_fuzzy_pairs(sup, "s_suppkey", "s_name", max_dist=2)
+    return symdelete_fuzzy_pairs(sup, "s_suppkey", "s_name", max_dist=1)
 
 
 # Oracle = ground-truth all-pairs semantics (exact at oracle scale);
@@ -3017,7 +3022,7 @@ SQL_FUZZY_MATCH = """
 SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
        levenshtein(a.s_name, b.s_name) AS edit_dist
 FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
-WHERE levenshtein(a.s_name, b.s_name) <= 2
+WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 

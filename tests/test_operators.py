@@ -268,3 +268,16 @@ def test_symdelete_fuzzy_pairs_exact_recall(spark):
         for r in symdelete_fuzzy_pairs(df, "id", "name", max_dist=2).collect()
     }
     assert got == truth
+
+
+def test_deletion_neighborhood_empty_string_is_guarded(spark):
+    """D≤k('') must be exactly {''} — the unguarded sequence(1, 0)
+    construction only worked through descending-sequence and
+    negative-length-substring edge behavior (round-3 advice)."""
+    from kafkastreams_example_spark.functions.dedup_approx import deletion_neighborhood
+
+    df = spark.createDataFrame([("",), ("ab",)], "s STRING")
+    rows = {r["s"]: r["d"] for r in df.select(
+        "s", deletion_neighborhood("s", 2).alias("d")).collect()}
+    assert rows[""] == [""]
+    assert set(rows["ab"]) == {"ab", "a", "b", ""}
