@@ -169,6 +169,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 15,
+    probe_convergence: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs: every doc
     gets the minimum doc id of its component as cluster_id (the
@@ -182,6 +183,15 @@ def dedup_clusters(
     on the driver but all data stays distributed — the standard
     DataFrame-only connected-components shape when a graph library
     isn't warranted.
+
+    probe_convergence=True stops as soon as a round changes no label,
+    at the cost of one tiny (limit-1) driver action per round.
+    probe_convergence=False runs exactly max_iterations rounds with no
+    mid-loop driver round-trips — the kmeans_centroids fixed-iteration
+    design: pick it when the component diameter bound is known (k
+    rounds cover diameter 2^k − 1, since each round halves path
+    lengths toward the minimum) and scheduler round-trips dominate,
+    e.g. many small clustering jobs driven by one orchestrator.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -210,16 +220,19 @@ def dedup_clusters(
         # components (long chains) overflow the planner around ~10
         # rounds; checkpointing truncates lineage each iteration
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if probe_convergence:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 

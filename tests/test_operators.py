@@ -270,7 +270,29 @@ def test_symdelete_fuzzy_pairs_exact_recall(spark):
     assert got == truth
 
 
-def test_deletion_neighborhood_empty_string_is_guarded(spark):
+def test_dedup_clusters_fixed_iteration_mode(spark, monkeypatch):
+    """probe_convergence=False must produce the same components with
+    zero count() probes (the kmeans-style fixed-iteration contract);
+    a 6-node chain needs ceil(log2(diameter+1)) = 3 doubling rounds."""
+    from pyspark.sql import DataFrame
+
+    from kafkastreams_example_spark.functions.dedup_approx import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    want = sorted(
+        tuple(r) for r in dedup_clusters(chain, max_iterations=8).collect()
+    )
+
+    def _boom(self, *a, **k):
+        raise AssertionError("fixed-iteration mode ran a driver-side count probe")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    got_df = dedup_clusters(chain, max_iterations=8, probe_convergence=False)
+    monkeypatch.undo()
+    assert sorted(tuple(r) for r in got_df.collect()) == want
+    assert want[0][1] == 0 and want[-1][1] == 10  # two components, min-labeled
     """D≤k('') must be exactly {''} — the unguarded sequence(1, 0)
     construction only worked through descending-sequence and
     negative-length-substring edge behavior (round-3 advice)."""
