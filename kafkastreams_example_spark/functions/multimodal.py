@@ -2,10 +2,13 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct alongside. The Spark-side contract — schema, Arrow
-batching via mapInPandas, partition sizing — is real and tested; the
-actual codec work is stubbed because no image/audio libraries exist in
-this container (decode_image_batch raises NotImplementedError unless the
-deterministic fake decoder is requested).
+batching via mapInPandas, partition sizing — is real and tested, and so
+is metadata decode: parse_image_header reads PNG/GIF/BMP/JPEG dimensions
+straight from container header bytes with pure-Python struct reads (no
+codec library needed). Only pixel-level work (decoding image content for
+feature extraction) remains a documented library hook, since no
+image/audio libraries exist in this container; the deterministic fake
+decoder carries that contract in tests.
 
 Scale notes: binary payloads dominate partition size, so the loader
 should target spark.sql.files.maxPartitionBytes well below executor
@@ -48,6 +51,52 @@ def fake_decode_meta(payload: bytes) -> dict[str, Any]:
     }
 
 
+def parse_image_header(payload: bytes) -> dict[str, Any] | None:
+    """Real image-dimension decode from container header bytes — pure
+    Python struct reads, no codec library. Handles PNG (IHDR, big-endian
+    u32 pair), GIF87a/89a (logical screen, little-endian u16 pair), BMP
+    (BITMAPINFOHEADER, signed little-endian; height may be negative for
+    top-down rows), and JPEG (marker walk to the first SOFn frame
+    header, skipping entropy-free segments). Returns None when the
+    payload is not a recognized image container — the caller decides
+    the unknown-format policy. Only header bytes are touched, so cost
+    is O(segments), not O(pixels)."""
+    import struct
+
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"width": w, "height": h, "format": "png"}
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"width": w, "height": h, "format": "gif"}
+    if n >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return {"width": w, "height": abs(h), "format": "bmp"}
+    if n >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI, walk the markers
+        i = 2
+        while i + 4 <= n:
+            if payload[i] != 0xFF:  # stray fill byte — resync
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:  # padding before a marker
+                i += 1
+                continue
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            # SOFn carry dimensions; C4/C8/CC are DHT/JPG/DAC, not frames
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return {"width": w, "height": h, "format": "jpeg"}
+                return None
+            i += 2 + seglen
+    return None
+
+
 def decode_media_meta(
     df: DataFrame,
     payload_col: str = "payload",
@@ -56,20 +105,30 @@ def decode_media_meta(
 ) -> DataFrame:
     """mapInPandas decode stage: (id, payload) → (id, meta struct fields).
 
-    decoder="real" is the production hook point — it raises until a codec
-    library is wired in; "fake" is the deterministic test double.
+    decoder="real" parses actual PNG/GIF/BMP/JPEG container headers
+    (parse_image_header — pure struct reads, no codec library);
+    unrecognized payloads come back as (byte_len, NULL, NULL,
+    'unknown'). decoder="fake" is the deterministic test double used by
+    the oracle-gated queries, whose payloads are text bytes, not
+    images. Pixel-level decode (not needed for metadata) remains the
+    documented library hook in extract_media_features.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "no media codec libraries in this environment; use decoder='fake' "
-            "or wire PIL/ffmpeg here in a real deployment"
-        )
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}: use 'fake' or 'real'")
 
     out_schema = f"{id_col} BIGINT, {MEDIA_META_DDL}"
 
+    def decode_one(p: bytes) -> dict[str, Any]:
+        if decoder == "fake":
+            return fake_decode_meta(p)
+        meta = parse_image_header(p)
+        if meta is None:
+            return {"byte_len": len(p), "width": None, "height": None, "format": "unknown"}
+        return {"byte_len": len(p), **meta}
+
     def batches(it: Iterator) -> Iterator:
         for pdf in it:
-            metas = [fake_decode_meta(p) for p in pdf[payload_col]]
+            metas = [decode_one(p) for p in pdf[payload_col]]
             out = pdf[[id_col]].copy()
             out["byte_len"] = [m["byte_len"] for m in metas]
             out["width"] = [m["width"] for m in metas]

@@ -2323,6 +2323,42 @@ FROM documents
 """
 
 
+def q_image_header_meta(spark, sf_dir):
+    """REAL image metadata decode under the gate: even-id documents get
+    a genuine PNG signature+IHDR synthesized JVM-side (unhex/lpad/hex
+    build the big-endian dimension words — no Python in the encode
+    path) with dimensions derived from doc_id; odd ids carry non-image
+    bytes. decoder='real' (functions.multimodal.parse_image_header)
+    must struct-parse the true dimensions back out, and the oracle
+    recomputes them arithmetically — so the gate checks the actual
+    header parser, not a fake. Non-images degrade to NULL/'unknown'."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(64) + F.col("doc_id") % 512).cast("bigint")
+    h = (F.lit(64) + (F.col("doc_id") * 7) % 512).cast("bigint")
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),          # IHDR length = 13
+        F.unhex(F.lit("49484452")),          # "IHDR"
+        be32(w), be32(h),
+        F.unhex(F.lit("0802000000")),        # bit depth / color / crc stub
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, png).otherwise(
+        F.encode(F.lit("not an image"), "utf-8")
+    )
+    return decode_media_meta(docs.withColumn("payload", payload), decoder="real")
+
+
+SQL_IMAGE_HEADER_META = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 29 ELSE 12 END AS BIGINT) AS byte_len,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 64 + doc_id % 512 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 64 + (doc_id * 7) % 512 END AS INT) AS height,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'unknown' END AS format
+FROM documents
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Feature extraction over binary payloads (mapInPandas batch loop;
     deterministic md5-derived stand-in features, oracle-checked byte
@@ -3147,6 +3183,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),
     # multimodal
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
+    "image_header_meta": QuerySpec(q_image_header_meta, SQL_IMAGE_HEADER_META, ("multimodal",)),
     "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, ("multimodal",)),
     "sort_limit_offset": QuerySpec(q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET, ("relational",)),
@@ -3162,10 +3199,11 @@ REGISTRY: dict[str, QuerySpec] = {
 # CORRECTNESS_r0{1,2,3}.json latest-row ages as of round 4 — rotate
 # again next round.
 _GATE_ORDER = [
-    # — changed or fixed in round 4: must re-evidence first —
+    # — changed, fixed, or new in round 4: must (re-)evidence first —
     "agg_boolean",
     "dedup_embeddings",
     "fuzzy_match",
+    "image_header_meta",
     # — last driver evidence is r1 (49 entries): the 50-slot window
     #   re-confirms these, cheapest-first —
     "agg_string_concat",

@@ -270,6 +270,48 @@ def test_symdelete_fuzzy_pairs_exact_recall(spark):
     assert got == truth
 
 
+def test_decode_media_meta_parses_real_image_headers(spark):
+    """decoder='real' must read true dimensions from genuine container
+    header bytes — PNG IHDR (big-endian), GIF logical screen
+    (little-endian), JPEG SOF0 behind APP0/DQT segments, BMP info
+    header — and degrade to (NULL, NULL, 'unknown') on non-images."""
+    import struct
+    import zlib
+
+    from kafkastreams_example_spark.functions.multimodal import decode_media_meta
+
+    def png(w, h):
+        ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+
+    def jpeg(w, h):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+        sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + dqt + sof0
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    bmp = b"BM" + struct.pack("<IHHI", 126, 0, 0, 26) + struct.pack("<IiiHH", 40, 12, -34, 1, 24)
+    rows = [
+        (0, png(640, 481)), (1, gif), (2, jpeg(123, 456)), (3, bmp),
+        (4, b"plain text, not an image"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["format"], r["byte_len"])
+        for r in decode_media_meta(df, decoder="real").collect()
+    }
+    assert got[0] == (640, 481, "png", len(png(640, 481)))
+    assert got[1] == (320, 200, "gif", len(gif))
+    assert got[2] == (123, 456, "jpeg", len(jpeg(123, 456)))
+    assert got[3] == (12, 34, "bmp", len(bmp))  # |negative height| = top-down rows
+    assert got[4] == (None, None, "unknown", 24)
+
+
 def test_dedup_clusters_fixed_iteration_mode(spark, monkeypatch):
     """probe_convergence=False must produce the same components with
     zero count() probes (the kmeans-style fixed-iteration contract);
