@@ -30,6 +30,21 @@ from pyspark.sql import functions as F
 from ..schema import LOG_SCHEMA
 
 
+def kafka_source_options(
+    bootstrap_servers: str, topic: str, starting_offsets: str = "latest"
+) -> dict[str, str]:
+    """S1 source contract as data: subscribe-by-topic (the reference
+    consumes one named input topic, KafkaStreamsApplication.java:108),
+    startingOffsets=latest matching AUTO_OFFSET_RESET_CONFIG=latest
+    (KafkaStreamsApplication.java:65). Split out from the reader build
+    so the contract is assertable without a broker or connector jar."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -39,9 +54,7 @@ def read_kafka_stream(
     """S1: raw kafka stream with key/value bytes + record timestamp."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(bootstrap_servers, topic, starting_offsets))
         .load()
     )
 
@@ -108,6 +121,19 @@ def encode_log_events(decoded: DataFrame, key_col: str = "key", event_col: str =
     )
 
 
+def kafka_sink_options(
+    bootstrap_servers: str, topic: str, checkpoint_location: str
+) -> dict[str, str]:
+    """K1 sink contract as data: produce to one named output topic
+    (KafkaStreamsApplication.java:110-111) with a checkpoint directory
+    standing in for Streams' local state/offset commit dir."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_location,
+    }
+
+
 def write_kafka_stream(
     df: DataFrame,
     bootstrap_servers: str,
@@ -119,9 +145,7 @@ def write_kafka_stream(
     COMMIT_INTERVAL_MS_CONFIG=1000 (KafkaStreamsApplication.java:63)."""
     return (
         df.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_location)
+        .options(**kafka_sink_options(bootstrap_servers, topic, checkpoint_location))
         .trigger(processingTime=trigger_interval)
         .start()
     )

@@ -191,3 +191,93 @@ def test_windowed_count_pipeline_streaming(spark, tmp_path):
         ("1970-01-01T00:00:00", "INFO"): 2,
         ("1970-01-01T01:00:00", "ERROR"): 1,
     }
+
+
+def test_kafka_source_sink_contract_without_broker(spark, monkeypatch, tmp_path):
+    """Broker-less S1/K1 contract: assert the EXACT options and build
+    sequence the Kafka builders produce — format 'kafka', subscribe by
+    named topic (not assign/pattern), startingOffsets=latest mirroring
+    the reference's AUTO_OFFSET_RESET_CONFIG=latest
+    (KafkaStreamsApplication.java:65,108-111), checkpoint wiring, and
+    the 1 s processing-time trigger mirroring COMMIT_INTERVAL_MS=1000.
+    The connector jar is absent in this environment, so load()/start()
+    are intercepted at the Python API boundary — everything up to them
+    is the real builder code path."""
+    from pyspark.sql.streaming.readwriter import DataStreamReader, DataStreamWriter
+
+    from kafkastreams_example_spark.sources.kafka import (
+        kafka_sink_options,
+        kafka_source_options,
+        read_kafka_stream,
+        write_kafka_stream,
+    )
+
+    # the declarative contracts themselves
+    assert kafka_source_options("b:9092", "logs-input") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "logs-input",
+        "startingOffsets": "latest",
+    }
+    assert kafka_sink_options("b:9092", "logs-output", "/ckpt") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "logs-output",
+        "checkpointLocation": "/ckpt",
+    }
+
+    # a real streaming frame (built-in rate source, no broker) — built
+    # BEFORE the reader monkeypatch so the sink side exercises a genuine
+    # streaming writeStream up to the intercepted start()
+    encoded = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    ).selectExpr("CAST(value AS STRING) AS key", "'{}' AS value")
+
+    # source wiring: capture what reaches the DataStreamReader
+    src: dict = {"options": {}}
+    monkeypatch.setattr(
+        DataStreamReader, "format", lambda self, f: src.__setitem__("format", f) or self
+    )
+
+    def _roptions(self, **kw):
+        src["options"].update(kw)
+        return self
+
+    monkeypatch.setattr(DataStreamReader, "options", _roptions)
+    monkeypatch.setattr(DataStreamReader, "load", lambda self, *a, **k: "RAW_DF")
+    assert read_kafka_stream(spark, "b:9092", "logs-input") == "RAW_DF"
+    assert src == {
+        "format": "kafka",
+        "options": {
+            "kafka.bootstrap.servers": "b:9092",
+            "subscribe": "logs-input",
+            "startingOffsets": "latest",
+        },
+    }
+
+    # sink wiring: capture what reaches the DataStreamWriter
+    sink: dict = {"options": {}}
+    monkeypatch.setattr(
+        DataStreamWriter, "format", lambda self, f: sink.__setitem__("format", f) or self
+    )
+
+    def _woptions(self, **kw):
+        sink["options"].update(kw)
+        return self
+
+    def _trigger(self, **kw):
+        sink["trigger"] = kw
+        return self
+
+    monkeypatch.setattr(DataStreamWriter, "options", _woptions)
+    monkeypatch.setattr(DataStreamWriter, "trigger", _trigger)
+    monkeypatch.setattr(DataStreamWriter, "start", lambda self, *a, **k: "QUERY")
+    ckpt = str(tmp_path / "ckpt")
+    assert write_kafka_stream(encoded, "b:9092", "logs-output", ckpt) == "QUERY"
+    assert sink == {
+        "format": "kafka",
+        "options": {
+            "kafka.bootstrap.servers": "b:9092",
+            "topic": "logs-output",
+            "checkpointLocation": ckpt,
+        },
+        "trigger": {"processingTime": "1 second"},
+    }
