@@ -53,6 +53,14 @@ BENCH_QUERIES = [
     "clean_pipeline",
     "reference_pipeline",
     "multimodal_meta",
+    # round-4 additions: every operator family added in rounds 2-4 gets
+    # a perf guard so regressions surface round-over-round
+    "kmeans_centroids",
+    "dedup_candidates_union",
+    "contamination",
+    "udtf_term_counts",
+    "fuzzy_match",
+    "image_header_meta",
 ]
 
 
