@@ -194,20 +194,29 @@ def kmeans_centroids(
     oracle-checked (queries._sql_kmeans_centroids) on top of the
     ivf-recall floor test.
     """
-    from pyspark.sql import Window
-
     unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
     cents = unit.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cent_id"), F.col("uv").alias("cv")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cs").desc(), F.col("cent_id"))
     for _ in range(iters):
+        # argmax-by-cosine via max_by, NOT a row_number window: the
+        # window form sorts/shuffles all k·n candidate rows (each
+        # carrying the dim-float vector); max_by partial-aggregates
+        # map-side, so the shuffle carries one best-so-far row per
+        # vector per task. Tie-break matches the oracle exactly:
+        # highest cs, then lowest cent_id (max of -cent_id).
         assigned = (
             F.broadcast(cents)
             .join(unit, how="cross")
             .select(id_col, "cent_id", "uv", _dot(F.col("uv"), F.col("cv")).alias("cs"))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    F.struct("cent_id", "uv"),
+                    F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc")),
+                ).alias("best")
+            )
+            .select(id_col, F.col("best.cent_id").alias("cent_id"), F.col("best.uv").alias("uv"))
         )
         means = (
             assigned.select("cent_id", F.posexplode("uv").alias("pos", "x"))

@@ -37,10 +37,12 @@ from .functions.text import (
     doc_fingerprint,
 )
 from .functions.dedup_approx import (
+    _exploded_tokens,
     minhash_signatures,
     minhash_lsh_pairs,
     shingle_jaccard_pairs,
     simhash,
+    simhash_band_pairs,
     symdelete_fuzzy_pairs,
 )
 from .functions.similarity import cosine_topk, cosine_pairs, embedding_norms
@@ -1420,9 +1422,9 @@ def q_simhash(spark, sf_dir):
 
 SQL_SIMHASH = f"""
 WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
-h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM w),
+h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM w),
 bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS tot
-         FROM h, (SELECT unnest(range(0, 32)) AS j) AS js
+         FROM h, (SELECT unnest(range(0, 60)) AS j) AS js
          GROUP BY doc_id, j)
 SELECT doc_id,
   CAST(SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
@@ -1708,11 +1710,11 @@ FROM s GROUP BY user_id, sid
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: docs whose 32-bit fingerprints are
+    """SimHash near-dup pairs: docs whose 60-bit fingerprints are
     within hamming distance 3 (bit_count(xor)).
 
     Banded LSH plan, not all-pairs: the fingerprint is split into 4
-    byte bands; hamming ≤ 3 means at most 3 bits differ, which can
+    15-bit bands; hamming ≤ 3 means at most 3 bits differ, which can
     touch at most 3 of the 4 bands, so every qualifying pair shares at
     least one band value exactly (pigeonhole). Candidates come from an
     equi-join on (band index, band value) — a hash join Catalyst can
@@ -1721,40 +1723,14 @@ def q_simhash_pairs(spark, sf_dir):
     all-pairs form (the oracle runs all-pairs); the plan scales as the
     candidate count, not n²."""
     fp = simhash(load_table(spark, sf_dir, "documents"))
-    # one exploded-band plan aliased twice: both join inputs are
-    # canonically identical, so the planner can either broadcast one
-    # side (small corpora — what AQE picks here) or reuse one shuffle
-    # (ReusedExchange) when both sides are big enough to sort-merge
-    exploded = (
-        fp.withColumn("band", F.explode(F.array(*[F.lit(j) for j in range(4)])))
-        .withColumn(
-            "val", F.expr("cast(shiftright(simhash, cast(band * 8 as int)) & 255 as int)")
-        )
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.val") == F.col("b.val"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        joined.select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 3)
-        .distinct()
-    )
+    return simhash_band_pairs(fp)
 
 
 SQL_SIMHASH_PAIRS = f"""
 WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
-h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM w),
+h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM w),
 bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS tot
-         FROM h, (SELECT unnest(range(0, 32)) AS j) AS js
+         FROM h, (SELECT unnest(range(0, 60)) AS j) AS js
          GROUP BY doc_id, j),
 fp AS (SELECT doc_id,
          SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
@@ -2749,10 +2725,21 @@ def q_dedup_candidates_union(spark, sf_dir):
     bitmask per pair (1=minhash, 2=simhash, 4=shingle). Real pipelines
     run several signals because each misses different near-dup classes;
     the union is one distinct over already-bucketed joins, never
-    all-pairs."""
+    all-pairs.
+
+    The MinHash and SimHash signals both start from the same exploded
+    distinct-token frame; it is built ONCE and persisted so the
+    tokenize→explode→distinct pass (the dominant narrow cost) runs one
+    time instead of twice — at warehouse scale this intermediate is a
+    staged table shared by every signal generator."""
     docs = load_table(spark, sf_dir, "documents")
-    mh = minhash_lsh_pairs(docs).select("id_a", "id_b", F.lit(1).alias("src"))
-    sh = q_simhash_pairs(spark, sf_dir).select("id_a", "id_b", F.lit(2).alias("src"))
+    toks = _exploded_tokens(docs, "text", "doc_id").persist()
+    mh = minhash_lsh_pairs(docs, tokens=toks).select(
+        "id_a", "id_b", F.lit(1).alias("src")
+    )
+    sh = simhash_band_pairs(simhash(docs, tokens=toks)).select(
+        "id_a", "id_b", F.lit(2).alias("src")
+    )
     sj = shingle_jaccard_pairs(docs, threshold=0.2).select(
         "id_a", "id_b", F.lit(4).alias("src")
     )
@@ -2778,9 +2765,9 @@ mh_pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM capped a JOIN capped b
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS h FROM w),
+h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM w),
 bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS tot
-         FROM h, (SELECT unnest(range(0, 32)) AS j) AS js
+         FROM h, (SELECT unnest(range(0, 60)) AS j) AS js
          GROUP BY doc_id, j),
 fp AS (SELECT doc_id,
          CAST(SUM(CASE WHEN tot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash

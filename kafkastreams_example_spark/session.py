@@ -37,6 +37,17 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # In local mode the driver JVM hosts every executor thread, all
+        # cached blocks, AND broadcast builds; the JVM default (~1 GiB)
+        # silently starves all of them (observed: "Not enough memory to
+        # build and broadcast" at 30x sf0.1 with a persisted shingle
+        # cache). On a real cluster this is a deploy-time setting;
+        # locally, size it to the machine. Only effective before JVM
+        # start — getOrCreate() on a live session ignores it.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # Deterministic timestamp semantics, matching the (tz-naive) oracle.
         .config("spark.sql.session.timeZone", "UTC")
         # Driver testdata is TIMESTAMP(NANOS) parquet; Spark has no ns type,

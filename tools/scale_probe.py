@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Scale probe: confirm the similarity + dedup families stay near-linear
+as the corpus grows 10x / 30x past sf0.1 (round-3 verdict item 5).
+
+Real sf1 testdata doesn't exist in this sandbox, so we build replicated
+corpora from sf0.1 with deterministic per-replica mutations chosen so
+that
+
+  * intra-replica duplicate/similarity structure is preserved exactly
+    (each replica is an isomorphic copy of sf0.1), and
+  * cross-replica similarity is destroyed (no artificial 10-member
+    duplicate clusters whose quadratic PAIR OUTPUT would masquerade as
+    super-linear RUNTIME).
+
+Mutations (all pure column expressions, executed distributed):
+  documents.text   — per-replica alphabet rotation via translate():
+                     word/char structure and n_chars preserved, every
+                     shingle/minhash/simhash value decorrelated.
+  embeddings       — per-replica deterministic +-1 sign pattern
+                     (elementwise transform): within a replica all
+                     pairwise dot products are preserved exactly
+                     (same pattern cancels), across replicas cosine ~ 0.
+  supplier.s_name  — per-replica doubled-digit prefix ("7" -> "77"):
+                     any two distinct prefixes are Levenshtein >= 2
+                     apart, so ed<=1 fuzzy matches never cross replicas;
+                     digit rotation inside the name keeps per-replica
+                     match structure identical to sf0.1.
+
+With linear-output mutations in place, output rows must scale ~factor
+and runtime ~factor for every bucketed/banded operator; cosine_pairs is
+O(n^2) by documented contract and is probed only at 10x.
+
+Usage:
+  python tools/scale_probe.py build   # materialize .scale_probe/x10, x30
+  python tools/scale_probe.py run     # time the family at 1x/10x/30x
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from kafkastreams_example_spark.queries import REGISTRY  # noqa: E402
+from kafkastreams_example_spark.session import get_spark  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = Path(__file__).resolve().parent.parent / ".scale_probe"
+FACTORS = (10, 30)
+
+# family under probe -> skip list per factor (documented O(n^2) opt-ins
+# only probed at 10x to bound wall time; their quadratic growth is by
+# contract, not a finding)
+FAMILY = [
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+    "shingle_jaccard",
+    "simhash_pairs",
+    "dedup_candidates_union",
+    "dedup_clusters",
+    "fuzzy_match",
+    "sim_topk",
+    "ivf_topk",
+    "ann_hyperplane",
+    "kmeans_centroids",
+    "dedup_embeddings",
+    "cosine_pairs",
+]
+QUADRATIC_BY_CONTRACT = {"cosine_pairs"}
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+_COPRIME26 = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+
+def _docs_replica(docs, k: int, offset: int):
+    d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * offset))
+    if k:
+        # affine char permutation i -> a*i + b (mod 26): 312 distinct
+        # maps, so replicas never collide (plain rotation k % 26 made
+        # replica 26 an exact copy of replica 0 — artificial dup mass)
+        a = _COPRIME26[(k // 26) % len(_COPRIME26)]
+        b = k % 26
+        perm = "".join(ALPHA[(a * i + b) % 26] for i in range(26))
+        d = d.withColumn(
+            "text", F.translate("text", ALPHA + ALPHA.upper(), perm + perm.upper())
+        )
+    return d
+
+
+def _emb_replica(emb, k: int, offset: int):
+    e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * offset))
+    if k:
+        e = e.withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN "
+                f"pmod(xxhash64(concat(cast(i AS string), '_{k}')), 2) = 0 "
+                "THEN x ELSE -x END)"
+            ),
+        )
+    return e
+
+
+def _supp_replica(supp, k: int, offset: int):
+    s = supp.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(k * offset))
+    if k:
+        prefix = "".join(c * 2 for c in str(k))
+        rot = "0123456789"[k % 10:] + "0123456789"[: k % 10]
+        s = s.withColumn(
+            "s_name",
+            F.concat(F.lit(prefix), F.translate("s_name", "0123456789", rot)),
+        )
+    return s
+
+
+def build() -> None:
+    spark = get_spark(app_name="scale_probe_build")
+    spark.sparkContext.setLogLevel("ERROR")
+    reps = {
+        "documents": ("doc_id", _docs_replica),
+        "embeddings": ("vec_id", _emb_replica),
+        "supplier": ("s_suppkey", _supp_replica),
+    }
+    for factor in FACTORS:
+        dst = ROOT / f"x{factor}"
+        dst.mkdir(parents=True, exist_ok=True)
+        for table, (idcol, make) in reps.items():
+            base = spark.read.parquet(f"{SRC}/{table}.parquet")
+            offset = base.agg(F.max(idcol)).first()[0] + 1
+            parts = [make(base, k, offset) for k in range(factor)]
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionAll(p)
+            union.repartition(32).write.mode("overwrite").parquet(
+                str(dst / f"{table}.parquet")
+            )
+        # the rest of the tables are not read by the family; link them so
+        # the directory is a complete sf_dir for any loader that peeks
+        for f in Path(SRC).glob("*.parquet"):
+            if f.stem not in reps:
+                link = dst / f.name
+                if not link.exists():
+                    link.symlink_to(f)
+        print(f"built {dst}", flush=True)
+    spark.stop()
+
+
+def run() -> None:
+    spark = get_spark(app_name="scale_probe_run")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()
+    warm_dir = SRC.replace("sf0.1", "sf0.001")
+    dirs = {1: SRC, **{f: str(ROOT / f"x{f}") for f in FACTORS}}
+    out: dict[str, dict] = {}
+    for name in FAMILY:
+        fn = REGISTRY[name].fn
+        row: dict[str, float] = {}
+        # warm this query's codegen/parquet paths at sf0.001 so t1 is a
+        # steady-state number, not JVM warmup
+        fn(spark, warm_dir).count()
+        for factor, d in dirs.items():
+            if factor > 10 and name in QUADRATIC_BY_CONTRACT:
+                continue
+            t0 = time.perf_counter()
+            try:
+                n = fn(spark, d).count()
+            except Exception as exc:  # record, keep probing the rest
+                row[f"err{factor}"] = type(exc).__name__
+                break
+            row[f"t{factor}"] = round(time.perf_counter() - t0, 2)
+            row[f"rows{factor}"] = n
+        for factor in FACTORS:
+            if f"t{factor}" in row:
+                row[f"ratio{factor}"] = round(row[f"t{factor}"] / row["t1"], 1)
+        out[name] = row
+        print(json.dumps({name: row}), flush=True)
+    print(json.dumps({"scale_probe": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    {"build": build, "run": run}[sys.argv[1]]()
