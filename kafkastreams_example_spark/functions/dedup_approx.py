@@ -75,13 +75,7 @@ def minhash_lsh_pairs(
     At 100 TB this cap is what bounds the worst-case join fan-out.
     """
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, tokens=tokens)
-    bands = []
-    for b in range(num_hashes // rows_per_band):
-        slots = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *slots)).alias("bh")))
-    exploded = sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    exploded = minhash_bands(sig, id_col, num_hashes, rows_per_band)
     from pyspark.sql import Window
 
     bucket_n = F.count("*").over(Window.partitionBy("band", "bh"))
@@ -96,6 +90,26 @@ def minhash_lsh_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_bands(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode a MinHash signature frame into (id, band, band_hash)
+    rows — the LSH bucketing key shared by self-dedup
+    (minhash_lsh_pairs) and incremental batch-vs-corpus dedup."""
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        slots = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *slots)).alias("bh"))
+        )
+    return sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
 
 

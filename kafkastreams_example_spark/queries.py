@@ -3049,6 +3049,97 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII-shaped redaction: mask digit runs ≥ 6 chars (account-number /
+    ID shaped — the only PII-like structure in this synthetic data; in a
+    real corpus the pattern list extends to emails/phones/SSNs with the
+    identical plan) and count masked spans per row. Pure JVM regex
+    projection — no shuffle, scales embarrassingly; the operator's real
+    test is CROSS-ENGINE REGEX PARITY: Spark's regexp_replace replaces
+    every match by default while DuckDB needs the 'g' flag, and
+    regexp_extract_all counts must agree span-for-span. A pipeline that
+    silently redacts only the first match per row is a compliance bug
+    this oracle would catch."""
+    c = load_table(spark, sf_dir, "customer")
+    pat = "[0-9]{6,}"
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", pat, "<NUM>").alias("redacted"),
+        F.size(F.regexp_extract_all("c_name", F.lit(pat), F.lit(0)))
+        .cast("int")
+        .alias("n_redacted"),
+    )
+
+
+SQL_PII_REDACT = """
+SELECT c_custkey,
+  regexp_replace(c_name, '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS INT) AS n_redacted
+FROM customer
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup — the production shape for a crawl
+    pipeline: a NEW batch (here doc_id % 10 = 0) is LSH-banded against
+    the EXISTING corpus (the rest), and only batch docs with no banded
+    near-dup in the corpus survive (left_anti). Differs from every
+    self-dedup entry: the join is asymmetric (small batch × big
+    corpus), so at 100 TB the batch's band table broadcasts and the
+    corpus is streamed — no corpus self-join ever happens, and the
+    corpus side keeps the max_bucket=64 hot-band cap (an over-popular
+    band carries no discriminative signal; capping it bounds fan-out
+    exactly as in minhash_lsh_pairs). Signatures are per-doc, so
+    computing them on the split frames equals splitting a full-corpus
+    signature table (what the oracle does)."""
+    from pyspark.sql import Window
+
+    from .functions.dedup_approx import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch_bands = minhash_bands(
+        minhash_signatures(docs.filter(F.col("doc_id") % 10 == 0))
+    ).withColumnRenamed("doc_id", "batch_id")
+    corpus_bands = minhash_bands(
+        minhash_signatures(docs.filter(F.col("doc_id") % 10 != 0))
+    )
+    bucket_n = F.count("*").over(Window.partitionBy("band", "bh"))
+    corpus_bands = (
+        corpus_bands.withColumn("__n", bucket_n).filter(F.col("__n") <= 64).drop("__n")
+    )
+    hits = (
+        F.broadcast(batch_bands)
+        .join(corpus_bands, ["band", "bh"])
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left_anti")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
+sig AS (SELECT doc_id, {_MH_AGGS} FROM w GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bh FROM sig),
+corpus AS (
+  SELECT doc_id, band, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS n
+        FROM bands WHERE doc_id % 10 != 0)
+  WHERE n <= 64),
+hits AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands n JOIN corpus c ON n.band = c.band AND n.bh = c.bh
+  WHERE n.doc_id % 10 = 0)
+SELECT doc_id FROM documents
+WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -3164,6 +3255,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "setop_except_all": QuerySpec(q_setop_except_all, SQL_SETOP_EXCEPT_ALL, ("relational",)),
     "date_spine_gaps": QuerySpec(q_date_spine_gaps, SQL_DATE_SPINE_GAPS, ("relational", "temporal")),
     "fuzzy_match": QuerySpec(q_fuzzy_match, SQL_FUZZY_MATCH, ("text", "dedup")),
+    "pii_redact": QuerySpec(q_pii_redact, SQL_PII_REDACT, ("text", "pipeline")),
+    "dedup_incremental": QuerySpec(
+        q_dedup_incremental, SQL_DEDUP_INCREMENTAL, ("text", "dedup")
+    ),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -3191,6 +3286,12 @@ _GATE_ORDER = [
     "dedup_embeddings",
     "fuzzy_match",
     "image_header_meta",
+    "pii_redact",
+    "dedup_incremental",
+    "simhash",
+    "simhash_pairs",
+    "dedup_candidates_union",
+    "kmeans_centroids",
     # — last driver evidence is r1 (49 entries): the 50-slot window
     #   re-confirms these, cheapest-first —
     "agg_string_concat",
@@ -3250,7 +3351,6 @@ _GATE_ORDER = [
     "subquery_exists",
     "quality_funnel",
     "jaccard_est",
-    "dedup_candidates_union",
     # — re-evidenced green in r3, cheapest-first —
     "stratified_sample",
     "token_histogram",
@@ -3279,21 +3379,18 @@ _GATE_ORDER = [
     "session_window_agg",
     "minhash_signature",
     "profile_events",
-    "simhash",
     "window_distribution",
     "ann_hyperplane",
     "sim_topk",
     "events_funnel",
     "subquery_above_avg",
     "minhash_lsh_pairs",
-    "simhash_pairs",
     "ivf_topk",
     "join_full_outer",
     "shingle_jaccard",
     "date_spine_gaps",
     "setop_except_all",
     "bigram_counts",
-    "kmeans_centroids",
     "dedup_clusters",
     "cosine_pairs",
     "repetition_ratio",

@@ -345,3 +345,48 @@ def test_dedup_clusters_fixed_iteration_mode(spark, monkeypatch):
         "s", deletion_neighborhood("s", 2).alias("d")).collect()}
     assert rows[""] == [""]
     assert set(rows["ab"]) == {"ab", "a", "b", ""}
+
+
+def test_dedup_incremental_detects_known_dup_and_keeps_novel(spark):
+    """Incremental LSH dedup semantics on a constructed corpus: a batch
+    doc that is a verbatim copy of a corpus doc must be dropped, a doc
+    with disjoint vocabulary must survive."""
+    from kafkastreams_example_spark.functions.dedup_approx import (
+        minhash_bands,
+        minhash_signatures,
+    )
+
+    corpus_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, corpus_text),            # corpus
+        (3, "completely different words about spark shuffles and parquet"),
+        (10, corpus_text),           # batch: exact copy -> must be dropped
+        (20, "zanzibar quokka vortex umbra glyph nimbus"),  # batch: novel
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = minhash_bands(minhash_signatures(docs.filter(F.col("doc_id") % 10 == 0)))
+    corpus = minhash_bands(minhash_signatures(docs.filter(F.col("doc_id") % 10 != 0)))
+    hits = (
+        batch.withColumnRenamed("doc_id", "batch_id")
+        .join(corpus, ["band", "bh"])
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left_anti")
+        .collect()
+    }
+    assert survivors == {20}
+
+
+def test_dedup_incremental_plan_broadcasts_batch_side(spark):
+    """The asymmetric join must broadcast the (small) batch band table —
+    at scale the corpus is streamed past it, never self-joined."""
+    from kafkastreams_example_spark.plans.explain import plan_string
+    from kafkastreams_example_spark.queries import q_dedup_incremental
+
+    plan = plan_string(q_dedup_incremental(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
