@@ -282,10 +282,12 @@ def hyperplane_matrix(n_planes: int, dim: int) -> list[list[float]]:
 def bucketed_cosine_pairs(
     emb: DataFrame,
     threshold: float,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_bucket_rows: int = 1024,
+    min_centroids: int = 16,
 ) -> DataFrame:
     """SemDeDup-style within-bucket near-duplicate pair detection — the
     100 TB path for embedding dedup (Abbas et al. 2023, "SemDeDup":
@@ -310,11 +312,25 @@ def bucketed_cosine_pairs(
     deterministic and engine-portable (same convention as ivf_topk), so
     the oracle reproduces bucket assignment bit-for-bit.
 
+    n_centroids=None derives C from the corpus at a fixed target
+    bucket size: C = max(min_centroids, ceil(n / target_bucket_rows)).
+    A FIXED C is quadratic in disguise (Σ n_b² ≈ n²·n_probe/C grows as
+    n² once buckets outgrow the target — measured 11× time at 30× data
+    with C=16); the adaptive mode keeps per-bucket size, and therefore
+    total matmul work, linear. The one count() action is the same class
+    of runtime statistic AQE gathers; the registry entry pins C=16 so
+    the unrolled SQL oracle stays static.
+
     Output: id_a, id_b, cosine (id_a < id_b, cosine ≥ threshold,
     distinct across shared buckets).
     """
+    import math
 
     from pyspark.sql import Window
+
+    if n_centroids is None:
+        n_rows = emb.count()
+        n_centroids = max(min_centroids, math.ceil(n_rows / target_bucket_rows))
 
     unit = emb.select(
         F.col(id_col).cast("bigint").alias("id"), _unit(F.col(vec_col)).alias("uv")

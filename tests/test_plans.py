@@ -191,3 +191,24 @@ def test_sort_limit_is_topk_not_global_sort(spark):
     plan = plan_string(df)
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_bucketed_pairs_adaptive_centroid_count(spark):
+    """n_centroids=None must scale C with the corpus (fixed target
+    bucket size -> linear total matmul work), not leave it fixed:
+    with n rows and target_bucket_rows=t the adaptive path must derive
+    C = ceil(n/t) exactly — asserted by output identity with the
+    explicit-C call."""
+    from kafkastreams_example_spark.functions.similarity import bucketed_cosine_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    target = 10
+    expected_c = max(2, -(-n // target))
+    adaptive = bucketed_cosine_pairs(
+        emb, threshold=-1.0, n_centroids=None, target_bucket_rows=target, min_centroids=2
+    )
+    explicit = bucketed_cosine_pairs(emb, threshold=-1.0, n_centroids=expected_c)
+    a = {tuple(r) for r in adaptive.collect()}
+    e = {tuple(r) for r in explicit.collect()}
+    assert a == e and len(a) > 0

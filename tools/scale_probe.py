@@ -173,6 +173,12 @@ def run() -> None:
             try:
                 best = None
                 for _ in range(repeat):
+                    # several registry queries persist() intermediates
+                    # (part of their own plan); a multi-query session
+                    # accumulates orphaned cached blocks that distort
+                    # later measurements via GC/eviction churn — clear
+                    # between runs so each timing is self-contained
+                    spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     n = fn(spark, d).count()
                     dt = time.perf_counter() - t0
