@@ -85,3 +85,99 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(text_col).alias("n_chars"),
     )
+
+
+def duplicated_ngram_stats(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact substring (word n-gram) duplication stats per document —
+    the ExactSubstr signal of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", re-expressed relationally: an
+    n-gram is *duplicated* iff it occurs in ≥ 2 distinct documents, and
+    each doc reports how much of its content is covered by such spans
+    (the usual cut-or-drop decision input).
+
+    Plan (all Catalyst, no Python): tokenize → explode n-gram start
+    positions (linear fan-out, ≈ n_tokens rows/doc) → md5 the joined
+    window (engine-portable; 8-byte xxhash would be faster but is not
+    reproducible in the DuckDB oracle) → two-phase countDistinct per
+    hash (partial map-side agg) → LEFT SEMI join back (no fan-out even
+    on hot n-grams: semi-join emits each gram row at most once) →
+    per-doc count. Shuffles: by hash (agg + semi-join, one exchange
+    reused), by doc_id (final agg). At 100 TB the gram frame is the
+    big intermediate; it is never widened past (doc_id, hash).
+    """
+    toks = tokenize(text_col)
+    t = docs.select("doc_id", toks.alias("toks"))
+    n_grams = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+    starts = F.sequence(F.lit(1), n_grams, F.lit(1))
+    grams = t.filter(n_grams > 0).select(
+        "doc_id",
+        F.explode(starts).alias("start"),
+        F.col("toks"),
+    ).select(
+        "doc_id", F.md5(F.concat_ws(" ", F.slice("toks", F.col("start"), n))).alias("h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        grams.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_ngrams"))
+    )
+    totals = t.select("doc_id", n_grams.alias("n_ngrams"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.coalesce("n_dup_ngrams", F.lit(0)).cast("double") / F.col("n_ngrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, top_k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies over token
+    occurrences — iteration 1 of BPE vocabulary training (Sennrich et
+    al. 2016). Every token occurrence contributes its adjacent pairs,
+    which equals the classic word-frequency-weighted formulation.
+
+    Plan: explode token occurrences → two-phase count into the (much
+    smaller) vocabulary — so the expensive per-position pair slicing
+    runs once per DISTINCT token, weighted by its frequency, not once
+    per occurrence (the classic word-frequency BPE formulation) → sum
+    per pair → deterministic top-k (count DESC, pair ASC) via
+    TakeOrderedAndProject — no global sort, scale-safe for any corpus.
+    """
+    toks = tokenize(text_col)
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("w_cnt"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "w_cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("w_cnt").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

@@ -2427,6 +2427,117 @@ FROM c WHERE len(chunk) > 0
 """
 
 
+def q_ngram_span_dedup(spark, sf_dir):
+    """Exact substring (8-gram) duplication per doc — the ExactSubstr
+    dedup signal of Lee et al. 2022: fraction of each doc's 8-grams
+    that also occur in another document. See
+    functions/text.py::duplicated_ngram_stats for the scale analysis
+    (linear explode, two-phase agg, semi-join back — no hot-key
+    fan-out)."""
+    from .functions.text import duplicated_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = duplicated_ngram_stats(docs, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+        F.col("n_dup_ngrams").cast("bigint").alias("n_dup_ngrams"),
+        "dup_fraction",
+    )
+
+
+SQL_NGRAM_SPAN_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tt AS (SELECT doc_id, toks, greatest(len(toks) - 7, 0) AS n_ngrams FROM t),
+g AS (SELECT doc_id,
+             md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS h
+      FROM tt, unnest(range(1, n_ngrams + 1)) AS u(s)),
+d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_ngrams
+       FROM g WHERE h IN (SELECT h FROM d) GROUP BY doc_id)
+SELECT tt.doc_id,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(pd.n_dup_ngrams, 0) AS BIGINT) AS n_dup_ngrams,
+       CASE WHEN n_ngrams > 0
+            THEN CAST(COALESCE(pd.n_dup_ngrams, 0) AS DOUBLE) / n_ngrams
+            ELSE 0.0 END AS dup_fraction
+FROM tt LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Sequence packing for pretraining shards: documents are dealt to
+    8 shards (doc_id % 8), deterministically shuffled within each shard
+    (md5 of the id — the engine-portable stand-in for a seeded
+    permutation), then greedily streamed into fixed token-budget bins
+    (budget 256): bin = exclusive-prefix-sum(tokens) // budget. Each
+    shard's window runs independently — parallelism = n_shards, which
+    on a real cluster is set ~ executor count, so no global single-
+    partition sort ever exists (the classic packing-scale trap)."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokenize
+
+    budget, n_shards = 256, 8
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("seq_bin"),
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+                  md5(CAST(doc_id AS VARCHAR)) AS ord_key
+           FROM documents),
+c AS (SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord_key
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_bin
+FROM c
+"""
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training iteration 1: corpus-wide adjacent character-pair
+    frequencies, deterministic top-100 (count DESC, pair ASC) via
+    TakeOrderedAndProject. See functions/text.py::bpe_pair_counts."""
+    from .functions.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_k=100).select(
+        "pair", F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
+SQL_BPE_PAIR_COUNTS = f"""
+WITH w AS (SELECT unnest({_TOK}) AS w FROM documents),
+p AS (SELECT substring(w, s, 2) AS pair
+      FROM (SELECT w FROM w WHERE length(w) >= 2) w2,
+           unnest(range(1, length(w))) AS u(s))
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 100
+"""
+
+
 def q_locf_fill(spark, sf_dir):
     """Last-observation-carried-forward gap fill: the latest 'purchase'
     value per user carried over subsequent events (last IGNORE NULLS
@@ -3259,6 +3370,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(
         q_dedup_incremental, SQL_DEDUP_INCREMENTAL, ("text", "dedup")
     ),
+    "ngram_span_dedup": QuerySpec(
+        q_ngram_span_dedup, SQL_NGRAM_SPAN_DEDUP, ("text", "dedup")
+    ),
+    "sequence_pack": QuerySpec(q_sequence_pack, SQL_SEQUENCE_PACK, ("text", "pipeline")),
+    "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS, ("text",)),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -3288,6 +3404,9 @@ _GATE_ORDER = [
     "image_header_meta",
     "pii_redact",
     "dedup_incremental",
+    "ngram_span_dedup",
+    "sequence_pack",
+    "bpe_pair_counts",
     "simhash",
     "simhash_pairs",
     "dedup_candidates_union",

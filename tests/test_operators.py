@@ -390,3 +390,60 @@ def test_dedup_incremental_plan_broadcasts_batch_side(spark):
 
     plan = plan_string(q_dedup_incremental(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicated_ngram_stats_known_overlap(spark):
+    """doc 1 and 2 share one 8-token span (each contributes one dup
+    8-gram); doc 3 is unique; doc 4 is too short to have any 8-gram."""
+    from kafkastreams_example_spark.functions.text import duplicated_ngram_stats
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (1, shared + " india"),                # 2 8-grams, 1 duplicated
+        (2, "juliet " + shared),               # 2 8-grams, 1 duplicated
+        (3, "kilo lima mike november oscar papa quebec romeo sierra"),
+        (4, "tango uniform"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicated_ngram_stats(docs, n=8).collect()}
+    assert (got[1].n_ngrams, got[1].n_dup_ngrams) == (2, 1)
+    assert (got[2].n_ngrams, got[2].n_dup_ngrams) == (2, 1)
+    assert (got[3].n_ngrams, got[3].n_dup_ngrams) == (2, 0)
+    assert (got[4].n_ngrams, got[4].n_dup_ngrams, got[4].dup_fraction) == (0, 0, 0.0)
+    assert abs(got[1].dup_fraction - 0.5) < 1e-12
+
+
+def test_bpe_pair_counts_hand_counted(spark):
+    from kafkastreams_example_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "abc ab x"), (2, "abc")], "doc_id long, text string"
+    )
+    # tokens: abc, ab, x, abc -> pairs: ab(x3: abc,abc,ab), bc(x2)
+    got = {(r.pair, r.cnt) for r in bpe_pair_counts(docs).collect()}
+    assert got == {("ab", 3), ("bc", 2)}
+
+
+def test_sequence_pack_bin_assignment_matches_exclusive_cumsum(spark):
+    """Recompute the greedy stream-packing invariant row-by-row: within
+    each shard (md5 order) bin == exclusive-prefix-sum // budget, bins
+    are non-decreasing, and no bin is left under-filled while a later
+    bin exists (greedy property)."""
+    from kafkastreams_example_spark.queries import q_sequence_pack
+
+    rows = q_sequence_pack(spark, SF_DIR).collect()
+    import hashlib
+
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 8
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: hashlib.md5(str(r.doc_id).encode()).hexdigest())
+        cum = 0
+        prev_bin = 0
+        for r in rs:
+            assert r.seq_bin == cum // 256
+            assert r.seq_bin >= prev_bin
+            prev_bin = r.seq_bin
+            cum += r.n_tokens

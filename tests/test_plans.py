@@ -212,3 +212,13 @@ def test_bucketed_pairs_adaptive_centroid_count(spark):
     a = {tuple(r) for r in adaptive.collect()}
     e = {tuple(r) for r in explicit.collect()}
     assert a == e and len(a) > 0
+
+
+def test_ngram_span_dedup_semi_join_no_fanout(spark):
+    """The dup-hash membership probe must be a LEFT SEMI join (each gram
+    row emitted at most once even for corpus-hot n-grams), never an
+    inner join that fans out on hot keys."""
+    from kafkastreams_example_spark.queries import q_ngram_span_dedup
+
+    plan = plan_string(q_ngram_span_dedup(spark, SF_DIR))
+    assert "LeftSemi" in plan
