@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "udtf_term_counts",
     "fuzzy_match",
     "image_header_meta",
+    "ngram_span_dedup",
+    "sequence_pack",
+    "bpe_pair_counts",
 ]
 
 
