@@ -120,6 +120,39 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*merge_exprs)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+    salt_source: str | Column | None = None,
+) -> DataFrame:
+    """Skew-defeating equi-join: the fact side gets a salt in
+    [0, salt_buckets) and the (small) dim side is replicated once per
+    salt value, so a hot join key's rows spread across ``salt_buckets``
+    reducers instead of landing on one. Output is IDENTICAL to
+    ``fact.join(dim, on)`` for any salt assignment — salting only
+    re-partitions the work, which is why the oracle for a salted join
+    is the plain join.
+
+    The salt is a deterministic hash of ``salt_source`` (any
+    fact-side column, ideally unique — falls back to the join key's
+    own hash mixed with a constant, which still splits hot keys because
+    xxhash64 varies per row only if the source does; pass a row-unique
+    column for real skew). dim×salt replication is an ``explode`` of a
+    literal range — at 100 TB the dim side is broadcast-sized by
+    contract (use AQE skew-join for large-large skew instead).
+    """
+    src = _c(salt_source) if salt_source is not None else F.col(on)
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(src), F.lit(salt_buckets)).cast("int")
+    )
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return fact_s.join(dim_s, [on, "__salt"]).drop("__salt")
+
+
 def broadcast_dim(df: DataFrame) -> DataFrame:
     """Mark a dimension table for broadcast: dim⋈fact never shuffles the
     fact side. At 100 TB this is the difference between a map-side join

@@ -357,6 +357,37 @@ GROUP BY c_mktsegment
 """
 
 
+def q_join_salted(spark, sf_dir):
+    """Skew-defeating salted equi-join (operators/relational.py::
+    salted_join): orders salted by a row-unique hash, customer
+    replicated ×8, joined on (custkey, salt) — a hot customer's orders
+    spread across 8 reducers. Salting never changes the result, so the
+    oracle is the PLAIN join; what the entry pins is that the salted
+    plan stays value-identical. Plan shape asserted in
+    tests/test_plans.py."""
+    from .operators.relational import salted_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    joined = salted_join(orders, cust, "custkey", salt_buckets=8, salt_source="o_orderkey")
+    return joined.groupBy("c_mktsegment", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+    )
+
+
+SQL_JOIN_SALTED = """
+SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderstatus
+"""
+
+
 def q_join_multiway_region(spark, sf_dir):
     """3-way snowflake join: both dims broadcast; single agg shuffle."""
     cust = load_table(spark, sf_dir, "customer")
@@ -2706,6 +2737,61 @@ WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
 """
 
 
+def q_quality_mix_sample(spark, sf_dir):
+    """Quality-weighted corpus mixing (the DCLM/FineWeb curation shape):
+    score each doc by a cheap COMPUTED signal, tier on it, then keep
+    each tier at its own deterministic hash rate (natural 100%, mixed
+    50%, synthetic 10%). All arithmetic is INTEGER (percent = 100·hits
+    DIV tokens) so tier assignment is bit-identical across engines — no
+    float-threshold parity risk. Narrow projection + filter, no
+    shuffle: fuses into the scan at any scale."""
+    from .functions.text import STOPWORDS, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_tok = F.size(toks)
+    pct = F.when(n_tok > 0, F.floor((F.lit(100) * stop_hits) / n_tok)).otherwise(F.lit(0))
+    tier = (
+        F.when(pct >= 8, "natural").when(pct >= 1, "mixed").otherwise("synthetic")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(tier == "natural", 100).when(tier == "mixed", 50).otherwise(10)
+    return (
+        docs.select(
+            "doc_id",
+            tier.alias("tier"),
+            bucket.alias("bucket"),
+        )
+        .filter(bucket < rate)
+    )
+
+
+SQL_QUALITY_MIX_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK} AS toks,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents),
+s AS (
+  SELECT doc_id, bucket,
+         CASE WHEN len(toks) > 0
+              THEN (100 * len(list_filter(toks, x -> x IN {STOPWORDS!r}))) // len(toks)
+              ELSE 0 END AS pct
+  FROM t)
+SELECT doc_id,
+       CASE WHEN pct >= 8 THEN 'natural'
+            WHEN pct >= 1 THEN 'mixed'
+            ELSE 'synthetic' END AS tier,
+       bucket
+FROM s
+WHERE bucket < (CASE WHEN pct >= 8 THEN 100 WHEN pct >= 1 THEN 50 ELSE 10 END)
+"""
+
+
 def q_token_histogram(spark, sf_dir):
     """Corpus token-length histogram (bucket width 10) — the length
     profile every data pipeline reports before choosing sequence
@@ -3375,6 +3461,10 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "sequence_pack": QuerySpec(q_sequence_pack, SQL_SEQUENCE_PACK, ("text", "pipeline")),
     "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS, ("text",)),
+    "quality_mix_sample": QuerySpec(
+        q_quality_mix_sample, SQL_QUALITY_MIX_SAMPLE, ("text", "pipeline")
+    ),
+    "join_salted": QuerySpec(q_join_salted, SQL_JOIN_SALTED, ("relational",)),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -3407,6 +3497,8 @@ _GATE_ORDER = [
     "ngram_span_dedup",
     "sequence_pack",
     "bpe_pair_counts",
+    "quality_mix_sample",
+    "join_salted",
     "simhash",
     "simhash_pairs",
     "dedup_candidates_union",

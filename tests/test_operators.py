@@ -447,3 +447,20 @@ def test_sequence_pack_bin_assignment_matches_exclusive_cumsum(spark):
             assert r.seq_bin >= prev_bin
             prev_bin = r.seq_bin
             cum += r.n_tokens
+
+
+def test_salted_join_matches_plain(spark):
+    from kafkastreams_example_spark.operators.relational import salted_join
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    salted = salted_join(orders, cust, "custkey", salt_buckets=4, salt_source="o_orderkey")
+    plain = orders.join(cust, "custkey")
+    cols = ["custkey", "o_orderkey", "c_mktsegment"]
+    assert sorted(map(tuple, salted.select(cols).collect())) == sorted(
+        map(tuple, plain.select(cols).collect())
+    )

@@ -222,3 +222,14 @@ def test_ngram_span_dedup_semi_join_no_fanout(spark):
 
     plan = plan_string(q_ngram_span_dedup(spark, SF_DIR))
     assert "LeftSemi" in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted plan must (a) join on the composite (key, salt) pair
+    and (b) replicate the dim side via explode — the two ingredients
+    that spread a hot key across reducers."""
+    from kafkastreams_example_spark.queries import q_join_salted
+
+    plan = plan_string(q_join_salted(spark, SF_DIR))
+    assert "__salt" in plan
+    assert "Generate explode" in plan or "explode" in plan.lower()
