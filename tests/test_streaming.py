@@ -502,3 +502,41 @@ def test_dedup_within_watermark_streaming(spark, tmp_path):
     # arbitrary record per key (not necessarily the earliest): exactly
     # one NPE survivor, and the null-id record always passes
     assert len(got & {"k1", "k2"}) == 1 and "k3" in got and len(got) == 2
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a micro-batched event stream enriched by a
+    broadcast batch dimension — the standard production enrichment
+    shape (stream side never shuffles; the dim is broadcast each
+    micro-batch, so dim updates between batches are picked up). Rows
+    with no dim match must survive (left join), since enrichment must
+    never drop events."""
+    ev_dir = tmp_path / "ev"
+    ev_dir.mkdir()
+    (ev_dir / "b.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"event_id": 1, "user_id": 10},
+                {"event_id": 2, "user_id": 20},
+                {"event_id": 3, "user_id": 99},  # no dim row -> null tier
+            ]
+        )
+    )
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "basic")], "user_id BIGINT, tier STRING"
+    )
+    stream = spark.readStream.schema("event_id BIGINT, user_id BIGINT").json(str(ev_dir))
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    table = f"ssb_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r.tier) for r in spark.table(table).collect()}
+    assert got == {(1, "gold"), (2, "basic"), (3, None)}
