@@ -1834,6 +1834,43 @@ FROM e
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column — the
+    standard 4× storage/IO compression before ANN indexing at corpus
+    scale. Per vector: scale = max|x|/127, q_i = floor(x_i·127/amax
+    + 0.5) (round-half-up — portable, unlike round()'s half-even vs
+    half-away dialect split). Pure higher-order functions, narrow
+    projection, fuses into the scan. Quantized vector is emitted as an
+    md5 over the comma-joined ints to keep the compare narrow."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(dv, F.abs))
+    q = F.transform(
+        dv, lambda x: F.floor(x * 127 / amax + F.lit(0.5)).cast("bigint")
+    )
+    return emb.select(
+        "vec_id",
+        (amax / 127).alias("scale"),
+        F.when(
+            amax > 0,
+            F.md5(F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))),
+        ).alias("q_hash"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings),
+a AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) AS amax FROM e)
+SELECT vec_id, amax / 127 AS scale,
+       CASE WHEN amax > 0 THEN
+         md5(array_to_string(
+           list_transform(dv, x -> CAST(floor(x * 127 / amax + 0.5) AS BIGINT)), ','))
+       END AS q_hash
+FROM a
+"""
+
+
 def q_sim_topk(spark, sf_dir):
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
@@ -2279,6 +2316,77 @@ SELECT doc_id,
 FROM (SELECT doc_id,
         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS h
       FROM documents)
+"""
+
+
+def q_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-active-day streaks via the
+    classic day − row_number island key (no self-join, no recursion —
+    one shuffle on user_id for the window, one for the final agg).
+    Output: per-user active days, number of streaks, longest streak."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id", F.date_sub(F.col("d"), F.row_number().over(w)).alias("island")
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count("*").alias("len")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+r AS (SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days),
+g AS (SELECT user_id, d - CAST(rn AS INTEGER) AS island, CAST(count(*) AS BIGINT) AS len
+      FROM r GROUP BY user_id, island)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM g GROUP BY user_id
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """Equi-width histogram of events.value in 20 bins: scalar min/max
+    aggregate broadcast back over the scan (two passes, no global
+    sort — the scale-correct histogram; both passes are map-side
+    partial aggs). Bin edges computed with the IDENTICAL double
+    expression order as the oracle so floor() boundaries agree
+    bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ext = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value") - F.col("vmin")) * 20 / (F.col("vmax") - F.col("vmin"))
+            ),
+        )
+        .cast("bigint")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+ext AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e)
+SELECT CAST(least(19, floor((value - vmin) * 20 / (vmax - vmin))) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM e CROSS JOIN ext
+GROUP BY bin
 """
 
 
@@ -3465,6 +3573,15 @@ REGISTRY: dict[str, QuerySpec] = {
         q_quality_mix_sample, SQL_QUALITY_MIX_SAMPLE, ("text", "pipeline")
     ),
     "join_salted": QuerySpec(q_join_salted, SQL_JOIN_SALTED, ("relational",)),
+    "activity_streaks": QuerySpec(
+        q_activity_streaks, SQL_ACTIVITY_STREAKS, ("relational", "pipeline")
+    ),
+    "value_histogram": QuerySpec(
+        q_value_histogram, SQL_VALUE_HISTOGRAM, ("relational", "pipeline")
+    ),
+    "embedding_quantize": QuerySpec(
+        q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, ("similarity", "pipeline")
+    ),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
@@ -3499,6 +3616,9 @@ _GATE_ORDER = [
     "bpe_pair_counts",
     "quality_mix_sample",
     "join_salted",
+    "activity_streaks",
+    "value_histogram",
+    "embedding_quantize",
     "simhash",
     "simhash_pairs",
     "dedup_candidates_union",

@@ -233,3 +233,14 @@ def test_salted_join_spreads_hot_keys(spark):
     plan = plan_string(q_join_salted(spark, SF_DIR))
     assert "__salt" in plan
     assert "Generate explode" in plan or "explode" in plan.lower()
+
+
+def test_value_histogram_no_global_sort(spark):
+    """The equi-width histogram must be two aggregate passes (scalar
+    min/max broadcast back over the scan) — never a range-partitioned
+    sort of the fact table."""
+    from kafkastreams_example_spark.queries import q_value_histogram
+
+    plan = plan_string(q_value_histogram(spark, SF_DIR))
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
