@@ -64,6 +64,11 @@ BENCH_QUERIES = [
     "ngram_span_dedup",
     "sequence_pack",
     "bpe_pair_counts",
+    "quality_mix_sample",
+    "join_salted",
+    "activity_streaks",
+    "value_histogram",
+    "embedding_quantize",
 ]
 
 
