@@ -2949,7 +2949,9 @@ def q_ngram_lm_score(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     tf = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     lm = tf.groupBy("term").agg(F.count("*").alias("tc"))
-    total = tf.select(F.count("*").alias("n_total"))
+    # corpus total from the vocabulary-sized LM, not a third scan of the
+    # occurrence frame (tokenize+explode would otherwise run 3×)
+    total = lm.select(F.sum("tc").alias("n_total"))
     scored = (
         tf.join(lm, "term")
         .crossJoin(F.broadcast(total))
@@ -3208,12 +3210,22 @@ def q_repetition_ratio(spark, sf_dir):
     single most frequent 3-gram — the classic generated/boilerplate
     text detector. Non-distinct n-grams (every position counts), two
     narrow aggs; the division is one int/int double op, identical
-    across engines without rounding."""
-    from .functions.dedup_approx import _shingles
+    across engines without rounding.
+
+    Grams come from exploding the POSITION sequence and slicing in a
+    top-level projection (whole-stage codegen), not from exploding a
+    transform()-lambda array: higher-order lambdas run interpreted per
+    element and measured 16× slower here (14.8 s → 0.9 s at 30×
+    sf0.1)."""
+    from .functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_shingles("text", 3)).alias("gram")
+    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    n_pos = F.greatest(F.size("toks") - 2, F.lit(0))
+    grams = t.filter(n_pos > 0).select(
+        "doc_id", F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), F.col("toks")
+    ).select(
+        "doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), 3)).alias("gram")
     )
     per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     return per_gram.groupBy("doc_id").agg(
