@@ -113,11 +113,36 @@ def minhash_bands(
     )
 
 
-def _shingles(text_col: str, n: int) -> Column:
-    """n-gram word shingles as strings (empty array when too short)."""
+def hashed_shingle_frame(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct per-doc hashed n-gram shingles: (id[, extras], sh) rows
+    with sh = xxhash64 of the space-joined n-token window.
+
+    Built by exploding the POSITION sequence and slicing in a top-level
+    projection — whole-stage codegen — rather than exploding a
+    transform()-lambda array: Spark evaluates higher-order lambdas
+    interpreted per element, measured 3.7× slower at 30× sf0.1
+    (10.1 s vs 2.7 s) for the same output. distinct() on the hashed
+    rows gives array_distinct semantics (a 2⁻⁶⁴ in-doc hash collision
+    is the only possible difference)."""
     toks = tokenize(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    t = docs.select(F.col(id_col), *extra_cols, toks.alias("toks"))
+    n_pos = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+    return (
+        t.filter(n_pos > 0)
+        .select(F.col(id_col), *extra_cols, F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "toks")
+        .select(
+            F.col(id_col),
+            *extra_cols,
+            F.xxhash64(F.concat_ws(" ", F.slice("toks", F.col("i"), n))).alias("sh"),
+        )
+        .distinct()
+    )
 
 
 def shingle_jaccard_pairs(
@@ -148,10 +173,7 @@ def shingle_jaccard_pairs(
     set sizes use the capped set (the oracle mirrors this exactly).
     Output: id_a, id_b, n_shared, jaccard (double).
     """
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_shingles(text_col, n))).alias("sh_str"),
-    ).select(id_col, F.xxhash64("sh_str").alias("sh"))
+    sh = hashed_shingle_frame(docs, n, text_col, id_col)
     from pyspark.sql import Window
 
     # document frequency per shingle (rows are distinct per doc already)

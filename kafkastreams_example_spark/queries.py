@@ -3154,14 +3154,10 @@ def q_contamination(spark, sf_dir):
     boilerplate fan-out)."""
     from pyspark.sql import Window
 
-    from .functions.dedup_approx import _shingles
+    from .functions.dedup_approx import hashed_shingle_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(_shingles("text", 5))).alias("sh_str"),
-    ).select("doc_id", "source", F.xxhash64("sh_str").alias("sh"))
+    sh = hashed_shingle_frame(docs, 5, extra_cols=("source",))
     sh = (
         sh.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("__df") <= 64)
