@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "activity_streaks",
     "value_histogram",
     "embedding_quantize",
+    "repetition_ratio",
+    "ngram_lm_score",
 ]
 
 
