@@ -2368,11 +2368,16 @@ def q_value_histogram(spark, sf_dir):
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
     binned = ev.crossJoin(F.broadcast(ext)).select(
-        F.least(
-            F.lit(19),
-            F.floor(
-                (F.col("value") - F.col("vmin")) * 20 / (F.col("vmax") - F.col("vmin"))
-            ),
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(19),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * 20
+                    / (F.col("vmax") - F.col("vmin"))
+                ),
+            )
         )
         .cast("bigint")
         .alias("bin")
@@ -2383,7 +2388,9 @@ def q_value_histogram(spark, sf_dir):
 SQL_VALUE_HISTOGRAM = """
 WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
 ext AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e)
-SELECT CAST(least(19, floor((value - vmin) * 20 / (vmax - vmin))) AS BIGINT) AS bin,
+SELECT CAST(CASE WHEN vmax = vmin THEN 0
+            ELSE least(19, floor((value - vmin) * 20 / (vmax - vmin)))
+            END AS BIGINT) AS bin,
        CAST(count(*) AS BIGINT) AS cnt
 FROM e CROSS JOIN ext
 GROUP BY bin

@@ -464,3 +464,22 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, salted.select(cols).collect())) == sorted(
         map(tuple, plain.select(cols).collect())
     )
+
+
+def test_value_histogram_degenerate_single_value(spark):
+    """All-equal values must land in bin 0 (no division by the zero
+    range) — in BOTH engines, per the oracle's CASE guard."""
+    from kafkastreams_example_spark.queries import q_value_histogram
+    import kafkastreams_example_spark.queries as Q
+
+    # run the same logic on a constant-value frame via monkeypatched load
+    const = spark.createDataFrame(
+        [(i, 7.5) for i in range(5)], "event_id BIGINT, value DOUBLE"
+    )
+    orig = Q.load_table
+    try:
+        Q.load_table = lambda s, d, t: const
+        rows = q_value_histogram(spark, SF_DIR).collect()
+    finally:
+        Q.load_table = orig
+    assert [(r.bin, r.cnt) for r in rows] == [(0, 5)]

@@ -57,6 +57,24 @@ FACTORS = (10, 30)
 # family under probe -> skip list per factor (documented O(n^2) opt-ins
 # only probed at 10x to bound wall time; their quadratic growth is by
 # contract, not a finding)
+# relational core probe (round-4 extension): fact tables replicated with
+# JOIN-CONSISTENT key offsets (orders.o_custkey and events.user_id share
+# the customer offset; lineitem.l_orderkey shares the orders offset), so
+# every join matches exactly within a replica and never across — output
+# rows scale ~linearly and runtime ratios are honest
+RELATIONAL_FAMILY = [
+    "agg_pricing_summary",
+    "window_rank",
+    "join_customer_orders",
+    "join_salted",
+    "sql_q3_shipping",
+    "session_stats",
+    "agg_windowed_events",
+    "asof_join",
+    "value_histogram",
+    "activity_streaks",
+]
+
 FAMILY = [
     "dedup_exact_docs",
     "minhash_lsh_pairs",
@@ -124,24 +142,60 @@ def _supp_replica(supp, k: int, offset: int):
 def build() -> None:
     spark = get_spark(app_name="scale_probe_build")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _max(table, col):
+        return (
+            spark.read.parquet(f"{SRC}/{table}.parquet").agg(F.max(col)).first()[0]
+        )
+
+    # shared offsets keep joins consistent inside each replica:
+    # customer/orders/events agree on the custkey=user_id key space,
+    # lineitem/orders agree on orderkey
+    off_cust = max(_max("customer", "c_custkey"), _max("events", "user_id")) + 1
+    off_ord = _max("orders", "o_orderkey") + 1
+    off_ev = _max("events", "event_id") + 1
+
+    def _cust_replica(cust, k, _off):
+        return cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * off_cust))
+
+    def _orders_replica(orders, k, _off):
+        return orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(k * off_ord)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(k * off_cust))
+
+    def _lineitem_replica(li, k, _off):
+        return li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * off_ord))
+
+    def _events_replica(ev, k, _off):
+        return ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(k * off_ev)
+        ).withColumn("user_id", F.col("user_id") + F.lit(k * off_cust))
+
     reps = {
         "documents": ("doc_id", _docs_replica),
         "embeddings": ("vec_id", _emb_replica),
         "supplier": ("s_suppkey", _supp_replica),
+        "customer": ("c_custkey", _cust_replica),
+        "orders": ("o_orderkey", _orders_replica),
+        "lineitem": ("l_orderkey", _lineitem_replica),
+        "events": ("event_id", _events_replica),
     }
     for factor in FACTORS:
         dst = ROOT / f"x{factor}"
         dst.mkdir(parents=True, exist_ok=True)
         for table, (idcol, make) in reps.items():
+            out_path = dst / f"{table}.parquet"
+            # earlier builds symlinked non-replicated tables into the
+            # dir; never write THROUGH a symlink at the read-only source
+            if out_path.is_symlink():
+                out_path.unlink()
             base = spark.read.parquet(f"{SRC}/{table}.parquet")
             offset = base.agg(F.max(idcol)).first()[0] + 1
             parts = [make(base, k, offset) for k in range(factor)]
             union = parts[0]
             for p in parts[1:]:
                 union = union.unionAll(p)
-            union.repartition(32).write.mode("overwrite").parquet(
-                str(dst / f"{table}.parquet")
-            )
+            union.repartition(32).write.mode("overwrite").parquet(str(out_path))
         # the rest of the tables are not read by the family; link them so
         # the directory is a complete sf_dir for any loader that peeks
         for f in Path(SRC).glob("*.parquet"):
@@ -153,14 +207,14 @@ def build() -> None:
     spark.stop()
 
 
-def run() -> None:
+def run(family: list[str] | None = None) -> None:
     spark = get_spark(app_name="scale_probe_run")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()
     warm_dir = SRC.replace("sf0.1", "sf0.001")
     dirs = {1: SRC, **{f: str(ROOT / f"x{f}") for f in FACTORS}}
     out: dict[str, dict] = {}
-    for name in FAMILY:
+    for name in family or FAMILY:
         fn = REGISTRY[name].fn
         row: dict[str, float] = {}
         # warm this query's codegen/parquet paths at sf0.001 so t1 is a
@@ -198,4 +252,9 @@ def run() -> None:
 
 
 if __name__ == "__main__":
-    {"build": build, "run": run}[sys.argv[1]]()
+    if sys.argv[1] == "build":
+        build()
+    elif sys.argv[1] == "run":
+        run(RELATIONAL_FAMILY if "relational" in sys.argv[2:] else None)
+    else:
+        raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
