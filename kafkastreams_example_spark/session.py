@@ -53,6 +53,11 @@ def get_spark(
         # Driver testdata is TIMESTAMP(NANOS) parquet; Spark has no ns type,
         # so read as long and convert in sources.tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs/ms parquet with isAdjustedToUTC=false must surface as LTZ,
+        # not TIMESTAMP_NTZ — the engine's epoch arithmetic (casts to
+        # double, unix_millis) rejects NTZ. load_table also normalizes
+        # per-column as a second line of defense.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Runtime re-planning: partition coalescing, skew-join splitting,
         # runtime join-strategy switches. Essential at scale, free locally.
         .config("spark.sql.adaptive.enabled", "true")

@@ -20,30 +20,47 @@ from ..schema import NANO_TS_COLUMNS, TABLE_NAMES
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
-    """Defensively apply the two runtime-settable confs correctness
-    depends on, for sessions we did not build (e.g. an external
-    driver's): ns-parquet reads fail outright without nanosAsLong, and
-    a non-UTC session timezone shifts every date_format output."""
+    """Defensively apply the runtime-settable confs correctness depends
+    on, for sessions we did not build (e.g. an external driver's):
+    ns-parquet reads fail outright without nanosAsLong, µs/ms NTZ
+    parquet (isAdjustedToUTC=false) would otherwise surface as
+    TIMESTAMP_NTZ which half the engine's epoch arithmetic rejects,
+    and a non-UTC session timezone shifts every date_format output."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, converting ns-timestamp columns.
+    """Load one testdata table, normalizing timestamp columns to
+    TIMESTAMP (LTZ, µs) regardless of physical encoding.
 
-    The driver parquet stores TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong=true Spark reads them as long
-    nanoseconds. Truncating-divide to µs matches DuckDB's
-    CAST(x AS TIMESTAMP) exactly (verified in tests/test_parity.py).
+    At 100 TB the engine meets parquet written by many writers, so the
+    loader normalizes by *inspecting the dtype that arrived*, never by
+    assuming one historical format:
+
+    - ``bigint``        → TIMESTAMP(NANOS) read via nanosAsLong; integer
+                          `div` 1000 to µs (matches DuckDB's CAST exactly)
+    - ``timestamp_ntz`` → plain µs/ms parquet with isAdjustedToUTC=false
+                          (belt-and-braces: inferTimestampNTZ=false above
+                          already prevents this for reads through our
+                          session confs); NTZ→LTZ cast is exact under the
+                          UTC session timezone
+    - ``timestamp``     → passthrough
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        if col not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[col]
+        if dtype == "bigint":
             # integer `div`, NOT floor(x/1000): the double division loses
             # exactness at ns magnitudes (≥2^52) and can round a
             # timestamp up by 1 µs before the floor
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

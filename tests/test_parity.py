@@ -51,6 +51,23 @@ def _normrows(rows, colnames):
     return sorted(normed, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
+def test_timestamp_columns_load_as_ltz(spark):
+    """The loader must normalize every declared timestamp column to
+    TIMESTAMP (LTZ) regardless of the parquet physical encoding — the
+    driver has shipped both BIGINT-ns and µs-NTZ files across rounds,
+    and downstream epoch arithmetic (cast to double, unix_millis)
+    rejects TIMESTAMP_NTZ outright."""
+    from kafkastreams_example_spark.schema import NANO_TS_COLUMNS
+    from kafkastreams_example_spark.sources.tables import load_table
+
+    for table, cols in NANO_TS_COLUMNS.items():
+        dtypes = dict(load_table(spark, SF_DIR, table).dtypes)
+        for col in cols:
+            assert dtypes[col] == "timestamp", (
+                f"{table}.{col} loaded as {dtypes[col]!r}, want 'timestamp'"
+            )
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_oracle_parity(spark, name):
     spec = REGISTRY[name]
