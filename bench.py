@@ -74,6 +74,41 @@ BENCH_QUERIES = [
 ]
 
 
+def run_bench(spark, sf_dir: str, queries=None, repeat: int = 2, registry=None) -> dict:
+    """Time each query (per-query min over `repeat` passes) and return
+    the bench record. Per-query fault isolation: one broken query must
+    not zero the whole round's perf record (round-5 outage: a single
+    AnalysisException left BENCH_r05 with rc:1 and no timings) — it
+    records {"err": ...} under its key and the run continues."""
+    queries = BENCH_QUERIES if queries is None else queries
+    registry = REGISTRY if registry is None else registry
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for _ in range(max(repeat, 1)):
+        for name in queries:
+            if name in errors:
+                continue
+            fn = registry[name].fn
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                continue
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "bench_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {**timings, **{k: {"err": v} for k, v in errors.items()}},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -86,27 +121,7 @@ def main() -> None:
     # warmup, min reflects steady state (override with repeat=1 for a
     # strictly cold run)
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
-    timings: dict[str, float] = {}
-    for _ in range(max(repeat, 1)):
-        for name in BENCH_QUERIES:
-            fn = REGISTRY[name].fn
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    print(json.dumps(run_bench(spark, sf_dir, repeat=repeat)))
     spark.stop()
 
 

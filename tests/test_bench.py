@@ -1,0 +1,42 @@
+"""Harness fault-isolation guards: a deliberately-broken query must not
+zero the round's perf record (the round-5 outage mode) — the bench
+keeps timing everything else and records one {"err": ...} entry."""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import bench
+
+
+def test_run_bench_isolates_broken_query(spark):
+    def good(s, sf_dir):
+        return s.range(10)
+
+    def broken(s, sf_dir):
+        raise RuntimeError("synthetic analysis failure")
+
+    registry = {
+        "good_q": SimpleNamespace(fn=good),
+        "broken_q": SimpleNamespace(fn=broken),
+        "good_q2": SimpleNamespace(fn=good),
+    }
+    out = bench.run_bench(
+        spark,
+        "/root/testdata/sf0.001",
+        queries=["good_q", "broken_q", "good_q2"],
+        repeat=2,
+        registry=registry,
+    )
+    q = out["queries"]
+    assert isinstance(q["good_q"], float) and isinstance(q["good_q2"], float)
+    assert "synthetic analysis failure" in q["broken_q"]["err"]
+    # total only sums successful timings
+    assert out["value"] == round(q["good_q"] + q["good_q2"], 3)
+
+
+def test_bench_queries_all_registered():
+    from kafkastreams_example_spark.queries import REGISTRY
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
+    assert not missing

@@ -35,6 +35,41 @@ def norm(v):
     return v
 
 
+def _check_one(spark, con, name: str, sf_dir: str, fails: list[str]) -> None:
+    spec = REGISTRY[name]
+    t0 = time.perf_counter()
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    # toPandas(), not collect(): the driver compares pandas frames on
+    # BOTH sides, so nullable numeric columns become float64+NaN
+    # symmetrically (collect() keeps None and would false-fail vs the
+    # oracle's NaN).
+    spdf = sdf.toPandas()
+    srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+    if spec.oracle is None:
+        print(f"{name}: rows={len(srows)} (rows-only) [{time.perf_counter()-t0:.1f}s]")
+        return
+    # Fetch through pandas, NOT fetchall(): the driver compares via a
+    # pandas frame, where DuckDB HUGEINT/UBIGINT become float64 ("1.0"
+    # vs Spark's 1). fetchall() keeps exact Python ints and can
+    # green-light oracles the driver will hash-fail (agg_boolean, r3).
+    pdf = con.execute(spec.oracle).df()
+    dcols = list(pdf.columns)
+    drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    oi = sorted(range(len(scols)), key=lambda i: scols[i])
+    di = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+    a = sorted([tuple(norm(r[i]) for i in oi) for r in srows], key=key)
+    b = sorted([tuple(norm(r[i]) for i in di) for r in drows], key=key)
+    ok = a == b and sorted(scols) == sorted(c.lower() for c in dcols)
+    if not ok:
+        fails.append(name)
+        bad = [(x, y) for x, y in zip(a, b) if x != y][:2]
+        print(f"{name}: MISMATCH rows={len(srows)}/{len(drows)} first={bad}")
+    else:
+        print(f"{name}: ok rows={len(srows)} [{time.perf_counter()-t0:.1f}s]")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or _gate_order()  # replicate the driver's order
@@ -49,38 +84,14 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     fails = []
     for name in names:
-        spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        sdf = spec.fn(spark, sf_dir)
-        scols = sdf.columns
-        # toPandas(), not collect(): the driver compares pandas frames on
-        # BOTH sides, so nullable numeric columns become float64+NaN
-        # symmetrically (collect() keeps None and would false-fail vs the
-        # oracle's NaN).
-        spdf = sdf.toPandas()
-        srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
-        if spec.oracle is None:
-            print(f"{name}: rows={len(srows)} (rows-only) [{time.perf_counter()-t0:.1f}s]")
-            continue
-        # Fetch through pandas, NOT fetchall(): the driver compares via a
-        # pandas frame, where DuckDB HUGEINT/UBIGINT become float64 ("1.0"
-        # vs Spark's 1). fetchall() keeps exact Python ints and can
-        # green-light oracles the driver will hash-fail (agg_boolean, r3).
-        pdf = con.execute(spec.oracle).df()
-        dcols = list(pdf.columns)
-        drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
-        oi = sorted(range(len(scols)), key=lambda i: scols[i])
-        di = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
-        a = sorted([tuple(norm(r[i]) for i in oi) for r in srows], key=key)
-        b = sorted([tuple(norm(r[i]) for i in di) for r in drows], key=key)
-        ok = a == b and sorted(scols) == sorted(c.lower() for c in dcols)
-        if not ok:
+        # per-query fault isolation: a throwing query records one ERROR
+        # line and the sweep continues (pre-round-6 this aborted the
+        # whole run at the first AnalysisException)
+        try:
+            _check_one(spark, con, name, sf_dir, fails)
+        except Exception as exc:  # noqa: BLE001
             fails.append(name)
-            bad = [(x, y) for x, y in zip(a, b) if x != y][:2]
-            print(f"{name}: MISMATCH rows={len(srows)}/{len(drows)} first={bad}")
-        else:
-            print(f"{name}: ok rows={len(srows)} [{time.perf_counter()-t0:.1f}s]")
+            print(f"{name}: ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
     print("FAILS:", fails if fails else "none")
     spark.stop()
     return 1 if fails else 0
