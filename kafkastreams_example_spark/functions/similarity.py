@@ -194,7 +194,10 @@ def kmeans_centroids(
     oracle-checked (queries._sql_kmeans_centroids) on top of the
     ivf-recall floor test.
     """
-    unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
+    # persist the normalized corpus once: every Lloyd iteration re-reads
+    # it for assignment, and without the persist each round re-scans the
+    # parquet and re-normalizes (iters+1 full passes over the raw data)
+    unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv")).persist()
     cents = unit.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cent_id"), F.col("uv").alias("cv")
     )
@@ -235,6 +238,9 @@ def kmeans_centroids(
             .select("cent_id", F.coalesce("cv_new", "cv").alias("cv"))
             .localCheckpoint(eager=True)
         )
+    # the eager localCheckpoint above cut cents' lineage from unit, so
+    # the cache can be dropped before handing the k-row frame back
+    unit.unpersist()
     return cents
 
 

@@ -79,22 +79,44 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     assert count_shuffles(df) <= 1
 
 
-def test_cosine_pairs_never_collects_to_driver(spark, monkeypatch):
-    """The block-tiled pair scan is fully distributed: building the
-    plan must not materialize anything on the driver (the round-1
-    implementation collected the whole unit matrix), and the physical
-    plan must be cogrouped-Pandas tiles, never a nested-loop/cartesian
-    pair join."""
+def test_cosine_pairs_registry_is_bucketed(spark, monkeypatch):
+    """The registry entry runs the SemDeDup-style bucketed form (round
+    6 demoted the exact all-pairs kernel to an internal function):
+    pairs are born inside the per-bucket grouped-Pandas kernel, never a
+    nested-loop/cartesian pair join, and building the plan must not
+    collect rows to the driver (the adaptive-C count() is a scalar
+    aggregate, not a row materialization)."""
     from pyspark.sql import DataFrame
 
     from kafkastreams_example_spark.queries import q_cosine_pairs
 
-    def _boom(self, *a, **k):  # any driver materialization is a bug
+    def _boom(self, *a, **k):  # any driver row materialization is a bug
         raise AssertionError("cosine_pairs collected rows to the driver")
 
     monkeypatch.setattr(DataFrame, "collect", _boom)
     monkeypatch.setattr(DataFrame, "toPandas", _boom, raising=False)
     df = q_cosine_pairs(spark, SF_DIR)
+    monkeypatch.undo()
+    plan = plan_string(df, "simple")
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket matmul kernel
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # centroid cross only
+
+
+def test_exact_cosine_kernel_is_cogrouped_tiles(spark, monkeypatch):
+    """The internal exact all-pairs kernel keeps its distributed shape:
+    block-tiled cogrouped-Pandas matmuls, nothing collected to the
+    driver, no cartesian pair join."""
+    from pyspark.sql import DataFrame
+
+    from kafkastreams_example_spark.functions.similarity import cosine_pairs
+
+    def _boom(self, *a, **k):
+        raise AssertionError("exact kernel collected rows to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom, raising=False)
+    df = cosine_pairs(load_table(spark, SF_DIR, "embeddings"), threshold=0.35)
     monkeypatch.undo()
     plan = plan_string(df)
     assert "FlatMapCoGroupsInPandas" in plan
