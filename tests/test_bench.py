@@ -35,6 +35,23 @@ def test_run_bench_isolates_broken_query(spark):
     assert out["value"] == round(q["good_q"] + q["good_q2"], 3)
 
 
+def test_streaming_bench_harness_runs(spark):
+    """bench_streaming's query driver produces sane metrics on a tiny
+    rate stream — guards the harness itself (thresholds live in
+    BASELINE.md; this is a plumbing check, not a perf assertion)."""
+    import tempfile
+
+    import bench_streaming as bs
+    from kafkastreams_example_spark.streaming.pipelines import filter_pipeline
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        d = bs._decoded(bs._rate_source(spark, 500))
+        out = bs._run_query(filter_pipeline(d), "smoke", ckpt)
+    assert out["batches"] == bs.MEASURE_BATCHES
+    assert out["rows_per_sec"] and out["rows_per_sec"] > 0
+    assert out["batch_ms_p50"] and out["batch_ms_max"] >= out["batch_ms_p50"]
+
+
 def test_bench_queries_all_registered():
     from kafkastreams_example_spark.queries import REGISTRY
 
