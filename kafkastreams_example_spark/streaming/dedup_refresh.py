@@ -94,13 +94,8 @@ def make_refresh_dedup_fn(
     alive indefinitely (it never self-terminates), so batch-style runs
     must leave evict=False.
     """
-    from bisect import bisect_left
-
     if clock not in ("event", "stream"):
         raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
-
-    left_ms = window_ms // 2  # :56
-    right_ms = window_ms - left_ms  # :57
 
     def dedup_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -116,36 +111,57 @@ def make_refresh_dedup_fn(
         tiebreak = [c for c in out_cols if c != "ts_ms"]
         batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
         seen: list[int] = [int(s) for s in state.get[0]] if state.exists else []
-        # stream clock high-water mark: remembered entries are stream
-        # times, so the max survives in state across batches
-        hwm = seen[-1] if seen else None
-        keep = []
-        for ts in batch["ts_ms"].astype("int64"):
-            ts = int(ts)
-            if clock == "stream":
-                # D1′: every timestamp is the monotone stream time
-                hwm = ts if hwm is None else max(hwm, ts)
-                ts = hwm
-            # duplicate iff ANY remembered entry is inside the centered
-            # probe window [ts − left, ts + right] (:86-95)
-            i = bisect_left(seen, ts - left_ms)
-            keep.append(not (i < len(seen) and seen[i] <= ts + right_ms))
-            # WindowStore.put on BOTH branches: hit → add the
-            # duplicate's timestamp (refresh, :97-99), miss → remember
-            # the new event (:101-103)
-            j = bisect_left(seen, ts)
-            if j >= len(seen) or seen[j] != ts:
-                seen.insert(j, ts)
-        # retention = window size (:135-136): drop entries a full window
-        # behind this key's stream time
-        lo = seen[-1] - window_ms
-        seen = [s for s in seen if s >= lo]
+        keep, seen = probe_and_remember(
+            seen, [int(t) for t in batch["ts_ms"].astype("int64")], window_ms, clock
+        )
         state.update((seen,))
         if evict:
             state.setTimeoutDuration(window_ms)
         yield batch.loc[keep, list(out_cols)]
 
     return dedup_fn
+
+
+def probe_and_remember(
+    seen: list[int], ts_list: list[int], window_ms: int, clock: str = "event"
+) -> tuple[list[int], list[int]]:
+    """The core refresh-on-duplicate algorithm, state-backend-agnostic —
+    shared by the applyInPandasWithState wrapper above and the
+    transformWithStateInPandas processor (dedup_refresh_tws.py).
+
+    Input: the key's remembered timestamps (sorted ascending) and the
+    batch's event times in processing order. Returns (keep flags, new
+    remembered list after retention pruning).
+    """
+    from bisect import bisect_left
+
+    left_ms = window_ms // 2  # KStreamDistinct.java:56
+    right_ms = window_ms - left_ms  # :57
+    # stream clock high-water mark: remembered entries are stream
+    # times, so the max survives in state across batches
+    hwm = seen[-1] if seen else None
+    keep: list[bool] = []
+    for ts in ts_list:
+        if clock == "stream":
+            # D1′: every timestamp is the monotone stream time
+            hwm = ts if hwm is None else max(hwm, ts)
+            ts = hwm
+        # duplicate iff ANY remembered entry is inside the centered
+        # probe window [ts − left, ts + right] (:86-95)
+        i = bisect_left(seen, ts - left_ms)
+        keep.append(not (i < len(seen) and seen[i] <= ts + right_ms))
+        # WindowStore.put on BOTH branches: hit → add the duplicate's
+        # timestamp (refresh, :97-99), miss → remember the new event
+        # (:101-103)
+        j = bisect_left(seen, ts)
+        if j >= len(seen) or seen[j] != ts:
+            seen.insert(j, ts)
+    if not seen:  # empty batch against empty state
+        return keep, seen
+    # retention = window size (:135-136): drop entries a full window
+    # behind this key's stream time
+    lo = seen[-1] - window_ms
+    return keep, [s for s in seen if s >= lo]
 
 
 def dedup_refresh_stream(

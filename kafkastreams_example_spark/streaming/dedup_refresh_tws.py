@@ -1,0 +1,158 @@
+"""transformWithState tier of the reference-parity refresh dedup.
+
+Spark 4's transformWithStateInPandas is the designated successor to
+applyInPandasWithState for custom stateful operators (SPARK-49564 /
+the "Arbitrary Stateful Processing v2" API): typed state handles
+(value/list/map), event-time AND processing-time timers, schema
+evolution, and the state data source for offline inspection. The
+semantics implemented here are identical to dedup_refresh.py —
+both delegate to probe_and_remember(), the state-backend-agnostic core
+re-derived from the reference DeduplicationTransformer
+(KStreamDistinct.java:42-112).
+
+Availability: the Python StatefulProcessor worker path requires
+protobuf (state-server messages are proto-encoded). This sandbox ships
+no protobuf, so the module degrades to a guarded factory:
+``tws_available()`` reports (usable, reason) and
+``dedup_refresh_stream_tws`` raises a clear RuntimeError when the
+runtime can't execute it — callers fall back to
+dedup_refresh.dedup_refresh_stream, which is Arrow-only and runs
+everywhere. The processor logic itself is plain Python over the shared
+core and is unit-tested without Spark (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .dedup_refresh import DEFAULT_WINDOW_MS, probe_and_remember
+
+
+def tws_available() -> tuple[bool, str]:
+    """Can transformWithStateInPandas execute in this runtime?
+
+    Requires (a) the PySpark 4.x StatefulProcessor API and (b)
+    protobuf, which the Python state-server protocol is encoded with.
+    """
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
+        return False, "pyspark.sql.streaming.stateful_processor not present (<4.0)"
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False, "protobuf not installed (required by the TWS Python worker)"
+    return True, "ok"
+
+
+def make_refresh_dedup_processor(
+    window_ms: int = DEFAULT_WINDOW_MS,
+    evict: bool = False,
+    out_cols: tuple[str, ...] = ("row_id", "ts_ms"),
+    clock: str = "event",
+):
+    """Build the StatefulProcessor class for the refresh dedup.
+
+    Mirrors make_refresh_dedup_fn 1:1: list-state of remembered
+    timestamps per key, processing-time timer for idle-key eviction
+    (the reference's store retention, KStreamDistinct.java:135-141),
+    batch rows processed in event-time order with payload-column
+    tie-break. Constructed lazily so importing this module never
+    touches the TWS API on runtimes that lack it.
+    """
+    ok, reason = tws_available()
+    if not ok:
+        raise RuntimeError(
+            f"transformWithStateInPandas unavailable: {reason}; "
+            "use dedup_refresh.dedup_refresh_stream (applyInPandasWithState) instead"
+        )
+    if clock not in ("event", "stream"):
+        raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RefreshDedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "seen ARRAY<BIGINT>")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timer_values):
+            batch = pd.concat(list(rows), ignore_index=True)
+            tiebreak = [c for c in out_cols if c != "ts_ms"]
+            batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
+            got = self._seen.get()
+            seen = [int(s) for s in got[0]] if got is not None else []
+            keep, seen = probe_and_remember(
+                seen,
+                [int(t) for t in batch["ts_ms"].astype("int64")],
+                window_ms,
+                clock,
+            )
+            self._seen.update((seen,))
+            if evict:
+                # refresh the idle-key eviction timer: one full
+                # retention window of processing-time silence forgets
+                # the key (KStreamDistinct.java:135-141)
+                self._handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs() + window_ms
+                )
+            yield batch.loc[keep, list(out_cols)]
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            self._seen.clear()
+            yield pd.DataFrame(columns=list(out_cols))
+
+        def close(self) -> None:
+            pass
+
+    return RefreshDedupProcessor()
+
+
+def dedup_refresh_stream_tws(
+    decoded: DataFrame,
+    window_ms: int = DEFAULT_WINDOW_MS,
+    id_col: str = "dedup_id",
+    ts_col: str = "event_time",
+    payload_cols: tuple[str, ...] = ("row_id",),
+    evict_state: bool = False,
+    clock: str = "event",
+) -> DataFrame:
+    """transformWithStateInPandas wiring of the refresh dedup — same
+    contract as dedup_refresh.dedup_refresh_stream (null ids bypass via
+    split-union, survivors keyed by dedup id, (payload..., ts_ms) out).
+
+    Raises RuntimeError with the blocking reason when the runtime can't
+    execute TWS (no protobuf / PySpark < 4) — callers catch and fall
+    back to the applyInPandasWithState tier.
+    """
+    from pyspark.sql import functions as F
+
+    processor = make_refresh_dedup_processor(
+        window_ms,
+        evict=evict_state,
+        out_cols=tuple(payload_cols) + ("ts_ms",),
+        clock=clock,
+    )
+    keyed = decoded.select(
+        F.col(id_col).alias("dedup_id"),
+        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        *[F.col(c) for c in payload_cols],
+    )
+    out_cols = tuple(payload_cols) + ("ts_ms",)
+    dtypes = dict(keyed.dtypes)
+    out_ddl = ", ".join(f"`{c}` {dtypes[c]}" for c in out_cols)
+    nonnull = keyed.filter(F.col("dedup_id").isNotNull() & F.col("ts_ms").isNotNull())
+    survivors = nonnull.groupBy("dedup_id").transformWithStateInPandas(
+        statefulProcessor=processor,
+        outputStructType=out_ddl,
+        outputMode="append",
+        timeMode="processingTime" if evict_state else "none",
+    )
+    null_rows = keyed.filter(F.col("dedup_id").isNull()).select(*out_cols)
+    return survivors.unionByName(null_rows)

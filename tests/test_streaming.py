@@ -540,3 +540,131 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.event_id, r.tier) for r in spark.table(table).collect()}
     assert got == {(1, "gold"), (2, "basic"), (3, None)}
+
+
+# ---------------------------------------------------------------------------
+# probe_and_remember core + transformWithState tier
+# ---------------------------------------------------------------------------
+
+
+def test_probe_core_refresh_on_duplicate():
+    """Continuous duplicates extend suppression indefinitely: each hit
+    re-remembers the duplicate's own timestamp
+    (KStreamDistinct.java:97-99)."""
+    from kafkastreams_example_spark.streaming.dedup_refresh import probe_and_remember
+
+    w = 600_000  # 10 min, centered +-5
+    # events every 4 min on one key: every one is within 5 min of the
+    # previous REMEMBERED time because each duplicate refreshes state
+    ts = [0, 240_000, 480_000, 720_000, 960_000]
+    keep, seen = probe_and_remember([], ts, w)
+    assert keep == [True, False, False, False, False]
+    # without refresh (first-seen only) 720k would be >5min from 0 and
+    # would re-emit — the refresh semantic is what keeps it suppressed
+
+
+def test_probe_core_out_of_order_older_duplicate():
+    """Centered probe: an out-of-order record slightly OLDER than a
+    remembered event is also a duplicate (KStreamDistinct.java:56-59)."""
+    from kafkastreams_example_spark.streaming.dedup_refresh import probe_and_remember
+
+    w = 600_000
+    keep, _ = probe_and_remember([], [540_000, 300_000], w)
+    # 300k probes [0, 600k]; remembered 540k is inside -> suppressed
+    assert keep == [True, False]
+
+
+def test_probe_core_multi_entry_state():
+    """The state is a SET of remembered timestamps, not a last-seen
+    scalar: key@0 (emit), key@9min (emit, gap > half-window), then
+    out-of-order key@3.5min must STILL be suppressed by the 0min
+    entry."""
+    from kafkastreams_example_spark.streaming.dedup_refresh import probe_and_remember
+
+    w = 600_000
+    keep, _ = probe_and_remember([], [0, 540_000, 210_000], w)
+    assert keep == [True, True, False]
+
+
+def test_probe_core_stream_clock_monotone():
+    """D1' stream clock: out-of-order records probe at the high-water
+    mark, so a late record after any emit always collides."""
+    from kafkastreams_example_spark.streaming.dedup_refresh import probe_and_remember
+
+    w = 600_000
+    keep, _ = probe_and_remember([], [700_000, 100_000], w, clock="stream")
+    assert keep == [True, False]  # 100k probes AT 700k -> duplicate
+
+
+def test_probe_core_retention_prune():
+    from kafkastreams_example_spark.streaming.dedup_refresh import probe_and_remember
+
+    w = 600_000
+    _, seen = probe_and_remember([], [0, 2_000_000], w)
+    assert seen == [2_000_000]  # entry 0 fell out of retention
+
+
+def test_probe_core_empty_inputs():
+    from kafkastreams_example_spark.streaming.dedup_refresh import probe_and_remember
+
+    assert probe_and_remember([], [], 600_000) == ([], [])
+
+
+def test_tws_guard_reports_reason():
+    """transformWithStateInPandas tier: on runtimes that can't execute
+    it (no protobuf) the factory must raise a clear RuntimeError naming
+    the blocker, never fail deep inside a streaming query."""
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        make_refresh_dedup_processor,
+        tws_available,
+    )
+
+    ok, reason = tws_available()
+    if ok:
+        proc = make_refresh_dedup_processor()
+        assert hasattr(proc, "handleInputRows")
+    else:
+        with pytest.raises(RuntimeError, match="transformWithStateInPandas unavailable"):
+            make_refresh_dedup_processor()
+
+
+def test_tws_stream_end_to_end(spark, tmp_path):
+    """Full TWS streaming run — executes only where protobuf exists
+    (skipped in this sandbox); semantics must match the
+    applyInPandasWithState tier on the same input."""
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import tws_available
+
+    ok, reason = tws_available()
+    if not ok:
+        pytest.skip(f"TWS not executable here: {reason}")
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        dedup_refresh_stream_tws,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b0",
+        [
+            _event(1, 0, "A"),
+            _event(2, 240_000, "A"),  # dup (refresh)
+            _event(3, 720_000, "A"),  # dup only under refresh semantics
+            _event(4, 0, None),  # null id passes
+        ],
+    )
+    stream = (
+        spark.readStream.schema("row_id BIGINT, ts_ms BIGINT, dedup_id STRING")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = dedup_refresh_stream_tws(stream)
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _read_sink(spark, tmp_path / "out") == {1, 4}
