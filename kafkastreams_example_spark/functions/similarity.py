@@ -198,6 +198,17 @@ def kmeans_centroids(
     # it for assignment, and without the persist each round re-scans the
     # parquet and re-normalizes (iters+1 full passes over the raw data)
     unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv")).persist()
+    try:
+        cents = _lloyd_iterations(unit, k, iters, id_col)
+    finally:
+        # the eager localCheckpoint in each iteration cut cents' lineage
+        # from unit, so the cache can always be dropped — and a failed
+        # Lloyd round must not leak the cached corpus for the session
+        unit.unpersist()
+    return cents
+
+
+def _lloyd_iterations(unit: DataFrame, k: int, iters: int, id_col: str) -> DataFrame:
     cents = unit.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cent_id"), F.col("uv").alias("cv")
     )
@@ -238,9 +249,6 @@ def kmeans_centroids(
             .select("cent_id", F.coalesce("cv_new", "cv").alias("cv"))
             .localCheckpoint(eager=True)
         )
-    # the eager localCheckpoint above cut cents' lineage from unit, so
-    # the cache can be dropped before handing the k-row frame back
-    unit.unpersist()
     return cents
 
 

@@ -80,6 +80,13 @@ def make_refresh_dedup_processor(
     class RefreshDedupProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._seen = handle.getValueState("seen", "seen ARRAY<BIGINT>")
+            # last registered eviction expiry: TWS timers are one-shot
+            # and ADDITIVE (registerTimer never replaces), so the prior
+            # timer must be deleted explicitly or every batch leaves a
+            # live timer behind and the earliest one fires one window
+            # after FIRST activity even while the key stays hot —
+            # re-emitting previously suppressed duplicates
+            self._tmr = handle.getValueState("tmr", "expiry BIGINT")
             self._handle = handle
 
         def handleInputRows(self, key, rows, timer_values):
@@ -94,19 +101,30 @@ def make_refresh_dedup_processor(
                 window_ms,
                 clock,
             )
-            self._seen.update((seen,))
+            self._seen.update((list(seen),))
             if evict:
-                # refresh the idle-key eviction timer: one full
-                # retention window of processing-time silence forgets
-                # the key (KStreamDistinct.java:135-141)
-                self._handle.registerTimer(
-                    timer_values.getCurrentProcessingTimeInMs() + window_ms
-                )
+                # refresh the idle-key eviction TTL: delete-then-register
+                # keeps exactly one live timer per key (the semantics of
+                # applyInPandasWithState's setTimeoutDuration), so it
+                # fires only after one full retention window of
+                # processing-time silence (KStreamDistinct.java:135-141)
+                prev = self._tmr.get()
+                if prev is not None:
+                    self._handle.deleteTimer(int(prev[0]))
+                expiry = timer_values.getCurrentProcessingTimeInMs() + window_ms
+                self._handle.registerTimer(expiry)
+                self._tmr.update((expiry,))
             yield batch.loc[keep, list(out_cols)]
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            # delete-then-register above guarantees this only fires for
+            # a key idle a full window — forget it entirely. An eviction
+            # emits no rows (the previous empty all-object-dtype frame
+            # could fail Arrow conversion against the BIGINT schema).
             self._seen.clear()
-            yield pd.DataFrame(columns=list(out_cols))
+            self._tmr.clear()
+            return
+            yield  # unreachable — keeps this a generator yielding nothing
 
         def close(self) -> None:
             pass
