@@ -293,6 +293,89 @@ def hyperplane_matrix(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def product_grid(
+    n_rows: int, target_bucket_rows: int = 1024, min_centroids: int = 16
+) -> tuple[int, int]:
+    """Derive the two-level (c1, c2) codebook grid for a corpus of
+    n_rows vectors: C = max(min_centroids, ceil(n/target)) total buckets
+    factored as c1 = ceil(√C) coarse cells × c2 = ceil(C/c1) fine cells.
+    Both factors are O(√C), which is what keeps the per-vector
+    assignment cost and the broadcast codebooks sublinear in C."""
+    import math
+
+    c = max(min_centroids, math.ceil(n_rows / target_bucket_rows))
+    c1 = math.ceil(math.sqrt(c))
+    c2 = math.ceil(c / c1)
+    return c1, c2
+
+
+def bucketed_assign(
+    emb: DataFrame,
+    grid: tuple[int, int],
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-level product-quantizer bucket assignment — the sublinear
+    assignment stage of bucketed_cosine_pairs, exposed separately so the
+    scale probe can time it in isolation.
+
+    Two independent deterministic codebooks partition the sphere as a
+    product: codebook A = the first c1 vectors by id, codebook B = the
+    next c2 vectors (disjoint id block). A vector's bucket is
+    (nearest-A cell) × c2 + (nearest-B cell); it probes its n_probe
+    nearest A cells crossed with its single nearest B cell, landing in
+    n_probe of the c1·c2 buckets. Near-duplicate pairs (cosine → 1)
+    score near-identically against every codebook vector, so they agree
+    on both components and co-bucket with high probability — the same
+    property the flat scheme had, at O(c1+c2) = O(√C) dots per vector
+    instead of O(C).
+
+    Plan shape: two broadcast-codebook cross joins (each codebook is
+    O(√C) rows — at 10⁹ vectors and C = n/1024 ≈ 10⁶, each broadcast is
+    ~10³ vectors ≈ 512 KB, vs a 512 MB flat-C broadcast), two per-id
+    top-k windows over n·√C narrow rows, one equi-join on id to combine
+    the components. The corpus parquet is never shuffled for scoring;
+    the only wide exchanges carry (id, cell) pairs.
+
+    Output: (bucket BIGINT, id BIGINT, uv ARRAY<DOUBLE>) — one row per
+    (vector, probed bucket).
+    """
+    from pyspark.sql import Window
+
+    c1, c2 = grid
+    unit = emb.select(
+        F.col(id_col).cast("bigint").alias("id"), _unit(F.col(vec_col)).alias("uv")
+    )
+    ac = unit.filter(F.col("id") < c1).select(
+        F.col("id").alias("a_id"), F.col("uv").alias("av")
+    )
+    bc = unit.filter((F.col("id") >= c1) & (F.col("id") < c1 + c2)).select(
+        (F.col("id") - c1).alias("b_id"), F.col("uv").alias("bv")
+    )
+    ascored = F.broadcast(ac).join(unit, how="cross").select(
+        "id", "a_id", "uv", _dot(F.col("uv"), F.col("av")).alias("cs")
+    )
+    wa = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("a_id"))
+    aassign = (
+        ascored.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= n_probe)
+        .select("id", "a_id", "uv")
+    )
+    bscored = F.broadcast(bc).join(unit, how="cross").select(
+        "id", "b_id", _dot(F.col("uv"), F.col("bv")).alias("cs")
+    )
+    wb = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("b_id"))
+    bassign = (
+        bscored.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select("id", "b_id")
+    )
+    return aassign.join(bassign, "id").select(
+        (F.col("a_id") * c2 + F.col("b_id")).alias("bucket"), "id", "uv"
+    )
+
+
 def bucketed_cosine_pairs(
     emb: DataFrame,
     threshold: float,
@@ -302,86 +385,101 @@ def bucketed_cosine_pairs(
     id_col: str = "vec_id",
     target_bucket_rows: int = 1024,
     min_centroids: int = 16,
+    grid: tuple[int, int] | None = None,
 ) -> DataFrame:
     """SemDeDup-style within-bucket near-duplicate pair detection — the
     100 TB path for embedding dedup (Abbas et al. 2023, "SemDeDup":
     cluster the corpus, compare only within clusters).
 
-    Plan: every vector is assigned to its n_probe nearest of n_centroids
-    deterministic centroids (broadcast centroids, one O(n·C) narrow
-    pass — the corpus is never shuffled for assignment); members are
-    shuffled once by bucket id; a cogrouped-by-bucket BLAS matmul emits
-    over-threshold pairs from inside each bucket. Compute is
-    Σ_b n_b² ≈ n²·n_probe/C instead of n², and C scales with the corpus
-    (fixed target bucket size ⇒ linear total compute, the SemDeDup
-    contract). Candidate recall vs the exact all-pairs kernel is the
-    probability both endpoints share a probed bucket — high when the
-    threshold sits above the corpus's background similarity (real
-    near-dup regimes, ~0.9), and intentionally partial when it does not;
-    the declared semantic IS within-probed-bucket dedup, which the SQL
-    oracle reproduces exactly. For exact all-pairs semantics on small
-    corpora use cosine_pairs.
+    Bucketing has two modes:
 
-    Centroids default to the first n_centroids vectors by id —
-    deterministic and engine-portable (same convention as ivf_topk), so
-    the oracle reproduces bucket assignment bit-for-bit.
+    * n_centroids=<int> — flat: each vector probes its n_probe nearest
+      of C deterministic centroids (the first C vectors by id). Kept for
+      small fixed codebooks and test pinning.
+    * n_centroids=None (registry default) — ADAPTIVE TWO-LEVEL: the
+      bucket count C = max(min_centroids, ceil(n/target_bucket_rows))
+      tracks the corpus (fixed target bucket size ⇒ the within-bucket
+      matmul total Σ_b n_b² ≈ n²·n_probe/C stays linear — a fixed C is
+      quadratic in disguise, measured 11× wall at 30× data with C=16),
+      and C is factored into a c1×c2 product grid of two O(√C)
+      codebooks (see bucketed_assign). That keeps the ASSIGNMENT stage
+      sublinear too: the flat adaptive scheme scored every vector
+      against all C centroids — O(n·C) = O(n²/target) once C ∝ n, with
+      an O(C)-row broadcast — while the product grid scores c1+c2+
+      ≈ 3√C dots per vector with two O(√C)-row broadcasts. The one
+      count() action deriving n is the same class of runtime statistic
+      AQE gathers; the oracle mirrors the derivation from a count(*)
+      CTE. (`grid` forces an explicit (c1, c2) — test hook.)
 
-    n_centroids=None derives C from the corpus at a fixed target
-    bucket size: C = max(min_centroids, ceil(n / target_bucket_rows)).
-    A FIXED C is quadratic in disguise (Σ n_b² ≈ n²·n_probe/C grows as
-    n² once buckets outgrow the target — measured 11× time at 30× data
-    with C=16); the adaptive mode keeps per-bucket size, and therefore
-    total matmul work, linear. The one count() action is the same class
-    of runtime statistic AQE gathers; the registry entry pins C=16 so
-    the unrolled SQL oracle stays static.
+    Candidate recall vs the exact all-pairs kernel is the probability
+    both endpoints share a probed bucket — high when the threshold sits
+    above the corpus's background similarity (real near-dup regimes,
+    ~0.9), and intentionally partial when it does not; the declared
+    semantic IS within-probed-bucket dedup, which the SQL oracle
+    reproduces exactly (bit-for-bit bucket assignment — codebooks are
+    corpus vectors at deterministic ids, portable to any engine). For
+    exact all-pairs semantics on small corpora use cosine_pairs.
+
+    The kernel tiles the within-bucket matmul in 4096-row stripes, so
+    even a skew-bloated bucket is processed in bounded memory (tiling
+    bounds the sims tile at 4096×n_b doubles).
 
     Output: id_a, id_b, cosine (id_a < id_b, cosine ≥ threshold,
     distinct across shared buckets).
     """
-    import math
-
     from pyspark.sql import Window
 
-    if n_centroids is None:
-        n_rows = emb.count()
-        n_centroids = max(min_centroids, math.ceil(n_rows / target_bucket_rows))
-
-    unit = emb.select(
-        F.col(id_col).cast("bigint").alias("id"), _unit(F.col(vec_col)).alias("uv")
-    )
-    cents = unit.filter(F.col("id") < n_centroids).select(
-        F.col("id").alias("cent_id"), F.col("uv").alias("cv")
-    )
-    scored = F.broadcast(cents).join(unit, how="cross").select(
-        "id", "cent_id", "uv", _dot(F.col("uv"), F.col("cv")).alias("cs")
-    )
-    w = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cent_id"))
-    members = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= n_probe)
-        .select(F.col("cent_id").alias("bucket"), "id", "uv")
-    )
+    if grid is not None or n_centroids is None:
+        if grid is None:
+            grid = product_grid(emb.count(), target_bucket_rows, min_centroids)
+        members = bucketed_assign(emb, grid, n_probe, vec_col, id_col)
+    else:
+        unit = emb.select(
+            F.col(id_col).cast("bigint").alias("id"), _unit(F.col(vec_col)).alias("uv")
+        )
+        cents = unit.filter(F.col("id") < n_centroids).select(
+            F.col("id").alias("cent_id"), F.col("uv").alias("cv")
+        )
+        scored = F.broadcast(cents).join(unit, how="cross").select(
+            "id", "cent_id", "uv", _dot(F.col("uv"), F.col("cv")).alias("cs")
+        )
+        w = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+        members = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= n_probe)
+            .select(F.col("cent_id").alias("bucket"), "id", "uv")
+        )
 
     def bucket_kernel(pdf):
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
         if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": np.array([], dtype=np.int64),
-                    "id_b": np.array([], dtype=np.int64),
-                    "cosine": np.array([], dtype=np.float64),
-                }
-            )
+            return empty
         ids = pdf["id"].to_numpy(dtype=np.int64)
         mat = np.stack(pdf["uv"].to_numpy())
-        sims = mat @ mat.T
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = ids[ii] < ids[jj]
-        return pd.DataFrame(
-            {"id_a": ids[ii][keep], "id_b": ids[jj][keep], "cosine": sims[ii, jj][keep]}
-        )
+        # stripe the matmul: a 4096×n_b sims tile at a time, so an
+        # oversized (skew) bucket costs memory O(stripe·n_b), never n_b²
+        out = [empty]
+        stripe = 4096
+        for s in range(0, len(ids), stripe):
+            sims = mat[s : s + stripe] @ mat.T
+            ii, jj = np.nonzero(sims >= threshold)
+            gi, gj = ids[s + ii], ids[jj]
+            keep = gi < gj
+            out.append(
+                pd.DataFrame(
+                    {"id_a": gi[keep], "id_b": gj[keep], "cosine": sims[ii, jj][keep]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
 
     # one grouped pass per bucket — no self-join anywhere: pairs are
     # born inside the kernel, so no n² join-row materialization and no

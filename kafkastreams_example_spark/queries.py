@@ -1297,15 +1297,45 @@ LIMIT 10
 
 
 def q_approx_distinct(spark, sf_dir):
-    """Approximate aggregates (HLL count-distinct): sketch algorithms
-    differ across engines by design, so this is a rows-only entry — the
-    accompanying exact q_agg_distinct pins correctness; this pins the
-    cheap-sketch surface a 100 TB pipeline actually uses."""
+    """Approximate aggregates (HLL count-distinct). Sketch estimates
+    differ across engines by design, so the raw estimate can't be
+    hash-compared — instead the entry emits the EXACT distinct count
+    alongside a bounded-relative-error FLAG on each engine's own
+    sketch: |approx − exact| / exact ≤ 0.15 (3× the worst observed
+    error — Spark's default rsd=0.05 HLL++ measured ≤0.057 at
+    sf0.001–0.1, DuckDB ≤0.014). The oracle computes the same flag over
+    DuckDB's own sketch, so BOTH engines' sketch machinery is exercised
+    and value-hashed (exact column + flag), closing the one
+    `no_oracle` row of rounds 1–6."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.count("*").alias("n_orders"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey").alias("__approx"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            "n_orders",
+            (
+                F.abs(F.col("__approx") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= 0.15
+            ).alias("approx_in_tol"),
+        )
     )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT o_orderstatus,
+  count(DISTINCT o_custkey) AS exact_customers,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+    / CAST(count(DISTINCT o_custkey) AS DOUBLE) <= 0.15 AS approx_in_tol
+FROM orders GROUP BY o_orderstatus
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1933,12 +1963,16 @@ WHERE rank <= 5
 
 def q_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs, SemDeDup-style within-bucket
-    semantics with ADAPTIVE centroid count (C = max(16, ceil(n/1024)))
-    — the 100 TB artifact. Pairs are scored only inside shared IVF
-    buckets, so total matmul work stays linear in corpus size as C
-    tracks n. The exact all-pairs kernel remains available as the
-    internal functions.similarity.cosine_pairs for small corpora (its
-    quadratic contract made it unfit as a first-class entry)."""
+    semantics with an ADAPTIVE TWO-LEVEL product-quantizer codebook:
+    C = max(16, ceil(n/1024)) buckets factored into a c1×c2 grid of two
+    O(√C) codebooks — the 100 TB artifact. Pairs are scored only inside
+    shared buckets, so total matmul work stays linear as C tracks n,
+    and the assignment stage costs O(√C) dots per vector with O(√C)-row
+    broadcasts (the flat adaptive scheme was O(C) per vector with an
+    O(C)-row broadcast — quadratic total once C ∝ n). The exact
+    all-pairs kernel remains available as the internal
+    functions.similarity.cosine_pairs for small corpora (its quadratic
+    contract made it unfit as a first-class entry)."""
     from .functions.similarity import bucketed_cosine_pairs
 
     return bucketed_cosine_pairs(
@@ -1946,24 +1980,51 @@ def q_cosine_pairs(spark, sf_dir):
     )
 
 
-# adaptive C mirrored in SQL from a count(*) CTE — the oracle follows
-# the corpus size exactly as the engine does
-_SQL_CFG_ADAPTIVE_C = (
-    "SELECT GREATEST(16, CAST(ceil(COUNT(*) / 1024.0) AS BIGINT)) AS c FROM embeddings"
-)
+# the adaptive two-level grid mirrored in SQL from a count(*) CTE — the
+# oracle derives C = max(16, ceil(n/1024)), c1 = ceil(sqrt(C)),
+# c2 = ceil(C/c1) exactly as functions.similarity.product_grid does
+# (ceil/sqrt are IEEE-exact in both engines for these magnitudes)
+_SQL_GRID = """
+cfg AS (SELECT GREATEST(16, CAST(ceil(COUNT(*) / 1024.0) AS BIGINT)) AS c
+        FROM embeddings),
+grid AS (SELECT c, CAST(ceil(sqrt(c)) AS BIGINT) AS c1,
+                CAST(ceil(c / ceil(sqrt(c))) AS BIGINT) AS c2 FROM cfg)
+"""
+
+# product-quantizer bucket assignment shared by the two embedding-dedup
+# oracles: codebook A = first c1 vectors, codebook B = next c2 vectors,
+# bucket = nearest-A (top-2 probed) × c2 + nearest-B
+_SQL_PQ_ASSIGN = f"""
+acents AS (SELECT vec_id AS a_id, uv AS av FROM u
+           WHERE vec_id < (SELECT c1 FROM grid)),
+bcents AS (SELECT vec_id - (SELECT c1 FROM grid) AS b_id, uv AS bv FROM u
+           WHERE vec_id >= (SELECT c1 FROM grid)
+             AND vec_id < (SELECT c1 + c2 FROM grid)),
+ascore AS (
+  SELECT u.vec_id, a.a_id, {_DOT2.format(a='u.uv', b='a.av')} AS cs
+  FROM u CROSS JOIN acents a),
+aassign AS (
+  SELECT vec_id, a_id
+  FROM (SELECT vec_id, a_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, a_id) AS r
+        FROM ascore) WHERE r <= 2),
+bscore AS (
+  SELECT u.vec_id, b.b_id, {_DOT2.format(a='u.uv', b='b.bv')} AS cs
+  FROM u CROSS JOIN bcents b),
+bassign AS (
+  SELECT vec_id, b_id
+  FROM (SELECT vec_id, b_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, b_id) AS r
+        FROM bscore) WHERE r = 1),
+assign AS (
+  SELECT a.vec_id, a.a_id * (SELECT c2 FROM grid) + b.b_id AS bucket
+  FROM aassign a JOIN bassign b ON a.vec_id = b.vec_id)
+"""
 
 SQL_COSINE_PAIRS = f"""
 WITH u AS ({_EMB_U}),
-cfg AS ({_SQL_CFG_ADAPTIVE_C}),
-cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < (SELECT c FROM cfg)),
-ascore AS (
-  SELECT u.vec_id, c.cent_id, {_DOT2.format(a='u.uv', b='c.cv')} AS cs
-  FROM u CROSS JOIN cents c),
-assign AS (
-  SELECT vec_id, cent_id AS bucket
-  FROM (SELECT vec_id, cent_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
-        FROM ascore) WHERE r <= 2),
+{_SQL_GRID},
+{_SQL_PQ_ASSIGN},
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
@@ -1976,21 +2037,17 @@ WHERE {_COS} >= 0.35
 
 def q_dedup_embeddings(spark, sf_dir):
     """Embedding-cosine near-dup DEDUP, SemDeDup-style (Abbas et al.
-    2023): vectors are IVF-assigned to their 2 nearest of C
-    deterministic centroids, pairs are scored ONLY within shared
-    buckets (cogrouped BLAS matmul — compute n²·probe/C, linear when C
-    tracks corpus size), and survivors are vectors with no lower-id
-    within-bucket neighbor above the threshold. The within-bucket
-    semantic is the operator's contract — the oracle reproduces the
-    same bucket assignment and candidate set exactly, so parity holds
-    at any scale; the exact all-pairs variant remains available as
-    cosine_pairs for small corpora.
-
-    C is ADAPTIVE — max(16, ceil(n/1024)) from a count() over the
-    corpus — so per-bucket size, and therefore total matmul work, stays
-    bounded as the corpus grows (a fixed C is quadratic in disguise:
-    measured 5.6x wall at 30x data with C=16 in the round-4 scale
-    probe). The oracle derives the same C from a count(*) CTE."""
+    2023): vectors are bucketed by the adaptive two-level
+    product-quantizer codebook (see q_cosine_pairs — C = n/1024 buckets
+    as a c1×c2 grid of two O(√C) codebooks, assignment O(√C) dots per
+    vector), pairs are scored ONLY within shared buckets (cogrouped
+    BLAS matmul — compute n²·probe/C, linear as C tracks corpus size),
+    and survivors are vectors with no lower-id within-bucket neighbor
+    above the threshold. The within-bucket semantic is the operator's
+    contract — the oracle reproduces the same grid, bucket assignment,
+    and candidate set exactly, so parity holds at any scale; the exact
+    all-pairs variant remains available as cosine_pairs for small
+    corpora."""
     from .functions.similarity import bucketed_cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2001,16 +2058,8 @@ def q_dedup_embeddings(spark, sf_dir):
 
 SQL_DEDUP_EMBEDDINGS = f"""
 WITH u AS ({_EMB_U}),
-cfg AS ({_SQL_CFG_ADAPTIVE_C}),
-cents AS (SELECT vec_id AS cent_id, uv AS cv FROM u WHERE vec_id < (SELECT c FROM cfg)),
-ascore AS (
-  SELECT u.vec_id, c.cent_id, {_DOT2.format(a='u.uv', b='c.cv')} AS cs
-  FROM u CROSS JOIN cents c),
-assign AS (
-  SELECT vec_id, cent_id AS bucket
-  FROM (SELECT vec_id, cent_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS r
-        FROM ascore) WHERE r <= 2),
+{_SQL_GRID},
+{_SQL_PQ_ASSIGN},
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
   FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
@@ -3564,7 +3613,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "grouping_sets": QuerySpec(q_grouping_sets, SQL_GROUPING_SETS, ("relational",)),
     "stats_moments": QuerySpec(q_stats_moments, SQL_STATS_MOMENTS, ("relational",)),
     "sql_q3_shipping": QuerySpec(q_sql_q3_shipping, SQL_SQL_Q3_SHIPPING, ("relational", "sql-api")),
-    "approx_distinct": QuerySpec(q_approx_distinct, None, ("relational", "approximate")),
+    "approx_distinct": QuerySpec(
+        q_approx_distinct, SQL_APPROX_DISTINCT, ("relational", "approximate")
+    ),
     # relational/text batch 4
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS, ("text",)),
     "corpus_top_terms": QuerySpec(q_corpus_top_terms, SQL_CORPUS_TOP_TERMS, ("text",)),

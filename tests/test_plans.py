@@ -100,7 +100,10 @@ def test_cosine_pairs_registry_is_bucketed(spark, monkeypatch):
     plan = plan_string(df, "simple")
     assert "FlatMapGroupsInPandas" in plan  # per-bucket matmul kernel
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1  # centroid cross only
+    # the only nested-loop joins are the two O(sqrt C)-row codebook
+    # crosses of the product-quantizer assignment (broadcast side is a
+    # codebook, never the corpus)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
 def test_exact_cosine_kernel_is_cogrouped_tiles(spark, monkeypatch):
@@ -127,10 +130,10 @@ def test_exact_cosine_kernel_is_cogrouped_tiles(spark, monkeypatch):
 def test_dedup_embeddings_has_no_full_pair_join(spark):
     """SemDeDup-style embedding dedup must never materialize the n²
     pair join: candidates exist only inside the per-bucket cogrouped
-    kernel. The single BroadcastNestedLoopJoin allowed is the 16-row
-    centroid-assignment cross (broadcast side is the centroid frame,
-    not the corpus); pair scoring itself must be the grouped-Pandas
-    kernel with no cartesian anywhere."""
+    kernel. The only BroadcastNestedLoopJoins allowed are the two
+    O(sqrt C)-row codebook-assignment crosses (broadcast side is a
+    codebook frame, not the corpus); pair scoring itself must be the
+    grouped-Pandas kernel with no cartesian anywhere."""
     from kafkastreams_example_spark.queries import q_dedup_embeddings
 
     # simple mode: one line per physical node (formatted prints each
@@ -138,7 +141,9 @@ def test_dedup_embeddings_has_no_full_pair_join(spark):
     plan = plan_string(q_dedup_embeddings(spark, SF_DIR), "simple")
     assert "FlatMapGroupsInPandas" in plan  # per-bucket matmul kernel
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1  # centroid cross only
+    # two codebook crosses (product-quantizer assignment), corpus never
+    # the broadcast side
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
 def test_bucketed_pairs_candidate_set_is_subquadratic(spark):
@@ -215,25 +220,56 @@ def test_sort_limit_is_topk_not_global_sort(spark):
     assert "rangepartitioning" not in plan
 
 
-def test_bucketed_pairs_adaptive_centroid_count(spark):
-    """n_centroids=None must scale C with the corpus (fixed target
-    bucket size -> linear total matmul work), not leave it fixed:
-    with n rows and target_bucket_rows=t the adaptive path must derive
-    C = ceil(n/t) exactly — asserted by output identity with the
-    explicit-C call."""
-    from kafkastreams_example_spark.functions.similarity import bucketed_cosine_pairs
+def test_bucketed_pairs_adaptive_grid_derivation(spark):
+    """n_centroids=None must scale the bucket count with the corpus
+    (fixed target bucket size -> linear total matmul work) AND factor
+    it into the two-level product grid (sublinear assignment): with n
+    rows and target_bucket_rows=t the adaptive path must derive
+    C = ceil(n/t), c1 = ceil(sqrt(C)), c2 = ceil(C/c1) exactly —
+    asserted by output identity with the explicit-grid call."""
+    import math
+
+    from kafkastreams_example_spark.functions.similarity import (
+        bucketed_cosine_pairs,
+        product_grid,
+    )
 
     emb = load_table(spark, SF_DIR, "embeddings")
     n = emb.count()
     target = 10
     expected_c = max(2, -(-n // target))
+    c1 = math.ceil(math.sqrt(expected_c))
+    expected_grid = (c1, math.ceil(expected_c / c1))
+    assert product_grid(n, target, 2) == expected_grid
     adaptive = bucketed_cosine_pairs(
         emb, threshold=-1.0, n_centroids=None, target_bucket_rows=target, min_centroids=2
     )
-    explicit = bucketed_cosine_pairs(emb, threshold=-1.0, n_centroids=expected_c)
+    explicit = bucketed_cosine_pairs(emb, threshold=-1.0, grid=expected_grid)
     a = {tuple(r) for r in adaptive.collect()}
     e = {tuple(r) for r in explicit.collect()}
     assert a == e and len(a) > 0
+
+
+def test_bucketed_pairs_assignment_broadcasts_stay_sublinear(spark):
+    """The product-quantizer assignment must broadcast only the two
+    O(sqrt C) codebooks, never a flat O(C) centroid table: with a grid
+    forcing c1=c2=4 the plan's broadcast sides must be codebook filters
+    (id-range scans), and no single broadcast may carry the full bucket
+    count's worth of centroid rows."""
+    from kafkastreams_example_spark.functions.similarity import bucketed_assign
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    members = bucketed_assign(emb, grid=(4, 4), n_probe=2)
+    plan = plan_string(members, "simple")
+    # both codebook crosses broadcast; the corpus side is never inside
+    # a BroadcastExchange (its scan would carry no id upper-bound filter)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # every vector lands in exactly n_probe buckets (one per probed A
+    # cell x its single nearest B cell)
+    n = emb.count()
+    assert members.count() == 2 * n
+    n_buckets = members.select("bucket").distinct().count()
+    assert n_buckets <= 16
 
 
 def test_ngram_span_dedup_semi_join_no_fanout(spark):

@@ -75,7 +75,25 @@ RELATIONAL_FAMILY = [
     "activity_streaks",
 ]
 
+# non-registry probe: the product-quantizer ASSIGNMENT stage of the
+# embedding dedup in isolation (round-6 verdict item 1 — the flat
+# adaptive-C scheme's assignment was O(n·C) = quadratic once C ∝ n;
+# the two-level grid must grow ≤ linearly with the corpus)
+def _pq_assign_stage(spark, sf_dir):
+    from kafkastreams_example_spark.functions.similarity import (
+        bucketed_assign,
+        product_grid,
+    )
+    from kafkastreams_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucketed_assign(emb, product_grid(emb.count()), n_probe=2)
+
+
+EXTRA_PROBES = {"pq_assign_stage": _pq_assign_stage}
+
 FAMILY = [
+    "pq_assign_stage",
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "shingle_jaccard",
@@ -90,7 +108,10 @@ FAMILY = [
     "dedup_embeddings",
     "cosine_pairs",
 ]
-QUADRATIC_BY_CONTRACT = {"cosine_pairs"}
+# (registry cosine_pairs has been the bucketed form since round 6 and
+# the adaptive two-level grid since round 7 — nothing in the probed
+# family is quadratic by contract anymore)
+QUADRATIC_BY_CONTRACT: set[str] = set()
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -215,7 +236,7 @@ def run(family: list[str] | None = None) -> None:
     dirs = {1: SRC, **{f: str(ROOT / f"x{f}") for f in FACTORS}}
     out: dict[str, dict] = {}
     for name in family or FAMILY:
-        fn = REGISTRY[name].fn
+        fn = EXTRA_PROBES[name] if name in EXTRA_PROBES else REGISTRY[name].fn
         row: dict[str, float] = {}
         # warm this query's codegen/parquet paths at sf0.001 so t1 is a
         # steady-state number, not JVM warmup
