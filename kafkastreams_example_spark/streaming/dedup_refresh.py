@@ -104,15 +104,16 @@ def make_refresh_dedup_fn(
             # id unseen for a full retention window → forget it (:135-141)
             state.remove()
             return
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         # event-time order with the payload columns as a deterministic
         # tie-break (arrival order is nondeterministic under parallel
         # consumption anyway)
         tiebreak = [c for c in out_cols if c != "ts_ms"]
         batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
-        seen: list[int] = [int(s) for s in state.get[0]] if state.exists else []
+        seen = list(state.get[0]) if state.exists else []
         keep, seen = probe_and_remember(
-            seen, [int(t) for t in batch["ts_ms"].astype("int64")], window_ms, clock
+            seen, batch["ts_ms"].to_numpy("int64"), window_ms, clock
         )
         state.update((seen,))
         if evict:
@@ -123,8 +124,8 @@ def make_refresh_dedup_fn(
 
 
 def probe_and_remember(
-    seen: list[int], ts_list: list[int], window_ms: int, clock: str = "event"
-) -> tuple[list[int], list[int]]:
+    seen: list[int], ts_list, window_ms: int, clock: str = "event"
+) -> tuple[list[bool], list[int]]:
     """The core refresh-on-duplicate algorithm, state-backend-agnostic —
     shared by the applyInPandasWithState wrapper above and the
     transformWithStateInPandas processor (dedup_refresh_tws.py).
@@ -132,7 +133,64 @@ def probe_and_remember(
     Input: the key's remembered timestamps (sorted ascending) and the
     batch's event times in processing order. Returns (keep flags, new
     remembered list after retention pruning).
+
+    Hot path: when the batch arrives in ascending event-time order (the
+    streaming wrappers always pre-sort), the whole batch is decided
+    with three numpy vector ops instead of a per-record Python loop —
+    valid because the reference puts EVERY processed timestamp into the
+    store (hit refreshes, miss remembers: KStreamDistinct.java:97-103),
+    so under ascending order the only batch-internal entry that can
+    collide with record i is its immediate predecessor, and the prior
+    state is probed with one searchsorted. Unsorted input (direct API
+    use) falls back to the sequential reference loop.
     """
+    import numpy as np
+
+    ts = np.asarray(ts_list, dtype=np.int64)
+    if ts.size == 0:
+        if not len(seen):
+            return [], []
+        lo = seen[-1] - window_ms  # retention still applies on empty batches
+        return [], [int(s) for s in seen if s >= lo]
+    if np.any(np.diff(ts) < 0):  # processing order is not time order
+        return _probe_and_remember_seq(list(seen), [int(t) for t in ts], window_ms, clock)
+    left_ms = window_ms // 2  # KStreamDistinct.java:56
+    right_ms = window_ms - left_ms  # :57
+    s0 = np.asarray(seen, dtype=np.int64)
+    if clock == "stream":
+        # D1′: every timestamp is the monotone stream time; ascending
+        # input makes the running high-water mark max(prior hwm, ts)
+        e = np.maximum(ts, s0[-1]) if s0.size else ts
+    else:
+        e = ts
+    # duplicate vs PRIOR state: any remembered entry inside the
+    # centered probe window [e − left, e + right] (:86-95) — the
+    # smallest remembered entry ≥ e − left decides
+    if s0.size:
+        i1 = np.searchsorted(s0, e - left_ms, side="left")
+        col_state = (i1 < s0.size) & (s0[np.minimum(i1, s0.size - 1)] <= e + right_ms)
+    else:
+        col_state = np.zeros(e.size, dtype=bool)
+    # duplicate vs EARLIER BATCH entries: every earlier element was put
+    # (:97-103) and is ≤ e[i], so the binding probe is e[i-1]
+    col_batch = np.empty(e.size, dtype=bool)
+    col_batch[0] = False
+    col_batch[1:] = e[:-1] >= e[1:] - left_ms
+    keep = ~(col_state | col_batch)
+    # retention = window size (:135-136): drop entries a full window
+    # behind this key's stream time
+    merged = np.union1d(s0, e) if s0.size else np.unique(e)
+    pruned = merged[merged >= merged[-1] - window_ms]
+    return keep.tolist(), pruned.tolist()
+
+
+def _probe_and_remember_seq(
+    seen: list[int], ts_list: list[int], window_ms: int, clock: str = "event"
+) -> tuple[list[bool], list[int]]:
+    """Sequential reference implementation (KStreamDistinct.java:42-112
+    transliterated to the state model) — the semantics ground truth the
+    vectorized fast path is property-tested against, and the fallback
+    for out-of-order processing sequences."""
     from bisect import bisect_left
 
     left_ms = window_ms // 2  # KStreamDistinct.java:56

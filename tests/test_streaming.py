@@ -610,6 +610,35 @@ def test_probe_core_empty_inputs():
     assert probe_and_remember([], [], 600_000) == ([], [])
 
 
+def test_probe_core_vectorized_matches_sequential_reference():
+    """The numpy fast path (ascending batches — what the streaming
+    wrappers always feed) must be decision-for-decision identical to
+    the sequential reference loop, across both clocks, window sizes
+    down to 0, prior state, and intra-batch duplicate timestamps."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        _probe_and_remember_seq,
+        probe_and_remember,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        seen=st.lists(st.integers(0, 5_000), max_size=16, unique=True).map(sorted),
+        ts=st.lists(st.integers(0, 5_000), max_size=24),
+        window=st.sampled_from([0, 1, 2, 100, 601, 600_000]),
+        clock=st.sampled_from(["event", "stream"]),
+    )
+    def check(seen, ts, window, clock):
+        ts_sorted = sorted(ts)
+        got = probe_and_remember(list(seen), ts_sorted, window, clock)
+        want = _probe_and_remember_seq(list(seen), list(ts_sorted), window, clock)
+        assert got == want
+
+    check()
+
+
 def test_tws_guard_reports_reason():
     """transformWithStateInPandas tier: on runtimes that can't execute
     it (no protobuf) the factory must raise a clear RuntimeError naming
