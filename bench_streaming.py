@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Streaming throughput bench: drives the two reference-parity
-pipelines (filter, refresh-on-duplicate dedup) plus the built-in
-watermark dedup tier over a deterministic rate-micro-batch source and
-prints ONE JSON line:
+pipelines (filter, refresh-on-duplicate dedup), the built-in watermark
+dedup tier, the streaming windowed aggregation, and the watermarked
+stream-stream interval join over a deterministic rate-micro-batch
+source and prints ONE JSON line:
 
   {"metric": "streaming_throughput", "pipelines": {name: {
       "rows_per_sec": N, "batch_ms_p50": N, "batch_ms_max": N,
-      "batches": N, "rows_per_batch": N}}, ...}
+      "batches": N, "rows_per_batch": N, "below_threshold": bool}},
+   "thresholds": {...}, "regressions": [...]}
 
 The rate-micro-batch source emits exactly rowsPerBatch rows per
 trigger, so per-batch latency is comparable run-over-run (the plain
@@ -14,11 +16,20 @@ rate source emits wall-clock-dependent row counts). The first two
 batches are excluded from metrics (codegen/state-store warmup), the
 query runs until MEASURE_BATCHES measured batches complete.
 
-Regression guard (BASELINE.md round 6, recorded on local[32]:
-filter 533k rows/s, dedup_watermark 306k rows/s, dedup_refresh
-50k rows/s): thresholds filter ≥ 250k, dedup_watermark ≥ 100k,
-dedup_refresh ≥ 20k rows/s — ~2x headroom under the recordings to
-absorb sandbox variance; a reading below threshold is a real
+The refresh tier is measured at TWO key occupancies because its cost
+model has two regimes (round-7 profiling): per-key state-protocol
+overhead (~0.5 ms/key/batch — Arrow group framing + state get/update
+round-trip; a NO-OP applyInPandasWithState function at 4096 keys
+measures the same floor) and the per-row Python kernel (numpy-
+vectorized, ~0.2 ms per 12-row group). At ~12 rows/key/batch
+(dedup_refresh) the operator is protocol-bound; at ~48 rows/key/batch
+(dedup_refresh_hot) the per-key cost amortizes and the same operator
+clears 170k rows/s.
+
+Regression guard: THRESHOLDS below are machine-checked — any pipeline
+under its floor sets below_threshold, lists under "regressions", and
+exits 1. Floors sit ~2x under quiet-machine recordings (BASELINE.md)
+to absorb sandbox variance; a reading below threshold is a real
 regression, not noise.
 
 Env: SPARK_GRAFT_CPUS (local parallelism), SPARK_GRAFT_STREAM_ROWS
@@ -44,12 +55,24 @@ from kafkastreams_example_spark.streaming.dedup_refresh import (  # noqa: E402
     dedup_refresh_stream,
 )
 from kafkastreams_example_spark.streaming.pipelines import (  # noqa: E402
+    attribution_join_pipeline,
     dedup_pipeline_within_watermark,
     filter_pipeline,
+    windowed_count_pipeline,
 )
 
 WARMUP_BATCHES = 2
 MEASURE_BATCHES = 8
+
+# rows/s floors, machine-checked in main() — see module docstring
+THRESHOLDS = {
+    "filter": 250_000,
+    "dedup_watermark": 100_000,
+    "dedup_refresh": 20_000,
+    "dedup_refresh_hot": 60_000,
+    "windowed_agg": 150_000,
+    "interval_join": 40_000,
+}
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
 
@@ -162,11 +185,72 @@ def main() -> None:
             ),
             "rows_per_batch": rows_dedup,
         }
+
+        # same operator, same ~4k key space, 4x the rows per batch
+        # (~48 rows/key): the per-key protocol floor amortizes and the
+        # number reflects the vectorized kernel
+        d = _decoded(_rate_source(spark, rows_filter)).withColumn(
+            "dedup_id", F.col("event.exception.exception_class")
+        )
+        results["dedup_refresh_hot"] = {
+            **_run_query(
+                dedup_refresh_stream(
+                    d, id_col="dedup_id", ts_col="event_time", payload_cols=("row_id",)
+                ),
+                "dedup_refresh_hot",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_filter,
+        }
+
+        # streaming windowed aggregation (tumbling 1 h per level, 10 min
+        # watermark): measures the partial-agg + state-store update path
+        d = _decoded(_rate_source(spark, rows_filter))
+        results["windowed_agg"] = {
+            **_run_query(windowed_count_pipeline(d), "windowed_agg", ckpt_root),
+            "rows_per_batch": rows_filter,
+        }
+
+        # watermarked stream-stream interval join (impression→click
+        # attribution, 1:1 key match): measures symmetric join-state
+        # buffering. numInputRows counts BOTH sides.
+        n_join = rows_filter // 2
+        imps = _rate_source(spark, n_join).select(
+            F.col("value").alias("ad_id"), F.col("timestamp").alias("imp_time")
+        )
+        clicks = _rate_source(spark, n_join).select(
+            F.col("value").alias("ad_id"), F.col("timestamp").alias("click_time")
+        )
+        results["interval_join"] = {
+            **_run_query(
+                attribution_join_pipeline(imps, clicks), "interval_join", ckpt_root
+            ),
+            "rows_per_batch": 2 * n_join,
+        }
     finally:
         shutil.rmtree(ckpt_root, ignore_errors=True)
         spark.stop()
 
-    print(json.dumps({"metric": "streaming_throughput", "pipelines": results}))
+    regressions = sorted(
+        name
+        for name, r in results.items()
+        if r.get("rows_per_sec") is not None
+        and r["rows_per_sec"] < THRESHOLDS.get(name, 0)
+    )
+    for name, r in results.items():
+        r["below_threshold"] = name in regressions
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_throughput",
+                "pipelines": results,
+                "thresholds": THRESHOLDS,
+                "regressions": regressions,
+            }
+        )
+    )
+    if regressions:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
