@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "simhash",
     "sim_topk",
     "ivf_topk",
+    "ivf_topk_trained",
     "cosine_pairs",
     "dedup_embeddings",
     "clean_pipeline",

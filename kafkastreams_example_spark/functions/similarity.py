@@ -103,11 +103,12 @@ def ivf_topk(
     search.
 
     Centroids: pass a trained (cent_id, cv) frame — typically
-    kmeans_centroids() — for real inverted-file quality (the recall
-    floor test pins ≥0.6 vs brute force on that path). The default
-    (first n_centroids vectors by id) is the training-free
-    deterministic fallback that any engine can reproduce exactly, which
-    is what the SQL oracle checks. Every vector is assigned to its
+    kmeans_centroids() — for inverted-file quality robust to degenerate
+    id prefixes (both modes pin recall ≥0.8 vs brute force in
+    tests/test_operators.py). The default (first n_centroids vectors by
+    id) is the training-free deterministic fallback that any engine can
+    reproduce exactly; both modes are SQL-oracled (queries.SQL_IVF_TOPK
+    and queries._sql_ivf_topk_trained). Every vector is assigned to its
     nearest centroid once (O(n·C), broadcast centroids, no shuffle of
     the big side); a query probes only its n_probe nearest centroid
     buckets, so the scored candidate set is ~n_probe/n_centroids of the

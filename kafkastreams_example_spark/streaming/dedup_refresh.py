@@ -97,6 +97,8 @@ def make_refresh_dedup_fn(
     if clock not in ("event", "stream"):
         raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
 
+    tiebreak = [c for c in out_cols if c != "ts_ms"]
+
     def dedup_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -104,21 +106,27 @@ def make_refresh_dedup_fn(
             # id unseen for a full retention window → forget it (:135-141)
             state.remove()
             return
+        import numpy as np
+
         chunks = list(pdfs)
         batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         # event-time order with the payload columns as a deterministic
         # tie-break (arrival order is nondeterministic under parallel
-        # consumption anyway)
-        tiebreak = [c for c in out_cols if c != "ts_ms"]
-        batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
+        # consumption anyway). numpy lexsort + direct column-array
+        # output instead of sort_values + .loc: the per-group pandas
+        # machinery was ~6× the actual decision cost for the small
+        # per-key groups a real key distribution produces (profiled at
+        # ~1 ms vs ~175 µs per 12-row group).
+        cols = {c: batch[c].to_numpy() for c in out_cols}
+        ts = cols["ts_ms"] = cols["ts_ms"].astype("int64", copy=False)
+        order = np.lexsort(tuple(cols[c] for c in reversed(tiebreak)) + (ts,))
         seen = list(state.get[0]) if state.exists else []
-        keep, seen = probe_and_remember(
-            seen, batch["ts_ms"].to_numpy("int64"), window_ms, clock
-        )
+        keep, seen = probe_and_remember(seen, ts[order], window_ms, clock)
         state.update((seen,))
         if evict:
             state.setTimeoutDuration(window_ms)
-        yield batch.loc[keep, list(out_cols)]
+        emit = order[np.asarray(keep, dtype=bool)]
+        yield pd.DataFrame({c: cols[c][emit] for c in out_cols})
 
     return dedup_fn
 

@@ -90,17 +90,21 @@ def make_refresh_dedup_processor(
             self._handle = handle
 
         def handleInputRows(self, key, rows, timer_values):
-            batch = pd.concat(list(rows), ignore_index=True)
+            import numpy as np
+
+            chunks = list(rows)
+            batch = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            )
+            # same numpy lexsort fast path as the applyInPandasWithState
+            # tier (dedup_refresh.make_refresh_dedup_fn)
             tiebreak = [c for c in out_cols if c != "ts_ms"]
-            batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
+            cols = {c: batch[c].to_numpy() for c in out_cols}
+            ts = cols["ts_ms"] = cols["ts_ms"].astype("int64", copy=False)
+            order = np.lexsort(tuple(cols[c] for c in reversed(tiebreak)) + (ts,))
             got = self._seen.get()
             seen = [int(s) for s in got[0]] if got is not None else []
-            keep, seen = probe_and_remember(
-                seen,
-                [int(t) for t in batch["ts_ms"].astype("int64")],
-                window_ms,
-                clock,
-            )
+            keep, seen = probe_and_remember(seen, ts[order], window_ms, clock)
             self._seen.update((list(seen),))
             if evict:
                 # refresh the idle-key eviction TTL: delete-then-register
@@ -114,7 +118,8 @@ def make_refresh_dedup_processor(
                 expiry = timer_values.getCurrentProcessingTimeInMs() + window_ms
                 self._handle.registerTimer(expiry)
                 self._tmr.update((expiry,))
-            yield batch.loc[keep, list(out_cols)]
+            emit = order[np.asarray(keep, dtype=bool)]
+            yield pd.DataFrame({c: cols[c][emit] for c in out_cols})
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             # delete-then-register above guarantees this only fires for

@@ -118,8 +118,10 @@ def test_dedup_clusters_deep_chain(spark):
 def test_ivf_recall_against_exact(spark):
     """IVF top-k is approximate by design; pin recall floors against
     the exact brute-force results so bucketing regressions surface.
-    Trained (k-means) centroids must clear ≥0.6; the training-free
-    oracle-exact fallback keeps its looser floor."""
+    Round-7 measurement (all three SFs): training-free id-prefix
+    codebook 0.92/0.92/1.0, k-means k=16 i3 0.88/0.88/1.0, k=16 i2
+    (the ivf_topk_trained registry config) 0.84/0.88/1.0 — both modes
+    now pinned at ≥0.8 (was 0.2/0.6)."""
     from kafkastreams_example_spark.functions.similarity import (
         cosine_topk,
         ivf_topk,
@@ -134,14 +136,15 @@ def test_ivf_recall_against_exact(spark):
     fallback = {
         (r["query_id"], r["neighbor_id"]) for r in ivf_topk(emb, qids, 5).collect()
     }
-    assert len(exact & fallback) / len(exact) >= 0.2, "fallback IVF recall collapsed"
+    recall_fb = len(exact & fallback) / len(exact)
+    assert recall_fb >= 0.8, f"fallback IVF recall below floor: {recall_fb}"
     cents = kmeans_centroids(emb, k=16, iters=3)
     trained = {
         (r["query_id"], r["neighbor_id"])
         for r in ivf_topk(emb, qids, 5, centroids=cents).collect()
     }
     recall = len(exact & trained) / len(exact)
-    assert recall >= 0.6, f"k-means IVF recall below floor: {recall}"
+    assert recall >= 0.8, f"k-means IVF recall below floor: {recall}"
 
 
 def test_doc_chunking_matches_python_reference(spark):
