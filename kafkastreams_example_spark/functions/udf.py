@@ -74,12 +74,19 @@ def make_term_counts_udtf():
         useArrow=True,
     )
     class TermCounts:
-        def eval(self, text: str):
+        def __init__(self):
+            # bind once per worker instance: eval() runs per row, and
+            # re-resolving re.findall + the pattern cache lookup per
+            # document is measurable at corpus scale
             import re
             from collections import Counter
 
+            self._findall = re.compile("[a-z0-9]+").findall
+            self._counter = Counter
+
+        def eval(self, text: str):
             if text:
-                for term, n in Counter(re.findall("[a-z0-9]+", text.lower())).items():
+                for term, n in self._counter(self._findall(text.lower())).items():
                     yield term, n
 
     return TermCounts

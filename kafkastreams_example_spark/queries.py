@@ -3301,12 +3301,17 @@ def q_udtf_term_counts(spark, sf_dir):
     [a-z0-9]+ tokenizer as functions.text) is what's checked, not the
     implementation."""
     from .functions.udf import register_udfs
-    from .sources.tables import register_views
 
-    register_views(spark, sf_dir)
     register_udfs(spark)
+    # the small-SF corpus is one parquet file → one input split; a
+    # Python table function must not inherit that single-task plan
+    # (at 100 TB the scan has thousands of splits and this repartition
+    # is a no-op in spirit — here it buys 16-way Arrow parallelism)
+    load_table(spark, sf_dir, "documents").repartition(16).createOrReplaceTempView(
+        "__udtf_docs"
+    )
     return spark.sql(
-        "SELECT doc_id, t.term, t.n FROM documents, LATERAL term_counts(text) t"
+        "SELECT doc_id, t.term, t.n FROM __udtf_docs, LATERAL term_counts(text) t"
     )
 
 
