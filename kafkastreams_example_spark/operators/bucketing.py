@@ -1,0 +1,81 @@
+"""Physical-layout operators: bucketed tables (co-located joins) and
+partitioned writes (partition-pruned scans).
+
+These are the two storage-side levers the 100 TB design notes lean on:
+
+* **Bucketing** pre-shuffles a table ONCE at write time
+  (`bucketBy(n, key)` + `sortBy(key)`): every bucket holds one
+  deterministic hash-slice of the key space, so a join or aggregation
+  on the bucket key needs NO exchange at read time — Spark proves both
+  sides share the partitioning and plans a zero-shuffle sort-merge
+  join. At 100 TB, re-shuffling a fact table per query is the dominant
+  cost; a bucketed layout amortizes that single shuffle across every
+  downstream join on the same key (the classic warehouse fact/fact
+  co-location strategy). The bucket count is a layout-time decision:
+  size it so one bucket ≈ one task's worth of data at target scale.
+
+* **Partition-by-column writes** (`partitionBy(col)`) turn equality /
+  IN predicates on the partition column into DIRECTORY pruning: the
+  scan never opens non-matching files. The partition column should be
+  low-cardinality and almost-always-filtered (ingest date, source,
+  language) — high-cardinality partitioning creates the small-files
+  problem instead.
+
+Both are exercised end-to-end by tests/test_bucketing.py, which
+asserts the plan shapes (no Exchange between bucketed scans and the
+join; PartitionFilters reaching the partitioned scan) rather than just
+row counts — the layout is only worth anything if the planner actually
+exploits it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Materialize df as a bucketed, bucket-sorted parquet table.
+
+    The write shuffles by hash(key) into n_buckets files per partition
+    — the one-time cost that every later equi-join/agg on `key` skips.
+    sortBy keeps rows key-ordered inside each bucket so the co-located
+    join needs no per-task sort either.
+    """
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def write_partitioned(df: DataFrame, table: str, partition_col: str) -> None:
+    """Materialize df partitioned by a low-cardinality column: one
+    directory per value, giving equality predicates file-level pruning."""
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .partitionBy(partition_col)
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Equi-join two same-bucketed tables on their bucket key.
+
+    With both sides bucketed into the same bucket count on `key`, the
+    planner reuses the storage partitioning: the physical plan contains
+    NO Exchange on either join input (asserted in
+    tests/test_bucketing.py). This is the read-side payoff of
+    write_bucketed; the same layout also serves groupBy(key) with a
+    shuffle-free partial→final aggregation.
+    """
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, key, how)
