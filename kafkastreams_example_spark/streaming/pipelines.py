@@ -89,6 +89,34 @@ def sliding_window_pipeline(
     )
 
 
+def session_window_pipeline(
+    decoded: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming session windows: per level, events closer than `gap`
+    merge into one session (dynamic-length windows — the streaming form
+    of the batch session_stats/session_window_agg operators). Spark
+    merges overlapping session candidates in the state store and emits
+    a session once the watermark passes its end + gap, so state per
+    (level, open session) is bounded by the watermark horizon.
+    Output: session window, level, event count, session span."""
+    return (
+        decoded.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(ts_col, gap), F.col("event.level").alias("level")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.unix_millis(F.col("session_window.end"))
+                - F.unix_millis(F.col("session_window.start"))
+            ).alias("span_ms"),
+        )
+    )
+
+
 def attribution_join_pipeline(
     imps: DataFrame,
     clicks: DataFrame,

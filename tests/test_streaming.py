@@ -370,6 +370,58 @@ def test_sliding_window_counts(spark, tmp_path):
     }
 
 
+def test_session_window_pipeline_merges_and_splits(spark, tmp_path):
+    """Streaming session windows with a 5-min gap: events at T0, T0+3,
+    T0+6 chain into ONE session (each ≤5 min from the previous) with
+    span 6 min + gap tail; an event at T0+20 opens a separate session.
+    A different level never merges across levels."""
+    from kafkastreams_example_spark.streaming.pipelines import session_window_pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    T0 = 1_704_067_200_000  # 2024-01-01
+    rows = [
+        {"ts_ms": T0, "level": "INFO"},
+        {"ts_ms": T0 + 3 * MIN, "level": "INFO"},
+        {"ts_ms": T0 + 6 * MIN, "level": "INFO"},
+        {"ts_ms": T0 + 20 * MIN, "level": "INFO"},
+        {"ts_ms": T0 + 1 * MIN, "level": "ERROR"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    decoded = (
+        spark.readStream.schema("ts_ms BIGINT, level STRING")
+        .json(str(src))
+        .select(
+            F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+            F.struct(F.col("level").alias("level")).alias("event"),
+        )
+    )
+    out = session_window_pipeline(decoded)
+    table = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["level"], r["session_window"]["start"].isoformat(), r["n"], r["span_ms"])
+        for r in spark.table(table).collect()
+    }
+    gap_ms = 5 * MIN
+    assert got == {
+        # 3-event chain: [T0, T0+6min+gap)
+        ("INFO", "2024-01-01T00:00:00", 3, 6 * MIN + gap_ms),
+        # isolated event: [T0+20, T0+20+gap)
+        ("INFO", "2024-01-01T00:20:00", 1, gap_ms),
+        # other level: its own session
+        ("ERROR", "2024-01-01T00:01:00", 1, gap_ms),
+    }
+
+
 def test_attribution_join_left_outer_emits_unmatched(spark, tmp_path):
     """Stream-stream LEFT OUTER interval join: the unattributed
     impression emits with a null click — but only after the watermark
