@@ -97,6 +97,119 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
     return None
 
 
+def parse_audio_header(payload: bytes) -> dict[str, Any] | None:
+    """Real audio-metadata decode from container header bytes — pure
+    Python struct reads, no codec library (sibling of
+    parse_image_header). Full parse for WAV (RIFF chunk walk to fmt +
+    data: sample rate, channels, bit depth, duration from
+    data_size/byte_rate) and FLAC (STREAMINFO bit-packed fields);
+    container recognition (format only) for Ogg and MP3 (ID3v2 or a
+    bare MPEG frame sync), whose per-frame rate tables are a codec
+    concern, not a header read. Returns None for unrecognized payloads.
+    Only header bytes are touched — O(chunks), never O(samples)."""
+    import struct
+
+    n = len(payload)
+    if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        sample_rate = channels = bits = byte_rate = data_size = None
+        i = 12
+        while i + 8 <= n:  # RIFF chunk walk: id u32le-size payload
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            if cid == b"fmt " and i + 24 <= n:
+                channels, sample_rate = struct.unpack("<HI", payload[i + 10 : i + 16])
+                (byte_rate,) = struct.unpack("<I", payload[i + 16 : i + 20])
+                if i + 24 <= n:
+                    (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if sample_rate is None:
+            return None
+        duration_ms = (
+            data_size * 1000 // byte_rate
+            if data_size is not None and byte_rate
+            else None
+        )
+        return {
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bits": bits,
+            "duration_ms": duration_ms,
+            "format": "wav",
+        }
+    if n >= 26 and payload[:4] == b"fLaC":
+        # metadata block header (4 bytes) then STREAMINFO: 2+2 block
+        # sizes, 3+3 frame sizes, then at offset 18 the bit-packed
+        # 20-bit sample rate, 3-bit channels-1, 5-bit bits-1
+        b = payload
+        sample_rate = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+        channels = ((b[20] >> 1) & 0x7) + 1
+        bits = (((b[20] & 0x1) << 4) | (b[21] >> 4)) + 1
+        return {
+            "sample_rate": sample_rate,
+            "channels": channels,
+            "bits": bits,
+            "duration_ms": None,  # needs total_samples (36 bits) + div
+            "format": "flac",
+        }
+    if n >= 4 and payload[:4] == b"OggS":
+        return {
+            "sample_rate": None,
+            "channels": None,
+            "bits": None,
+            "duration_ms": None,
+            "format": "ogg",
+        }
+    if n >= 3 and (
+        payload[:3] == b"ID3"
+        or (payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
+    ):
+        return {
+            "sample_rate": None,
+            "channels": None,
+            "bits": None,
+            "duration_ms": None,
+            "format": "mp3",
+        }
+    return None
+
+
+AUDIO_META_DDL = (
+    "byte_len BIGINT, sample_rate INT, channels INT, bits INT, "
+    "duration_ms BIGINT, format STRING"
+)
+
+
+def decode_audio_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas audio-metadata decode stage: (id, payload) →
+    (id, byte_len, sample_rate, channels, bits, duration_ms, format).
+    Same Arrow batch shape as decode_media_meta; unrecognized payloads
+    degrade to NULL fields + 'unknown'."""
+    out_schema = f"{id_col} BIGINT, {AUDIO_META_DDL}"
+    fields = ("sample_rate", "channels", "bits", "duration_ms", "format")
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            metas = []
+            for p in pdf[payload_col]:
+                m = parse_audio_header(p)
+                if m is None:
+                    m = dict.fromkeys(fields)
+                    m["format"] = "unknown"
+                m["byte_len"] = len(p)
+                metas.append(m)
+            out = pdf[[id_col]].copy()
+            out["byte_len"] = [m["byte_len"] for m in metas]
+            for f in fields:
+                out[f] = [m[f] for m in metas]
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def decode_media_meta(
     df: DataFrame,
     payload_col: str = "payload",

@@ -2647,6 +2647,68 @@ FROM documents
 """
 
 
+def q_audio_header_meta(spark, sf_dir):
+    """REAL audio metadata decode under the gate (sibling of
+    q_image_header_meta): even-id documents get a genuine 44-byte
+    canonical WAV header synthesized JVM-side — RIFF/WAVE + fmt chunk
+    with little-endian fields built via hex/lpad/byte-reversal
+    expressions, rate/channels/length derived from doc_id — and
+    decode_audio_meta (functions.multimodal.parse_audio_header) must
+    chunk-walk the true sample rate, channel count, bit depth, and
+    data-size-derived duration back out. The oracle recomputes every
+    field arithmetically, so the gate checks the actual RIFF parser.
+    Odd ids carry non-audio bytes and degrade to NULL/'unknown'.
+    FLAC/Ogg/MP3 recognition is unit-tested with handcrafted headers
+    (tests/test_operators.py)."""
+    from .functions.multimodal import decode_audio_meta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ch = F.when(F.col("doc_id") % 4 == 0, 1).otherwise(2).cast("bigint")
+    sr = (8000 * (1 + F.col("doc_id") % 3)).cast("bigint")
+    ba = ch * 2  # block align: channels × 2 bytes (16-bit samples)
+    ns = (160 + F.col("doc_id") % 320).cast("bigint")
+    ds = ns * ba  # declared data-chunk size
+
+    def le(c, hexw):
+        # little-endian byte string of an integer column: fixed-width
+        # hex, then byte-reversed pairs, then unhex
+        h = F.lpad(F.hex(c), hexw, "0")
+        return F.unhex(
+            F.concat(*[F.substring(h, i, 2) for i in range(hexw - 1, 0, -2)])
+        )
+
+    wav = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"), le(ds + 36, 8),
+        F.encode(F.lit("WAVE"), "utf-8"),
+        F.encode(F.lit("fmt "), "utf-8"), le(F.lit(16), 8),
+        le(F.lit(1), 4), le(ch, 4), le(sr, 8), le(sr * ba, 8),
+        le(ba, 4), le(F.lit(16), 4),
+        F.encode(F.lit("data"), "utf-8"), le(ds, 8),
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, wav).otherwise(
+        F.encode(F.lit("not audio"), "utf-8")
+    )
+    return decode_audio_meta(docs.withColumn("payload", payload))
+
+
+# duration check: parser computes data_size*1000 // byte_rate, which
+# reduces exactly to n_samples*1000 // sample_rate (common block-align
+# factor cancels under floor division)
+SQL_AUDIO_HEADER_META = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 9 END AS BIGINT) AS byte_len,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3) END AS INT) AS sample_rate,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN
+    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END END AS INT) AS channels,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 END AS INT) AS bits,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN
+    ((160 + doc_id % 320) * 1000) // (8000 * (1 + doc_id % 3)) END AS BIGINT)
+    AS duration_ms,
+  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'unknown' END AS format
+FROM documents
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Feature extraction over binary payloads (mapInPandas batch loop;
     deterministic md5-derived stand-in features, oracle-checked byte
@@ -3791,6 +3853,7 @@ REGISTRY: dict[str, QuerySpec] = {
     # multimodal
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META, ("multimodal",)),
     "image_header_meta": QuerySpec(q_image_header_meta, SQL_IMAGE_HEADER_META, ("multimodal",)),
+    "audio_header_meta": QuerySpec(q_audio_header_meta, SQL_AUDIO_HEADER_META, ("multimodal",)),
     "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, ("multimodal",)),
     "sort_limit_offset": QuerySpec(q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET, ("relational",)),

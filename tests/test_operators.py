@@ -315,6 +315,65 @@ def test_decode_media_meta_parses_real_image_headers(spark):
     assert got[4] == (None, None, "unknown", 24)
 
 
+def test_decode_audio_meta_parses_real_audio_headers(spark):
+    """parse_audio_header must chunk-walk a genuine RIFF/WAVE header
+    (including a non-canonical chunk order with a LIST chunk before
+    fmt), bit-unpack FLAC STREAMINFO, recognize Ogg and MP3 (ID3v2 and
+    bare frame-sync) containers, and degrade to 'unknown' otherwise."""
+    import struct
+
+    from kafkastreams_example_spark.functions.multimodal import decode_audio_meta
+
+    def wav(sr, ch, bits, n_samples, extra_chunk=False):
+        ba = ch * bits // 8
+        ds = n_samples * ba
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ba, ba, bits)
+        data = b"data" + struct.pack("<I", ds)
+        lst = b"LIST" + struct.pack("<I", 4) + b"INFO" if extra_chunk else b""
+        body = lst + fmt + data
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def flac(sr, ch, bits):
+        streaminfo = (
+            struct.pack(">HH", 4096, 4096)  # min/max blocksize
+            + b"\x00\x00\x00" * 2  # min/max framesize (u24 each)
+            + bytes(
+                [
+                    (sr >> 12) & 0xFF,
+                    (sr >> 4) & 0xFF,
+                    ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4),
+                    ((bits - 1) & 0xF) << 4,
+                ]
+            )
+            + b"\x00" * 16  # total-samples tail + md5
+        )
+        return b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo
+
+    rows = [
+        (0, wav(16000, 2, 16, 1600)),            # canonical: 100 ms stereo
+        (1, wav(8000, 1, 16, 12000, True)),      # LIST chunk first: 1500 ms mono
+        (2, flac(44100, 2, 16)),
+        (3, b"OggS\x00\x02" + b"\x00" * 20),
+        (4, b"ID3\x04\x00" + b"\x00" * 10),
+        (5, b"\xff\xfb\x90\x00" + b"\x00" * 10),  # bare MPEG frame sync
+        (6, b"definitely not audio bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    got = {
+        r["doc_id"]: (
+            r["sample_rate"], r["channels"], r["bits"], r["duration_ms"], r["format"]
+        )
+        for r in decode_audio_meta(df).collect()
+    }
+    assert got[0] == (16000, 2, 16, 100, "wav")
+    assert got[1] == (8000, 1, 16, 1500, "wav")
+    assert got[2] == (44100, 2, 16, None, "flac")
+    assert got[3] == (None, None, None, None, "ogg")
+    assert got[4] == (None, None, None, None, "mp3")
+    assert got[5] == (None, None, None, None, "mp3")
+    assert got[6] == (None, None, None, None, "unknown")
+
+
 def test_dedup_clusters_fixed_iteration_mode(spark, monkeypatch):
     """probe_convergence=False must produce the same components with
     zero count() probes (the kmeans-style fixed-iteration contract);
