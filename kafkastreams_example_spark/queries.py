@@ -1338,6 +1338,49 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """Approximate percentile sketches (Spark GK/percentile_approx vs
+    DuckDB t-digest/approx_quantile) under the same exact-plus-
+    tolerance-flag oracle treatment as q_approx_distinct: the EXACT
+    interpolated percentiles (percentile_cont semantics, identical in
+    both engines — verified equal to the cent at all three SFs) are
+    value-hashed, and each engine's own sketch is checked against its
+    exact value with a ≤0.05 relative-error flag (5× the worst observed
+    sketch error, ≤0.0096). Quantile sketches are THE 100 TB
+    distribution-profiling primitive — exact percentiles need a full
+    sort per group, sketches one pass + tiny merges."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = F.col("o_totalprice").cast("double")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.percentile(c, 0.5).alias("p50_exact"),
+        F.percentile(c, 0.9).alias("p90_exact"),
+        F.percentile_approx(c, 0.5, 10000).alias("__a50"),
+        F.percentile_approx(c, 0.9, 10000).alias("__a90"),
+    )
+    tol = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e) <= 0.05)  # noqa: E731
+    return agg.select(
+        "o_orderstatus",
+        "p50_exact",
+        "p90_exact",
+        tol("__a50", "p50_exact").alias("p50_in_tol"),
+        tol("__a90", "p90_exact").alias("p90_in_tol"),
+    )
+
+
+SQL_APPROX_QUANTILES = """
+SELECT o_orderstatus,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
+  abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.5)
+      - quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5))
+    / quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) <= 0.05 AS p50_in_tol,
+  abs(approx_quantile(CAST(o_totalprice AS DOUBLE), 0.9)
+      - quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9))
+    / quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) <= 0.05 AS p90_in_tol
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis (north-star LLM-pipeline surface)
 # --------------------------------------------------------------------------
@@ -3761,6 +3804,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q3_shipping": QuerySpec(q_sql_q3_shipping, SQL_SQL_Q3_SHIPPING, ("relational", "sql-api")),
     "approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT, ("relational", "approximate")
+    ),
+    "approx_quantiles": QuerySpec(
+        q_approx_quantiles, SQL_APPROX_QUANTILES, ("relational", "approximate")
     ),
     # relational/text batch 4
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS, ("text",)),
