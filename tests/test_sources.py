@@ -4,7 +4,9 @@ streaming windowed-count pipeline."""
 from __future__ import annotations
 
 import json
+import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafkastreams_example_spark.schema import LOG_SCHEMA
@@ -281,3 +283,58 @@ def test_kafka_source_sink_contract_without_broker(spark, monkeypatch, tmp_path)
         },
         "trigger": {"processingTime": "1 second"},
     }
+
+
+BROKER_ENV = "SPARK_GRAFT_KAFKA_BOOTSTRAP"
+
+
+@pytest.mark.skipif(
+    not os.environ.get(BROKER_ENV),
+    reason=f"no Kafka broker in this environment (set {BROKER_ENV}=host:port; "
+    "also requires the spark-sql-kafka connector on the session classpath)",
+)
+def test_kafka_roundtrip_real_broker(spark, tmp_path):
+    """S1/K1 against a REAL broker, auto-enabled wherever one exists:
+    produce the reference pipeline's encoded events to a fresh topic
+    via the kafka sink, consume them back earliest-offset, and check
+    payload identity through the decode path. The broker-less contract
+    test (above) pins the wiring; this pins the wire."""
+    import uuid as _uuid
+
+    from kafkastreams_example_spark.sources.kafka import (
+        decode_log_events,
+        encode_log_events,
+    )
+
+    bootstrap = os.environ[BROKER_ENV]
+    topic = f"graft_smoke_{_uuid.uuid4().hex[:8]}"
+    events = spark.createDataFrame(
+        [(str(i), {"level": "INFO", "message": f"m{i}"}) for i in range(50)],
+        "key STRING, event STRUCT<level STRING, message STRING>",
+    )
+    (
+        encode_log_events(events)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    decoded = decode_log_events(
+        raw.select(
+            F.col("key").cast("string"),
+            F.col("value"),
+            F.col("timestamp"),
+        )
+    )
+    got = {
+        (r["key"], r["event"]["message"])
+        for r in decoded.select("key", "event").collect()
+    }
+    assert got == {(str(i), f"m{i}") for i in range(50)}
