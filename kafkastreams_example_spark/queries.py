@@ -1296,6 +1296,90 @@ LIMIT 10
 """
 
 
+def q_sql_q10_returns(spark, sf_dir):
+    """TPC-H Q10-shaped via the SQL API: revenue lost to returned items
+    per customer in a one-quarter window — 4-way join (customer ⋈
+    orders ⋈ lineitem ⋈ nation) with the date-window predicate pushed
+    to the orders scan and the decimal-from-source revenue discipline
+    (never round(double)). Top-20 compiles to TakeOrderedAndProject,
+    not a global sort."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+        """
+    )
+
+
+SQL_SQL_Q10_RETURNS = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def q_sql_q12_latency(spark, sf_dir):
+    """TPC-H Q12-shaped (adapted to this schema's columns): shipping-
+    latency SLA accounting — lineitems shipped more than 30 days after
+    their order date, bucketed by high/low order priority and line
+    status. Interval arithmetic on the timestamp columns + conditional
+    classification; pure integer outputs, immune to float drift."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'low' END AS prio_class,
+               l.l_linestatus,
+               COUNT(*) AS n_late_lines,
+               COUNT(DISTINCT o.o_orderkey) AS n_late_orders
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1, 2
+        """
+    )
+
+
+SQL_SQL_Q12_LATENCY = """
+SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'high' ELSE 'low' END AS prio_class,
+       l.l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_late_lines,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_late_orders
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1, 2
+"""
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct). Sketch estimates
     differ across engines by design, so the raw estimate can't be
@@ -3847,6 +3931,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "grouping_sets": QuerySpec(q_grouping_sets, SQL_GROUPING_SETS, ("relational",)),
     "stats_moments": QuerySpec(q_stats_moments, SQL_STATS_MOMENTS, ("relational",)),
     "sql_q3_shipping": QuerySpec(q_sql_q3_shipping, SQL_SQL_Q3_SHIPPING, ("relational", "sql-api")),
+    "sql_q10_returns": QuerySpec(q_sql_q10_returns, SQL_SQL_Q10_RETURNS, ("relational", "sql-api")),
+    "sql_q12_latency": QuerySpec(q_sql_q12_latency, SQL_SQL_Q12_LATENCY, ("relational", "sql-api")),
     "approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT, ("relational", "approximate")
     ),
