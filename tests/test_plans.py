@@ -302,3 +302,15 @@ def test_value_histogram_no_global_sort(spark):
     plan = plan_string(q_value_histogram(spark, SF_DIR))
     assert "rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sql_q10_topk_and_pushdown(spark):
+    """Q10's claims, verified: the return-flag predicate reaches the
+    lineitem scan and top-20 compiles to per-partition heaps, not a
+    global sort."""
+    from kafkastreams_example_spark.plans.explain import assert_pushed_filters
+    from kafkastreams_example_spark.queries import q_sql_q10_returns
+
+    df = q_sql_q10_returns(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plan_string(df, "simple")
+    assert_pushed_filters(df, "EqualTo(l_returnflag,R)")
