@@ -62,6 +62,12 @@ BENCH_QUERIES = [
     "udtf_term_counts",
     "fuzzy_match",
     "image_header_meta",
+    # round-7 additions
+    "audio_header_meta",
+    "approx_quantiles",
+    "approx_distinct_merge",
+    "sql_q10_returns",
+    "sql_q12_latency",
     "ngram_span_dedup",
     "sequence_pack",
     "bpe_pair_counts",
