@@ -40,22 +40,30 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality signals: stopword ratio, type-token ratio,
-    mean token length — the standard cheap filters before expensive
-    pipeline stages."""
+def quality_signal_cols(text_col: str | Column = "text") -> dict[str, Column]:
+    """The quality-signal expressions as a name→Column dict, shared by
+    the batch scorer (text_quality / q_text_quality's oracle) and the
+    streaming ingest gate (streaming.pipelines.quality_filter_pipeline)
+    so both tiers compute identical signals from identical code."""
     toks = tokenize(text_col)
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
     stop_ratio = n_stop.cast("double") / n_tok
-    return docs.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        stop_ratio.alias("stopword_ratio"),
-        ttr.alias("type_token_ratio"),
-        (stop_ratio * F.lit(0.5) + ttr * F.lit(0.5)).alias("quality_score"),
-    )
+    return {
+        "n_tokens": n_tok,
+        "stopword_ratio": stop_ratio,
+        "type_token_ratio": ttr,
+        "quality_score": stop_ratio * F.lit(0.5) + ttr * F.lit(0.5),
+    }
+
+
+def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: stopword ratio, type-token ratio,
+    mean token length — the standard cheap filters before expensive
+    pipeline stages."""
+    sig = quality_signal_cols(text_col)
+    return docs.select("doc_id", *[c.alias(n) for n, c in sig.items()])
 
 
 def lang_id_heuristic(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -117,6 +117,88 @@ def session_window_pipeline(
     )
 
 
+def quality_filter_pipeline(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    max_stopword_ratio: float = 0.8,
+    min_stopword_ratio: float = 0.01,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming corpus-ingest quality gate: the BATCH quality signals
+    (functions/text.quality_signal_cols — the exact expressions behind
+    the oracle-checked q_text_quality) applied unchanged to a stream of
+    documents. Pure codegen projections ⇒ stateless and watermark-free;
+    no join, no state store. Keeps documents inside the token-count and
+    stopword-ratio band. This is the shape a 100 TB ingest uses: score
+    and gate AT ingest, so downstream dedup/train jobs never rescan
+    rejected text."""
+    from ..functions.text import quality_signal_cols
+
+    sig = quality_signal_cols(F.col(text_col))
+    return docs.filter(
+        (sig["n_tokens"] >= min_tokens)
+        & (sig["stopword_ratio"] <= max_stopword_ratio)
+        & (sig["stopword_ratio"] >= min_stopword_ratio)
+    )
+
+
+def minhash_band_dedup_pipeline(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression — the in-stream form of the
+    batch MinHash+LSH dedup (functions/dedup_approx.py): each document
+    gets its n_hashes-slot MinHash signature as PURE codegen
+    expressions (array_min over per-token md5, the same
+    `md5(i ':' token)` convention as the batch minhash_signatures, so
+    batch and stream agree on signatures), folded into n_bands band
+    keys, and the stream is deduplicated on the FULL band-key tuple
+    within the watermark — one built-in stateful op, stateless
+    signature stage.
+
+    Semantics (documented, deliberately stricter than the batch
+    candidate join): a document is suppressed only when ALL band keys
+    match an earlier in-window document — near-certain duplicates
+    (collision probability s^n_hashes for Jaccard similarity s) —
+    whereas the batch LSH path pairs on ANY shared band. Any-band
+    streaming semantics would need two chained stateful ops (explode
+    bands → per-band first-wins → doc-level verdict merge); the
+    all-band form is the cheap, robust ingest guard: exact and
+    trivially-mutated duplicates collapse in-stream, borderline
+    near-dups are left to the batch sweep. State = one row per distinct
+    signature per window. Token-free documents all share the constant
+    empty-signature band key (concat_ws skips null slots), so empty
+    docs collapse to one per window — the conventional ingest policy.
+    """
+    from ..functions.text import tokenize
+
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    mh = [
+        F.array_min(
+            F.transform(toks, lambda t, i=i: F.md5(F.concat(F.lit(f"{i}:"), t)))
+        )
+        for i in range(n_hashes)
+    ]
+    per_band = n_hashes // n_bands
+    bands = [
+        F.md5(F.concat_ws("|", *mh[b * per_band : (b + 1) * per_band])).alias(
+            f"__band{b}"
+        )
+        for b in range(n_bands)
+    ]
+    keyed = docs.select("*", *bands)
+    band_cols = [f"__band{b}" for b in range(n_bands)]
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(band_cols)
+        .drop(*band_cols)
+    )
+
+
 def attribution_join_pipeline(
     imps: DataFrame,
     clicks: DataFrame,

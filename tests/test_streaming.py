@@ -422,6 +422,98 @@ def test_session_window_pipeline_merges_and_splits(spark, tmp_path):
     }
 
 
+def test_quality_filter_pipeline_streaming_matches_batch(spark, tmp_path):
+    """The streaming quality gate and the batch scorer share one set of
+    signal expressions: the set of doc_ids the stream keeps must equal
+    the ids a batch filter with the same thresholds keeps."""
+    from kafkastreams_example_spark.functions.text import quality_signal_cols
+    from kafkastreams_example_spark.streaming.pipelines import quality_filter_pipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"doc_id": 0, "text": "the cat sat on a mat and it is close to the door"},
+        {"doc_id": 1, "text": "too short"},                      # < 8 tokens
+        {"doc_id": 2, "text": "the the the the the the the the"},  # all stopwords
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta eta theta"},  # 0 stopwords
+        {"doc_id": 4, "text": "it is a fine day to walk in the park with friends"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "doc_id BIGINT, text STRING"
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = quality_filter_pipeline(stream)
+    table = f"qf_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table(table).collect()}
+    batch = spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+    sig = quality_signal_cols(F.col("text"))
+    want = {
+        r["doc_id"]
+        for r in batch.filter(
+            (sig["n_tokens"] >= 8)
+            & (sig["stopword_ratio"] <= 0.8)
+            & (sig["stopword_ratio"] >= 0.01)
+        ).collect()
+    }
+    assert got == want == {0, 4}
+
+
+def test_minhash_band_dedup_pipeline_streaming(spark, tmp_path):
+    """In-stream near-dup suppression: identical documents collapse
+    within the watermark window regardless of doc id; documents with
+    different token sets survive. All-band semantics: a doc sharing
+    only PART of its signature is kept (the batch sweep's job)."""
+    from kafkastreams_example_spark.streaming.pipelines import (
+        minhash_band_dedup_pipeline,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    T0 = 1_704_067_200_000
+    base = "the quick brown fox jumps over the lazy dog near a river bank today"
+    rows = [
+        {"doc_id": 0, "ts_ms": T0, "text": base},
+        # token-identical (order/duplication don't change the token SET)
+        {"doc_id": 1, "ts_ms": T0 + MIN, "text": base + " the quick fox"},
+        # disjoint vocabulary -> different signature -> survives
+        {"doc_id": 2, "ts_ms": T0 + MIN, "text": "completely different words entirely"},
+        # exact duplicate of 0 -> suppressed
+        {"doc_id": 3, "ts_ms": T0 + 2 * MIN, "text": base},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, ts_ms BIGINT, text STRING")
+        .json(str(src))
+        .select(
+            "doc_id", "text", F.timestamp_millis(F.col("ts_ms")).alias("event_time")
+        )
+    )
+    out = minhash_band_dedup_pipeline(stream)
+    table = f"mhd_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table(table).collect()}
+    # one survivor of the {0,1,3} token-identical family + doc 2
+    assert 2 in got
+    assert len(got & {0, 1, 3}) == 1
+    assert len(got) == 2
+
+
 def test_attribution_join_left_outer_emits_unmatched(spark, tmp_path):
     """Stream-stream LEFT OUTER interval join: the unattributed
     impression emits with a null click — but only after the watermark
