@@ -58,6 +58,8 @@ from kafkastreams_example_spark.streaming.pipelines import (  # noqa: E402
     attribution_join_pipeline,
     dedup_pipeline_within_watermark,
     filter_pipeline,
+    minhash_band_dedup_pipeline,
+    quality_filter_pipeline,
     windowed_count_pipeline,
 )
 
@@ -72,6 +74,8 @@ THRESHOLDS = {
     "dedup_refresh_hot": 60_000,
     "windowed_agg": 150_000,
     "interval_join": 40_000,
+    "quality_filter": 100_000,
+    "minhash_dedup": 30_000,
 }
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
@@ -226,6 +230,35 @@ def main() -> None:
                 attribution_join_pipeline(imps, clicks), "interval_join", ckpt_root
             ),
             "rows_per_batch": 2 * n_join,
+        }
+        # LLM-ingest pipelines over a synthetic document stream:
+        # ~14-token docs, 90% in-window duplicate mass for the dedup
+        def _doc_stream(n):
+            return _rate_source(spark, n).select(
+                F.col("timestamp").alias("event_time"),
+                F.col("value").alias("doc_id"),
+                F.concat(
+                    F.lit("sample document body number "),
+                    (F.col("value") % 5000).cast("string"),
+                    F.lit(" with the quick brown fox and some filler tokens"),
+                ).alias("text"),
+            )
+
+        results["quality_filter"] = {
+            **_run_query(
+                quality_filter_pipeline(_doc_stream(rows_filter)),
+                "quality_filter",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_filter,
+        }
+        results["minhash_dedup"] = {
+            **_run_query(
+                minhash_band_dedup_pipeline(_doc_stream(rows_dedup)),
+                "minhash_dedup",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_dedup,
         }
     finally:
         shutil.rmtree(ckpt_root, ignore_errors=True)
