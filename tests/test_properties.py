@@ -1,0 +1,119 @@
+"""Property-based invariant tests (hypothesis) for core operators —
+adversarial inputs (duplicate keys, hot keys, nulls-by-absence, skewed
+sizes) that the fixed testdata never produces. The parity suite checks
+behavior on realistic data; these pin algebraic invariants on hostile
+data.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def test_salted_join_identity_under_arbitrary_skew(spark):
+    """salted_join output == plain join output for ANY fact multiset
+    (including 100%-hot-key inputs and keys absent from the dim) and
+    any bucket count — salting may only re-partition work, never change
+    the result multiset."""
+    from kafkastreams_example_spark.operators.relational import salted_join
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        fact_keys=st.lists(st.integers(0, 6), min_size=1, max_size=40),
+        dim_keys=st.lists(st.integers(0, 6), min_size=1, max_size=7, unique=True),
+        buckets=st.sampled_from([1, 3, 8]),
+    )
+    def check(fact_keys, dim_keys, buckets):
+        fact = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(fact_keys)], "k BIGINT, row_id BIGINT"
+        )
+        dim = spark.createDataFrame(
+            [(k, f"d{k}") for k in dim_keys], "k BIGINT, label STRING"
+        )
+        plain = sorted(
+            tuple(r) for r in fact.join(dim, "k").select("k", "row_id", "label").collect()
+        )
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(fact, dim, "k", salt_buckets=buckets, salt_source="row_id")
+            .select("k", "row_id", "label")
+            .collect()
+        )
+        assert salted == plain
+
+    check()
+
+
+def test_sequence_pack_invariants(spark):
+    """Greedy prefix-sum packing invariants for ANY document length
+    multiset: (a) every document lands in exactly one (shard, bin);
+    (b) within a shard, bins are dense from 0 WHEN no single document
+    exceeds the budget (an oversize doc legitimately consumes several
+    bins' worth and skips indices — hypothesis found exactly that edge,
+    so the density claim is conditioned); (c) every doc's bin equals
+    floor(exclusive-prefix-sum / budget) under the shard's md5 order —
+    the greedy stream replayed in Python."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    budget = 50
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        lengths=st.lists(st.integers(1, 120), min_size=1, max_size=60),
+        n_shards=st.sampled_from([1, 4]),
+    )
+    def check(lengths, n_shards):
+        docs = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(lengths)], "doc_id BIGINT, n_tokens BIGINT"
+        )
+        t = docs.select(
+            "doc_id",
+            (F.col("doc_id") % n_shards).alias("shard"),
+            "n_tokens",
+            F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+        )
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("ord_key")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("n_tokens").over(w)
+        packed = t.select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            ((cum - F.col("n_tokens")) / budget).cast("bigint").alias("bin"),
+        ).collect()
+
+        assert len({r["doc_id"] for r in packed}) == len(lengths)  # (a)
+        by_shard: dict[int, dict[int, int]] = {}
+        for r in packed:
+            by_shard.setdefault(r["shard"], {}).setdefault(r["bin"], 0)
+            by_shard[r["shard"]][r["bin"]] += r["n_tokens"]
+        if max(lengths) <= budget:
+            for bins in by_shard.values():
+                ids = sorted(bins)
+                assert ids[0] == 0 and ids == list(range(len(ids)))  # (b)
+        # (c): replay each shard's md5-ordered greedy stream in Python —
+        # every doc's bin must equal floor(exclusive-prefix-sum/budget)
+        import hashlib
+
+        for shard in by_shard:
+            rows = [r for r in packed if r["shard"] == shard]
+            rows.sort(key=lambda r: hashlib.md5(str(r["doc_id"]).encode()).hexdigest())
+            running = 0
+            for r in rows:
+                assert r["bin"] == running // budget  # (c)
+                running += r["n_tokens"]
+
+    check()
