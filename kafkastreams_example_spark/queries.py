@@ -3458,7 +3458,15 @@ def q_dedup_candidates_union(spark, sf_dir):
     time instead of twice — at warehouse scale this intermediate is a
     staged table shared by every signal generator."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _exploded_tokens(docs, "text", "doc_id").persist()
+    # the token frame is a STAGED intermediate (persisted, read by
+    # three generators): build it at cluster-width parallelism. The
+    # small-SF corpus is one parquet split, which would otherwise
+    # serialize the dominant tokenize→explode→distinct pass onto one
+    # task (measured 2× the whole entry's wall); at production scale
+    # the scan already has thousands of splits and this repartition is
+    # noise next to the staged build it feeds.
+    par = spark.sparkContext.defaultParallelism
+    toks = _exploded_tokens(docs.repartition(par), "text", "doc_id").persist()
     mh = minhash_lsh_pairs(docs, tokens=toks).select(
         "id_a", "id_b", F.lit(1).alias("src")
     )
@@ -3569,6 +3577,9 @@ def q_contamination(spark, sf_dir):
     from .functions.dedup_approx import hashed_shingle_frame
 
     docs = load_table(spark, sf_dir, "documents")
+    # staged+persisted shingle frame: same cluster-width build as
+    # q_dedup_candidates_union's token frame (see rationale there)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     sh = hashed_shingle_frame(docs, 5, extra_cols=("source",))
     sh = (
         sh.withColumn("__df", F.count("*").over(Window.partitionBy("sh")))
