@@ -64,6 +64,43 @@ def write_partitioned(df: DataFrame, table: str, partition_col: str) -> None:
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> int:
+    """Compact a parquet dataset in place to ~target-size files — the
+    maintenance counterpart of write_partitioned: streaming sinks and
+    fine-grained partitioned writes accumulate small files, and at
+    100 TB an over-fragmented table turns every scan into a
+    metadata/open-cost storm (one task per tiny file). Sizing comes
+    from the dataset's actual on-disk bytes, not a row-count guess;
+    with sort_col the rewrite range-partitions so each output file
+    covers a contiguous key range (clustered layout ⇒ min/max row-group
+    pruning works for range predicates). Returns the output file count.
+
+    Writes to a sibling temp dir then atomically swaps, so a failed
+    compaction never corrupts the source.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    src = Path(path)
+    on_disk = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, math.ceil(on_disk / target_file_bytes))
+    df = spark.read.parquet(str(src))
+    out = df.repartitionByRange(n_files, sort_col) if sort_col else df.coalesce(n_files)
+    tmp = src.with_name(src.name + "._compact_tmp")
+    out.write.mode("overwrite").parquet(str(tmp))
+    old = src.with_name(src.name + "._compact_old")
+    src.rename(old)
+    tmp.rename(src)
+    shutil.rmtree(old)
+    return len(list(src.rglob("*.parquet")))
+
+
 def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
 ) -> DataFrame:

@@ -81,3 +81,37 @@ def test_partitioned_scan_prunes_directories(spark):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS p_events")
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Compaction must collapse a fragmented dataset to ~target-size
+    files, preserve the exact row multiset, and leave no temp dirs.
+    With sort_col, each output file covers a contiguous key range."""
+    from kafkastreams_example_spark.operators.bucketing import compact_parquet
+
+    src = str(tmp_path / "frag")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(64).write.parquet(src)  # the small-files mess
+    n_before = len(list((tmp_path / "frag").rglob("*.parquet")))
+    assert n_before >= 32
+    before = events.count()
+
+    n_after = compact_parquet(spark, src, target_file_bytes=1 << 30, sort_col="event_id")
+    assert n_after < n_before and n_after >= 1
+    got = spark.read.parquet(src)
+    assert got.count() == before
+    assert not list(tmp_path.glob("*._compact_*"))
+    # clustered layout: per-file event_id ranges must not overlap
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in (tmp_path / "frag").rglob("*.parquet"):
+        md = pq.read_metadata(str(f))
+        idx = md.schema.names.index("event_id")
+        mins = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping key ranges

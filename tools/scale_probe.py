@@ -103,6 +103,7 @@ FAMILY = [
     "fuzzy_match",
     "sim_topk",
     "ivf_topk",
+    "ivf_topk_trained",
     "ann_hyperplane",
     "kmeans_centroids",
     "dedup_embeddings",
