@@ -174,28 +174,116 @@ def minhash_band_dedup_pipeline(
     empty-signature band key (concat_ws skips null slots), so empty
     docs collapse to one per window — the conventional ingest policy.
     """
-    from ..functions.text import tokenize
-
-    toks = F.array_distinct(tokenize(F.col(text_col)))
-    mh = [
-        F.array_min(
-            F.transform(toks, lambda t, i=i: F.md5(F.concat(F.lit(f"{i}:"), t)))
-        )
-        for i in range(n_hashes)
-    ]
-    per_band = n_hashes // n_bands
-    bands = [
-        F.md5(F.concat_ws("|", *mh[b * per_band : (b + 1) * per_band])).alias(
-            f"__band{b}"
-        )
-        for b in range(n_bands)
-    ]
-    keyed = docs.select("*", *bands)
+    keyed = docs.select("*", *_minhash_band_cols(text_col, n_hashes, n_bands))
     band_cols = [f"__band{b}" for b in range(n_bands)]
     return (
         keyed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(band_cols)
         .drop(*band_cols)
+    )
+
+
+def _minhash_band_cols(text_col: str, n_hashes: int, n_bands: int) -> list:
+    """n_bands MinHash band-key expressions (pure codegen: array_min
+    over per-token md5, same md5(i ':' token) convention as the batch
+    minhash_signatures) — shared by both streaming dedup tiers."""
+    from ..functions.text import tokenize
+
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+
+    def mh_slot(i: int):
+        # NOTE: the lambda must stay SINGLE-argument. pyspark
+        # arity-dispatches higher-order-function lambdas, so a
+        # two-parameter lambda (e.g. the `lambda t, i=i:` closure idiom)
+        # receives (element, array-index) — the second parameter shadows
+        # the closure and, stringified into the hash prefix, embeds an
+        # auto-generated per-plan variable name: every query run then
+        # computes DIFFERENT signatures for identical text (caught by
+        # the cross-restart any-band test).
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
+        )
+
+    mh = [mh_slot(i) for i in range(n_hashes)]
+    per_band = n_hashes // n_bands
+    return [
+        F.md5(F.concat_ws("|", *mh[b * per_band : (b + 1) * per_band])).alias(
+            f"__band{b}"
+        )
+        for b in range(n_bands)
+    ]
+
+
+def band_dedup_any_pipeline(
+    keyed: DataFrame,
+    band_cols: list[str],
+    id_col: str = "doc_id",
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """ANY-band streaming LSH dedup — batch-parity candidate semantics
+    (a document is a duplicate if it shares ≥1 band key with an earlier
+    in-window document) from two CHAINED BUILT-IN stateful operators,
+    no custom state code:
+
+    1. explode the band keys and keep the FIRST arrival per (band,
+       key) bucket — dropDuplicatesWithinWatermark, state = one row per
+       live band bucket;
+    2. windowed per-document count of surviving band rows — a document
+       that lost ANY band collided with an earlier document, so
+       survivors are exactly the documents that WON ALL their bands
+       (n_won = n_bands). The count aggregation closes when the
+       watermark passes the document's window, which is when Spark can
+       prove no band verdict is still pending.
+
+    Cost of exact any-band semantics vs the all-band tier
+    (minhash_band_dedup_pipeline): n_bands× state rows, a second
+    stateful stage, and verdicts delayed until watermark closure —
+    stream-side latency traded for batch-parity recall. Emits
+    (id_col, window, n_won) for survivors.
+    """
+    n_bands = len(band_cols)
+    exploded = keyed.select(
+        id_col,
+        ts_col,
+        F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias("band", "bh"),
+    )
+    winners = exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band", "bh"]
+    )
+    counts = winners.groupBy(F.window(ts_col, window), F.col(id_col)).agg(
+        F.count("*").alias("n_won")
+    )
+    return counts.filter(F.col("n_won") == n_bands)
+
+
+def minhash_band_dedup_any_pipeline(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """minhash signature stage (stateless codegen) + the any-band
+    chained-stateful dedup: the streaming pipeline with the SAME
+    candidate semantics as the batch minhash_lsh_pairs (pair on any
+    shared band). See band_dedup_any_pipeline for the mechanism and
+    the latency/state trade vs the all-band tier."""
+    keyed = docs.select(
+        id_col, ts_col, *_minhash_band_cols(text_col, n_hashes, n_bands)
+    )
+    return band_dedup_any_pipeline(
+        keyed,
+        [f"__band{b}" for b in range(n_bands)],
+        id_col=id_col,
+        ts_col=ts_col,
+        watermark=watermark,
+        window=window,
     )
 
 

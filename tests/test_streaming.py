@@ -514,6 +514,134 @@ def test_minhash_band_dedup_pipeline_streaming(spark, tmp_path):
     assert len(got) == 2
 
 
+def test_band_dedup_any_pipeline_chained_stateful(spark, tmp_path):
+    """ANY-band streaming dedup (two chained built-in stateful ops):
+    a doc sharing ONE band key with an earlier doc is suppressed even
+    though its other bands are fresh — the semantics the all-band tier
+    deliberately relaxes. Batches arrive in separate availableNow
+    rounds so first-wins ordering is deterministic; clock docs advance
+    the watermark so the verdict aggregation closes."""
+    from kafkastreams_example_spark.streaming.pipelines import band_dedup_any_pipeline
+
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    T0 = 1_704_067_200_000
+
+    def run_round():
+        stream = (
+            spark.readStream.schema(
+                "doc_id BIGINT, ts_ms BIGINT, b0 STRING, b1 STRING, b2 STRING, b3 STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .select(
+                "doc_id",
+                F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+                "b0", "b1", "b2", "b3",
+            )
+        )
+        out = band_dedup_any_pipeline(stream, ["b0", "b1", "b2", "b3"])
+        q = (
+            out.select("doc_id", "n_won")
+            .writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def doc(did, ts, *bands):
+        return {"doc_id": did, "ts_ms": ts, **{f"b{i}": b for i, b in enumerate(bands)}}
+
+    # round 1: d0 claims bands a0..a3
+    _write_batch(src, "b1.json", [doc(0, T0, "a0", "a1", "a2", "a3")])
+    run_round()
+    # round 2: d1 shares ONE band (a0) -> must be suppressed;
+    #          d2 fully disjoint -> survivor
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            doc(1, T0 + MIN, "a0", "x1", "x2", "x3"),
+            doc(2, T0 + MIN, "c0", "c1", "c2", "c3"),
+        ],
+    )
+    run_round()
+    # rounds 3-4: clock docs push the watermark past the first window's
+    # end so the verdict aggregation emits
+    _write_batch(src, "b3.json", [doc(90, T0 + 40 * MIN, "k0", "k1", "k2", "k3")])
+    run_round()
+    _write_batch(src, "b4.json", [doc(91, T0 + 41 * MIN, "m0", "m1", "m2", "m3")])
+    run_round()
+
+    rows = spark.read.schema("doc_id BIGINT, n_won BIGINT").json(str(out_dir)).collect()
+    got = {r["doc_id"] for r in rows}
+    assert got == {0, 2}
+    assert all(r["n_won"] == 4 for r in rows)
+
+
+def test_minhash_band_dedup_any_matches_batch_candidates(spark, tmp_path):
+    """Composed smoke: the any-band streaming pipeline suppresses a
+    token-identical duplicate arriving in a later batch and keeps a
+    disjoint-vocabulary doc, with verdicts emitted after watermark
+    closure."""
+    from kafkastreams_example_spark.streaming.pipelines import (
+        minhash_band_dedup_any_pipeline,
+    )
+
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    T0 = 1_704_067_200_000
+    base = "the quick brown fox jumps over the lazy dog near a river bank today"
+
+    def run_round():
+        stream = (
+            spark.readStream.schema("doc_id BIGINT, ts_ms BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .select(
+                "doc_id", "text",
+                F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+            )
+        )
+        out = minhash_band_dedup_any_pipeline(stream)
+        q = (
+            out.select("doc_id", "n_won")
+            .writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src, "b1.json", [{"doc_id": 0, "ts_ms": T0, "text": base}])
+    run_round()
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"doc_id": 1, "ts_ms": T0 + MIN, "text": base},  # exact dup
+            {"doc_id": 2, "ts_ms": T0 + MIN,
+             "text": "completely different words entirely unrelated corpus"},
+        ],
+    )
+    run_round()
+    _write_batch(src, "b3.json", [{"doc_id": 90, "ts_ms": T0 + 40 * MIN, "text": "clock advance one"}])
+    run_round()
+    _write_batch(src, "b4.json", [{"doc_id": 91, "ts_ms": T0 + 41 * MIN, "text": "clock advance two"}])
+    run_round()
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.schema("doc_id BIGINT, n_won BIGINT").json(str(out_dir)).collect()
+    }
+    assert got == {0, 2}
+
+
 def test_attribution_join_left_outer_emits_unmatched(spark, tmp_path):
     """Stream-stream LEFT OUTER interval join: the unattributed
     impression emits with a null click — but only after the watermark
