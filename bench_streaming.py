@@ -58,6 +58,7 @@ from kafkastreams_example_spark.streaming.pipelines import (  # noqa: E402
     attribution_join_pipeline,
     dedup_pipeline_within_watermark,
     filter_pipeline,
+    minhash_band_dedup_any_pipeline,
     minhash_band_dedup_pipeline,
     quality_filter_pipeline,
     windowed_count_pipeline,
@@ -76,6 +77,7 @@ THRESHOLDS = {
     "interval_join": 40_000,
     "quality_filter": 100_000,
     "minhash_dedup": 30_000,
+    "minhash_dedup_any": 15_000,
 }
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
@@ -256,6 +258,16 @@ def main() -> None:
             **_run_query(
                 minhash_band_dedup_pipeline(_doc_stream(rows_dedup)),
                 "minhash_dedup",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_dedup,
+        }
+        # any-band tier: 2 chained stateful stages, n_bands x the state
+        # rows — the exact-recall upgrade's throughput price on record
+        results["minhash_dedup_any"] = {
+            **_run_query(
+                minhash_band_dedup_any_pipeline(_doc_stream(rows_dedup)),
+                "minhash_dedup_any",
                 ckpt_root,
             ),
             "rows_per_batch": rows_dedup,
