@@ -61,13 +61,23 @@ def make_refresh_dedup_processor(
     batch rows processed in event-time order with payload-column
     tie-break. Constructed lazily so importing this module never
     touches the TWS API on runtimes that lack it.
+
+    Building the processor requires only the StatefulProcessor API
+    (PySpark ≥ 4) — protobuf is an EXECUTION dependency of the TWS
+    Python worker, checked by dedup_refresh_stream_tws at wiring time.
+    The split lets the processor's batch/timer protocol be unit-tested
+    with mock handles on runtimes that can't execute TWS
+    (tests/test_streaming.py::test_tws_processor_timer_protocol).
     """
-    ok, reason = tws_available()
-    if not ok:
-        raise RuntimeError(
-            f"transformWithStateInPandas unavailable: {reason}; "
-            "use dedup_refresh.dedup_refresh_stream (applyInPandasWithState) instead"
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
         )
+    except ImportError as exc:
+        raise RuntimeError(
+            f"StatefulProcessor API unavailable ({exc}); "
+            "use dedup_refresh.dedup_refresh_stream (applyInPandasWithState) instead"
+        ) from exc
     if clock not in ("event", "stream"):
         raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
 
@@ -156,6 +166,12 @@ def dedup_refresh_stream_tws(
     """
     from pyspark.sql import functions as F
 
+    ok, reason = tws_available()
+    if not ok:
+        raise RuntimeError(
+            f"transformWithStateInPandas unavailable: {reason}; "
+            "use dedup_refresh.dedup_refresh_stream (applyInPandasWithState) instead"
+        )
     processor = make_refresh_dedup_processor(
         window_ms,
         evict=evict_state,

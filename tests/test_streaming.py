@@ -911,22 +911,115 @@ def test_probe_core_vectorized_matches_sequential_reference():
     check()
 
 
-def test_tws_guard_reports_reason():
+def test_tws_guard_reports_reason(spark):
     """transformWithStateInPandas tier: on runtimes that can't execute
-    it (no protobuf) the factory must raise a clear RuntimeError naming
-    the blocker, never fail deep inside a streaming query."""
+    it (no protobuf) the STREAM WIRING must raise a clear RuntimeError
+    naming the blocker, never fail deep inside a streaming query. The
+    processor factory itself needs only the StatefulProcessor API, so
+    its batch/timer protocol stays unit-testable here."""
     from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        dedup_refresh_stream_tws,
         make_refresh_dedup_processor,
         tws_available,
     )
 
+    proc = make_refresh_dedup_processor()  # API present in PySpark >= 4
+    assert hasattr(proc, "handleInputRows")
     ok, reason = tws_available()
-    if ok:
-        proc = make_refresh_dedup_processor()
-        assert hasattr(proc, "handleInputRows")
-    else:
+    if not ok:
+        decoded = spark.createDataFrame(
+            [], "dedup_id STRING, event_time TIMESTAMP, row_id BIGINT"
+        )
         with pytest.raises(RuntimeError, match="transformWithStateInPandas unavailable"):
-            make_refresh_dedup_processor()
+            dedup_refresh_stream_tws(decoded)
+
+
+class _MockValueState:
+    def __init__(self):
+        self.value = None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+    def clear(self):
+        self.value = None
+
+
+class _MockHandle:
+    def __init__(self):
+        self.states: dict[str, _MockValueState] = {}
+        self.timers: set[int] = set()
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _MockValueState())
+
+    def registerTimer(self, expiry):
+        self.timers.add(int(expiry))
+
+    def deleteTimer(self, expiry):
+        self.timers.discard(int(expiry))
+
+
+class _MockTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def test_tws_processor_timer_protocol():
+    """The evict-timer fix, unit-tested with mock handles (the TWS
+    worker can't execute here — no protobuf — but the processor logic
+    is plain Python): each batch must delete the PREVIOUS timer before
+    arming a new one so exactly one live timer exists per key (TWS
+    timers are one-shot and additive); expiry clears all state and
+    yields nothing. Without delete-then-register, the first batch's
+    timer fires one window after FIRST activity even while the key
+    stays hot, wrongly re-emitting suppressed duplicates."""
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        make_refresh_dedup_processor,
+    )
+
+    w = 600_000
+    proc = make_refresh_dedup_processor(window_ms=w, evict=True)
+    handle = _MockHandle()
+    proc.init(handle)
+
+    def batch(rows, now_ms):
+        out = list(
+            proc.handleInputRows(
+                ("k",),
+                [pd.DataFrame(rows, columns=["row_id", "ts_ms"])],
+                _MockTimerValues(now_ms),
+            )
+        )
+        assert len(out) == 1
+        return set(out[0]["row_id"])
+
+    # batch 1 at wall-clock 1_000: emits the first, suppresses the dup
+    assert batch([(0, 0), (1, 240_000)], 1_000) == {0}
+    assert handle.timers == {1_000 + w}
+    # batch 2 while the key is HOT: the old timer must be deleted —
+    # exactly one live timer, re-based on the new processing time
+    assert batch([(2, 480_000)], 400_000) == set()
+    assert handle.timers == {400_000 + w}
+    # expiry after a full idle window (TWS consumes a fired timer
+    # automatically — simulate by removing it first): state forgotten,
+    # nothing yielded
+    handle.timers.discard(400_000 + w)
+    expired = list(proc.handleExpiredTimer(("k",), _MockTimerValues(10**9), None))
+    assert expired == []
+    assert handle.states["seen"].get() is None
+    assert handle.states["tmr"].get() is None
+    # post-eviction: the same timestamps emit again (key forgotten)
+    assert batch([(3, 240_000)], 10**9) == {3}
+    assert handle.timers == {10**9 + w}
 
 
 def test_tws_stream_end_to_end(spark, tmp_path):
