@@ -222,6 +222,7 @@ def band_dedup_any_pipeline(
     ts_col: str = "event_time",
     watermark: str = "10 minutes",
     window: str = "5 minutes",
+    hot_bands: DataFrame | None = None,
 ) -> DataFrame:
     """ANY-band streaming LSH dedup — batch-parity candidate semantics
     (a document is a duplicate if it shares ≥1 band key with an earlier
@@ -243,6 +244,18 @@ def band_dedup_any_pipeline(
     stateful stage, and verdicts delayed until watermark closure —
     stream-side latency traded for batch-parity recall. Emits
     (id_col, window, n_won) for survivors.
+
+    hot_bands — an optional STATIC (band, bh) denylist of
+    non-discriminative band buckets (boilerplate, tiny vocabulary),
+    the streaming analog of the batch generator's 64-member bucket cap
+    (minhash_lsh_pairs). Measured without it on a duplicate-heavy
+    corpus the any-band rule over-fires (suppressed 498/500 at sf0.01,
+    BASELINE.md round 7). Hot rows are NOT dropped — dropping would
+    make winning all bands impossible — their key is rewritten to a
+    per-document unique value, so the document trivially wins that band
+    and competes only on discriminative ones. The denylist is
+    batch-computed (hot_band_frame) and broadcast into a stream-static
+    join: the production shape for a periodically refreshed cap.
     """
     n_bands = len(band_cols)
     exploded = keyed.select(
@@ -250,6 +263,21 @@ def band_dedup_any_pipeline(
         ts_col,
         F.posexplode(F.array(*[F.col(c) for c in band_cols])).alias("band", "bh"),
     )
+    if hot_bands is not None:
+        marked = F.broadcast(
+            hot_bands.select("band", "bh").withColumn("__hot", F.lit(True))
+        )
+        exploded = (
+            exploded.join(marked, ["band", "bh"], "left")
+            .withColumn(
+                "bh",
+                F.when(
+                    F.col("__hot"),
+                    F.concat_ws(":", F.lit("__solo"), F.col(id_col), F.col("band")),
+                ).otherwise(F.col("bh")),
+            )
+            .drop("__hot")
+        )
     winners = exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["band", "bh"]
     )
@@ -268,12 +296,14 @@ def minhash_band_dedup_any_pipeline(
     window: str = "5 minutes",
     id_col: str = "doc_id",
     text_col: str = "text",
+    hot_bands: DataFrame | None = None,
 ) -> DataFrame:
     """minhash signature stage (stateless codegen) + the any-band
     chained-stateful dedup: the streaming pipeline with the SAME
     candidate semantics as the batch minhash_lsh_pairs (pair on any
-    shared band). See band_dedup_any_pipeline for the mechanism and
-    the latency/state trade vs the all-band tier."""
+    shared band). See band_dedup_any_pipeline for the mechanism, the
+    latency/state trade vs the all-band tier, and the hot_bands
+    precision cap."""
     keyed = docs.select(
         id_col, ts_col, *_minhash_band_cols(text_col, n_hashes, n_bands)
     )
@@ -284,6 +314,33 @@ def minhash_band_dedup_any_pipeline(
         ts_col=ts_col,
         watermark=watermark,
         window=window,
+        hot_bands=hot_bands,
+    )
+
+
+def hot_band_frame(
+    corpus: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    max_bucket: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch-compute the (band, bh) denylist for the any-band streaming
+    tier: band buckets with more than max_bucket members in a reference
+    corpus carry no discriminative signal (the same judgement as the
+    batch generator's bucket cap). Recompute periodically from recent
+    data and feed to band_dedup_any_pipeline(hot_bands=...)."""
+    keyed = corpus.select(*_minhash_band_cols(text_col, n_hashes, n_bands))
+    exploded = keyed.select(
+        F.posexplode(
+            F.array(*[F.col(f"__band{b}") for b in range(n_bands)])
+        ).alias("band", "bh")
+    )
+    return (
+        exploded.groupBy("band", "bh")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .select("band", "bh")
     )
 
 

@@ -582,6 +582,76 @@ def test_band_dedup_any_pipeline_chained_stateful(spark, tmp_path):
     assert all(r["n_won"] == 4 for r in rows)
 
 
+def test_band_dedup_any_hot_band_cap(spark, tmp_path):
+    """With (0, a0) denylisted as a hot band, a doc sharing ONLY that
+    band must now SURVIVE: its hot row is rewritten to a per-doc solo
+    key (never dropped — dropping would make winning all bands
+    impossible), so it competes only on discriminative bands. A doc
+    sharing a non-hot band stays suppressed."""
+    from kafkastreams_example_spark.streaming.pipelines import band_dedup_any_pipeline
+
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    T0 = 1_704_067_200_000
+    hot = spark.createDataFrame([(0, "a0")], "band INT, bh STRING")
+
+    def run_round():
+        stream = (
+            spark.readStream.schema(
+                "doc_id BIGINT, ts_ms BIGINT, b0 STRING, b1 STRING, b2 STRING, b3 STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .select(
+                "doc_id",
+                F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+                "b0", "b1", "b2", "b3",
+            )
+        )
+        out = band_dedup_any_pipeline(
+            stream, ["b0", "b1", "b2", "b3"], hot_bands=hot
+        )
+        q = (
+            out.select("doc_id", "n_won")
+            .writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def doc(did, ts, *bands):
+        return {"doc_id": did, "ts_ms": ts, **{f"b{i}": b for i, b in enumerate(bands)}}
+
+    _write_batch(src, "b1.json", [doc(0, T0, "a0", "a1", "a2", "a3")])
+    run_round()
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            # shares only the HOT band a0 -> survives under the cap
+            doc(1, T0 + MIN, "a0", "x1", "x2", "x3"),
+            # shares the non-hot band a1 -> still suppressed
+            doc(2, T0 + MIN, "y0", "a1", "y2", "y3"),
+        ],
+    )
+    run_round()
+    _write_batch(src, "b3.json", [doc(90, T0 + 40 * MIN, "k0", "k1", "k2", "k3")])
+    run_round()
+    _write_batch(src, "b4.json", [doc(91, T0 + 41 * MIN, "m0", "m1", "m2", "m3")])
+    run_round()
+
+    got = {
+        r["doc_id"]
+        for r in spark.read.schema("doc_id BIGINT, n_won BIGINT")
+        .json(str(out_dir))
+        .collect()
+    }
+    assert got == {0, 1}
+
+
 def test_minhash_band_dedup_any_matches_batch_candidates(spark, tmp_path):
     """Composed smoke: the any-band streaming pipeline suppresses a
     token-identical duplicate arriving in a later batch and keeps a

@@ -66,6 +66,18 @@ def main() -> None:
     )
     sup_any = {r["doc_id"] for r in lost.select("doc_id").distinct().collect()}
 
+    # any-band + hot-band cap: hot rows can't cause a loss (the
+    # pipeline rewrites them to per-doc solo keys)
+    from kafkastreams_example_spark.streaming.pipelines import hot_band_frame
+
+    hot = hot_band_frame(docs, 8, 4, max_bucket=64)
+    lost_capped = (
+        exploded.join(hot, ["band", "bh"], "left_anti")
+        .withColumn("rn", F.row_number().over(w_band))
+        .filter(F.col("rn") > 1)
+    )
+    sup_capped = {r["doc_id"] for r in lost_capped.select("doc_id").distinct().collect()}
+
     # batch baseline: duplicate = pairs with a lower-id doc
     batch_dup = {
         r["id_b"]
@@ -92,6 +104,13 @@ def main() -> None:
                     "suppressed": len(sup_any),
                     "batch_dups_caught": caught_any,
                     "recall_vs_batch": round(caught_any / len(batch_dup), 3)
+                    if batch_dup
+                    else None,
+                },
+                "any_band_hot_capped": {
+                    "suppressed": len(sup_capped),
+                    "batch_dups_caught": len(batch_dup & sup_capped),
+                    "recall_vs_batch": round(len(batch_dup & sup_capped) / len(batch_dup), 3)
                     if batch_dup
                     else None,
                 },
