@@ -117,3 +117,44 @@ def test_sequence_pack_invariants(spark):
                 running += r["n_tokens"]
 
     check()
+
+
+def test_oracle_harness_detects_mismatches(spark):
+    """Meta-test of the correctness gate itself: _check_one must flag a
+    value mismatch, a row-count mismatch, and a column-name mismatch —
+    a gate that green-lights everything is worse than no gate."""
+    import duckdb
+
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_check", Path(__file__).resolve().parent.parent / "tools" / "oracle_check.py"
+    )
+    oc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(oc)
+
+    from conftest import SF_DIR
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW region AS SELECT * FROM '{SF_DIR}/region.parquet'")
+
+    class FakeSpec:
+        def __init__(self, fn, oracle):
+            self.fn = fn
+            self.oracle = oracle
+
+    good = lambda s, d: s.read.parquet(f"{d}/region.parquet").selectExpr(  # noqa: E731
+        "r_regionkey", "r_name"
+    )
+    cases = {
+        "ok": (good, "SELECT r_regionkey, r_name FROM region"),
+        "bad_value": (good, "SELECT r_regionkey + 1 AS r_regionkey, r_name FROM region"),
+        "bad_rows": (good, "SELECT r_regionkey, r_name FROM region WHERE r_regionkey > 0"),
+        "bad_cols": (good, "SELECT r_regionkey, r_name AS region_name FROM region"),
+    }
+    oc.REGISTRY = {k: FakeSpec(fn, sql) for k, (fn, sql) in cases.items()}
+    fails: list[str] = []
+    for name in cases:
+        oc._check_one(spark, con, name, SF_DIR, fails)
+    assert fails == ["bad_value", "bad_rows", "bad_cols"]
