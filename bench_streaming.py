@@ -276,11 +276,14 @@ def main() -> None:
         shutil.rmtree(ckpt_root, ignore_errors=True)
         spark.stop()
 
+    # rows_per_sec None means the pipeline produced ZERO measured
+    # batches inside the deadline — a total stall is the worst
+    # regression, not an exemption
     regressions = sorted(
         name
         for name, r in results.items()
-        if r.get("rows_per_sec") is not None
-        and r["rows_per_sec"] < THRESHOLDS.get(name, 0)
+        if r.get("rows_per_sec") is None
+        or r["rows_per_sec"] < THRESHOLDS.get(name, 0)
     )
     for name, r in results.items():
         r["below_threshold"] = name in regressions

@@ -126,6 +126,12 @@ def parse_audio_header(payload: bytes) -> dict[str, Any] | None:
             i += 8 + size + (size & 1)  # chunks are word-aligned
         if sample_rate is None:
             return None
+        # bounds guard: the fmt fields are unsigned on the wire but the
+        # output schema is signed INT — a garbage header with e.g.
+        # sample_rate 0xFFFFFFFF must degrade to 'unknown', not crash
+        # the Arrow conversion of the whole batch
+        if not (0 < sample_rate <= 2**31 - 1) or not (0 < (channels or 0) <= 2**15):
+            return None
         duration_ms = (
             data_size * 1000 // byte_rate
             if data_size is not None and byte_rate

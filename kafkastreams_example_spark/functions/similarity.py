@@ -372,8 +372,15 @@ def bucketed_assign(
         .filter(F.col("r") == 1)
         .select("id", "b_id")
     )
-    return aassign.join(bassign, "id").select(
-        (F.col("a_id") * c2 + F.col("b_id")).alias("bucket"), "id", "uv"
+    # LEFT join + coalesce: when the B-codebook id block [c1, c1+c2) is
+    # empty or sparse (tiny corpus, non-dense ids), every vector falls
+    # back to B cell 0 — assignment degrades to A-only bucketing
+    # instead of silently dropping the whole corpus from dedup (an
+    # inner join would empty `members` whenever bc matched nothing)
+    return aassign.join(bassign, "id", "left").select(
+        (F.col("a_id") * c2 + F.coalesce(F.col("b_id"), F.lit(0))).alias("bucket"),
+        "id",
+        "uv",
     )
 
 

@@ -80,21 +80,33 @@ def compact_parquet(
     covers a contiguous key range (clustered layout ⇒ min/max row-group
     pruning works for range predicates). Returns the output file count.
 
-    Writes to a sibling temp dir then atomically swaps, so a failed
-    compaction never corrupts the source.
+    Writes to a sibling temp dir, then swaps via two renames. The swap
+    window (source briefly renamed away) is the unavoidable POSIX
+    limitation of directory swaps; what IS guaranteed is that no crash
+    point loses data, and that a rerun after any crash self-recovers:
+    a stale tmp dir is discarded (incomplete write), and a stale old
+    dir with the source missing is renamed back (crash mid-swap)
+    before compacting again.
     """
     import math
     import shutil
     from pathlib import Path
 
     src = Path(path)
+    tmp = src.with_name(src.name + "._compact_tmp")
+    old = src.with_name(src.name + "._compact_old")
+    # crash recovery from a previous attempt, before touching anything:
+    if old.exists() and not src.exists():
+        old.rename(src)  # died between the two swap renames
+    elif old.exists():
+        shutil.rmtree(old)  # died before cleanup; src is the new data
+    if tmp.exists():
+        shutil.rmtree(tmp)  # incomplete prior write
     on_disk = sum(f.stat().st_size for f in src.rglob("*.parquet"))
     n_files = max(1, math.ceil(on_disk / target_file_bytes))
     df = spark.read.parquet(str(src))
     out = df.repartitionByRange(n_files, sort_col) if sort_col else df.coalesce(n_files)
-    tmp = src.with_name(src.name + "._compact_tmp")
     out.write.mode("overwrite").parquet(str(tmp))
-    old = src.with_name(src.name + "._compact_old")
     src.rename(old)
     tmp.rename(src)
     shutil.rmtree(old)

@@ -2256,8 +2256,9 @@ bassign AS (
                row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, b_id) AS r
         FROM bscore) WHERE r = 1),
 assign AS (
-  SELECT a.vec_id, a.a_id * (SELECT c2 FROM grid) + b.b_id AS bucket
-  FROM aassign a JOIN bassign b ON a.vec_id = b.vec_id)
+  SELECT a.vec_id,
+         a.a_id * (SELECT c2 FROM grid) + COALESCE(b.b_id, 0) AS bucket
+  FROM aassign a LEFT JOIN bassign b ON a.vec_id = b.vec_id)
 """
 
 SQL_COSINE_PAIRS = f"""

@@ -116,10 +116,19 @@ def make_refresh_dedup_fn(
         # output instead of sort_values + .loc: the per-group pandas
         # machinery was ~6× the actual decision cost for the small
         # per-key groups a real key distribution produces (profiled at
-        # ~1 ms vs ~175 µs per 12-row group).
+        # ~1 ms vs ~175 µs per 12-row group). Object-dtype tiebreak
+        # columns (string payloads, possibly NULL) can't lexsort — None
+        # vs str comparison raises — so those take the original pandas
+        # sort path; numeric payloads keep the fast path.
         cols = {c: batch[c].to_numpy() for c in out_cols}
         ts = cols["ts_ms"] = cols["ts_ms"].astype("int64", copy=False)
-        order = np.lexsort(tuple(cols[c] for c in reversed(tiebreak)) + (ts,))
+        if any(cols[c].dtype == object for c in tiebreak):
+            batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
+            cols = {c: batch[c].to_numpy() for c in out_cols}
+            ts = cols["ts_ms"] = cols["ts_ms"].astype("int64", copy=False)
+            order = np.arange(len(batch))
+        else:
+            order = np.lexsort(tuple(cols[c] for c in reversed(tiebreak)) + (ts,))
         seen = list(state.get[0]) if state.exists else []
         keep, seen = probe_and_remember(seen, ts[order], window_ms, clock)
         state.update((seen,))

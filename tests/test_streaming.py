@@ -1132,3 +1132,40 @@ def test_tws_stream_end_to_end(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _read_sink(spark, tmp_path / "out") == {1, 4}
+
+
+def test_dedup_refresh_null_string_payload(spark, tmp_path):
+    """Review regression (r7): object-dtype payload columns with NULLs
+    must survive the per-group sort (np.lexsort would raise on
+    None-vs-str comparison; those groups take the pandas sort path)."""
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    rows = [
+        {"row_id": 0, "ts_ms": 0, "dedup_id": "NPE", "msg": "boom"},
+        {"row_id": 1, "ts_ms": 60_000, "dedup_id": "NPE", "msg": None},
+        {"row_id": 2, "ts_ms": 60_000, "dedup_id": "NPE", "msg": "alt"},
+        {"row_id": 3, "ts_ms": 0, "dedup_id": "OOM", "msg": None},
+    ]
+    _write_batch(src, "b1.json", rows)
+    stream = (
+        spark.readStream.schema("row_id BIGINT, ts_ms BIGINT, dedup_id STRING, msg STRING")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = dedup_refresh_stream(stream, payload_cols=("row_id", "msg"))
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["row_id"]
+        for r in spark.read.schema("row_id BIGINT, msg STRING, ts_ms BIGINT")
+        .json(str(out_dir))
+        .collect()
+    }
+    assert got == {0, 3}  # rows 1-2 are in-window duplicates of 0
