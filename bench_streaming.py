@@ -76,8 +76,11 @@ THRESHOLDS = {
     "windowed_agg": 150_000,
     "interval_join": 40_000,
     "quality_filter": 100_000,
-    "minhash_dedup": 30_000,
-    "minhash_dedup_any": 15_000,
+    # quiet-machine readings 40–50k; 30k left only ~1.5x headroom and a
+    # moderately loaded (but healthy) run tripped it — 15k restores the
+    # ~2-3x under-recording policy every other floor follows
+    "minhash_dedup": 15_000,
+    "minhash_dedup_any": 12_000,
 }
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
