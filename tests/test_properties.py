@@ -158,3 +158,54 @@ def test_oracle_harness_detects_mismatches(spark):
     for name in cases:
         oc._check_one(spark, con, name, SF_DIR, fails)
     assert fails == ["bad_value", "bad_rows", "bad_cols"]
+
+
+def test_bucketed_pairs_subset_of_exact(spark):
+    """Within-bucket semantics ⊆ all-pairs semantics, for ANY vector
+    multiset and threshold: every pair the two-level PQ bucketing emits
+    must also be emitted by the exact kernel at the same threshold
+    (bucketing may only REDUCE the candidate set), and every emitted
+    cosine must clear the threshold."""
+    from hypothesis import assume
+
+    from kafkastreams_example_spark.functions.similarity import (
+        bucketed_cosine_pairs,
+        cosine_pairs,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.integers(-3, 3).map(float), min_size=4, max_size=4
+            ).filter(lambda v: any(x != 0.0 for x in v)),
+            min_size=4,
+            max_size=14,
+        ),
+        threshold=st.sampled_from([0.2, 0.5, 0.9]),
+    )
+    def check(vecs, threshold):
+        assume(len(vecs) >= 2)
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+        )
+        bucketed = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in bucketed_cosine_pairs(
+                emb, threshold=threshold, n_centroids=None, target_bucket_rows=4,
+                min_centroids=2,
+            ).collect()
+        }
+        exact = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in cosine_pairs(emb, threshold=threshold).collect()
+        }
+        assert bucketed <= exact
+        assert all(c >= threshold - 1e-9 for _, _, c in bucketed)
+
+    check()
