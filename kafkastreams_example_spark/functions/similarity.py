@@ -316,72 +316,97 @@ def bucketed_assign(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    id_offset: int | None = None,
 ) -> DataFrame:
     """Two-level product-quantizer bucket assignment — the sublinear
     assignment stage of bucketed_cosine_pairs, exposed separately so the
     scale probe can time it in isolation.
 
     Two independent deterministic codebooks partition the sphere as a
-    product: codebook A = the first c1 vectors by id, codebook B = the
-    next c2 vectors (disjoint id block). A vector's bucket is
-    (nearest-A cell) × c2 + (nearest-B cell); it probes its n_probe
-    nearest A cells crossed with its single nearest B cell, landing in
-    n_probe of the c1·c2 buckets. Near-duplicate pairs (cosine → 1)
-    score near-identically against every codebook vector, so they agree
-    on both components and co-bucket with high probability — the same
+    product: codebook A = the first c1 vectors by id (starting at the
+    corpus's min id — see id_offset below), codebook B = the next c2
+    vectors (disjoint id block). A vector's bucket is (nearest-A cell)
+    × c2 + (nearest-B cell); it probes its n_probe nearest A cells
+    crossed with its single nearest B cell, landing in n_probe of the
+    c1·c2 buckets. Near-duplicate pairs (cosine → 1) score
+    near-identically against every codebook vector, so they agree on
+    both components and co-bucket with high probability — the same
     property the flat scheme had, at O(c1+c2) = O(√C) dots per vector
     instead of O(C).
 
     Plan shape: two broadcast-codebook cross joins (each codebook is
     O(√C) rows — at 10⁹ vectors and C = n/1024 ≈ 10⁶, each broadcast is
-    ~10³ vectors ≈ 512 KB, vs a 512 MB flat-C broadcast), two per-id
-    top-k windows over n·√C narrow rows, one equi-join on id to combine
-    the components. The corpus parquet is never shuffled for scoring;
-    the only wide exchanges carry (id, cell) pairs.
+    ~10³ vectors ≈ 512 KB, vs a 512 MB flat-C broadcast). Scoring is on
+    NARROW (id, cell, score) rows only: the top-n_probe A selection is
+    a collect_list/array_sort/slice aggregate and the top-1 B selection
+    a max_by aggregate — both partial-aggregate map-side (every scored
+    row of a vector is born in its scan task), so each exchange carries
+    one small per-vector buffer, never n·√C vector-fat rows. The
+    embedding column re-enters through exactly ONE n-row equi-join on
+    id at the end (the pattern _lloyd_iterations uses for the same
+    reason); the only wide exchanges carry (id, cell) pairs — asserted
+    by tests/test_plans.py::test_bucketed_assign_exchanges_are_narrow.
+
+    id_offset: codebook id blocks start at this id; None (default)
+    derives min(id) with one narrow column-pruned agg — the same class
+    of runtime statistic as the count() deriving the adaptive grid
+    (bucketed_cosine_pairs derives both in a single action). Anchoring
+    at min(id) means the A codebook is non-empty for any non-empty
+    corpus — ids need not be dense from 0; a corpus whose ids start at
+    1000 buckets identically to the same corpus shifted to 0.
 
     Output: (bucket BIGINT, id BIGINT, uv ARRAY<DOUBLE>) — one row per
     (vector, probed bucket).
     """
-    from pyspark.sql import Window
-
     c1, c2 = grid
     unit = emb.select(
         F.col(id_col).cast("bigint").alias("id"), _unit(F.col(vec_col)).alias("uv")
     )
-    ac = unit.filter(F.col("id") < c1).select(
-        F.col("id").alias("a_id"), F.col("uv").alias("av")
+    if id_offset is None:
+        id_offset = emb.agg(F.min(F.col(id_col).cast("bigint"))).first()[0]
+    off = int(id_offset or 0)
+    ac = unit.filter((F.col("id") >= off) & (F.col("id") < off + c1)).select(
+        (F.col("id") - off).alias("a_id"), F.col("uv").alias("av")
     )
-    bc = unit.filter((F.col("id") >= c1) & (F.col("id") < c1 + c2)).select(
-        (F.col("id") - c1).alias("b_id"), F.col("uv").alias("bv")
-    )
+    bc = unit.filter(
+        (F.col("id") >= off + c1) & (F.col("id") < off + c1 + c2)
+    ).select((F.col("id") - off - c1).alias("b_id"), F.col("uv").alias("bv"))
+    # (-cs, a_id) struct sort ≡ ORDER BY cs DESC, a_id — bit-identical
+    # to the oracle's row_number tie-break (NaN sorts extreme in both)
     ascored = F.broadcast(ac).join(unit, how="cross").select(
-        "id", "a_id", "uv", _dot(F.col("uv"), F.col("av")).alias("cs")
+        "id", "a_id", _dot(F.col("uv"), F.col("av")).alias("cs")
     )
-    wa = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("a_id"))
     aassign = (
-        ascored.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") <= n_probe)
-        .select("id", "a_id", "uv")
+        ascored.groupBy("id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("cs")).alias("ncs"), F.col("a_id")))
+                ),
+                1,
+                n_probe,
+            ).alias("top")
+        )
+        .select("id", F.explode("top.a_id").alias("a_id"))
     )
     bscored = F.broadcast(bc).join(unit, how="cross").select(
         "id", "b_id", _dot(F.col("uv"), F.col("bv")).alias("cs")
     )
-    wb = Window.partitionBy("id").orderBy(F.col("cs").desc(), F.col("b_id"))
-    bassign = (
-        bscored.withColumn("r", F.row_number().over(wb))
-        .filter(F.col("r") == 1)
-        .select("id", "b_id")
+    bassign = bscored.groupBy("id").agg(
+        F.max_by(
+            F.col("b_id"), F.struct(F.col("cs"), (-F.col("b_id")).alias("nb"))
+        ).alias("b_id")
     )
-    # LEFT join + coalesce: when the B-codebook id block [c1, c1+c2) is
-    # empty or sparse (tiny corpus, non-dense ids), every vector falls
-    # back to B cell 0 — assignment degrades to A-only bucketing
-    # instead of silently dropping the whole corpus from dedup (an
-    # inner join would empty `members` whenever bc matched nothing)
-    return aassign.join(bassign, "id", "left").select(
-        (F.col("a_id") * c2 + F.coalesce(F.col("b_id"), F.lit(0))).alias("bucket"),
+    # LEFT join + coalesce: when the B-codebook id block is empty or
+    # sparse (tiny corpus), every vector falls back to B cell 0 —
+    # assignment degrades to A-only bucketing instead of silently
+    # dropping the corpus from dedup (an inner join would empty
+    # `members` whenever bc matched nothing)
+    cells = aassign.join(bassign, "id", "left").select(
         "id",
-        "uv",
+        (F.col("a_id") * c2 + F.coalesce(F.col("b_id"), F.lit(0))).alias("bucket"),
     )
+    return cells.join(unit, "id").select("bucket", "id", "uv")
 
 
 def bucketed_cosine_pairs(
@@ -415,9 +440,11 @@ def bucketed_cosine_pairs(
       against all C centroids — O(n·C) = O(n²/target) once C ∝ n, with
       an O(C)-row broadcast — while the product grid scores c1+c2+
       ≈ 3√C dots per vector with two O(√C)-row broadcasts. The one
-      count() action deriving n is the same class of runtime statistic
-      AQE gathers; the oracle mirrors the derivation from a count(*)
-      CTE. (`grid` forces an explicit (c1, c2) — test hook.)
+      agg action deriving (n, min id) is the same class of runtime
+      statistic AQE gathers; the oracle mirrors the derivation from a
+      count(*)/min() CTE. Codebook blocks anchor at min(id), so ids
+      need not be dense from 0. (`grid` forces an explicit (c1, c2) —
+      test hook.)
 
     Candidate recall vs the exact all-pairs kernel is the probability
     both endpoints share a probed bucket — high when the threshold sits
@@ -439,8 +466,17 @@ def bucketed_cosine_pairs(
 
     if grid is not None or n_centroids is None:
         if grid is None:
-            grid = product_grid(emb.count(), target_bucket_rows, min_centroids)
-        members = bucketed_assign(emb, grid, n_probe, vec_col, id_col)
+            # one action derives BOTH runtime statistics (row count for
+            # the adaptive grid, min id anchoring the codebook blocks)
+            stats = emb.agg(
+                F.count(F.lit(1)), F.min(F.col(id_col).cast("bigint"))
+            ).first()
+            grid = product_grid(stats[0], target_bucket_rows, min_centroids)
+            members = bucketed_assign(
+                emb, grid, n_probe, vec_col, id_col, id_offset=stats[1]
+            )
+        else:
+            members = bucketed_assign(emb, grid, n_probe, vec_col, id_col)
     else:
         unit = emb.select(
             F.col(id_col).cast("bigint").alias("id"), _unit(F.col(vec_col)).alias("uv")

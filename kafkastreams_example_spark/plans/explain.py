@@ -42,6 +42,24 @@ def assert_no_shuffle(df: DataFrame) -> None:
     assert "Exchange" not in plan, f"unexpected shuffle; plan:\n{plan}"
 
 
+def exchange_inputs(df: DataFrame) -> list[str]:
+    """Input-column lines of every Exchange node in the formatted plan
+    — one string per Exchange, e.g. "Input [2]: [id#12L, cs#45]".
+    Lets tests assert WHAT a shuffle carries (narrow key/score rows vs
+    vector-fat rows), not just how many shuffles exist."""
+    import re
+
+    lines = plan_string(df, "formatted").splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        if re.match(r"^\(\d+\)\s+Exchange", ln.strip()):
+            for nxt in lines[i + 1 : i + 5]:
+                if nxt.strip().startswith("Input"):
+                    out.append(nxt.strip())
+                    break
+    return out
+
+
 def count_shuffles(df: DataFrame) -> int:
     # simple mode prints operators inline ("Exchange hashpartitioning(…)");
     # formatted mode splits the arguments into a detail section, where

@@ -2219,26 +2219,29 @@ def q_cosine_pairs(spark, sf_dir):
     )
 
 
-# the adaptive two-level grid mirrored in SQL from a count(*) CTE — the
-# oracle derives C = max(16, ceil(n/1024)), c1 = ceil(sqrt(C)),
-# c2 = ceil(C/c1) exactly as functions.similarity.product_grid does
-# (ceil/sqrt are IEEE-exact in both engines for these magnitudes)
+# the adaptive two-level grid mirrored in SQL from a count(*)/min()
+# CTE — the oracle derives C = max(16, ceil(n/1024)), c1 = ceil(sqrt(C)),
+# c2 = ceil(C/c1) and the codebook anchor m = min(vec_id) exactly as
+# functions.similarity.{product_grid,bucketed_assign} do (ceil/sqrt are
+# IEEE-exact in both engines for these magnitudes)
 _SQL_GRID = """
-cfg AS (SELECT GREATEST(16, CAST(ceil(COUNT(*) / 1024.0) AS BIGINT)) AS c
+cfg AS (SELECT GREATEST(16, CAST(ceil(COUNT(*) / 1024.0) AS BIGINT)) AS c,
+               MIN(vec_id) AS m
         FROM embeddings),
-grid AS (SELECT c, CAST(ceil(sqrt(c)) AS BIGINT) AS c1,
+grid AS (SELECT c, m, CAST(ceil(sqrt(c)) AS BIGINT) AS c1,
                 CAST(ceil(c / ceil(sqrt(c))) AS BIGINT) AS c2 FROM cfg)
 """
 
 # product-quantizer bucket assignment shared by the two embedding-dedup
-# oracles: codebook A = first c1 vectors, codebook B = next c2 vectors,
-# bucket = nearest-A (top-2 probed) × c2 + nearest-B
+# oracles: codebook A = first c1 vectors from the min id, codebook B =
+# next c2 vectors, bucket = nearest-A (top-2 probed) × c2 + nearest-B
 _SQL_PQ_ASSIGN = f"""
-acents AS (SELECT vec_id AS a_id, uv AS av FROM u
-           WHERE vec_id < (SELECT c1 FROM grid)),
-bcents AS (SELECT vec_id - (SELECT c1 FROM grid) AS b_id, uv AS bv FROM u
-           WHERE vec_id >= (SELECT c1 FROM grid)
-             AND vec_id < (SELECT c1 + c2 FROM grid)),
+acents AS (SELECT vec_id - (SELECT m FROM grid) AS a_id, uv AS av FROM u
+           WHERE vec_id >= (SELECT m FROM grid)
+             AND vec_id < (SELECT m + c1 FROM grid)),
+bcents AS (SELECT vec_id - (SELECT m + c1 FROM grid) AS b_id, uv AS bv FROM u
+           WHERE vec_id >= (SELECT m + c1 FROM grid)
+             AND vec_id < (SELECT m + c1 + c2 FROM grid)),
 ascore AS (
   SELECT u.vec_id, a.a_id, {_DOT2.format(a='u.uv', b='a.av')} AS cs
   FROM u CROSS JOIN acents a),

@@ -570,10 +570,14 @@ def test_bucketed_pairs_tiny_and_sparse_corpora(spark):
         [(1000, vec), (1001, other), (1002, vec)],
         "vec_id BIGINT, embedding ARRAY<DOUBLE>",
     )
-    # no id < c1 exists either -> A codebook empty too; the operator
-    # may find nothing, but it must not crash and (with an explicit
-    # grid whose A block matches) must still pair the duplicates
-    assert bucketed_cosine_pairs(sparse, threshold=0.99, n_centroids=None).count() >= 0
+    # codebook blocks anchor at min(id) (r8): even with no id < c1 the
+    # A codebook is non-empty and the bit-identical duplicates MUST
+    # still pair — the silent-drop failure mode is structurally gone
+    sparse_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in bucketed_cosine_pairs(sparse, threshold=0.99, n_centroids=None).collect()
+    }
+    assert (1000, 1002) in sparse_pairs
 
 
 def test_decode_audio_meta_garbage_wav_degrades(spark):

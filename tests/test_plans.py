@@ -272,6 +272,47 @@ def test_bucketed_pairs_assignment_broadcasts_stay_sublinear(spark):
     assert n_buckets <= 16
 
 
+def test_bucketed_assign_exchanges_are_narrow(spark):
+    """r7 verdict finding: the PQ assignment top-n_probe selection must
+    exchange NARROW (id, cell, score) rows — the embedding column may
+    reach at most ONE exchange (the single n-row uv re-join by id at
+    the end), never the n·√C-amplified codebook-scoring stage."""
+    from kafkastreams_example_spark.functions.similarity import bucketed_assign
+    from kafkastreams_example_spark.plans.explain import exchange_inputs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    members = bucketed_assign(emb, grid=(4, 4), n_probe=2)
+    inputs = exchange_inputs(members)
+    assert len(inputs) >= 2  # the two codebook-selection aggs do shuffle
+    fat = [ln for ln in inputs if "uv#" in ln]
+    assert len(fat) <= 1, f"vector-fat exchanges: {fat}"
+
+
+def test_bucketed_assign_sparse_ids_bucket_like_dense(spark):
+    """Codebooks anchor at min(id): a corpus whose ids start at 1000
+    must produce exactly the dense-from-0 pair set shifted by 1000 —
+    no silent corpus drop when no id < c1 exists (r7 ADVICE)."""
+    from kafkastreams_example_spark.functions.similarity import bucketed_cosine_pairs
+
+    base = [
+        (i, [1.0 if j == i % 4 else 0.1 * ((i * 7 + j) % 5) for j in range(4)])
+        for i in range(40)
+    ]
+    dense = spark.createDataFrame(base, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    shifted = spark.createDataFrame(
+        [(i + 1000, v) for i, v in base], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    d = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in bucketed_cosine_pairs(dense, threshold=0.9, grid=(3, 3)).collect()
+    }
+    s = {
+        (r["id_a"] - 1000, r["id_b"] - 1000, r["cosine"])
+        for r in bucketed_cosine_pairs(shifted, threshold=0.9, grid=(3, 3)).collect()
+    }
+    assert len(d) > 0 and d == s
+
+
 def test_ngram_span_dedup_semi_join_no_fanout(spark):
     """The dup-hash membership probe must be a LEFT SEMI join (each gram
     row emitted at most once even for corpus-hot n-grams), never an
