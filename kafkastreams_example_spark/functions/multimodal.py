@@ -98,15 +98,29 @@ def parse_image_header(payload: bytes) -> dict[str, Any] | None:
 
 
 def parse_audio_header(payload: bytes) -> dict[str, Any] | None:
-    """Real audio-metadata decode from container header bytes — pure
-    Python struct reads, no codec library (sibling of
-    parse_image_header). Full parse for WAV (RIFF chunk walk to fmt +
-    data: sample rate, channels, bit depth, duration from
-    data_size/byte_rate) and FLAC (STREAMINFO bit-packed fields);
-    container recognition (format only) for Ogg and MP3 (ID3v2 or a
-    bare MPEG frame sync), whose per-frame rate tables are a codec
-    concern, not a header read. Returns None for unrecognized payloads.
-    Only header bytes are touched — O(chunks), never O(samples)."""
+    """Real audio-metadata decode from container/frame header bytes —
+    pure Python struct reads, no codec library (sibling of
+    parse_image_header). All four containers yield duration:
+
+    * WAV — RIFF chunk walk to fmt + data: sample rate, channels, bit
+      depth, duration from data_size/byte_rate.
+    * FLAC — STREAMINFO bit-packed fields incl. the 36-bit
+      total-samples count (duration = samples/rate); the first
+      metadata block must carry the STREAMINFO type bits per spec,
+      anything else degrades to unknown.
+    * Ogg — page walk: the identification header in the first page
+      (Vorbis or Opus) gives rate + channels; the LAST page's granule
+      position is the total PCM sample count (48 kHz clock minus
+      pre-skip for Opus, RFC 7845) — duration without touching a codec
+      frame.
+    * MP3 — ID3v2 skip (synchsafe size) then a Layer-III frame-header
+      walk: each header's bitrate/samplerate indexes give the frame
+      length to hop and samples to accumulate. Assumes a constant
+      sample rate (true of real encoders); free-format bitrate or a
+      broken header ends the walk with the partial estimate.
+
+    Returns None for unrecognized payloads. Cost is O(chunks/pages/
+    frame headers) — bytes are hopped, samples never decoded."""
     import struct
 
     n = len(payload)
@@ -147,35 +161,113 @@ def parse_audio_header(payload: bytes) -> dict[str, Any] | None:
     if n >= 26 and payload[:4] == b"fLaC":
         # metadata block header (4 bytes) then STREAMINFO: 2+2 block
         # sizes, 3+3 frame sizes, then at offset 18 the bit-packed
-        # 20-bit sample rate, 3-bit channels-1, 5-bit bits-1
+        # 20-bit sample rate, 3-bit channels-1, 5-bit bits-1, 36-bit
+        # total samples. The spec requires STREAMINFO first — check the
+        # block-type bits (r7 ADVICE): decoding another block's bytes
+        # as STREAMINFO would yield garbage, so degrade to unknown, and
+        # bounds-guard the unsigned fields like the WAV branch does
+        # (the output schema is signed INT)
         b = payload
+        if b[4] & 0x7F != 0:
+            return None
         sample_rate = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
         channels = ((b[20] >> 1) & 0x7) + 1
         bits = (((b[20] & 0x1) << 4) | (b[21] >> 4)) + 1
+        if not (0 < sample_rate <= 2**31 - 1):
+            return None
+        total_samples = (
+            ((b[21] & 0x0F) << 32) | (b[22] << 24) | (b[23] << 16) | (b[24] << 8) | b[25]
+        )
         return {
             "sample_rate": sample_rate,
             "channels": channels,
             "bits": bits,
-            "duration_ms": None,  # needs total_samples (36 bits) + div
+            # 0 total samples means "unknown" per spec, not an empty file
+            "duration_ms": total_samples * 1000 // sample_rate if total_samples else None,
             "format": "flac",
         }
     if n >= 4 and payload[:4] == b"OggS":
+        # page walk — each page: "OggS" ver(1) type(1) granule(8 LE)
+        # serial(4) seq(4) crc(4) nsegs(1) segtable(nsegs) body
+        sample_rate = channels = None
+        preskip = 0
+        last_granule = 0
+        i = 0
+        while i + 27 <= n and payload[i : i + 4] == b"OggS":
+            (granule,) = struct.unpack("<q", payload[i + 6 : i + 14])
+            nsegs = payload[i + 26]
+            seg_end = i + 27 + nsegs
+            if seg_end > n:
+                break
+            body_len = sum(payload[i + 27 : seg_end])
+            body = payload[seg_end : seg_end + body_len]
+            if sample_rate is None:
+                if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                    channels = body[11]
+                    (sample_rate,) = struct.unpack("<I", body[12:16])
+                elif body[:8] == b"OpusHead" and len(body) >= 12:
+                    channels = body[9]
+                    (preskip,) = struct.unpack("<H", body[10:12])
+                    sample_rate = 48000  # Opus granules tick at 48 kHz
+            if granule > last_granule:
+                last_granule = granule
+            i = seg_end + body_len
+        if sample_rate is not None and not (0 < sample_rate <= 2**31 - 1):
+            sample_rate = channels = None
+        duration_ms = (
+            max(last_granule - preskip, 0) * 1000 // sample_rate
+            if last_granule and sample_rate
+            else None
+        )
         return {
-            "sample_rate": None,
-            "channels": None,
+            "sample_rate": sample_rate,
+            "channels": None if channels is None else int(channels),
             "bits": None,
-            "duration_ms": None,
+            "duration_ms": duration_ms,
             "format": "ogg",
         }
+    is_id3 = n >= 10 and payload[:3] == b"ID3"
     if n >= 3 and (
-        payload[:3] == b"ID3"
-        or (payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
+        is_id3 or (payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
     ):
+        # Layer-III frame walk; tables index [bitrate_idx] in kbit/s
+        br_v1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+        br_v2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+        srs = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+        i = 0
+        if is_id3:  # 10-byte header; size is 4 synchsafe (7-bit) bytes
+            i = 10 + (
+                ((payload[6] & 0x7F) << 21)
+                | ((payload[7] & 0x7F) << 14)
+                | ((payload[8] & 0x7F) << 7)
+                | (payload[9] & 0x7F)
+            )
+        sample_rate = channels = None
+        samples = 0
+        while i + 4 <= n:
+            h = payload[i : i + 4]
+            if not (h[0] == 0xFF and (h[1] & 0xE0) == 0xE0):
+                break
+            version = (h[1] >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (h[1] >> 1) & 0x3  # 1 = Layer III
+            br_idx = (h[2] >> 4) & 0xF
+            sr_idx = (h[2] >> 2) & 0x3
+            pad = (h[2] >> 1) & 0x1
+            if version == 1 or layer != 1 or br_idx in (0, 0xF) or sr_idx == 3:
+                break  # reserved/free-format/invalid — end of walkable data
+            sr = srs[version][sr_idx]
+            kbps = (br_v1 if version == 3 else br_v2)[br_idx]
+            spf = 1152 if version == 3 else 576  # samples per L3 frame
+            if sample_rate is None:
+                sample_rate = sr
+                channels = 1 if (h[3] >> 6) == 3 else 2  # mode 3 = mono
+            samples += spf
+            i += spf // 8 * kbps * 1000 // sr + pad  # frame length hop
         return {
-            "sample_rate": None,
-            "channels": None,
+            "sample_rate": sample_rate,
+            "channels": channels,
             "bits": None,
-            "duration_ms": None,
+            "duration_ms": samples * 1000 // sample_rate if sample_rate else None,
             "format": "mp3",
         }
     return None

@@ -2825,25 +2825,23 @@ FROM documents
 
 def q_audio_header_meta(spark, sf_dir):
     """REAL audio metadata decode under the gate (sibling of
-    q_image_header_meta): even-id documents get a genuine 44-byte
-    canonical WAV header synthesized JVM-side — RIFF/WAVE + fmt chunk
-    with little-endian fields built via hex/lpad/byte-reversal
-    expressions, rate/channels/length derived from doc_id — and
-    decode_audio_meta (functions.multimodal.parse_audio_header) must
-    chunk-walk the true sample rate, channel count, bit depth, and
-    data-size-derived duration back out. The oracle recomputes every
-    field arithmetically, so the gate checks the actual RIFF parser.
-    Odd ids carry non-audio bytes and degrade to NULL/'unknown'.
-    FLAC/Ogg/MP3 recognition is unit-tested with handcrafted headers
-    (tests/test_operators.py)."""
+    q_image_header_meta), now over ALL FOUR containers: documents get a
+    genuine payload synthesized JVM-side — WAV (RIFF + fmt/data chunk
+    walk), MP3 (Layer-III frames with real bitrate/samplerate header
+    indexes, repeated frame hops), Ogg Vorbis (BOS page carrying the
+    identification header + EOS page carrying the granule position),
+    FLAC (STREAMINFO with bit-packed rate/channels/bits/total-samples)
+    — all built from hex/lpad/byte-reversal expressions with fields
+    derived from doc_id, and decode_audio_meta
+    (functions.multimodal.parse_audio_header) must walk each container
+    back out, including DURATION for every format. The oracle
+    recomputes every field arithmetically, so the gate checks the
+    actual chunk/page/frame walkers bit-for-bit. doc_id % 8 == 7 rows
+    carry non-audio bytes and degrade to NULL/'unknown'."""
     from .functions.multimodal import decode_audio_meta
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    ch = F.when(F.col("doc_id") % 4 == 0, 1).otherwise(2).cast("bigint")
-    sr = (8000 * (1 + F.col("doc_id") % 3)).cast("bigint")
-    ba = ch * 2  # block align: channels × 2 bytes (16-bit samples)
-    ns = (160 + F.col("doc_id") % 320).cast("bigint")
-    ds = ns * ba  # declared data-chunk size
+    d = F.col("doc_id")
 
     def le(c, hexw):
         # little-endian byte string of an integer column: fixed-width
@@ -2853,34 +2851,118 @@ def q_audio_header_meta(spark, sf_dir):
             F.concat(*[F.substring(h, i, 2) for i in range(hexw - 1, 0, -2)])
         )
 
+    def be(c, hexw):
+        return F.unhex(F.lpad(F.hex(c), hexw, "0"))
+
+    zeros = lambda nb: F.unhex(F.lit("00" * nb))  # noqa: E731
+    ascii_ = lambda s: F.encode(F.lit(s), "utf-8")  # noqa: E731
+
+    # --- WAV (doc_id % 4 == 0): canonical 44-byte RIFF header ---
+    wch = F.when(d % 8 == 0, 1).otherwise(2).cast("bigint")
+    wsr = (8000 * (1 + d % 3)).cast("bigint")
+    wba = wch * 2  # block align: channels × 2 bytes (16-bit samples)
+    wns = (160 + d % 320).cast("bigint")
+    wds = wns * wba  # declared data-chunk size
     wav = F.concat(
-        F.encode(F.lit("RIFF"), "utf-8"), le(ds + 36, 8),
-        F.encode(F.lit("WAVE"), "utf-8"),
-        F.encode(F.lit("fmt "), "utf-8"), le(F.lit(16), 8),
-        le(F.lit(1), 4), le(ch, 4), le(sr, 8), le(sr * ba, 8),
-        le(ba, 4), le(F.lit(16), 4),
-        F.encode(F.lit("data"), "utf-8"), le(ds, 8),
+        ascii_("RIFF"), le(wds + 36, 8), ascii_("WAVE"),
+        ascii_("fmt "), le(F.lit(16), 8),
+        le(F.lit(1), 4), le(wch, 4), le(wsr, 8), le(wsr * wba, 8),
+        le(wba, 4), le(F.lit(16), 4),
+        ascii_("data"), le(wds, 8),
     )
-    payload = F.when(F.col("doc_id") % 2 == 0, wav).otherwise(
-        F.encode(F.lit("not audio"), "utf-8")
+
+    # --- MP3 (doc_id % 4 == 1): k genuine Layer-III frames, 128 kbit/s,
+    # header byte2 = bitrate idx 9 << 4 | samplerate idx << 2 ---
+    msr = F.when(d % 8 == 1, 44100).otherwise(32000).cast("bigint")
+    mch = F.when(d % 3 == 0, 1).otherwise(2).cast("bigint")
+    mk = (2 + d % 3).cast("int")
+    mflen = (144 * 128000 / msr).cast("bigint")  # 417 @44100, 576 @32000
+    frame_hex = F.concat(
+        F.lit("FFFB"),
+        F.when(d % 8 == 1, F.lit("90")).otherwise(F.lit("98")),
+        F.when(d % 3 == 0, F.lit("C0")).otherwise(F.lit("00")),
+        F.repeat(F.lit("00"), (mflen - 4).cast("int")),
+    )
+    mp3 = F.unhex(F.repeat(frame_hex, mk))
+
+    # --- Ogg Vorbis (doc_id % 4 == 2): BOS page with the 30-byte
+    # identification header, EOS page with the total-sample granule ---
+    osr = (16000 * (1 + d % 3)).cast("bigint")
+    och = F.when(d % 8 == 2, 1).otherwise(2).cast("bigint")
+    og = (1000 + d % 4000).cast("bigint")  # granule = total PCM samples
+    ogg = F.concat(
+        # page 1: "OggS" v0 type BOS, granule 0, serial/seq/crc 0, 1 seg of 30
+        ascii_("OggS"), F.unhex(F.lit("0002")), zeros(8), zeros(12),
+        F.unhex(F.lit("011E")),
+        F.unhex(F.lit("01")), ascii_("vorbis"), zeros(4), le(och, 2), le(osr, 8),
+        zeros(12), zeros(1), F.unhex(F.lit("01")),
+        # page 2: type EOS, granule = total samples, 1 seg of 1 byte
+        ascii_("OggS"), F.unhex(F.lit("0004")), le(og, 16), zeros(12),
+        F.unhex(F.lit("0101")), zeros(1),
+    )
+
+    # --- FLAC (doc_id % 8 == 3): STREAMINFO — the 8 bytes at offset 18
+    # pack sr(20) | channels-1(3) | bits-1(5) | total_samples(36) ---
+    fsr = F.when(d % 16 == 3, 22050).otherwise(48000).cast("bigint")
+    fch = (1 + d % 3).cast("bigint")
+    fts = (5000 + d % 9000).cast("bigint")
+    packed = (
+        fsr * F.lit(2**44).cast("bigint")
+        + (fch - 1) * F.lit(2**41).cast("bigint")
+        + F.lit(15 * 2**36).cast("bigint")  # bits-1 = 15 (16-bit)
+        + fts
+    )
+    flac = F.concat(
+        ascii_("fLaC"), F.unhex(F.lit("80000022")),
+        F.unhex(F.lit("10001000")), zeros(6), be(packed, 16), zeros(16),
+    )
+
+    payload = (
+        F.when(d % 4 == 0, wav)
+        .when(d % 4 == 1, mp3)
+        .when(d % 4 == 2, ogg)
+        .when(d % 8 == 3, flac)
+        .otherwise(ascii_("not audio"))
     )
     return decode_audio_meta(docs.withColumn("payload", payload))
 
 
-# duration check: parser computes data_size*1000 // byte_rate, which
-# reduces exactly to n_samples*1000 // sample_rate (common block-align
-# factor cancels under floor division)
+# every field recomputed arithmetically per container: the parser's
+# floor divisions reduce exactly to the formulas below (WAV:
+# data_size*1000 // byte_rate == n_samples*1000 // sample_rate — the
+# block-align factor cancels under floor division; MP3: k frames ×
+# 1152 samples; Ogg: granule = total samples; FLAC: total_samples)
 SQL_AUDIO_HEADER_META = """
 SELECT doc_id,
-  CAST(CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 9 END AS BIGINT) AS byte_len,
-  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3) END AS INT) AS sample_rate,
-  CAST(CASE WHEN doc_id % 2 = 0 THEN
-    CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END END AS INT) AS channels,
-  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 END AS INT) AS bits,
-  CAST(CASE WHEN doc_id % 2 = 0 THEN
-    ((160 + doc_id % 320) * 1000) // (8000 * (1 + doc_id % 3)) END AS BIGINT)
+  CAST(CASE doc_id % 4 WHEN 0 THEN 44
+       WHEN 1 THEN (2 + doc_id % 3) *
+            (CASE WHEN doc_id % 8 = 1 THEN 417 ELSE 576 END)
+       WHEN 2 THEN 87
+       ELSE CASE WHEN doc_id % 8 = 3 THEN 42 ELSE 9 END END AS BIGINT)
+    AS byte_len,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 * (1 + doc_id % 3)
+       WHEN 1 THEN CASE WHEN doc_id % 8 = 1 THEN 44100 ELSE 32000 END
+       WHEN 2 THEN 16000 * (1 + doc_id % 3)
+       ELSE CASE WHEN doc_id % 8 = 3 THEN
+            CASE WHEN doc_id % 16 = 3 THEN 22050 ELSE 48000 END END END AS INT)
+    AS sample_rate,
+  CAST(CASE doc_id % 4 WHEN 0 THEN CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 2 END
+       WHEN 1 THEN CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END
+       WHEN 2 THEN CASE WHEN doc_id % 8 = 2 THEN 1 ELSE 2 END
+       ELSE CASE WHEN doc_id % 8 = 3 THEN 1 + doc_id % 3 END END AS INT)
+    AS channels,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN 16
+       WHEN doc_id % 8 = 3 THEN 16 END AS INT) AS bits,
+  CAST(CASE doc_id % 4
+       WHEN 0 THEN ((160 + doc_id % 320) * 1000) // (8000 * (1 + doc_id % 3))
+       WHEN 1 THEN ((2 + doc_id % 3) * 1152 * 1000) //
+            (CASE WHEN doc_id % 8 = 1 THEN 44100 ELSE 32000 END)
+       WHEN 2 THEN ((1000 + doc_id % 4000) * 1000) // (16000 * (1 + doc_id % 3))
+       ELSE CASE WHEN doc_id % 8 = 3 THEN ((5000 + doc_id % 9000) * 1000) //
+            (CASE WHEN doc_id % 16 = 3 THEN 22050 ELSE 48000 END) END END AS BIGINT)
     AS duration_ms,
-  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'unknown' END AS format
+  CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3' WHEN 2 THEN 'ogg'
+       ELSE CASE WHEN doc_id % 8 = 3 THEN 'flac' ELSE 'unknown' END END AS format
 FROM documents
 """
 
@@ -3552,10 +3634,11 @@ def q_udtf_term_counts(spark, sf_dir):
     # the small-SF corpus is one parquet file → one input split; a
     # Python table function must not inherit that single-task plan
     # (at 100 TB the scan has thousands of splits and this repartition
-    # is a no-op in spirit — here it buys 16-way Arrow parallelism)
-    load_table(spark, sf_dir, "documents").repartition(16).createOrReplaceTempView(
-        "__udtf_docs"
-    )
+    # is a no-op in spirit — here it buys cluster-width Arrow
+    # parallelism, same derivation as q_dedup_candidates_union)
+    load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("__udtf_docs")
     return spark.sql(
         "SELECT doc_id, t.term, t.n FROM __udtf_docs, LATERAL term_counts(text) t"
     )

@@ -318,8 +318,12 @@ def test_decode_media_meta_parses_real_image_headers(spark):
 def test_decode_audio_meta_parses_real_audio_headers(spark):
     """parse_audio_header must chunk-walk a genuine RIFF/WAVE header
     (including a non-canonical chunk order with a LIST chunk before
-    fmt), bit-unpack FLAC STREAMINFO, recognize Ogg and MP3 (ID3v2 and
-    bare frame-sync) containers, and degrade to 'unknown' otherwise."""
+    fmt), bit-unpack FLAC STREAMINFO incl. the 36-bit total-samples
+    duration, page-walk Ogg (Vorbis id header + last-page granule;
+    Opus 48 kHz clock minus pre-skip), frame-walk MP3 (ID3v2 skip +
+    Layer-III bitrate/samplerate tables), and degrade to 'unknown'
+    otherwise — including a FLAC whose first metadata block is NOT
+    STREAMINFO (r7 ADVICE: block-type bits must be checked)."""
     import struct
 
     from kafkastreams_example_spark.functions.multimodal import decode_audio_meta
@@ -333,7 +337,7 @@ def test_decode_audio_meta_parses_real_audio_headers(spark):
         body = lst + fmt + data
         return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
-    def flac(sr, ch, bits):
+    def flac(sr, ch, bits, total_samples=0, block_type=0):
         streaminfo = (
             struct.pack(">HH", 4096, 4096)  # min/max blocksize
             + b"\x00\x00\x00" * 2  # min/max framesize (u24 each)
@@ -342,21 +346,51 @@ def test_decode_audio_meta_parses_real_audio_headers(spark):
                     (sr >> 12) & 0xFF,
                     (sr >> 4) & 0xFF,
                     ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4),
-                    ((bits - 1) & 0xF) << 4,
+                    (((bits - 1) & 0xF) << 4) | ((total_samples >> 32) & 0xF),
                 ]
             )
-            + b"\x00" * 16  # total-samples tail + md5
+            + struct.pack(">I", total_samples & 0xFFFFFFFF)
+            + b"\x00" * 12  # md5 tail (truncated is fine for the parser)
         )
-        return b"fLaC" + bytes([0x80, 0, 0, len(streaminfo)]) + streaminfo
+        return b"fLaC" + bytes([0x80 | block_type, 0, 0, 34]) + streaminfo
+
+    def ogg_page(granule, body, bos=False, eos=False):
+        htype = (0x02 if bos else 0) | (0x04 if eos else 0)
+        return (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<q", granule)
+            + b"\x00" * 12  # serial + seq + crc
+            + bytes([1, len(body)])
+            + body
+        )
+
+    vorbis_id = b"\x01vorbis" + b"\x00" * 4 + bytes([2]) + struct.pack("<I", 44100) + b"\x00" * 14
+    opus_id = b"OpusHead\x01" + bytes([1]) + struct.pack("<H", 312) + struct.pack("<I", 48000)
+
+    def mp3_frames(k, byte2, byte3):
+        # byte2 packs bitrate/samplerate idx; frame length from tables
+        hdr = bytes([0xFF, 0xFB, byte2, byte3])
+        kbps = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)[byte2 >> 4]
+        sr = (44100, 48000, 32000)[(byte2 >> 2) & 0x3]
+        flen = 144 * kbps * 1000 // sr
+        return (hdr + b"\x00" * (flen - 4)) * k
 
     rows = [
         (0, wav(16000, 2, 16, 1600)),            # canonical: 100 ms stereo
         (1, wav(8000, 1, 16, 12000, True)),      # LIST chunk first: 1500 ms mono
-        (2, flac(44100, 2, 16)),
-        (3, b"OggS\x00\x02" + b"\x00" * 20),
-        (4, b"ID3\x04\x00" + b"\x00" * 10),
-        (5, b"\xff\xfb\x90\x00" + b"\x00" * 10),  # bare MPEG frame sync
+        (2, flac(44100, 2, 16)),                 # 0 total samples = unknown dur
+        (3, b"OggS\x00\x02" + b"\x00" * 20),     # truncated: recognition only
+        (4, b"ID3\x04\x00" + b"\x00" * 10),      # tag only, no frames
+        (5, b"\xff\xfb\x90\x00" + b"\x00" * 10),  # one (truncated) frame
         (6, b"definitely not audio bytes"),
+        (7, flac(32000, 1, 24, total_samples=48000)),   # 1500 ms mono
+        (8, flac(44100, 2, 16, total_samples=44100, block_type=4)),  # bad 1st block
+        (9, ogg_page(0, vorbis_id, bos=True) + ogg_page(22050, b"\x00", eos=True)),
+        (10, ogg_page(0, opus_id, bos=True) + ogg_page(48312, b"\x00", eos=True)),
+        (11, b"ID3\x04\x00\x00" + b"\x00\x00\x00\x14" + b"\x00" * 20
+             + mp3_frames(3, 0x90, 0x00)),       # 20-byte tag + 3 stereo frames
+        (12, mp3_frames(2, 0x98, 0xC0)),         # 32 kHz mono, 2 frames
     ]
     df = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
     got = {
@@ -370,8 +404,14 @@ def test_decode_audio_meta_parses_real_audio_headers(spark):
     assert got[2] == (44100, 2, 16, None, "flac")
     assert got[3] == (None, None, None, None, "ogg")
     assert got[4] == (None, None, None, None, "mp3")
-    assert got[5] == (None, None, None, None, "mp3")
+    assert got[5] == (44100, 2, None, 1152 * 1000 // 44100, "mp3")
     assert got[6] == (None, None, None, None, "unknown")
+    assert got[7] == (32000, 1, 24, 1500, "flac")
+    assert got[8] == (None, None, None, None, "unknown")
+    assert got[9] == (44100, 2, None, 500, "ogg")
+    assert got[10] == (48000, 1, None, 1000, "ogg")  # granule minus pre-skip
+    assert got[11] == (44100, 2, None, 3 * 1152 * 1000 // 44100, "mp3")
+    assert got[12] == (32000, 1, None, 2 * 1152 * 1000 // 32000, "mp3")
 
 
 def test_dedup_clusters_fixed_iteration_mode(spark, monkeypatch):
