@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "repetition_ratio",
     "ngram_lm_score",
+    # round-8 additions
+    "dedup_embeddings_trained",
 ]
 
 

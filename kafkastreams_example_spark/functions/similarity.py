@@ -294,6 +294,55 @@ def hyperplane_matrix(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lloyd_euclid(vecs: DataFrame, k: int, iters: int, off: int) -> DataFrame:
+    """Fixed-iteration Lloyd k-means under squared-Euclidean distance
+    over (id, hv) subspace vectors; init = the k vectors with id in
+    [off, off+k). Assignment via min_by partial aggregation (the
+    _lloyd_iterations pattern — the shuffle carries one best row per
+    vector, never k·n scored rows); centroid update is the plain
+    position-wise mean (subspace halves are not unit vectors, so no
+    renormalization). Empty clusters keep their previous centroid; the
+    fixed iteration count keeps the training unrollable as oracle CTEs.
+    Output: (cent_id INT, cv ARRAY<DOUBLE>)."""
+    cents = vecs.filter((F.col("id") >= off) & (F.col("id") < off + k)).select(
+        (F.col("id") - off).cast("int").alias("cent_id"), F.col("hv").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = (
+            F.broadcast(cents)
+            .join(vecs, how="cross")
+            .select("cent_id", "hv", _sqdist(F.col("hv"), F.col("cv")).alias("d2"), "id")
+            .groupBy("id")
+            .agg(F.min_by(F.struct("cent_id", "hv"), F.struct("d2", "cent_id")).alias("best"))
+            .select(F.col("best.cent_id").alias("cent_id"), F.col("best.hv").alias("hv"))
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("hv").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("mv")
+            )
+        )
+        cents = (
+            cents.join(means, "cent_id", "left")
+            .select("cent_id", F.coalesce("mv", "cv").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def product_grid(
     n_rows: int, target_bucket_rows: int = 1024, min_centroids: int = 16
 ) -> tuple[int, int]:
@@ -317,6 +366,8 @@ def bucketed_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     id_offset: int | None = None,
+    codebook: str = "prefix",
+    iters: int = 2,
 ) -> DataFrame:
     """Two-level product-quantizer bucket assignment — the sublinear
     assignment stage of bucketed_cosine_pairs, exposed separately so the
@@ -355,6 +406,20 @@ def bucketed_assign(
     corpus — ids need not be dense from 0; a corpus whose ids start at
     1000 buckets identically to the same corpus shifted to 0.
 
+    codebook="prefix" (default) scores full unit vectors against the
+    raw id-block codebooks — training-free, deterministic, reproducible
+    by any engine from the data alone. codebook="trained" is true
+    subspace product quantization (Jégou et al., TPAMI 2011): the unit
+    vector is split in half, and each half gets its own
+    squared-Euclidean Lloyd-trained codebook (k = c1 resp. c2, `iters`
+    fixed rounds, init = the same id blocks — see _lloyd_euclid), so
+    bucket quality no longer hinges on the id-prefix vectors being
+    spread out; recall vs the exact kernel is floor-pinned on a
+    shuffled-id corpus in tests/test_operators.py. Training cost is
+    iters narrow passes per half (min_by partial agg); the halves are
+    persisted for training and re-derived once for the final scoring
+    pass.
+
     Output: (bucket BIGINT, id BIGINT, uv ARRAY<DOUBLE>) — one row per
     (vector, probed bucket).
     """
@@ -365,37 +430,63 @@ def bucketed_assign(
     if id_offset is None:
         id_offset = emb.agg(F.min(F.col(id_col).cast("bigint"))).first()[0]
     off = int(id_offset or 0)
-    ac = unit.filter((F.col("id") >= off) & (F.col("id") < off + c1)).select(
-        (F.col("id") - off).alias("a_id"), F.col("uv").alias("av")
-    )
-    bc = unit.filter(
-        (F.col("id") >= off + c1) & (F.col("id") < off + c1 + c2)
-    ).select((F.col("id") - off - c1).alias("b_id"), F.col("uv").alias("bv"))
-    # (-cs, a_id) struct sort ≡ ORDER BY cs DESC, a_id — bit-identical
-    # to the oracle's row_number tie-break (NaN sorts extreme in both)
-    ascored = F.broadcast(ac).join(unit, how="cross").select(
-        "id", "a_id", _dot(F.col("uv"), F.col("av")).alias("cs")
-    )
+    # each branch yields narrow scored frames (id, cell, o) with o
+    # ASCENDING-better — (o, cell) struct sort ≡ ORDER BY score, cell,
+    # bit-identical to the oracle's row_number tie-break (NaN sorts
+    # extreme in both engines)
+    if codebook == "trained":
+        half = (F.size("uv") / 2).cast("int")
+        avecs = unit.select("id", F.slice("uv", F.lit(1), half).alias("hv")).persist()
+        bvecs = unit.select(
+            "id", F.slice("uv", half + 1, (F.size("uv") - half).cast("int")).alias("hv")
+        ).persist()
+        try:
+            ac = _lloyd_euclid(avecs, c1, iters, off).select(
+                F.col("cent_id").cast("bigint").alias("a_id"), F.col("cv").alias("av")
+            )
+            bc = _lloyd_euclid(bvecs, c2, iters, off + c1).select(
+                F.col("cent_id").cast("bigint").alias("b_id"), F.col("cv").alias("bv")
+            )
+        finally:
+            # training materialized eagerly (per-iteration localCheckpoint
+            # cut ac/bc loose); the final scoring below re-derives the
+            # halves from the scan once — one narrow pass, no cache leak
+            avecs.unpersist()
+            bvecs.unpersist()
+        ascored = F.broadcast(ac).join(avecs, how="cross").select(
+            "id", "a_id", _sqdist(F.col("hv"), F.col("av")).alias("o")
+        )
+        bscored = F.broadcast(bc).join(bvecs, how="cross").select(
+            "id", "b_id", _sqdist(F.col("hv"), F.col("bv")).alias("o")
+        )
+    elif codebook == "prefix":
+        ac = unit.filter((F.col("id") >= off) & (F.col("id") < off + c1)).select(
+            (F.col("id") - off).alias("a_id"), F.col("uv").alias("av")
+        )
+        bc = unit.filter(
+            (F.col("id") >= off + c1) & (F.col("id") < off + c1 + c2)
+        ).select((F.col("id") - off - c1).alias("b_id"), F.col("uv").alias("bv"))
+        ascored = F.broadcast(ac).join(unit, how="cross").select(
+            "id", "a_id", (-_dot(F.col("uv"), F.col("av"))).alias("o")
+        )
+        bscored = F.broadcast(bc).join(unit, how="cross").select(
+            "id", "b_id", (-_dot(F.col("uv"), F.col("bv"))).alias("o")
+        )
+    else:
+        raise ValueError(f"unknown codebook {codebook!r}: use 'prefix' or 'trained'")
     aassign = (
         ascored.groupBy("id")
         .agg(
             F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct((-F.col("cs")).alias("ncs"), F.col("a_id")))
-                ),
+                F.array_sort(F.collect_list(F.struct(F.col("o"), F.col("a_id")))),
                 1,
                 n_probe,
             ).alias("top")
         )
         .select("id", F.explode("top.a_id").alias("a_id"))
     )
-    bscored = F.broadcast(bc).join(unit, how="cross").select(
-        "id", "b_id", _dot(F.col("uv"), F.col("bv")).alias("cs")
-    )
     bassign = bscored.groupBy("id").agg(
-        F.max_by(
-            F.col("b_id"), F.struct(F.col("cs"), (-F.col("b_id")).alias("nb"))
-        ).alias("b_id")
+        F.min_by(F.col("b_id"), F.struct(F.col("o"), F.col("b_id"))).alias("b_id")
     )
     # LEFT join + coalesce: when the B-codebook id block is empty or
     # sparse (tiny corpus), every vector falls back to B cell 0 —
@@ -419,6 +510,8 @@ def bucketed_cosine_pairs(
     target_bucket_rows: int = 1024,
     min_centroids: int = 16,
     grid: tuple[int, int] | None = None,
+    codebook: str = "prefix",
+    iters: int = 2,
 ) -> DataFrame:
     """SemDeDup-style within-bucket near-duplicate pair detection — the
     100 TB path for embedding dedup (Abbas et al. 2023, "SemDeDup":
@@ -473,10 +566,13 @@ def bucketed_cosine_pairs(
             ).first()
             grid = product_grid(stats[0], target_bucket_rows, min_centroids)
             members = bucketed_assign(
-                emb, grid, n_probe, vec_col, id_col, id_offset=stats[1]
+                emb, grid, n_probe, vec_col, id_col,
+                id_offset=stats[1], codebook=codebook, iters=iters,
             )
         else:
-            members = bucketed_assign(emb, grid, n_probe, vec_col, id_col)
+            members = bucketed_assign(
+                emb, grid, n_probe, vec_col, id_col, codebook=codebook, iters=iters
+            )
     else:
         unit = emb.select(
             F.col(id_col).cast("bigint").alias("id"), _unit(F.col(vec_col)).alias("uv")

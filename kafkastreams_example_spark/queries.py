@@ -2316,6 +2316,104 @@ WHERE vec_id NOT IN (SELECT id_b FROM pairs)
 """
 
 
+def q_dedup_embeddings_trained(spark, sf_dir):
+    """dedup_embeddings with TRAINED subspace-PQ codebooks (Jégou et
+    al., TPAMI 2011): the unit vector splits into halves, each half
+    gets its own squared-Euclidean Lloyd-trained codebook (k = c1/c2,
+    2 fixed rounds, init = the min-id-anchored id blocks), and the
+    bucket is (top-2-probed nearest-A cell) × c2 + nearest-B cell.
+    Removes the r7-flagged recall dependence on the id-prefix vectors
+    being spread out — on a shuffled-id corpus the trained buckets
+    recover near-dup recall the raw prefix codebooks lose (floor
+    pinned in tests/test_operators.py). Fixed iteration count keeps
+    the training unrollable as oracle CTEs, so grid derivation, both
+    trainings, assignment, probing, and within-bucket pairing are all
+    cross-checked bit-for-bit (same discipline as ivf_topk_trained)."""
+    from .functions.similarity import bucketed_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = bucketed_cosine_pairs(
+        emb, threshold=0.35, n_centroids=None, n_probe=2, codebook="trained"
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def _sql_dedup_embeddings_trained(iters: int = 2, n_probe: int = 2, dim: int = 64) -> str:
+    """Unrolled-CTE mirror of the trained subspace-PQ dedup: half
+    slices, per-half Lloyd training (`iters` rounds, squared-Euclidean
+    argmin with lowest-cent_id tie-break, position-wise mean update,
+    empty cluster keeps its centroid), final top-n_probe × top-1
+    assignment, within-bucket pairing. Float note: per-position avg()
+    sums in engine order on both sides (≤1 ulp drift); assignments
+    only flip on ~1e-15 distance ties — same margin as the kmeans
+    oracle, never observed on the testdata."""
+    h = dim // 2
+    d2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    cte = [
+        f"u AS ({_EMB_U})",
+        _SQL_GRID.strip(),
+        f"hv AS (SELECT vec_id, uv[1:{h}] AS h1, uv[{h + 1}:{dim}] AS h2 FROM u)",
+        "ac0 AS (SELECT CAST(vec_id - (SELECT m FROM grid) AS INT) AS cent_id, h1 AS cv"
+        " FROM hv WHERE vec_id >= (SELECT m FROM grid)"
+        " AND vec_id < (SELECT m + c1 FROM grid))",
+        "bc0 AS (SELECT CAST(vec_id - (SELECT m + c1 FROM grid) AS INT) AS cent_id, h2 AS cv"
+        " FROM hv WHERE vec_id >= (SELECT m + c1 FROM grid)"
+        " AND vec_id < (SELECT m + c1 + c2 FROM grid))",
+    ]
+    for x, hcol in (("a", "h1"), ("b", "h2")):
+        for t in range(1, iters + 1):
+            p = t - 1
+            cte.append(
+                f"{x}s{t} AS (SELECT v.vec_id, v.{hcol} AS hh, c.cent_id,"
+                f" {d2.format(a='v.' + hcol, b='c.cv')} AS d2"
+                f" FROM hv v CROSS JOIN {x}c{p} c)"
+            )
+            cte.append(
+                f"{x}a{t} AS (SELECT vec_id, hh, cent_id FROM"
+                f" (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r"
+                f" FROM {x}s{t}) WHERE r = 1)"
+            )
+            cte.append(
+                f"{x}b{t} AS (SELECT cent_id, i AS pos, avg(hh[i]) AS mm"
+                f" FROM {x}a{t}, (SELECT unnest(range(1, {h + 1})) AS i) idx"
+                f" GROUP BY cent_id, i)"
+            )
+            cte.append(
+                f"{x}m{t} AS (SELECT cent_id, list(mm ORDER BY pos) AS mv"
+                f" FROM {x}b{t} GROUP BY cent_id)"
+            )
+            cte.append(
+                f"{x}c{t} AS (SELECT c.cent_id, COALESCE(m.mv, c.cv) AS cv"
+                f" FROM {x}c{p} c LEFT JOIN {x}m{t} m USING (cent_id))"
+            )
+    cte += [
+        f"fa AS (SELECT v.vec_id, c.cent_id, {d2.format(a='v.h1', b='c.cv')} AS d2"
+        f" FROM hv v CROSS JOIN ac{iters} c)",
+        f"faa AS (SELECT vec_id, cent_id AS a_id FROM"
+        f" (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r FROM fa)"
+        f" WHERE r <= {n_probe})",
+        f"fb AS (SELECT v.vec_id, c.cent_id, {d2.format(a='v.h2', b='c.cv')} AS d2"
+        f" FROM hv v CROSS JOIN bc{iters} c)",
+        "fbb AS (SELECT vec_id, cent_id AS b_id FROM"
+        " (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS r FROM fb)"
+        " WHERE r = 1)",
+        "assign AS (SELECT a.vec_id,"
+        " a.a_id * (SELECT c2 FROM grid) + COALESCE(b.b_id, 0) AS bucket"
+        " FROM faa a LEFT JOIN fbb b ON a.vec_id = b.vec_id)",
+        "cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b"
+        " FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)",
+        f"pairs AS (SELECT c.id_b FROM cand c JOIN u a ON a.vec_id = c.id_a"
+        f" JOIN u b ON b.vec_id = c.id_b WHERE {_COS} >= 0.35)",
+    ]
+    return (
+        "WITH " + ",\n".join(cte) + """
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+"""
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     """Conversion funnel: per user, first signup and first purchase
     after it; aggregate conversion counts. Two conditional min-
@@ -4078,6 +4176,11 @@ REGISTRY: dict[str, QuerySpec] = {
         q_ivf_topk_trained, _sql_ivf_topk_trained(), ("similarity", "iterative")
     ),
     "ann_hyperplane": QuerySpec(q_ann_hyperplane, SQL_ANN_HYPERPLANE, ("similarity",)),
+    "dedup_embeddings_trained": QuerySpec(
+        q_dedup_embeddings_trained,
+        _sql_dedup_embeddings_trained(),
+        ("similarity", "dedup", "iterative"),
+    ),
     "kmeans_centroids": QuerySpec(
         q_kmeans_centroids, _sql_kmeans_centroids(), ("similarity", "iterative")
     ),

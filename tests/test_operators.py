@@ -620,6 +620,50 @@ def test_bucketed_pairs_tiny_and_sparse_corpora(spark):
     assert (1000, 1002) in sparse_pairs
 
 
+def test_trained_pq_recall_floor_on_adversarial_ingest_order(spark):
+    """r7 verdict #3: prefix codebooks make PQ-dedup recall hinge on
+    ingest order. Adversarial corpus: the first c1+c2 = 8 ids are
+    near-identical clones (degenerate prefix codebooks — every cell
+    scores alike, so near-dups land in noise-decided buckets), then 40
+    three-member near-dup clusters. The TRAINED subspace codebooks
+    must recover ≥0.9 recall vs the exact all-pairs kernel and beat
+    the prefix codebooks on the same corpus (measured 0.986 vs 0.797;
+    fully deterministic — fixed seed, fixed tie-breaks)."""
+    import numpy as np
+
+    from kafkastreams_example_spark.functions.similarity import (
+        bucketed_cosine_pairs,
+        cosine_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    anchor = rng.normal(size=8)
+    anchor /= np.linalg.norm(anchor)
+    rows = [(i, (anchor + rng.normal(scale=1e-3, size=8)).tolist()) for i in range(8)]
+    vid = 8
+    for _ in range(40):
+        center = rng.normal(size=8)
+        center /= np.linalg.norm(center)
+        for _ in range(3):
+            rows.append((vid, (center + rng.normal(scale=0.02, size=8)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(df, 0.95).collect()}
+    recall = {}
+    for cb in ("prefix", "trained"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in bucketed_cosine_pairs(
+                df, threshold=0.95, grid=(4, 4), n_probe=2, codebook=cb
+            ).collect()
+        }
+        assert got <= exact  # bucketed pairs are always a subset of exact
+        recall[cb] = len(got & exact) / len(exact)
+    assert recall["trained"] >= 0.9, recall
+    assert recall["trained"] > recall["prefix"], recall
+
+
 def test_decode_audio_meta_garbage_wav_degrades(spark):
     """A payload with valid RIFF/WAVE magic but garbage fmt fields
     (unsigned sample_rate overflowing signed INT) must degrade to
