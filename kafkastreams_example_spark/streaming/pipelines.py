@@ -378,3 +378,95 @@ def attribution_join_pipeline(
         & (F.col(click_ts) <= F.col(imp_ts) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how).select(key, imp_ts, click_ts)
+
+
+def stream_dedup_recall_metrics(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    max_bucket: int = 64,
+) -> dict:
+    """Batch simulation of the streaming MinHash dedup tiers against
+    the batch LSH candidate generator (arrival order = doc_id
+    ascending, the deterministic stand-in for event order):
+
+    * all-band  — a doc is suppressed iff its FULL band-key tuple was
+      seen on an earlier doc (dropDuplicatesWithinWatermark semantics);
+    * any-band  — suppressed iff ANY band key has an earlier claimant
+      (the chained-stateful pipeline's semantics);
+    * any-band + hot cap — hot band keys (bucket > max_bucket in the
+      batch profile) can't cause a loss, mirroring the pipeline's
+      broadcast denylist;
+    * batch baseline — duplicate iff the doc pairs with a LOWER-id doc
+      in minhash_lsh_pairs (any shared band, bucket-capped).
+
+    any-band ⊇ batch-on-uncapped-buckets by construction (same
+    condition, no bucket cap) — recall_vs_batch == 1.0 is the
+    CI-pinned contract (tests/test_streaming.py); the tool
+    tools/stream_dedup_recall_probe.py prints the same dict for
+    BASELINE.md. Driver-side collects are probe-only by design: this
+    function is evidence tooling, not a pipeline stage."""
+    from pyspark.sql import Window
+
+    from ..functions.dedup_approx import minhash_lsh_pairs
+
+    band_cols = [f"__band{b}" for b in range(n_bands)]
+    keyed = docs.select(
+        "doc_id", *_minhash_band_cols("text", n_hashes, n_bands)
+    ).persist()
+    try:
+        w_all = Window.partitionBy(*band_cols).orderBy("doc_id")
+        sup_all = {
+            r["doc_id"]
+            for r in keyed.withColumn("rn", F.row_number().over(w_all))
+            .filter(F.col("rn") > 1)
+            .select("doc_id")
+            .collect()
+        }
+
+        exploded = keyed.select(
+            "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bh")
+        )
+        w_band = Window.partitionBy("band", "bh").orderBy("doc_id")
+        sup_any = {
+            r["doc_id"]
+            for r in exploded.withColumn("rn", F.row_number().over(w_band))
+            .filter(F.col("rn") > 1)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+
+        hot = hot_band_frame(docs, n_hashes, n_bands, max_bucket=max_bucket)
+        sup_capped = {
+            r["doc_id"]
+            for r in exploded.join(hot, ["band", "bh"], "left_anti")
+            .withColumn("rn", F.row_number().over(w_band))
+            .filter(F.col("rn") > 1)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+
+        batch_dup = {
+            r["id_b"]
+            for r in minhash_lsh_pairs(docs).select("id_b").distinct().collect()
+        }
+    finally:
+        keyed.unpersist()
+
+    def tier(sup: set) -> dict:
+        caught = len(batch_dup & sup)
+        return {
+            "suppressed": len(sup),
+            "batch_dups_caught": caught,
+            "recall_vs_batch": round(caught / len(batch_dup), 3) if batch_dup else None,
+        }
+
+    return {
+        "n_docs": docs.count(),
+        "batch_duplicate_docs": len(batch_dup),
+        "all_band": tier(sup_all),
+        "any_band": tier(sup_any),
+        "any_band_hot_capped": tier(sup_capped),
+    }

@@ -1169,3 +1169,30 @@ def test_dedup_refresh_null_string_payload(spark, tmp_path):
         .collect()
     }
     assert got == {0, 3}  # rows 1-2 are in-window duplicates of 0
+
+
+def test_stream_dedup_recall_gate(spark):
+    """CI pin of the r7 recall probe (previously tool-run evidence
+    only): on the sf0.01 documents fixture, the ANY-BAND streaming
+    tier must catch EVERY document the batch LSH generator flags as a
+    duplicate (recall 1.0 — any-band is a superset condition of
+    shared-band pairing by construction), the hot-band denylist must
+    keep that recall while cutting suppression (precision restore:
+    measured 498 -> 332 suppressed), and the all-band tier's
+    by-design partial recall stays above its documented 0.60 level."""
+    from kafkastreams_example_spark.sources.tables import load_table
+    from kafkastreams_example_spark.streaming.pipelines import (
+        stream_dedup_recall_metrics,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    m = stream_dedup_recall_metrics(docs)
+    assert m["batch_duplicate_docs"] > 0
+    assert m["any_band"]["recall_vs_batch"] == 1.0, m
+    assert m["any_band_hot_capped"]["recall_vs_batch"] == 1.0, m
+    # the denylist must genuinely cut suppression, bounded by the
+    # measured 332 + slack (deterministic fixture — drift means the
+    # band scheme or the cap changed, which should be a conscious edit)
+    assert m["any_band_hot_capped"]["suppressed"] < m["any_band"]["suppressed"]
+    assert m["any_band_hot_capped"]["suppressed"] <= 350, m
+    assert m["all_band"]["recall_vs_batch"] >= 0.60, m
