@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "ngram_lm_score",
     # round-8 additions
     "dedup_embeddings_trained",
+    "sql_q18_large_orders",
 ]
 
 

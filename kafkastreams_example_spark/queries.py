@@ -1380,6 +1380,56 @@ GROUP BY 1, 2
 """
 
 
+def q_sql_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped (large-volume orders) via the SQL API — the
+    agg-DOMINATED shape next to the join-dominated Q3/Q5/Q10/Q12: the
+    driver is a full lineitem scan aggregated per order (map-side
+    partial sums of decimal quantities around ONE exchange — the plan
+    guard in tests/test_plans.py), whose HAVING filter survives only a
+    few percent of orders; the orders/customer joins that follow are
+    lookups against the filtered agg, and the top-100 compiles to
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Decimal-from-source quantity sums, double only at the output
+    boundary."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate_s,
+               o.o_totalprice,
+               CAST(big.sum_qty AS DOUBLE) AS sum_qty
+        FROM (SELECT l_orderkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+              FROM lineitem
+              GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200) big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+SQL_SQL_Q18_LARGE_ORDERS = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate_s,
+       o.o_totalprice,
+       CAST(big.sum_qty AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200) big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct). Sketch estimates
     differ across engines by design, so the raw estimate can't be
@@ -4129,6 +4179,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q3_shipping": QuerySpec(q_sql_q3_shipping, SQL_SQL_Q3_SHIPPING, ("relational", "sql-api")),
     "sql_q10_returns": QuerySpec(q_sql_q10_returns, SQL_SQL_Q10_RETURNS, ("relational", "sql-api")),
     "sql_q12_latency": QuerySpec(q_sql_q12_latency, SQL_SQL_Q12_LATENCY, ("relational", "sql-api")),
+    "sql_q18_large_orders": QuerySpec(
+        q_sql_q18_large_orders, SQL_SQL_Q18_LARGE_ORDERS, ("relational", "sql-api")
+    ),
     "approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT, ("relational", "approximate")
     ),

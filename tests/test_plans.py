@@ -272,6 +272,19 @@ def test_bucketed_pairs_assignment_broadcasts_stay_sublinear(spark):
     assert n_buckets <= 16
 
 
+def test_sql_q18_partial_agg_and_topk(spark):
+    """The agg-dominated SQL entry must partial-aggregate the lineitem
+    scan map-side (HashAggregate pair around one exchange — at 100 TB
+    the shuffle carries per-order partials, never raw lines) and
+    compile its top-100 to TakeOrderedAndProject, not a global sort."""
+    from kafkastreams_example_spark.queries import q_sql_q18_large_orders
+
+    plan = plan_string(q_sql_q18_large_orders(spark, SF_DIR), "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_bucketed_assign_exchanges_are_narrow(spark):
     """r7 verdict finding: the PQ assignment top-n_probe selection must
     exchange NARROW (id, cell, score) rows — the embedding column may
