@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     # round-8 additions
     "dedup_embeddings_trained",
     "sql_q18_large_orders",
+    "tfidf_cosine_pairs",
 ]
 
 

@@ -4122,6 +4122,97 @@ WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join — the text-side counterpart
+    of the dense `cosine_pairs`: documents as tf·idf-weighted sparse
+    vectors, paired through an inverted index on shared terms. Scale
+    controls are the standard all-pairs-similarity prunings (Bayardo et
+    al., WWW 2007; impact-ordered posting truncation from the IR
+    literature): (1) each document keeps only its top-8 terms by weight
+    as its signature, bounding index size to 8·n postings; (2) each
+    term's posting list keeps only its top-64 documents by weight (a
+    "champion list"), bounding the per-term join fan-out to 64² pairs
+    regardless of how hot the term is — so no key ever produces an
+    unbounded skew bucket. Weights and norms come from the FULL vector
+    (truncation prunes candidate generation, not the norm), cosine is
+    the truncated-dot / full-norm estimate, threshold 0.6. All stages
+    are partial-agg groupBys and one bounded equi-join on term; the
+    per-doc/per-term top-k windows run over narrow (id, term, weight)
+    rows only. Zero-idf terms (df == N) are dropped before signatures:
+    they carry no contrast and would divide-by-zero an all-boilerplate
+    document's norm."""
+    from pyspark.sql import Window
+
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+        .filter(F.col("w") > 1e-12)
+    )
+    norm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wd = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    sig = w.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= 8)
+    wt = Window.partitionBy("term").orderBy(F.col("w").desc(), "doc_id")
+    champ = (
+        sig.withColumn("brn", F.row_number().over(wt))
+        .filter(F.col("brn") <= 64)
+        .select("doc_id", "term", "w")
+    )
+    a, b = champ.alias("a"), champ.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na, nb = norm.alias("na"), norm.alias("nb")
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.6)
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH terms AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (SELECT doc_id, tf.term, tf * ln(CAST(n_docs AS DOUBLE)/df) AS w
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      WHERE tf * ln(CAST(n_docs AS DOUBLE)/df) > 1e-12),
+norm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+sig AS (SELECT doc_id, term, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn FROM w)
+    WHERE rn <= 8),
+champ AS (SELECT doc_id, term, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS brn FROM sig)
+    WHERE brn <= 64),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+         FROM champ a JOIN champ b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(dot/(na.nrm*nb.nrm), 6) AS cosine
+FROM dots JOIN norm na ON dots.doc_a = na.doc_id
+          JOIN norm nb ON dots.doc_b = nb.doc_id
+WHERE round(dot/(na.nrm*nb.nrm), 6) >= 0.6
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -4291,6 +4382,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, ("multimodal",)),
     "sort_limit_offset": QuerySpec(q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET, ("relational",)),
+    "tfidf_cosine_pairs": QuerySpec(
+        q_tfidf_cosine_pairs, SQL_TFIDF_COSINE_PAIRS, ("text", "similarity")
+    ),
 }
 
 
@@ -4303,9 +4397,22 @@ REGISTRY: dict[str, QuerySpec] = {
 # CORRECTNESS_r0{1,2,3}.json latest-row ages as of round 4 — rotate
 # again next round.
 _GATE_ORDER = [
-    # — changed, fixed, or new in round 4: must (re-)evidence first —
+    # — changed, fixed, or new in round 8: must (re-)evidence first —
+    "tfidf_cosine_pairs",        # new: sparse TF-IDF cosine all-pairs
+    "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
+    "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
+    "audio_header_meta",         # changed: duration for all 4 containers
+    "dedup_embeddings",          # changed: narrowed assignment exchange
+    "cosine_pairs",              # changed: narrowed assignment exchange
+    "udtf_term_counts",          # changed: defaultParallelism fan-out
+    # — new in round 7, driver evidence only from r7 —
+    "ivf_topk_trained",
+    "approx_quantiles",
+    "approx_distinct_merge",
+    "sql_q10_returns",
+    "sql_q12_latency",
+    # — changed, fixed, or new in round 4 —
     "agg_boolean",
-    "dedup_embeddings",
     "fuzzy_match",
     "image_header_meta",
     "pii_redact",
@@ -4422,10 +4529,8 @@ _GATE_ORDER = [
     "setop_except_all",
     "bigram_counts",
     "dedup_clusters",
-    "cosine_pairs",
     "repetition_ratio",
     "contamination",
-    "udtf_term_counts",
 ]
 
 
