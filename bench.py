@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "dedup_embeddings_trained",
     "sql_q18_large_orders",
     "tfidf_cosine_pairs",
+    "knn_label_accuracy",
 ]
 
 

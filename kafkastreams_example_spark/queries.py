@@ -4213,6 +4213,92 @@ WHERE round(dot/(na.nrm*nb.nrm), 6) >= 0.6
 """
 
 
+def q_knn_label_accuracy(spark, sf_dir):
+    """Embedding-quality eval: exact-kNN majority-vote label accuracy —
+    the standard probe for "do these embeddings cluster by label?" run
+    before committing a corpus to embedding-based dedup or retrieval.
+    A deterministic 10% query sample (vec_id % 10 == 0) is scored
+    brute-force against the full corpus (exact ground truth by design,
+    like `sim_topk`; the at-scale screening path would swap in the IVF
+    bucketing), top-5 neighbors vote, ties break toward the smaller
+    label, and the report aggregates per-label n/correct/accuracy — a
+    label-cardinality-sized result. The query side broadcasts; scoring
+    rows are narrow (ids, label, cosine); votes and the report are
+    partial-agg groupBys."""
+    from pyspark.sql import Window
+
+    from .functions.similarity import _dot, _unit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = emb.select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
+    queries_side = unit.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("uv").alias("qv"),
+    )
+    cands = unit.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("uv").alias("cv"),
+    )
+    scored = (
+        F.broadcast(queries_side)
+        .join(cands, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "neighbor_id",
+            "neighbor_label",
+            _dot(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    knn = scored.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= 5)
+    votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "neighbor_label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("neighbor_label").alias("pred_label"))
+    )
+    correct = F.count(F.when(F.col("pred_label") == F.col("true_label"), 1))
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            correct.alias("n_correct"),
+            F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
+        )
+    )
+
+
+SQL_KNN_LABEL_ACCURACY = f"""
+WITH u AS ({_EMB_U}),
+scored AS (
+  SELECT a.vec_id AS query_id, a.label AS true_label, b.vec_id AS neighbor_id,
+         b.label AS neighbor_label, {_COS} AS cosine
+  FROM u a JOIN u b ON b.vec_id != a.vec_id
+  WHERE a.vec_id % 10 = 0),
+knn AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= 5),
+votes AS (SELECT query_id, true_label, neighbor_label, COUNT(*) AS votes
+          FROM knn GROUP BY 1, 2, 3),
+pred AS (SELECT query_id, true_label, neighbor_label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, neighbor_label) AS vr
+    FROM votes) WHERE vr = 1)
+SELECT true_label AS label, COUNT(*) AS n_queries,
+       COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS n_correct,
+       round(CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -4385,6 +4471,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "tfidf_cosine_pairs": QuerySpec(
         q_tfidf_cosine_pairs, SQL_TFIDF_COSINE_PAIRS, ("text", "similarity")
     ),
+    "knn_label_accuracy": QuerySpec(
+        q_knn_label_accuracy, SQL_KNN_LABEL_ACCURACY, ("similarity", "eval")
+    ),
 }
 
 
@@ -4399,6 +4488,7 @@ REGISTRY: dict[str, QuerySpec] = {
 _GATE_ORDER = [
     # — changed, fixed, or new in round 8: must (re-)evidence first —
     "tfidf_cosine_pairs",        # new: sparse TF-IDF cosine all-pairs
+    "knn_label_accuracy",        # new: exact-kNN embedding eval
     "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
     "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
     "audio_header_meta",         # changed: duration for all 4 containers
