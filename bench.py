@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "sql_q18_large_orders",
     "tfidf_cosine_pairs",
     "knn_label_accuracy",
+    "bpe_train_merges",
 ]
 
 

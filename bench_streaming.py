@@ -61,6 +61,7 @@ from kafkastreams_example_spark.streaming.pipelines import (  # noqa: E402
     minhash_band_dedup_any_pipeline,
     minhash_band_dedup_pipeline,
     quality_filter_pipeline,
+    session_window_pipeline,
     windowed_count_pipeline,
 )
 
@@ -74,6 +75,7 @@ THRESHOLDS = {
     "dedup_refresh": 20_000,
     "dedup_refresh_hot": 60_000,
     "windowed_agg": 150_000,
+    "session_window": 60_000,
     "interval_join": 40_000,
     "quality_filter": 100_000,
     # quiet-machine readings 40–50k; 30k left only ~1.5x headroom and a
@@ -217,6 +219,16 @@ def main() -> None:
         d = _decoded(_rate_source(spark, rows_filter))
         results["windowed_agg"] = {
             **_run_query(windowed_count_pipeline(d), "windowed_agg", ckpt_root),
+            "rows_per_batch": rows_filter,
+        }
+
+        # streaming session windows (5 min gap per level, 10 min
+        # watermark): measures the dynamic-window state-merge path —
+        # heavier than tumbling because overlapping session candidates
+        # merge in the state store before emission
+        d = _decoded(_rate_source(spark, rows_filter))
+        results["session_window"] = {
+            **_run_query(session_window_pipeline(d), "session_window", ckpt_root),
             "rows_per_batch": rows_filter,
         }
 

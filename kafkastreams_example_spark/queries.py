@@ -4299,6 +4299,136 @@ FROM pred GROUP BY 1
 """
 
 
+def q_bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (Sennrich et al., ACL 2016), 4 merge
+    rounds — the full iterative loop, not just the one-step pair count
+    (`bpe_pair_counts`). Round structure: (1) adjacent-pair frequencies
+    weighted by word count, aggregated on the VOCABULARY (the corpus
+    touches the cluster once, in the initial word-count groupBy — the
+    shape that makes BPE training tractable at 100 TB: all iteration
+    happens on the tiny distinct-word frame); (2) deterministic argmax
+    via min(struct(-weight, pair)) — one partial-agg row, no window;
+    (3) greedy left-to-right merge applied with a built-in `aggregate`
+    fold over each word's symbol array (null-safe `get` makes the
+    empty-accumulator probe yield false, no ANSI out-of-bounds), best
+    pair riding a 1-row broadcast. Output: the ordered merge table
+    (rank, left, right, weight) — the artifact a tokenizer trainer
+    ships. Oracle replays training with per-round recursive-CTE merge
+    walks over materialized vocab stages."""
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("weight"))
+        .withColumn(
+            "syms", F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        )
+    )
+    bests = []
+    for r in range(1, 5):
+        pairs = (
+            vocab.select(
+                "weight",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms)-1),"
+                        " (s, i) -> struct(s AS pa, syms[i+1] AS pb))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.pa", "pr.pb")
+            .agg(F.sum("weight").alias("w"))
+        )
+        best = pairs.agg(
+            F.min(F.struct((-F.col("w")).alias("nw"), "pa", "pb")).alias("m")
+        ).select(
+            F.col("m.pa").alias("pa"),
+            F.col("m.pb").alias("pb"),
+            (-F.col("m.nw")).alias("w"),
+        )
+        bests.append(
+            best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("pa").alias("left_sym"),
+                F.col("pb").alias("right_sym"),
+                F.col("w").alias("weight"),
+            )
+        )
+        merged = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == F.col("pa")) & (x == F.col("pb")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.col("pa"), F.col("pb"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .withColumn("syms", merged)
+            .select("word", "weight", "syms")
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def _sql_bpe_train_merges(n_merges: int = 4) -> str:
+    """Unrolled-CTE oracle for q_bpe_train_merges: per round, a
+    MATERIALIZED pair-count + argmax pair of CTEs and a recursive
+    merge walk (position cursor, greedy left-to-right skip-2-on-match —
+    bit-identical to the Spark fold). MATERIALIZED is load-bearing:
+    DuckDB inlines plain CTEs per reference, which turns the chained
+    rounds into exponential recomputation."""
+    ctes = []
+    for r in range(1, n_merges + 1):
+        prev = f"vocab{r-1}"
+        ctes.append(f"""
+pairs{r} AS MATERIALIZED (
+  SELECT pr[1] AS pa, pr[2] AS pb, sum(weight) AS w
+  FROM (SELECT weight,
+               unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+        FROM {prev})
+  GROUP BY 1, 2),
+best{r} AS MATERIALIZED (SELECT pa, pb, w FROM pairs{r} ORDER BY w DESC, pa, pb LIMIT 1),
+walk{r} AS (
+  SELECT word, weight, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS acc FROM {prev}
+  UNION ALL
+  SELECT w0.word, w0.weight, w0.syms,
+         CASE WHEN w0.pos < len(w0.syms) AND w0.syms[w0.pos] = b.pa
+                   AND w0.syms[w0.pos+1] = b.pb
+              THEN w0.pos + 2 ELSE w0.pos + 1 END,
+         CASE WHEN w0.pos < len(w0.syms) AND w0.syms[w0.pos] = b.pa
+                   AND w0.syms[w0.pos+1] = b.pb
+              THEN w0.acc || [w0.syms[w0.pos] || w0.syms[w0.pos+1]]
+              ELSE w0.acc || [w0.syms[w0.pos]] END
+  FROM walk{r} w0, best{r} b WHERE w0.pos <= len(w0.syms)),
+vocab{r} AS MATERIALIZED (
+  SELECT word, weight, acc AS syms FROM walk{r} WHERE pos > len(syms))""")
+    selects = " UNION ALL ".join(
+        # CAST: DuckDB sum(BIGINT) widens to HUGEINT, which its Python
+        # client hands back as float — the compare needs exact ints
+        f"SELECT {r} AS merge_rank, pa AS left_sym, pb AS right_sym,"
+        f" CAST(w AS BIGINT) AS weight FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT unnest({_TOK}) AS word FROM documents),
+vocab0 AS MATERIALIZED (
+  SELECT word, COUNT(*) AS weight,
+         list_transform(range(1, length(word)+1), i -> substr(word, i::int, 1)) AS syms
+  FROM words GROUP BY word),
+{','.join(ctes)}
+{selects}
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -4474,6 +4604,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "knn_label_accuracy": QuerySpec(
         q_knn_label_accuracy, SQL_KNN_LABEL_ACCURACY, ("similarity", "eval")
     ),
+    "bpe_train_merges": QuerySpec(
+        q_bpe_train_merges, _sql_bpe_train_merges(), ("text", "iterative")
+    ),
 }
 
 
@@ -4489,6 +4622,7 @@ _GATE_ORDER = [
     # — changed, fixed, or new in round 8: must (re-)evidence first —
     "tfidf_cosine_pairs",        # new: sparse TF-IDF cosine all-pairs
     "knn_label_accuracy",        # new: exact-kNN embedding eval
+    "bpe_train_merges",          # new: iterative BPE tokenizer training
     "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
     "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
     "audio_header_meta",         # changed: duration for all 4 containers
