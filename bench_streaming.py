@@ -74,7 +74,10 @@ THRESHOLDS = {
     "dedup_watermark": 100_000,
     "dedup_refresh": 20_000,
     "dedup_refresh_hot": 60_000,
-    "windowed_agg": 150_000,
+    # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
+    # headroom and a load-overlapped r8 run read 127k — 100k restores
+    # the ~2-3x under-recording policy (same correction minhash got)
+    "windowed_agg": 100_000,
     "session_window": 60_000,
     "interval_join": 40_000,
     "quality_filter": 100_000,

@@ -189,3 +189,25 @@ def bpe_pair_counts(docs: DataFrame, top_k: int = 100, text_col: str = "text") -
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def bpe_greedy_merge(syms: Column, pa: Column, pb: Column) -> Column:
+    """One BPE merge pass: replace every non-overlapping (pa, pb)
+    adjacency in `syms` with the concatenated token, scanning greedily
+    left-to-right (Sennrich et al., ACL 2016 semantics). Implemented as
+    a built-in `aggregate` fold so it stays JVM-side: the accumulator
+    is the merged prefix; a null-safe `get` makes the empty-accumulator
+    probe compare NULL == pa → false instead of raising ANSI
+    out-of-bounds. The just-merged token (pa||pb) can never re-trigger
+    the same pair, because pa||pb = pa would need pb = ''."""
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == pa) & (x == pb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(pa, pb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )

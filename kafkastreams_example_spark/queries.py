@@ -4356,20 +4356,13 @@ def q_bpe_train_merges(spark, sf_dir):
                 F.col("w").alias("weight"),
             )
         )
-        merged = F.aggregate(
-            F.col("syms"),
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, x: F.when(
-                (F.get(acc, F.size(acc) - 1) == F.col("pa")) & (x == F.col("pb")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat(F.col("pa"), F.col("pb"))),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        from .functions.text import bpe_greedy_merge
+
         vocab = (
             vocab.crossJoin(F.broadcast(best))
-            .withColumn("syms", merged)
+            .withColumn(
+                "syms", bpe_greedy_merge(F.col("syms"), F.col("pa"), F.col("pb"))
+            )
             .select("word", "weight", "syms")
         )
     out = bests[0]

@@ -209,3 +209,58 @@ def test_bucketed_pairs_subset_of_exact(spark):
         assert all(c >= threshold - 1e-9 for _, _, c in bucketed)
 
     check()
+
+
+def test_bpe_greedy_merge_matches_sequential_reference(spark):
+    """bpe_greedy_merge (the aggregate-fold used by bpe_train_merges)
+    must equal the sequential greedy left-to-right merge for ANY symbol
+    sequence and pair — including the overlap traps: chained pairs
+    ([a,a,a] with (a,a) → [aa,a]), the merged token re-appearing later,
+    and single-symbol words (no pairs, identity). One Spark job over
+    all hypothesis examples: per-row pair columns keep it a single
+    DataFrame evaluation."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+    from kafkastreams_example_spark.functions.text import bpe_greedy_merge
+
+    def reference(syms, pa, pb):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                out.append(pa + pb)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    sym = st.sampled_from(["a", "b", "ab", "aa"])
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.lists(sym, min_size=1, max_size=8), sym, sym),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [(i, syms, pa, pb) for i, (syms, pa, pb) in enumerate(rows)],
+            "i INT, syms ARRAY<STRING>, pa STRING, pb STRING",
+        )
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i",
+                bpe_greedy_merge(F.col("syms"), F.col("pa"), F.col("pb")).alias("m"),
+            ).collect()
+        }
+        for i, (syms, pa, pb) in enumerate(rows):
+            assert got[i] == reference(syms, pa, pb), (syms, pa, pb, got[i])
+
+    check()
