@@ -4313,8 +4313,14 @@ def q_bpe_train_merges(spark, sf_dir):
     empty-accumulator probe yield false, no ANSI out-of-bounds), best
     pair riding a 1-row broadcast. Output: the ordered merge table
     (rank, left, right, weight) — the artifact a tokenizer trainer
-    ships. Oracle replays training with per-round recursive-CTE merge
-    walks over materialized vocab stages."""
+    ships. Lineage discipline (same as `dedup_clusters` /
+    `kmeans_centroids`): the initial vocabulary and each round's 1-row
+    best pair are eagerly localCheckpoint-ed — without the cuts every
+    union branch re-derives the full chain and the corpus scan
+    DUPLICATES ~2^rounds times in the physical plan (measured 15 scans
+    for 4 rounds; plan-guarded at ≤1 in tests/test_plans.py). Oracle
+    replays training with per-round recursive-CTE merge walks over
+    materialized vocab stages."""
     from .functions.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4325,6 +4331,7 @@ def q_bpe_train_merges(spark, sf_dir):
         .withColumn(
             "syms", F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         )
+        .localCheckpoint(eager=True)
     )
     bests = []
     for r in range(1, 5):
@@ -4341,12 +4348,16 @@ def q_bpe_train_merges(spark, sf_dir):
             .groupBy("pr.pa", "pr.pb")
             .agg(F.sum("weight").alias("w"))
         )
-        best = pairs.agg(
-            F.min(F.struct((-F.col("w")).alias("nw"), "pa", "pb")).alias("m")
-        ).select(
-            F.col("m.pa").alias("pa"),
-            F.col("m.pb").alias("pb"),
-            (-F.col("m.nw")).alias("w"),
+        best = (
+            pairs.agg(
+                F.min(F.struct((-F.col("w")).alias("nw"), "pa", "pb")).alias("m")
+            )
+            .select(
+                F.col("m.pa").alias("pa"),
+                F.col("m.pb").alias("pb"),
+                (-F.col("m.nw")).alias("w"),
+            )
+            .localCheckpoint(eager=True)
         )
         bests.append(
             best.select(

@@ -368,3 +368,36 @@ def test_sql_q10_topk_and_pushdown(spark):
     df = q_sql_q10_returns(spark, SF_DIR)
     assert "TakeOrderedAndProject" in plan_string(df, "simple")
     assert_pushed_filters(df, "EqualTo(l_returnflag,R)")
+
+
+def test_tfidf_cosine_pairs_exchanges_never_carry_text(spark):
+    """tfidf_cosine_pairs' wide stages (tf/df aggs, signature and
+    champion windows, the inverted-index self-join) must all run on
+    tokenized/aggregated rows — the raw `text` column may never reach
+    an Exchange. At 100 TB the document bodies are the corpus's bulk;
+    a shuffle carrying them would dwarf every other stage."""
+    from kafkastreams_example_spark.plans.explain import exchange_inputs
+    from kafkastreams_example_spark.queries import REGISTRY
+
+    df = REGISTRY["tfidf_cosine_pairs"].fn(spark, SF_DIR)
+    inputs = exchange_inputs(df)
+    assert len(inputs) >= 2  # tf agg + signature/champion selections shuffle
+    fat = [ln for ln in inputs if "text#" in ln]
+    assert not fat, f"text-carrying exchanges: {fat}"
+
+
+def test_bpe_train_merges_iterations_stay_on_vocab(spark):
+    """bpe_train_merges must touch the corpus ONCE: without the eager
+    localCheckpoint cuts on vocab0 and each round's best pair, every
+    union branch re-derives the full chain and the corpus scan
+    duplicates ~2^rounds times in the physical plan (measured 15 scans
+    for 4 rounds before the fix — the 100 TB killer). After the cuts
+    the final plan contains no corpus scan at all (the one real scan
+    ran at vocab0 materialization)."""
+    from kafkastreams_example_spark.plans.explain import plan_string
+    from kafkastreams_example_spark.queries import REGISTRY
+
+    df = REGISTRY["bpe_train_merges"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    scans = plan.count("documents.parquet")
+    assert scans <= 1, f"{scans} corpus scans; plan:\n{plan[:2000]}"
