@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "tfidf_cosine_pairs",
     "knn_label_accuracy",
     "bpe_train_merges",
+    "zorder_layout",
 ]
 
 

@@ -4433,6 +4433,82 @@ vocab0 AS MATERIALIZED (
 """
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) multi-dimensional clustering — the lakehouse
+    OPTIMIZE ZORDER maintenance op: interleave the bits of two
+    min-max-quantized dimensions into one key so that range-
+    partitioning on it co-locates rows that are close in BOTH
+    dimensions, and per-file min/max stats prune scans filtered on
+    EITHER column. All arithmetic is integer-exact (16-bit
+    quantization, `div`, bit ops), extrema ride a broadcast 1-row agg,
+    and the report — per-bucket count and min/max rectangle for both
+    dims — is one partial-agg groupBy. On this corpus each of 64
+    buckets covers ~12% of each dimension's range vs 100% unclustered:
+    an ~8x data-skipping factor per dimension. The write path is
+    `df.repartitionByRange(64, zval)` + the partitioned parquet sink
+    (`sources/sinks.py`); fixed-width top-bit buckets stand in for the
+    range split here so the report needs no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    ext = src.agg(
+        F.min("x").alias("xmn"),
+        F.max("x").alias("xmx"),
+        F.min("y").alias("ymn"),
+        F.max("y").alias("ymx"),
+    )
+    q = src.crossJoin(F.broadcast(ext)).select(
+        "x",
+        "y",
+        F.expr("((x - xmn) * CAST(65535 AS BIGINT)) div greatest(xmx - xmn, CAST(1 AS BIGINT))").alias("xq"),
+        F.expr("((y - ymn) * CAST(65535 AS BIGINT)) div greatest(ymx - ymn, CAST(1 AS BIGINT))").alias("yq"),
+    )
+    interleave = " | ".join(
+        f"shiftleft(shiftright(xq, {i}) & 1, {2 * i})"
+        f" | shiftleft(shiftright(yq, {i}) & 1, {2 * i + 1})"
+        for i in range(16)
+    )
+    z = q.select("x", "y", F.expr(f"({interleave})").alias("zval"))
+    return (
+        z.select("x", "y", F.expr("shiftright(zval, 26)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+_ZORDER_INTERLEAVE = " | ".join(
+    f"(((xq >> {i}) & 1) << {2 * i}) | (((yq >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+SQL_ZORDER_LAYOUT = f"""
+WITH src AS (
+  SELECT CAST(o_custkey AS BIGINT) AS x,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y
+  FROM orders),
+ext AS (SELECT MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx FROM src),
+q AS (
+  SELECT x, y,
+         ((x - xmn) * 65535) // greatest(xmx - xmn, 1) AS xq,
+         ((y - ymn) * 65535) // greatest(ymx - ymn, 1) AS yq
+  FROM src CROSS JOIN ext),
+z AS (SELECT x, y, ({_ZORDER_INTERLEAVE}) AS zval FROM q)
+SELECT zval >> 26 AS bucket, COUNT(*) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+FROM z GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -4611,6 +4687,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_train_merges": QuerySpec(
         q_bpe_train_merges, _sql_bpe_train_merges(), ("text", "iterative")
     ),
+    "zorder_layout": QuerySpec(
+        q_zorder_layout, SQL_ZORDER_LAYOUT, ("relational", "maintenance")
+    ),
 }
 
 
@@ -4627,6 +4706,7 @@ _GATE_ORDER = [
     "tfidf_cosine_pairs",        # new: sparse TF-IDF cosine all-pairs
     "knn_label_accuracy",        # new: exact-kNN embedding eval
     "bpe_train_merges",          # new: iterative BPE tokenizer training
+    "zorder_layout",             # new: Morton-key clustering report
     "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
     "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
     "audio_header_meta",         # changed: duration for all 4 containers
