@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "knn_label_accuracy",
     "bpe_train_merges",
     "zorder_layout",
+    "classifier_eval",
+    "weighted_sample",
 ]
 
 

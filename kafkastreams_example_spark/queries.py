@@ -4509,6 +4509,125 @@ FROM z GROUP BY 1
 """
 
 
+def q_classifier_eval(spark, sf_dir):
+    """Classifier evaluation report — per-class tp/fp/fn + precision/
+    recall/F1 over (true, predicted) label pairs, fed here by the
+    lang-ID heuristic against the corpus's ground-truth `lang` column
+    (the eval every filtering-model deployment runs before trusting a
+    classifier at corpus scale; `knn_label_accuracy`'s sibling for
+    arbitrary label pairs). Class axis = union of true and predicted
+    labels, so classes the model never predicts (all-fn) and classes
+    that don't exist in truth (all-fp) both surface. Two partial-agg
+    groupBys full-outer-joined on class — label cardinality is tiny, so
+    every stage after the scan is broadcast-sized."""
+    preds = lang_id_heuristic(load_table(spark, sf_dir, "documents")).select(
+        F.col("lang_label").alias("t"), F.col("lang_pred").alias("p")
+    )
+    by_pred = preds.groupBy(F.col("p").alias("klass")).agg(
+        F.count(F.when(F.col("t") == F.col("p"), 1)).alias("tp_p"),
+        F.count(F.when(F.col("t") != F.col("p"), 1)).alias("fp"),
+    )
+    by_true = preds.groupBy(F.col("t").alias("klass")).agg(
+        F.count(F.when(F.col("t") == F.col("p"), 1)).alias("tp_t"),
+        F.count(F.when(F.col("t") != F.col("p"), 1)).alias("fn"),
+    )
+    j = by_pred.join(by_true, "klass", "full_outer").select(
+        "klass",
+        F.coalesce(F.col("tp_p"), F.col("tp_t"), F.lit(0)).alias("tp"),
+        F.coalesce("fp", F.lit(0)).alias("fp"),
+        F.coalesce("fn", F.lit(0)).alias("fn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return j.select(
+        "klass",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+SQL_CLASSIFIER_EVAL = f"""
+WITH t0 AS (SELECT doc_id, lang, {_TOK} AS toks FROM documents),
+preds AS (
+  SELECT lang AS t,
+    CASE WHEN list_contains(toks, 'the') AND list_contains(toks, 'a') THEN 'en'
+         WHEN list_contains(toks, 'spark') AND list_contains(toks, 'stream') THEN 'code'
+         ELSE 'unk' END AS p
+  FROM t0),
+by_pred AS (
+  SELECT p AS klass,
+         COUNT(CASE WHEN t = p THEN 1 END) AS tp_p,
+         COUNT(CASE WHEN t != p THEN 1 END) AS fp
+  FROM preds GROUP BY 1),
+by_true AS (
+  SELECT t AS klass,
+         COUNT(CASE WHEN t = p THEN 1 END) AS tp_t,
+         COUNT(CASE WHEN t != p THEN 1 END) AS fn
+  FROM preds GROUP BY 1),
+j AS (
+  SELECT coalesce(by_pred.klass, by_true.klass) AS klass,
+         coalesce(tp_p, tp_t, 0) AS tp, coalesce(fp, 0) AS fp, coalesce(fn, 0) AS fn
+  FROM by_pred FULL OUTER JOIN by_true ON by_pred.klass = by_true.klass),
+m AS (
+  SELECT klass, tp, fp, fn,
+         CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS prec,
+         CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS rec
+  FROM j)
+SELECT klass, tp, fp, fn, round(prec, 6) AS precision, round(rec, 6) AS recall,
+       round(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
+FROM m
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling via PRIORITY SAMPLING (Duffield,
+    Lund & Thorup, JACM 2007): each doc gets priority w·2³² div (h+1)
+    where h is its 32-bit content-independent hash and w its weight
+    (length here — sample long docs preferentially, the corpus-mixing
+    primitive when token budgets are weighted). The top-k by priority
+    is the sample; unlike rejection/Bernoulli sampling the sample size
+    is EXACT, and unlike Efraimidis-Spirakis exponential keys the
+    arithmetic is integer-only — bit-identical across engines, no
+    libm-ln parity risk. Top-100 compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            (h + 1).alias("h1"),
+        )
+        .select(
+            "doc_id",
+            "weight",
+            F.expr("(weight * CAST(4294967296 AS BIGINT)) div h1").alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(100)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1 AS h1
+  FROM documents)
+SELECT doc_id, weight, (weight * 4294967296) // h1 AS priority
+FROM t
+ORDER BY priority DESC, doc_id
+LIMIT 100
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -4690,6 +4809,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "zorder_layout": QuerySpec(
         q_zorder_layout, SQL_ZORDER_LAYOUT, ("relational", "maintenance")
     ),
+    "classifier_eval": QuerySpec(
+        q_classifier_eval, SQL_CLASSIFIER_EVAL, ("text", "eval")
+    ),
+    "weighted_sample": QuerySpec(
+        q_weighted_sample, SQL_WEIGHTED_SAMPLE, ("pipeline",)
+    ),
 }
 
 
@@ -4707,6 +4832,8 @@ _GATE_ORDER = [
     "knn_label_accuracy",        # new: exact-kNN embedding eval
     "bpe_train_merges",          # new: iterative BPE tokenizer training
     "zorder_layout",             # new: Morton-key clustering report
+    "classifier_eval",           # new: per-class precision/recall/F1
+    "weighted_sample",           # new: priority sampling (integer-exact)
     "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
     "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
     "audio_header_meta",         # changed: duration for all 4 containers
