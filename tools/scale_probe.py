@@ -109,10 +109,32 @@ FAMILY = [
     "dedup_embeddings",
     "cosine_pairs",
 ]
+# round-8 additions: the new text/similarity/maintenance entries.
+# knn_label_accuracy is quadratic BY CONTRACT (brute-force exact eval,
+# |queries| = n/10 each scored against the full corpus) — probed at 10x
+# only, like cosine_pairs used to be.
+# tfidf_cosine_pairs: RUNTIME ratios are the evidence here; its OUTPUT
+# count legitimately collapses on replicated corpora because idf is a
+# GLOBAL weight — ln(N/df) shifts by ln(factor) uniformly, norm mass
+# spreads across all terms, and the top-8 truncated dot falls under the
+# 0.6 threshold (measured max cosine 0.54 at 10x vs 0.91 at 1x, with
+# 614k candidate pairs still generated — candidate generation and the
+# caps behave linearly; the probe's intra-replica-similarity-preserved
+# assumption simply doesn't extend to corpus-size-dependent weights).
+ROUND8_FAMILY = [
+    "tfidf_cosine_pairs",
+    "bpe_train_merges",
+    "dedup_embeddings_trained",
+    "knn_label_accuracy",
+    "zorder_layout",
+    "weighted_sample",
+    "classifier_eval",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6 and
-# the adaptive two-level grid since round 7 — nothing in the probed
-# family is quadratic by contract anymore)
-QUADRATIC_BY_CONTRACT: set[str] = set()
+# the adaptive two-level grid since round 7 — of the probed families
+# only the brute-force eval is quadratic by contract)
+QUADRATIC_BY_CONTRACT: set[str] = {"knn_label_accuracy"}
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
@@ -277,6 +299,11 @@ if __name__ == "__main__":
     if sys.argv[1] == "build":
         build()
     elif sys.argv[1] == "run":
-        run(RELATIONAL_FAMILY if "relational" in sys.argv[2:] else None)
+        fam = None
+        if "relational" in sys.argv[2:]:
+            fam = RELATIONAL_FAMILY
+        elif "r8" in sys.argv[2:]:
+            fam = ROUND8_FAMILY
+        run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
