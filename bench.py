@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "zorder_layout",
     "classifier_eval",
     "weighted_sample",
+    "video_header_meta",
 ]
 
 

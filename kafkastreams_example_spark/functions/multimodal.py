@@ -279,6 +279,120 @@ AUDIO_META_DDL = (
 )
 
 
+def parse_video_header(payload: bytes) -> dict[str, Any] | None:
+    """Real video-metadata decode from MP4 (ISO-BMFF, ISO 14496-12)
+    container bytes — pure struct reads over the box tree, no codec
+    library (sibling of parse_image_header / parse_audio_header).
+
+    Box walk: every box is [u32be size][4cc type][payload]. The file
+    must lead with `ftyp`; `moov` children give the metadata — `mvhd`
+    (version 0 or 1) carries timescale + duration, each `trak` counts a
+    track, and the first `tkhd` with a non-zero 16.16 fixed-point
+    width/height pair supplies the presentation size (audio tracks
+    carry 0×0, so a leading audio track must not mask the video one).
+    duration_ms = duration·1000 div timescale — integer-exact. A box
+    declaring size < 8 is malformed and ends the walk; unsigned fields
+    are bounds-guarded before landing in the signed output schema.
+    Cost is O(boxes): payload bytes are hopped, samples never touched."""
+    import struct
+
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    i = 0
+    while i + 8 <= n:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        btype = payload[i + 4 : i + 8]
+        if size < 8:
+            break
+        if btype == b"moov":
+            j = i + 8
+            end = min(i + size, n)
+            while j + 8 <= end:
+                (csize,) = struct.unpack(">I", payload[j : j + 4])
+                ctype = payload[j + 4 : j + 8]
+                if csize < 8:
+                    break
+                if ctype == b"mvhd" and j + 28 <= end:
+                    ver = payload[j + 8]
+                    if ver == 0:
+                        timescale, duration = struct.unpack(
+                            ">II", payload[j + 20 : j + 28]
+                        )
+                    elif ver == 1 and j + 40 <= end:
+                        (timescale,) = struct.unpack(">I", payload[j + 28 : j + 32])
+                        (duration,) = struct.unpack(">Q", payload[j + 32 : j + 40])
+                elif ctype == b"trak":
+                    n_tracks += 1
+                    k = j + 8
+                    tend = min(j + csize, end)
+                    while k + 8 <= tend:
+                        (tsize,) = struct.unpack(">I", payload[k : k + 4])
+                        ttype = payload[k + 4 : k + 8]
+                        if tsize < 8:
+                            break
+                        if ttype == b"tkhd" and k + 92 <= tend and width is None:
+                            w, h = struct.unpack(">II", payload[k + 84 : k + 92])
+                            if w and h:
+                                width, height = w >> 16, h >> 16
+                        k += tsize
+                j += csize
+        i += size
+    if timescale is None or not (0 < timescale <= 2**31 - 1):
+        return None
+    duration_ms = (
+        duration * 1000 // timescale
+        if duration is not None and duration <= 2**62
+        else None
+    )
+    return {
+        "timescale": timescale,
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "format": "mp4",
+    }
+
+
+VIDEO_META_DDL = (
+    "byte_len BIGINT, timescale INT, duration_ms BIGINT, n_tracks INT, "
+    "width INT, height INT, format STRING"
+)
+
+
+def decode_video_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas video-metadata decode stage: (id, payload) →
+    (id, byte_len, timescale, duration_ms, n_tracks, width, height,
+    format). Same Arrow batch shape as decode_audio_meta; unrecognized
+    payloads degrade to NULL fields + 'unknown'."""
+    out_schema = f"{id_col} BIGINT, {VIDEO_META_DDL}"
+    fields = ("timescale", "duration_ms", "n_tracks", "width", "height", "format")
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            metas = []
+            for p in pdf[payload_col]:
+                m = parse_video_header(p)
+                if m is None:
+                    m = dict.fromkeys(fields)
+                    m["format"] = "unknown"
+                m["byte_len"] = len(p)
+                metas.append(m)
+            out = pdf[[id_col]].copy()
+            out["byte_len"] = [m["byte_len"] for m in metas]
+            for f in fields:
+                out[f] = [m[f] for m in metas]
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def decode_audio_meta(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4628,6 +4628,86 @@ LIMIT 100
 """
 
 
+def q_video_header_meta(spark, sf_dir):
+    """REAL video metadata decode under the gate (closing the last
+    header-decode modality after image and audio): documents get a
+    genuine ISO-BMFF/MP4 payload synthesized JVM-side — `ftyp` box,
+    `moov` with a spec-layout `mvhd` (timescale, duration, rate
+    0x00010000, volume 0x0100) and one or two `trak`/`tkhd` children
+    with 16.16 fixed-point width/height — and decode_video_meta
+    (functions.multimodal.parse_video_header) must walk the box tree
+    back out: timescale, duration_ms (integer div), track count and
+    presentation size. doc_id % 8 == 1 rows lead with a ZERO-dimension
+    audio track so the walker's first-non-zero-width rule is exercised,
+    and doc_id % 4 == 3 rows carry non-video bytes and degrade to
+    NULL/'unknown'. The oracle recomputes every field arithmetically,
+    so the gate checks the box walker bit-for-bit."""
+    from .functions.multimodal import decode_video_meta
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def be(c, hexw):
+        return F.unhex(F.lpad(F.hex(c), hexw, "0"))
+
+    zeros = lambda nb: F.unhex(F.lit("00" * nb))  # noqa: E731
+    ascii_ = lambda s: F.encode(F.lit(s), "utf-8")  # noqa: E731
+
+    ts = (500 * (1 + d % 4)).cast("bigint")
+    du = (30000 + d % 60000).cast("bigint")
+    w = (320 * (1 + d % 3)).cast("bigint")
+    h = (240 * (1 + d % 3)).cast("bigint")
+    two_tracks = d % 4 == 1
+
+    ftyp = F.concat(be(F.lit(16), 8), ascii_("ftyp"), ascii_("isom"), zeros(4))
+    mvhd = F.concat(
+        be(F.lit(108), 8), ascii_("mvhd"),
+        zeros(4), zeros(8), be(ts, 8), be(du, 8),
+        F.unhex(F.lit("00010000")), F.unhex(F.lit("0100")),
+        zeros(10), zeros(36), zeros(24), be(F.lit(2), 8),
+    )
+
+    def trak(tid, wexpr, hexpr):
+        tkhd = F.concat(
+            be(F.lit(92), 8), ascii_("tkhd"),
+            F.unhex(F.lit("00000007")), zeros(8), be(F.lit(tid), 8), zeros(4),
+            be(du, 8), zeros(8), zeros(8), zeros(36),
+            be(wexpr * 65536, 8), be(hexpr * 65536, 8),
+        )
+        return F.concat(be(F.lit(100), 8), ascii_("trak"), tkhd)
+
+    t1 = trak(1, F.when(d % 8 == 1, F.lit(0)).otherwise(w),
+              F.when(d % 8 == 1, F.lit(0)).otherwise(h))
+    t2 = F.when(two_tracks, trak(2, w, h)).otherwise(F.unhex(F.lit("")))
+    moov_size = F.when(two_tracks, 316).otherwise(216).cast("bigint")
+    # moov = 8 (header) + 108 (mvhd) + 100·n_tracks children
+    moov = F.concat(be(moov_size, 8), ascii_("moov"), mvhd, t1, t2)
+    payload = F.when(d % 4 == 3, F.encode(F.lit("not a video!"), "utf-8")).otherwise(
+        F.concat(ftyp, moov)
+    )
+    return decode_video_meta(docs.withColumn("payload", payload))
+
+
+SQL_VIDEO_HEADER_META = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN 12
+       WHEN doc_id % 4 = 1 THEN 332 ELSE 232 END AS BIGINT) AS byte_len,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE 500 * (1 + doc_id % 4) END AS INT) AS timescale,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE ((30000 + doc_id % 60000) * 1000) // (500 * (1 + doc_id % 4)) END
+       AS BIGINT) AS duration_ms,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+       WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE 320 * (1 + doc_id % 3) END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN NULL
+       ELSE 240 * (1 + doc_id % 3) END AS INT) AS height,
+  CASE WHEN doc_id % 4 = 3 THEN 'unknown' ELSE 'mp4' END AS format
+FROM documents
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -4815,6 +4895,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(
         q_weighted_sample, SQL_WEIGHTED_SAMPLE, ("pipeline",)
     ),
+    "video_header_meta": QuerySpec(
+        q_video_header_meta, SQL_VIDEO_HEADER_META, ("multimodal",)
+    ),
 }
 
 
@@ -4834,6 +4917,7 @@ _GATE_ORDER = [
     "zorder_layout",             # new: Morton-key clustering report
     "classifier_eval",           # new: per-class precision/recall/F1
     "weighted_sample",           # new: priority sampling (integer-exact)
+    "video_header_meta",         # new: real MP4 box-walk decode
     "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
     "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
     "audio_header_meta",         # changed: duration for all 4 containers

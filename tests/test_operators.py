@@ -681,3 +681,63 @@ def test_decode_audio_meta_garbage_wav_degrades(spark):
     df = spark.createDataFrame([(0, garbage)], "doc_id BIGINT, payload BINARY")
     got = decode_audio_meta(df).collect()[0]
     assert got["format"] == "unknown" and got["sample_rate"] is None
+
+
+def test_parse_video_header_walks_mp4_box_tree():
+    """parse_video_header must read mvhd v0 AND v1 timescale/duration,
+    count tracks, skip zero-dimension (audio) tkhd boxes when picking
+    the presentation size, and degrade malformed boxes instead of
+    crashing: a size-0 box ends the walk, truncated mvhd yields None,
+    and a non-ftyp payload is not video."""
+    import struct
+
+    from kafkastreams_example_spark.functions.multimodal import parse_video_header
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def mvhd_v0(ts, du):
+        return box(
+            b"mvhd",
+            bytes(4) + bytes(8) + struct.pack(">II", ts, du)
+            + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+            + bytes(10) + bytes(36) + bytes(24) + struct.pack(">I", 2),
+        )
+
+    def mvhd_v1(ts, du):
+        return box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + bytes(16) + struct.pack(">I", ts)
+            + struct.pack(">Q", du) + bytes(80),
+        )
+
+    def trak(tid, w, h):
+        tkhd = box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + bytes(8) + struct.pack(">I", tid) + bytes(4)
+            + struct.pack(">I", 1000) + bytes(16) + bytes(36)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        return box(b"trak", tkhd)
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4))
+
+    m = parse_video_header(
+        ftyp + box(b"moov", mvhd_v0(1000, 45000) + trak(1, 0, 0) + trak(2, 640, 480))
+    )
+    assert m == {
+        "timescale": 1000, "duration_ms": 45000, "n_tracks": 2,
+        "width": 640, "height": 480, "format": "mp4",
+    }
+
+    m1 = parse_video_header(ftyp + box(b"moov", mvhd_v1(600, 1234567) + trak(1, 1920, 1080)))
+    assert (m1["timescale"], m1["duration_ms"], m1["width"]) == (600, 1234567 * 1000 // 600, 1920)
+
+    assert parse_video_header(b"not a video!") is None
+    assert parse_video_header(ftyp + box(b"moov", trak(1, 640, 480))) is None  # no mvhd
+    # size-0 box must end the walk, not loop forever / crash
+    assert parse_video_header(ftyp + b"\x00\x00\x00\x00moov") is None
+    # truncated mvhd (declared but bytes missing) degrades
+    assert (
+        parse_video_header(ftyp + box(b"moov", box(b"mvhd", bytes(4)))) is None
+    )
