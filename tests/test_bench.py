@@ -57,3 +57,15 @@ def test_bench_queries_all_registered():
 
     missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
     assert not missing
+
+
+def test_bench_headline_set_is_registered():
+    """Every BENCH_QUERIES name must exist in the registry — a renamed
+    or dropped entry must fail CI, not surface as a per-query {"err"}
+    row in the round artifact."""
+    from kafkastreams_example_spark.queries import REGISTRY
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
+    assert not missing, missing
+    dupes = [n for n in set(bench.BENCH_QUERIES) if bench.BENCH_QUERIES.count(n) > 1]
+    assert not dupes, dupes

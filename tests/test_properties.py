@@ -264,3 +264,48 @@ def test_bpe_greedy_merge_matches_sequential_reference(spark):
             assert got[i] == reference(syms, pa, pb), (syms, pa, pb, got[i])
 
     check()
+
+
+def test_tfidf_cosine_pairs_subset_of_full_vector_pairs(spark):
+    """Every pair tfidf_cosine_pairs emits must also pass the threshold
+    under the FULL-vector cosine (no signature/champion truncation):
+    the truncated dot is a sum over a subset of the shared terms of a
+    nonnegative-weight product, so truncated cosine <= full cosine and
+    the pruned result is provably a subset of the exact one — the same
+    guarantee the PQ-bucketed pair generator pins against its exact
+    kernel. (A recall floor is deliberately NOT pinned: this synthetic
+    corpus is homogeneous — >50% of ALL doc pairs pass 0.6 on full
+    vectors — so the champion estimator is a top-of-distribution
+    selector here by design.)"""
+    import duckdb
+
+    from kafkastreams_example_spark.queries import REGISTRY
+    from conftest import SF_DIR
+
+    emitted = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["tfidf_cosine_pairs"].fn(spark, SF_DIR).collect()
+    }
+    assert emitted, "pruned generator emitted nothing at sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    tok = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    exact = con.execute(f"""
+WITH terms AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (SELECT doc_id, tf.term, tf * ln(CAST(n_docs AS DOUBLE)/df) AS w
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      WHERE tf * ln(CAST(n_docs AS DOUBLE)/df) > 1e-12),
+norm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT doc_a, doc_b FROM dots
+JOIN norm na ON dots.doc_a = na.doc_id JOIN norm nb ON dots.doc_b = nb.doc_id
+WHERE round(dot/(na.nrm*nb.nrm), 6) >= 0.6
+""").fetchall()
+    exact_pairs = {(a, b) for a, b in exact}
+    stray = emitted - exact_pairs
+    assert not stray, f"pruned pairs not in exact full-vector set: {sorted(stray)[:5]}"
