@@ -192,9 +192,11 @@ def parse_audio_header(payload: bytes) -> dict[str, Any] | None:
         sample_rate = channels = None
         preskip = 0
         last_granule = 0
+        audio_serial = None
         i = 0
         while i + 27 <= n and payload[i : i + 4] == b"OggS":
             (granule,) = struct.unpack("<q", payload[i + 6 : i + 14])
+            (serial,) = struct.unpack("<I", payload[i + 14 : i + 18])
             nsegs = payload[i + 26]
             seg_end = i + 27 + nsegs
             if seg_end > n:
@@ -205,11 +207,17 @@ def parse_audio_header(payload: bytes) -> dict[str, Any] | None:
                 if body[:7] == b"\x01vorbis" and len(body) >= 16:
                     channels = body[11]
                     (sample_rate,) = struct.unpack("<I", body[12:16])
+                    audio_serial = serial
                 elif body[:8] == b"OpusHead" and len(body) >= 12:
                     channels = body[9]
                     (preskip,) = struct.unpack("<H", body[10:12])
                     sample_rate = 48000  # Opus granules tick at 48 kHz
-            if granule > last_granule:
+                    audio_serial = serial
+            # a multiplexed file (e.g. Theora+Vorbis .ogv) interleaves
+            # pages of several streams, each with its OWN granule clock
+            # — only the audio stream's granules are PCM sample counts,
+            # so duration must ignore every other serial
+            if serial == audio_serial and granule > last_granule:
                 last_granule = granule
             i = seg_end + body_len
         if sample_rate is not None and not (0 < sample_rate <= 2**31 - 1):
@@ -242,6 +250,8 @@ def parse_audio_header(payload: bytes) -> dict[str, Any] | None:
                 | ((payload[8] & 0x7F) << 7)
                 | (payload[9] & 0x7F)
             )
+            if payload[5] & 0x10:  # ID3v2.4 footer flag: 10 more bytes
+                i += 10
         sample_rate = channels = None
         samples = 0
         while i + 4 <= n:
@@ -306,10 +316,19 @@ def parse_video_header(payload: bytes) -> dict[str, Any] | None:
     while i + 8 <= n:
         (size,) = struct.unpack(">I", payload[i : i + 4])
         btype = payload[i + 4 : i + 8]
-        if size < 8:
+        hdr = 8
+        if size == 1 and i + 16 <= n:
+            # 64-bit largesize — how a >4 GiB mdat is declared (ISO
+            # 14496-12 §4.2); a non-faststart file puts moov AFTER it,
+            # so the walk must hop it, not treat it as malformed
+            (size,) = struct.unpack(">Q", payload[i + 8 : i + 16])
+            hdr = 16
+        elif size == 0:
+            size = n - i  # spec-legal: box extends to end of file
+        if size < hdr:
             break
         if btype == b"moov":
-            j = i + 8
+            j = i + hdr
             end = min(i + size, n)
             while j + 8 <= end:
                 (csize,) = struct.unpack(">I", payload[j : j + 4])
@@ -334,10 +353,18 @@ def parse_video_header(payload: bytes) -> dict[str, Any] | None:
                         ttype = payload[k + 4 : k + 8]
                         if tsize < 8:
                             break
-                        if ttype == b"tkhd" and k + 92 <= tend and width is None:
-                            w, h = struct.unpack(">II", payload[k + 84 : k + 92])
-                            if w and h:
-                                width, height = w >> 16, h >> 16
+                        if ttype == b"tkhd" and k + 9 <= tend and width is None:
+                            # v1 tkhd widens ctime/mtime/duration to 64
+                            # bits (+12 payload bytes) — reading the v0
+                            # offset there would decode matrix bytes as
+                            # dimensions
+                            woff = k + (96 if payload[k + 8] == 1 else 84)
+                            if woff + 8 <= tend:
+                                w, h = struct.unpack(
+                                    ">II", payload[woff : woff + 8]
+                                )
+                                if w and h:
+                                    width, height = w >> 16, h >> 16
                         k += tsize
                 j += csize
         i += size

@@ -46,10 +46,18 @@ def embedding_norms(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def _unit(col: Column) -> Column:
     """Pre-normalized (unit-length) double vector: cosine of two unit
     vectors is a single dot product, so the O(n²) pair stage does 1
-    array-aggregate per pair instead of 3. Computed once per row."""
+    array-aggregate per pair instead of 3. Computed once per row.
+
+    Zero-vector rule: an all-zero embedding normalizes to the zero
+    vector (dot 0 against everything, ranked purely by tie-break) — NOT
+    NaN/NULL/crash. Under ANSI mode x/0.0 RAISES in Spark while DuckDB
+    yields NULL, so without this guard one junk embedding in a 100 TB
+    corpus either kills the whole dedup job or silently diverges the
+    engines; the oracle's `_EMB_U` CTE carries the same CASE."""
     v = _as_double(col)
     n = _norm(v)
-    return F.transform(v, lambda x: x / n)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(v, lambda x: x / safe)
 
 
 def cosine_topk(
@@ -432,8 +440,14 @@ def bucketed_assign(
     off = int(id_offset or 0)
     # each branch yields narrow scored frames (id, cell, o) with o
     # ASCENDING-better — (o, cell) struct sort ≡ ORDER BY score, cell,
-    # bit-identical to the oracle's row_number tie-break (NaN sorts
-    # extreme in both engines)
+    # bit-identical to the oracle's row_number tie-break. NaN care: the
+    # trained branch's d2 is ascending in BOTH engines (NaN ranks last
+    # everywhere), but the prefix branch negates a dot whose oracle
+    # orders `cs DESC` — and both engines put NaN FIRST under DESC, so
+    # a NaN score (an all-zero embedding inside the codebook block
+    # normalizes to NaN) must map to -inf here, not stay NaN (Spark's
+    # ascending sort would otherwise rank it LAST and the engines would
+    # pick different cells)
     if codebook == "trained":
         half = (F.size("uv") / 2).cast("int")
         avecs = unit.select("id", F.slice("uv", F.lit(1), half).alias("hv")).persist()
@@ -466,11 +480,12 @@ def bucketed_assign(
         bc = unit.filter(
             (F.col("id") >= off + c1) & (F.col("id") < off + c1 + c2)
         ).select((F.col("id") - off - c1).alias("b_id"), F.col("uv").alias("bv"))
+        neg_inf = F.lit(float("-inf"))
         ascored = F.broadcast(ac).join(unit, how="cross").select(
-            "id", "a_id", (-_dot(F.col("uv"), F.col("av"))).alias("o")
+            "id", "a_id", F.nanvl(-_dot(F.col("uv"), F.col("av")), neg_inf).alias("o")
         )
         bscored = F.broadcast(bc).join(unit, how="cross").select(
-            "id", "b_id", (-_dot(F.col("uv"), F.col("bv"))).alias("o")
+            "id", "b_id", F.nanvl(-_dot(F.col("uv"), F.col("bv")), neg_inf).alias("o")
         )
     else:
         raise ValueError(f"unknown codebook {codebook!r}: use 'prefix' or 'trained'")

@@ -2064,7 +2064,8 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 # vectors is one dot product; division sequence matches Spark's exactly
 _COS = "list_sum(list_transform(list_zip(a.uv, b.uv), p -> p[1] * p[2]))"
 _EMB_U = """
-SELECT vec_id, label, list_transform(dv, x -> x / nrm) AS uv
+SELECT vec_id, label,
+       list_transform(dv, x -> x / CASE WHEN nrm = 0 THEN 1 ELSE nrm END) AS uv
 FROM (SELECT vec_id, label, dv, sqrt(list_sum(list_transform(dv, x -> x * x))) AS nrm
       FROM (SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
@@ -2971,6 +2972,29 @@ FROM documents
 """
 
 
+# Byte-construction helpers for the JVM-side container synthesis used
+# by the header-decode gates (audio/video): integer columns → exact
+# big/little-endian byte strings, zero runs, ASCII tags. Shared so a
+# fix (e.g. odd-width hex) lands in every synthesized-container gate.
+def _syn_le(c, hexw):
+    # little-endian byte string of an integer column: fixed-width hex,
+    # then byte-reversed pairs, then unhex
+    h = F.lpad(F.hex(c), hexw, "0")
+    return F.unhex(F.concat(*[F.substring(h, i, 2) for i in range(hexw - 1, 0, -2)]))
+
+
+def _syn_be(c, hexw):
+    return F.unhex(F.lpad(F.hex(c), hexw, "0"))
+
+
+def _syn_zeros(nb):
+    return F.unhex(F.lit("00" * nb))
+
+
+def _syn_ascii(s):
+    return F.encode(F.lit(s), "utf-8")
+
+
 def q_audio_header_meta(spark, sf_dir):
     """REAL audio metadata decode under the gate (sibling of
     q_image_header_meta), now over ALL FOUR containers: documents get a
@@ -2991,19 +3015,7 @@ def q_audio_header_meta(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
 
-    def le(c, hexw):
-        # little-endian byte string of an integer column: fixed-width
-        # hex, then byte-reversed pairs, then unhex
-        h = F.lpad(F.hex(c), hexw, "0")
-        return F.unhex(
-            F.concat(*[F.substring(h, i, 2) for i in range(hexw - 1, 0, -2)])
-        )
-
-    def be(c, hexw):
-        return F.unhex(F.lpad(F.hex(c), hexw, "0"))
-
-    zeros = lambda nb: F.unhex(F.lit("00" * nb))  # noqa: E731
-    ascii_ = lambda s: F.encode(F.lit(s), "utf-8")  # noqa: E731
+    le, be, zeros, ascii_ = _syn_le, _syn_be, _syn_zeros, _syn_ascii
 
     # --- WAV (doc_id % 4 == 0): canonical 44-byte RIFF header ---
     wch = F.when(d % 8 == 0, 1).otherwise(2).cast("bigint")
@@ -4357,8 +4369,17 @@ def q_bpe_train_merges(spark, sf_dir):
                 F.col("m.pb").alias("pb"),
                 (-F.col("m.nw")).alias("w"),
             )
+            # a round with NO pairs (vocabulary exhausted to single
+            # symbols) must END training, matching the oracle whose
+            # `LIMIT 1` over an empty pair set emits nothing — without
+            # this, min() over the empty frame fabricates a NULL merge
+            # row and the engines diverge on row count. The filter
+            # makes the checkpointed frame genuinely empty then.
+            .filter(F.col("pa").isNotNull())
             .localCheckpoint(eager=True)
         )
+        if best.count() == 0:  # same acknowledged-action class as the
+            break              # adaptive-C count(); frame is checkpointed
         bests.append(
             best.select(
                 F.lit(r).alias("merge_rank"),
@@ -4375,6 +4396,10 @@ def q_bpe_train_merges(spark, sf_dir):
                 "syms", bpe_greedy_merge(F.col("syms"), F.col("pa"), F.col("pb"))
             )
             .select("word", "weight", "syms")
+        )
+    if not bests:  # vocabulary was single symbols from the start
+        return spark.createDataFrame(
+            [], "merge_rank INT, left_sym STRING, right_sym STRING, weight BIGINT"
         )
     out = bests[0]
     for b in bests[1:]:
@@ -4647,11 +4672,7 @@ def q_video_header_meta(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
 
-    def be(c, hexw):
-        return F.unhex(F.lpad(F.hex(c), hexw, "0"))
-
-    zeros = lambda nb: F.unhex(F.lit("00" * nb))  # noqa: E731
-    ascii_ = lambda s: F.encode(F.lit(s), "utf-8")  # noqa: E731
+    be, zeros, ascii_ = _syn_be, _syn_zeros, _syn_ascii
 
     ts = (500 * (1 + d % 4)).cast("bigint")
     du = (30000 + d % 60000).cast("bigint")

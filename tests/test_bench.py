@@ -53,16 +53,9 @@ def test_streaming_bench_harness_runs(spark):
 
 
 def test_bench_queries_all_registered():
-    from kafkastreams_example_spark.queries import REGISTRY
-
-    missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
-    assert not missing
-
-
-def test_bench_headline_set_is_registered():
-    """Every BENCH_QUERIES name must exist in the registry — a renamed
-    or dropped entry must fail CI, not surface as a per-query {"err"}
-    row in the round artifact."""
+    """Every BENCH_QUERIES name must exist in the registry, exactly
+    once — a renamed or dropped entry must fail CI, not surface as a
+    per-query {"err"} row in the round artifact."""
     from kafkastreams_example_spark.queries import REGISTRY
 
     missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]

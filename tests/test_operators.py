@@ -741,3 +741,140 @@ def test_parse_video_header_walks_mp4_box_tree():
     assert (
         parse_video_header(ftyp + box(b"moov", box(b"mvhd", bytes(4)))) is None
     )
+
+
+def test_bpe_train_merges_stops_when_vocabulary_exhausts(spark, tmp_path):
+    """A corpus whose words reduce to single symbols before the 4
+    scheduled rounds must END training early with only the real merges
+    — never fabricate NULL merge rows from min() over an empty pair
+    frame (the oracle's LIMIT-1-over-empty emits nothing, so a
+    fabricated row would diverge the engines on row count)."""
+    from kafkastreams_example_spark.queries import REGISTRY
+
+    # all words are "ab": round 1 merges (a,b) with weight 6, round 2
+    # finds no adjacent pairs (every word is the single symbol "ab")
+    docs = spark.createDataFrame(
+        [(i, "ab ab", "en", "s", 5) for i in range(3)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = REGISTRY["bpe_train_merges"].fn(spark, str(tmp_path)).collect()
+    assert [(r["merge_rank"], r["left_sym"], r["right_sym"], r["weight"]) for r in rows] == [
+        (1, "a", "b", 6)
+    ]
+
+    # fully degenerate: single-character words only -> zero merges
+    docs1 = spark.createDataFrame(
+        [(i, "a b c", "en", "s", 5) for i in range(2)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    d1 = tmp_path / "one"
+    d1.mkdir()
+    docs1.write.parquet(str(d1 / "documents.parquet"))
+    assert REGISTRY["bpe_train_merges"].fn(spark, str(d1)).count() == 0
+
+
+def test_bucketed_assign_zero_embedding_is_safe_and_deterministic(spark):
+    """An all-zero embedding must not kill the job (under ANSI mode
+    x/0.0 RAISES in Spark; DuckDB yields NULL — either way a single
+    junk vector in a 100 TB corpus would poison the dedup). The
+    zero-vector rule: it normalizes to the zero vector, scoring dot 0
+    against every cell and ranking purely by tie-break — identically in
+    both engines. Pins: no exception, every vector assigned, assignment
+    bit-stable across evaluations, and the zero vector itself lands in
+    the tie-break cell (a_id 0)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_example_spark.functions.similarity import bucketed_assign
+
+    rows = [(0, [0.0, 0.0, 0.0, 0.0])] + [
+        (i, [float(i), 1.0, 0.0, float(i % 3)]) for i in range(1, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    def snapshot():
+        return sorted(
+            (r["id"], r["bucket"])
+            for r in bucketed_assign(emb, grid=(3, 2), n_probe=2).collect()
+        )
+
+    first = snapshot()
+    assert {i for i, _ in first} == set(range(12))
+    assert first == snapshot()
+    # the zero vector's dots are all 0 -> every cell ties -> (o, cell)
+    # sort gives cell 0 first; c2=2 so its best bucket is in {0, 1}
+    zero_buckets = {b for i, b in first if i == 0}
+    assert min(zero_buckets) // 2 == 0, zero_buckets
+
+
+def test_media_parsers_handle_realworld_container_shapes():
+    """Round-8 review fixes, each pinned: (1) v1 tkhd widens times by
+    12 bytes — width must read at payload offset 88, not decode matrix
+    bytes; (2) size==1 largesize boxes (>4 GiB mdat) and size==0
+    (to-EOF) are spec-legal, so a non-faststart file's trailing moov
+    must still be reached; (3) an ID3v2.4 footer adds 10 bytes before
+    the first MP3 frame; (4) a multiplexed Ogg (.ogv) carries several
+    granule clocks — duration must come from the AUDIO stream's serial
+    only."""
+    import struct
+
+    from kafkastreams_example_spark.functions.multimodal import (
+        parse_audio_header,
+        parse_video_header,
+    )
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def mvhd(ts, du):
+        return box(b"mvhd", bytes(12) + struct.pack(">II", ts, du) + bytes(80))
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4))
+
+    # (1) version-1 tkhd: +12 bytes of 64-bit times before the matrix
+    tkhd_v1 = box(
+        b"tkhd",
+        b"\x01\x00\x00\x07" + bytes(16) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">Q", 1000) + bytes(16) + bytes(36)
+        + struct.pack(">II", 1280 << 16, 720 << 16),
+    )
+    m = parse_video_header(ftyp + box(b"moov", mvhd(1000, 5000) + box(b"trak", tkhd_v1)))
+    assert (m["width"], m["height"]) == (1280, 720), m
+
+    # (2) largesize mdat before moov: size field 1 + 64-bit size
+    mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16) + bytes(0)
+    tkhd_v0 = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", 1000) + bytes(16) + bytes(36)
+        + struct.pack(">II", 640 << 16, 480 << 16),
+    )
+    m2 = parse_video_header(ftyp + mdat + box(b"moov", mvhd(600, 1200) + box(b"trak", tkhd_v0)))
+    assert (m2["timescale"], m2["width"]) == (600, 640), m2
+
+    # (3) ID3v2.4 footer flag: frames start 10 bytes later
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)  # 128k @ 44100
+    id3_body = bytes(20)
+    id3 = b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, len(id3_body)]) + id3_body
+    mp3 = id3 + b"3DI" + bytes(7) + frame * 2
+    m3 = parse_audio_header(mp3)
+    assert m3 and m3["format"] == "mp3" and m3["sample_rate"] == 44100, m3
+    assert m3["duration_ms"] == 2 * 1152 * 1000 // 44100, m3
+
+    # (4) multiplexed ogg: a video stream's huge granules must not
+    # leak into the audio duration
+    def page(serial, granule, body, typ):
+        return (
+            b"OggS" + bytes([0, typ]) + struct.pack("<q", granule)
+            + struct.pack("<I", serial) + bytes(8)
+            + bytes([1, len(body)]) + body
+        )
+
+    vorbis_id = b"\x01vorbis" + bytes(4) + bytes([2]) + struct.pack("<I", 44100) + bytes(13)
+    ogv = (
+        page(7, 0, vorbis_id, 2)                      # audio BOS
+        + page(9, 1 << 40, b"\x00", 0)                # video stream page
+        + page(7, 44100 * 3, b"\x00", 4)              # audio EOS
+    )
+    m4 = parse_audio_header(ogv)
+    assert m4 and m4["duration_ms"] == 3000, m4
