@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "classifier_eval",
     "weighted_sample",
     "video_header_meta",
+    "interval_coverage",
 ]
 
 

@@ -4729,6 +4729,62 @@ FROM documents
 """
 
 
+def q_interval_coverage(spark, sf_dir):
+    """Merged-interval union time (the sweep-line primitive behind
+    utilization, billing and overlapping-span dedup): each event opens
+    a 5-minute activity window; per user, overlapping-or-touching
+    windows merge into islands and the report is (user, island count,
+    total covered ms). The merge is the gaps-and-islands composition —
+    lag to flag a window break (gap > window), running sum to number
+    islands, one partial-agg per island then per user — all on narrow
+    (user, epoch-ms) rows, integer-exact end to end. Cousin of
+    `activity_streaks` (calendar-day islands) but on the continuous
+    time axis with an additive measure, which streaks can't express."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_ms = 300000
+    e = ev.select("user_id", F.unix_millis("ts").alias("t"))
+    wo = Window.partitionBy("user_id").orderBy("t")
+    flags = e.withColumn(
+        "new_island",
+        F.when(F.col("t") - F.lag("t").over(wo) > w_ms, 1).otherwise(0),
+    )
+    islands = flags.withColumn(
+        "island",
+        F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        (F.max("t") - F.min("t") + w_ms).alias("span_ms")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("span_ms").alias("coverage_ms"),
+    )
+
+
+SQL_INTERVAL_COVERAGE = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS t FROM events),
+flags AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 300000
+              THEN 1 ELSE 0 END AS new_island
+  FROM e),
+islands AS (
+  SELECT user_id, t,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flags),
+spans AS (
+  SELECT user_id, island, max(t) - min(t) + 300000 AS span_ms
+  FROM islands GROUP BY 1, 2)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(sum(span_ms) AS BIGINT) AS coverage_ms
+FROM spans GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -4919,6 +4975,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "video_header_meta": QuerySpec(
         q_video_header_meta, SQL_VIDEO_HEADER_META, ("multimodal",)
     ),
+    "interval_coverage": QuerySpec(
+        q_interval_coverage, SQL_INTERVAL_COVERAGE, ("relational", "window")
+    ),
 }
 
 
@@ -4939,6 +4998,7 @@ _GATE_ORDER = [
     "classifier_eval",           # new: per-class precision/recall/F1
     "weighted_sample",           # new: priority sampling (integer-exact)
     "video_header_meta",         # new: real MP4 box-walk decode
+    "interval_coverage",         # new: merged-interval union time
     "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
     "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
     "audio_header_meta",         # changed: duration for all 4 containers
