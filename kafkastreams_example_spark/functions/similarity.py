@@ -738,3 +738,122 @@ def cosine_pairs(
         .applyInPandas(tile_kernel, schema="id_a BIGINT, id_b BIGINT, cosine DOUBLE")
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def knn_label_report(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 10,
+    screened: bool = True,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    grid: tuple[int, int] | None = None,
+) -> DataFrame:
+    """kNN majority-vote label-accuracy report — the embedding-quality
+    eval core shared by the registry entry (queries.q_knn_label_accuracy,
+    screened=True) and the brute-force ground truth it is
+    agreement-floor-pinned against (screened=False,
+    tests/test_operators.py::test_knn_screened_agreement).
+
+    Queries are the deterministic id-mod sample (id % query_mod == 0).
+
+    screened=True — the 100 TB path: candidates for a query are the
+    vectors sharing one of its n_probe probed product-quantizer buckets
+    (bucketed_assign over the adaptive c1×c2 grid — the same sublinear
+    inverted-file machinery as bucketed_cosine_pairs), so per-query
+    candidate count is bounded by n_probe × target bucket size instead
+    of the corpus: candidate generation is a narrow (bucket, id) equi-
+    join, and the exact sequential-fold cosine re-score touches only
+    candidates. screened=False — exact brute force: every query scores
+    the whole corpus (quadratic by contract; test/ground-truth only).
+
+    Both paths share the tail: top-k by (cosine DESC, neighbor_id),
+    majority vote with ties toward the smaller label, per-label
+    n/correct/accuracy. Output: (label, n_queries, n_correct, accuracy).
+    """
+    from pyspark.sql import Window
+
+    unit = emb.select(
+        F.col(id_col).cast("bigint").alias("vid"),
+        F.col(label_col).alias("lbl"),
+        _unit(F.col(vec_col)).alias("uv"),
+    )
+    qside = unit.select(
+        F.col("vid").alias("query_id"),
+        F.col("lbl").alias("true_label"),
+        F.col("uv").alias("qv"),
+    )
+    cside = unit.select(
+        F.col("vid").alias("neighbor_id"),
+        F.col("lbl").alias("neighbor_label"),
+        F.col("uv").alias("cv"),
+    )
+    if screened:
+        if grid is None:
+            # one action derives both runtime statistics (adaptive grid
+            # size, codebook anchor) — the bucketed_cosine_pairs discipline
+            n_rows, min_id = emb.agg(
+                F.count(F.lit(1)), F.min(F.col(id_col).cast("bigint"))
+            ).first()
+            grid = product_grid(n_rows)
+            assign = bucketed_assign(
+                emb, grid, n_probe, vec_col, id_col, id_offset=min_id
+            ).select("bucket", "id")
+        else:
+            assign = bucketed_assign(emb, grid, n_probe, vec_col, id_col).select(
+                "bucket", "id"
+            )
+        qa = assign.filter(F.col("id") % query_mod == 0).select(
+            "bucket", F.col("id").alias("query_id")
+        )
+        ca = assign.select("bucket", F.col("id").alias("neighbor_id"))
+        # a pair sharing both probed buckets arrives twice → distinct on
+        # the narrow id pair BEFORE the vector re-join (no fat fan-out)
+        cand = (
+            qa.join(ca, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        scored = (
+            cand.join(qside, "query_id")
+            .join(cside, "neighbor_id")
+            .select(
+                "query_id",
+                "true_label",
+                "neighbor_id",
+                "neighbor_label",
+                _dot(F.col("qv"), F.col("cv")).alias("cosine"),
+            )
+        )
+    else:
+        scored = (
+            F.broadcast(qside.filter(F.col("query_id") % query_mod == 0))
+            .join(cside, F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "true_label",
+                "neighbor_id",
+                "neighbor_label",
+                _dot(F.col("qv"), F.col("cv")).alias("cosine"),
+            )
+        )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    knn = scored.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= k)
+    votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "neighbor_label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("neighbor_label").alias("pred_label"))
+    )
+    correct = F.count(F.when(F.col("pred_label") == F.col("true_label"), 1))
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        correct.alias("n_correct"),
+        F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
+    )

@@ -4225,74 +4225,87 @@ WHERE round(dot/(na.nrm*nb.nrm), 6) >= 0.6
 """
 
 
+def knn_label_accuracy_exact(spark, sf_dir):
+    """Brute-force exact-kNN majority-vote label accuracy — the ground
+    truth the screened registry entry (q_knn_label_accuracy) is
+    agreement-floor-pinned against in
+    tests/test_operators.py::test_knn_screened_agreement. Quadratic by
+    construction (every query scores the whole corpus), so it is NOT a
+    registry entry; at scale use the PQ-screened path. Core shared with
+    the screened form: functions.similarity.knn_label_report."""
+    from .functions.similarity import knn_label_report
+
+    return knn_label_report(load_table(spark, sf_dir, "embeddings"), screened=False)
+
+
 def q_knn_label_accuracy(spark, sf_dir):
-    """Embedding-quality eval: exact-kNN majority-vote label accuracy —
-    the standard probe for "do these embeddings cluster by label?" run
-    before committing a corpus to embedding-based dedup or retrieval.
-    A deterministic 10% query sample (vec_id % 10 == 0) is scored
-    brute-force against the full corpus (exact ground truth by design,
-    like `sim_topk`; the at-scale screening path would swap in the IVF
-    bucketing), top-5 neighbors vote, ties break toward the smaller
-    label, and the report aggregates per-label n/correct/accuracy — a
-    label-cardinality-sized result. The query side broadcasts; scoring
-    rows are narrow (ids, label, cosine); votes and the report are
-    partial-agg groupBys."""
-    from pyspark.sql import Window
+    """Embedding-quality eval: kNN majority-vote label accuracy with
+    PQ-SCREENED candidate generation — the at-scale form of the standard
+    "do these embeddings cluster by label?" probe run before committing
+    a corpus to embedding-based dedup or retrieval. A deterministic 10%
+    query sample (vec_id % 10 == 0) is scored only against candidates
+    sharing one of its probed product-quantizer buckets (the adaptive
+    c1×c2 grid of functions.similarity.bucketed_assign, n_probe=2 — the
+    same sublinear inverted-file machinery as dedup_embeddings /
+    cosine_pairs), so per-query candidate count is bounded by
+    n_probe × target bucket size (~2×1024) instead of the whole corpus:
+    candidate generation is a narrow (bucket, id) equi-join (linear as C
+    tracks n), exact cosine re-scoring via the sequential-fold _dot
+    touches ONLY candidates, and the top-5 vote → per-label
+    n/correct/accuracy report stages are unchanged from the brute-force
+    form (knn_label_accuracy_exact, kept as the test-only ground truth —
+    accuracy agreement vs it is floor-pinned on a clustered-label corpus
+    in tests/test_operators.py::test_knn_screened_agreement). The oracle
+    reproduces grid derivation, bucket assignment, candidate set, and
+    scoring bit-for-bit via the shared _SQL_GRID/_SQL_PQ_ASSIGN CTEs.
+    Core: functions.similarity.knn_label_report(screened=True)."""
+    from .functions.similarity import knn_label_report
 
-    from .functions.similarity import _dot, _unit
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    unit = emb.select("vec_id", "label", _unit(F.col("embedding")).alias("uv"))
-    queries_side = unit.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("true_label"),
-        F.col("uv").alias("qv"),
-    )
-    cands = unit.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.col("uv").alias("cv"),
-    )
-    scored = (
-        F.broadcast(queries_side)
-        .join(cands, F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "true_label",
-            "neighbor_id",
-            "neighbor_label",
-            _dot(F.col("qv"), F.col("cv")).alias("cosine"),
-        )
-    )
-    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    knn = scored.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= 5)
-    votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
-        F.count("*").alias("votes")
-    )
-    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "neighbor_label")
-    pred = (
-        votes.withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") == 1)
-        .select("query_id", "true_label", F.col("neighbor_label").alias("pred_label"))
-    )
-    correct = F.count(F.when(F.col("pred_label") == F.col("true_label"), 1))
-    return (
-        pred.groupBy(F.col("true_label").alias("label"))
-        .agg(
-            F.count("*").alias("n_queries"),
-            correct.alias("n_correct"),
-            F.round(correct.cast("double") / F.count("*"), 6).alias("accuracy"),
-        )
-    )
+    return knn_label_report(load_table(spark, sf_dir, "embeddings"), screened=True)
 
 
-SQL_KNN_LABEL_ACCURACY = f"""
+SQL_KNN_LABEL_ACCURACY_EXACT = f"""
 WITH u AS ({_EMB_U}),
 scored AS (
   SELECT a.vec_id AS query_id, a.label AS true_label, b.vec_id AS neighbor_id,
          b.label AS neighbor_label, {_COS} AS cosine
   FROM u a JOIN u b ON b.vec_id != a.vec_id
   WHERE a.vec_id % 10 = 0),
+knn AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= 5),
+votes AS (SELECT query_id, true_label, neighbor_label, COUNT(*) AS votes
+          FROM knn GROUP BY 1, 2, 3),
+pred AS (SELECT query_id, true_label, neighbor_label AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, neighbor_label) AS vr
+    FROM votes) WHERE vr = 1)
+SELECT true_label AS label, COUNT(*) AS n_queries,
+       COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS n_correct,
+       round(CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY 1
+"""
+
+
+# the screened-kNN oracle grafts the shared adaptive-grid + PQ-assign
+# CTEs (bit-identical bucket assignment to bucketed_assign, n_probe=2)
+# in front of the exact-kNN vote/report pipeline: candidates are pairs
+# sharing a probed bucket where the left endpoint is a query vector
+SQL_KNN_LABEL_ACCURACY = f"""
+WITH u AS ({_EMB_U}),
+{_SQL_GRID},
+{_SQL_PQ_ASSIGN},
+cand AS (
+  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+  FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id != y.vec_id
+  WHERE x.vec_id % 10 = 0),
+scored AS (
+  SELECT c.query_id, a.label AS true_label, c.neighbor_id,
+         b.label AS neighbor_label, {_COS} AS cosine
+  FROM cand c JOIN u a ON a.vec_id = c.query_id
+              JOIN u b ON b.vec_id = c.neighbor_id),
 knn AS (SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY cosine DESC, neighbor_id) AS rnk

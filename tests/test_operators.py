@@ -664,6 +664,40 @@ def test_trained_pq_recall_floor_on_adversarial_ingest_order(spark):
     assert recall["trained"] > recall["prefix"], recall
 
 
+def test_knn_screened_agreement(spark):
+    """r8 verdict #1: the PQ-screened kNN label eval must agree with the
+    brute-force ground truth. On a corpus whose embeddings genuinely
+    cluster by label (20 clusters × 10 members, noise σ=0.05, 10 labels
+    — the regime the probe exists to detect), the exact path must score
+    near-perfect and the screened path must stay within 0.1 accuracy of
+    it: cluster members co-bucket under the PQ grid, so screening keeps
+    the informative neighbors. Fully deterministic (fixed seed)."""
+    import numpy as np
+
+    from kafkastreams_example_spark.functions.similarity import knn_label_report
+
+    rng = np.random.default_rng(11)
+    rows, vid = [], 0
+    for c in range(20):
+        center = rng.normal(size=8)
+        center /= np.linalg.norm(center)
+        for _ in range(10):
+            v = center + rng.normal(scale=0.05, size=8)
+            rows.append((vid, c % 10, v.tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, label INT, embedding ARRAY<DOUBLE>")
+
+    def overall(df):
+        r = df.collect()
+        n = sum(x["n_queries"] for x in r)
+        return sum(x["n_correct"] for x in r) / n
+
+    acc_exact = overall(knn_label_report(emb, screened=False))
+    acc_screened = overall(knn_label_report(emb, screened=True, grid=(4, 4)))
+    assert acc_exact >= 0.9, acc_exact
+    assert acc_screened >= acc_exact - 0.1, (acc_screened, acc_exact)
+
+
 def test_decode_audio_meta_garbage_wav_degrades(spark):
     """A payload with valid RIFF/WAVE magic but garbage fmt fields
     (unsigned sample_rate overflowing signed INT) must degrade to

@@ -110,9 +110,10 @@ FAMILY = [
     "cosine_pairs",
 ]
 # round-8 additions: the new text/similarity/maintenance entries.
-# knn_label_accuracy is quadratic BY CONTRACT (brute-force exact eval,
-# |queries| = n/10 each scored against the full corpus) — probed at 10x
-# only, like cosine_pairs used to be.
+# knn_label_accuracy left the quadratic class in round 9: candidates now
+# come from the probed-PQ-bucket equi-join (bucketed_assign over the
+# adaptive grid) instead of the full corpus, so it probes at 10x AND 30x
+# like every other bucketed entry.
 # tfidf_cosine_pairs: RUNTIME ratios are the evidence here; its OUTPUT
 # count legitimately collapses on replicated corpora because idf is a
 # GLOBAL weight — ln(N/df) shifts by ln(factor) uniformly, norm mass
@@ -131,10 +132,11 @@ ROUND8_FAMILY = [
     "classifier_eval",
 ]
 
-# (registry cosine_pairs has been the bucketed form since round 6 and
-# the adaptive two-level grid since round 7 — of the probed families
-# only the brute-force eval is quadratic by contract)
-QUADRATIC_BY_CONTRACT: set[str] = {"knn_label_accuracy"}
+# (registry cosine_pairs has been the bucketed form since round 6, the
+# adaptive two-level grid since round 7, and knn_label_accuracy the
+# PQ-screened form since round 9 — no probed family is quadratic by
+# contract anymore; the brute-force kNN ground truth is test-only)
+QUADRATIC_BY_CONTRACT: set[str] = set()
 
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
