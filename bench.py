@@ -8,6 +8,13 @@ Each query is forced with a cheap count() over the full result (no
 driver-side collect of payload rows). First query pays JVM/session
 warmup; a warmup no-op runs first so per-query numbers reflect
 execution, not session start.
+
+Quiet-by-construction (r8 verdict item 2): before timing, the harness
+waits up to $SPARK_GRAFT_BENCH_QUIET_WAIT (300 s) for the 1-minute
+loadavg to drop under $SPARK_GRAFT_BENCH_MAX_LOAD (1.0 — the BASELINE.md
+discipline), runs min-of-$SPARK_GRAFT_BENCH_REPEAT (3) passes, and
+stamps "loadavg_start" (+ "loaded": true when the gate never cleared)
+into the JSON so a loaded reading is self-identifying.
 """
 
 from __future__ import annotations
@@ -89,6 +96,9 @@ BENCH_QUERIES = [
     "weighted_sample",
     "video_header_meta",
     "interval_coverage",
+    # round-9 additions
+    "sql_q21_blame_supplier",
+    "wav_pcm_stats",
 ]
 
 
@@ -127,19 +137,54 @@ def run_bench(spark, sf_dir: str, queries=None, repeat: int = 2, registry=None) 
     }
 
 
+def wait_for_quiet(
+    threshold: float | None = None, budget_sec: float | None = None
+) -> tuple[float, bool]:
+    """Enforce the BASELINE.md measurement discipline in code (r8
+    verdict item 2): the recorded artifact must be quiet-by-
+    construction, not triaged after the fact. Polls the 1-minute
+    loadavg until it drops below `threshold` (default 1.0 — the
+    discipline every quiet baseline in BASELINE.md was recorded under)
+    or `budget_sec` (default 300 s) runs out. Returns (loadavg at
+    go-time, loaded_flag); the flag is stamped into the JSON so a
+    reading taken on a busy box is self-identifying instead of
+    poisoning round-over-round comparisons. Pre-timing check only: the
+    bench itself saturates all 32 cores once running, so mid-run
+    loadavg carries no signal about OTHER work."""
+    if threshold is None:
+        threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
+    if budget_sec is None:
+        budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
+    deadline = time.monotonic() + budget_sec
+    load = os.getloadavg()[0]
+    while load >= threshold and time.monotonic() < deadline:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return round(load, 2), load >= threshold
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # quiet gate BEFORE the session exists — the JVM itself adds load
+    load, loaded = wait_for_quiet()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: touch the session + parquet reader once
     spark.range(1).count()
 
-    # two passes, report per-query min: first pass pays JVM/codegen
-    # warmup, min reflects steady state (override with repeat=1 for a
-    # strictly cold run)
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
-    print(json.dumps(run_bench(spark, sf_dir, repeat=repeat)))
+    # three passes, report per-query min: the first pays JVM/codegen
+    # warmup, the min-of-3 is the BASELINE.md steady-state discipline
+    # (override with repeat=1 for a strictly cold run)
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    record = run_bench(spark, sf_dir, repeat=repeat)
+    record["loadavg_start"] = load
+    if loaded:
+        # never blocks the round artifact (the driver must always get
+        # its JSON line) — but the reading is marked as taken against
+        # the discipline, so bands are compared with that knowledge
+        record["loaded"] = True
+    print(json.dumps(record))
     spark.stop()
 
 

@@ -62,6 +62,7 @@ from kafkastreams_example_spark.streaming.pipelines import (  # noqa: E402
     minhash_band_dedup_pipeline,
     quality_filter_pipeline,
     session_window_pipeline,
+    sliding_window_pipeline,
     windowed_count_pipeline,
 )
 
@@ -79,6 +80,11 @@ THRESHOLDS = {
     # the ~2-3x under-recording policy (same correction minhash got)
     "windowed_agg": 100_000,
     "session_window": 60_000,
+    # each event writes 2 overlapping-window state rows (~2x tumbling
+    # work, though 32-core quiet readings track tumbling closely:
+    # 252.7k vs windowed_agg 264.3k, round-9 min-of-3 in BASELINE.md);
+    # floor at the same ~2.5x under-recording policy as windowed_agg
+    "sliding_window": 100_000,
     "interval_join": 40_000,
     "quality_filter": 100_000,
     # quiet-machine readings 40–50k; 30k left only ~1.5x headroom and a
@@ -232,6 +238,16 @@ def main() -> None:
         d = _decoded(_rate_source(spark, rows_filter))
         results["session_window"] = {
             **_run_query(session_window_pipeline(d), "session_window", ckpt_root),
+            "rows_per_batch": rows_filter,
+        }
+
+        # sliding windows (10 min window / 5 min slide per level): each
+        # event lands in window/slide = 2 state rows, so the expected
+        # cost is ~2x tumbling — the hopping-window class used for
+        # trend smoothing (r8 verdict item 8: tested but unbenched)
+        d = _decoded(_rate_source(spark, rows_filter))
+        results["sliding_window"] = {
+            **_run_query(sliding_window_pipeline(d), "sliding_window", ckpt_root),
             "rows_per_batch": rows_filter,
         }
 

@@ -62,3 +62,13 @@ def test_bench_queries_all_registered():
     assert not missing, missing
     dupes = [n for n in set(bench.BENCH_QUERIES) if bench.BENCH_QUERIES.count(n) > 1]
     assert not dupes, dupes
+
+
+def test_wait_for_quiet_gate():
+    """The quiet gate must pass through immediately under a huge
+    threshold and flag `loaded` (without blocking) when the threshold
+    is impossible and the budget is zero."""
+    load, flagged = bench.wait_for_quiet(threshold=1e9, budget_sec=0)
+    assert not flagged and load >= 0.0
+    load, flagged = bench.wait_for_quiet(threshold=0.0, budget_sec=0)
+    assert flagged

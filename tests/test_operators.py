@@ -912,3 +912,36 @@ def test_media_parsers_handle_realworld_container_shapes():
     )
     m4 = parse_audio_header(ogv)
     assert m4 and m4["duration_ms"] == 3000, m4
+
+
+def test_parse_wav_pcm_reads_samples_and_degrades():
+    """parse_wav_pcm must decode real int16 PCM from the data chunk,
+    clamp to the bytes actually present when the declared data size
+    overruns (a truncated upload — the common 100 TB ingest wart), and
+    degrade to None for non-PCM/non-16-bit/garbage payloads instead of
+    crashing the Arrow batch."""
+    import struct
+
+    from kafkastreams_example_spark.functions.multimodal import parse_wav_pcm
+
+    def wav(samples, declared=None, fmt_tag=1, bits=16):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        ds = len(data) if declared is None else declared
+        return (
+            b"RIFF" + struct.pack("<I", 36 + ds) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", fmt_tag, 1, 16000, 32000, 2, bits)
+            + b"data" + struct.pack("<I", ds) + data
+        )
+
+    m = parse_wav_pcm(wav([100, -200, 300]))
+    assert m == {"n_samples": 3, "s_min": -200, "s_max": 300, "s_mean": round(200 / 3, 6)}
+    # declared size overruns the payload: stats over what's present
+    m = parse_wav_pcm(wav([5, -5], declared=1000))
+    assert m["n_samples"] == 2 and m["s_min"] == -5 and m["s_max"] == 5
+    # empty data chunk: zero count, NULL stats
+    assert parse_wav_pcm(wav([]))["n_samples"] == 0
+    # non-PCM format tag, 8-bit depth, and garbage all degrade to None
+    assert parse_wav_pcm(wav([1], fmt_tag=3)) is None
+    assert parse_wav_pcm(wav([1], bits=8)) is None
+    assert parse_wav_pcm(b"not audio") is None
