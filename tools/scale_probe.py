@@ -13,9 +13,30 @@ that
     super-linear RUNTIME).
 
 Mutations (all pure column expressions, executed distributed):
-  documents.text   — per-replica alphabet rotation via translate():
-                     word/char structure and n_chars preserved, every
-                     shingle/minhash/simhash value decorrelated.
+  documents.text   — TWO variants per factor (round 9, r8 verdict item
+                     5 — replaces the alphabet rotation; one corpus
+                     cannot serve both probe classes):
+                     * x{F}/documents — per-replica SUFFIX-SALTED
+                       tokens (token -> token + 'x' + base26(k)):
+                       replica vocabularies are disjoint, so shingle/
+                       minhash/simhash values never collide across
+                       replicas (set-similarity probes stay linear),
+                       while the bijection preserves intra-replica
+                       dup structure exactly and tokens stay word-like.
+                     * x{F}_idf/documents — WITHIN-DF-BAND vocabulary
+                       permutation: tokens map bijectively to same-
+                       frequency-band tokens, so df scales ~F with the
+                       corpus and idf = ln(N/df) is invariant — the
+                       idf-WEIGHTED probe (tfidf_cosine_pairs) keeps
+                       realistic output cardinality instead of
+                       collapsing under the uniform +ln(F) idf shift
+                       disjoint-vocabulary schemes cause. The price is
+                       a shared vocabulary, which is exactly what the
+                       set-similarity probes must NOT see (measured:
+                       shingle pairs explode quadratically from chance
+                       5-gram collisions on a 31-token shared vocab) —
+                       hence two fixtures, each probe reading the one
+                       whose invariant it needs (IDF_FIXTURE_QUERIES).
   embeddings       — per-replica deterministic +-1 sign pattern
                      (elementwise transform): within a replica all
                      pairwise dot products are preserved exactly
@@ -114,14 +135,12 @@ FAMILY = [
 # come from the probed-PQ-bucket equi-join (bucketed_assign over the
 # adaptive grid) instead of the full corpus, so it probes at 10x AND 30x
 # like every other bucketed entry.
-# tfidf_cosine_pairs: RUNTIME ratios are the evidence here; its OUTPUT
-# count legitimately collapses on replicated corpora because idf is a
-# GLOBAL weight — ln(N/df) shifts by ln(factor) uniformly, norm mass
-# spreads across all terms, and the top-8 truncated dot falls under the
-# 0.6 threshold (measured max cosine 0.54 at 10x vs 0.91 at 1x, with
-# 614k candidate pairs still generated — candidate generation and the
-# caps behave linearly; the probe's intra-replica-similarity-preserved
-# assumption simply doesn't extend to corpus-size-dependent weights).
+# tfidf_cosine_pairs: under the r8 rotation fixture its output count
+# collapsed (idf is a GLOBAL weight — every replica got a fresh
+# vocabulary, so ln(N/df) shifted by ln(factor) uniformly and the top-8
+# truncated dot fell under the 0.6 threshold). The round-9 within-df-
+# band permutation keeps df ∝ N, so idf is invariant and BOTH output
+# cardinality and runtime now carry signal for the idf-weighted probe.
 ROUND8_FAMILY = [
     "tfidf_cosine_pairs",
     "bpe_train_merges",
@@ -138,25 +157,110 @@ ROUND8_FAMILY = [
 # contract anymore; the brute-force kNN ground truth is test-only)
 QUADRATIC_BY_CONTRACT: set[str] = set()
 
-ALPHA = "abcdefghijklmnopqrstuvwxyz"
+# idf-weighted probes read the x{F}_idf sibling fixture (shared
+# vocabulary with df ∝ N — idf-invariant); everything else reads the
+# suffix-salted fixture (disjoint replica vocabularies — collision-free
+# set similarity). See the module docstring.
+IDF_FIXTURE_QUERIES: set[str] = {"tfidf_cosine_pairs"}
+
+def _vocab_bands(spark) -> list[list[str]]:
+    """Token vocabulary of the 1x corpus grouped into df-bands (tokens
+    whose document frequency is within 20% of the band head). The
+    round-9 perturbation permutes tokens WITHIN a band, so every
+    token's df in the replicated corpus stays within the band spread of
+    F x its 1x value — idf = ln(N/df) is preserved to ~ln(1.2), and
+    idf-WEIGHTED probe outputs (tfidf_cosine_pairs) keep realistic
+    cardinality instead of collapsing (the r8 alphabet-rotation scheme
+    gave every replica a fresh vocabulary: df stayed at its 1x value
+    while N grew F x, inflating every idf by ln(F) and flattening
+    relative weights — measured max cosine 0.54 at 10x vs 0.91 at 1x).
+    The corpus vocabulary is bounded by construction (driver-generated
+    word corpus, 31 tokens at sf0.1), so collecting it is a fixture-
+    builder convenience, not a scale statement."""
+    rows = (
+        spark.read.parquet(f"{SRC}/documents.parquet")
+        .select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .collect()
+    )
+    bands: list[list[str]] = []
+    head_df = None
+    for r in rows:
+        if head_df is None or r["df"] < 0.8 * head_df:
+            bands.append([])
+            head_df = r["df"]
+        bands[-1].append(r["tok"])
+    return bands
 
 
-_COPRIME26 = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+def _affine_perm(m: int, k: int) -> list[int]:
+    """Position map p -> (a*p + b) mod m for replica k: b = k mod m,
+    a = the (k // m)-th unit mod m (gcd(a, m) = 1, found by scanning).
+    Distinct replicas agree on at most gcd(a1-a2, m) positions — two
+    cyclic shifts (same a) share NONE — so no replica pair is ever a
+    twin of another (the r8 rotation needed the same guarantee; here it
+    also holds WITHIN a band, where the collision surface lives)."""
+    from math import gcd
+
+    units = [a for a in range(1, m + 1) if gcd(a, m) == 1]
+    a = units[(k // m) % len(units)]
+    b = k % m
+    return [(a * p + b) % m for p in range(m)]
 
 
-def _docs_replica(docs, k: int, offset: int):
+def _salt(k: int) -> str:
+    """Letter-only replica salt ('x' + base-26 digits): appended to a
+    [a-z0-9]+ token it EXTENDS the token under the engine's tokenize
+    contract (an underscore or digit separator would split it and leak
+    a shared 'r3'-style token into every replica's vocabulary)."""
+    a = "abcdefghijklmnopqrstuvwxyz"
+    return "x" + a[(k // 26) % 26] + a[k % 26]
+
+
+def _docs_replica_salted(docs, k: int, offset: int):
+    """Replica k of the documents table, suffix-salted: ids shift by
+    k*offset; for k > 0 every token gains the replica salt via one
+    regexp_replace (vocabulary-free, works for any corpus). Replica
+    vocabularies are pairwise disjoint — cross-replica shingle/minhash
+    collisions are impossible — and the per-replica map is a bijection,
+    so intra-replica duplicate/similarity structure is exact."""
     d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * offset))
-    if k:
-        # affine char permutation i -> a*i + b (mod 26): 312 distinct
-        # maps, so replicas never collide (plain rotation k % 26 made
-        # replica 26 an exact copy of replica 0 — artificial dup mass)
-        a = _COPRIME26[(k // 26) % len(_COPRIME26)]
-        b = k % 26
-        perm = "".join(ALPHA[(a * i + b) % 26] for i in range(26))
-        d = d.withColumn(
-            "text", F.translate("text", ALPHA + ALPHA.upper(), perm + perm.upper())
-        )
-    return d
+    if not k:
+        return d
+    return d.withColumn(
+        "text", F.regexp_replace("text", "([a-z0-9]+)", "$1" + _salt(k))
+    )
+
+
+def _docs_replica_mapped(docs, k: int, offset: int, bands: list[list[str]]):
+    """Replica k of the documents table: ids shift by k*offset; for
+    k > 0 every token is replaced via the within-df-band affine
+    permutation (a bijection on the vocabulary, so intra-replica
+    duplicate/similarity structure is preserved EXACTLY while
+    cross-replica token overlap is ≤1 mapping per band pair). The text
+    is the driver's space-joined token stream, so split/map/rejoin is
+    lossless; unknown tokens pass through unchanged."""
+    d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * offset))
+    if not k:
+        return d
+    pairs: list = []
+    for band in bands:
+        perm = _affine_perm(len(band), k)
+        for p, tok in enumerate(band):
+            pairs += [F.lit(tok), F.lit(band[perm[p]])]
+    vmap = F.create_map(*pairs)
+    return d.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.coalesce(vmap.getItem(t), t),
+            ),
+            " ",
+        ),
+    )
 
 
 def _emb_replica(emb, k: int, offset: int):
@@ -217,8 +321,9 @@ def build() -> None:
             "event_id", F.col("event_id") + F.lit(k * off_ev)
         ).withColumn("user_id", F.col("user_id") + F.lit(k * off_cust))
 
+    bands = _vocab_bands(spark)
     reps = {
-        "documents": ("doc_id", _docs_replica),
+        "documents": ("doc_id", _docs_replica_salted),
         "embeddings": ("vec_id", _emb_replica),
         "supplier": ("s_suppkey", _supp_replica),
         "customer": ("c_custkey", _cust_replica),
@@ -250,6 +355,27 @@ def build() -> None:
                 if not link.exists():
                     link.symlink_to(f)
         print(f"built {dst}", flush=True)
+        # idf-preserving sibling fixture (module docstring): only the
+        # documents table differs — within-df-band permuted instead of
+        # suffix-salted; every other table symlinks to the salted dir
+        dsti = ROOT / f"x{factor}_idf"
+        dsti.mkdir(parents=True, exist_ok=True)
+        out_path = dsti / "documents.parquet"
+        if out_path.is_symlink():
+            out_path.unlink()
+        base = spark.read.parquet(f"{SRC}/documents.parquet")
+        offset = base.agg(F.max("doc_id")).first()[0] + 1
+        parts = [_docs_replica_mapped(base, k, offset, bands) for k in range(factor)]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionAll(p)
+        union.repartition(32).write.mode("overwrite").parquet(str(out_path))
+        for f in dst.iterdir():
+            if f.name != "documents.parquet":
+                link = dsti / f.name
+                if not link.exists():
+                    link.symlink_to(f)
+        print(f"built {dsti}", flush=True)
     spark.stop()
 
 
@@ -270,6 +396,8 @@ def run(family: list[str] | None = None) -> None:
         for factor, d in dirs.items():
             if factor > 10 and name in QUADRATIC_BY_CONTRACT:
                 continue
+            if factor > 1 and name in IDF_FIXTURE_QUERIES:
+                d = f"{d}_idf"
             try:
                 best = None
                 for _ in range(repeat):
