@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "sql_q21_blame_supplier",
     "wav_pcm_stats",
+    "bmp_pixel_stats",
 ]
 
 

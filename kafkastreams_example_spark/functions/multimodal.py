@@ -608,3 +608,83 @@ def decode_wav_pcm_stats(
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
+def parse_bmp_pixels(payload: bytes) -> dict[str, Any] | None:
+    """CONTENT-level BMP decode — reads the actual pixel array, not
+    just the header (sibling of parse_wav_pcm; uncompressed 24-bit BMP
+    needs no codec library, just the documented layout: pixel offset at
+    byte 10, BITMAPINFOHEADER dims, 4-byte-aligned rows stored
+    bottom-up for positive heights, B-G-R channel order). Reports
+    per-channel means and an ORDER-SENSITIVE weighted checksum
+    wsum = Σ (y·w + x + 1)·(b+g+r) over raster coordinates — a decoder
+    that forgets the bottom-up row flip or the row padding produces a
+    different wsum, so the oracle catches layout bugs the plain means
+    would mask. Returns None for non-BMP, compressed, or non-24bpp
+    payloads; truncated pixel data degrades to the rows present."""
+    import struct
+
+    n = len(payload)
+    if n < 54 or payload[:2] != b"BM":
+        return None
+    (pix_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    import numpy as np
+
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    sb = sg = sr = wsum = n_px = 0
+    for ry in range(h):
+        off = pix_off + ry * stride
+        if off + w * 3 > n:
+            break  # truncated upload: stats over the rows present
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off)
+        y = ry if top_down else h - 1 - ry
+        b = row[0::3].astype(np.int64)
+        g = row[1::3].astype(np.int64)
+        r = row[2::3].astype(np.int64)
+        sb += int(b.sum()); sg += int(g.sum()); sr += int(r.sum())
+        weights = y * w + np.arange(w, dtype=np.int64) + 1
+        wsum += int((weights * (b + g + r)).sum())
+        n_px += w
+    if not n_px:
+        return {"width": w, "height": h, "n_px": 0,
+                "mean_b": None, "mean_g": None, "mean_r": None, "wsum": None}
+    return {
+        "width": w, "height": h, "n_px": n_px,
+        "mean_b": round(sb / n_px, 6),
+        "mean_g": round(sg / n_px, 6),
+        "mean_r": round(sr / n_px, 6),
+        "wsum": wsum,
+    }
+
+
+def decode_bmp_pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas BMP pixel-statistics stage: (id, payload) → (id,
+    width, height, n_px, mean_b, mean_g, mean_r, wsum). Non-BMP /
+    compressed / non-24bpp payloads degrade to NULLs."""
+    out_schema = (
+        f"{id_col} BIGINT, width INT, height INT, n_px BIGINT, "
+        "mean_b DOUBLE, mean_g DOUBLE, mean_r DOUBLE, wsum BIGINT"
+    )
+    fields = ("width", "height", "n_px", "mean_b", "mean_g", "mean_r", "wsum")
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            metas = []
+            for p in pdf[payload_col]:
+                m = parse_bmp_pixels(p)
+                metas.append(m if m is not None else dict.fromkeys(fields))
+            out = pdf[[id_col]].copy()
+            for f in fields:
+                out[f] = [m[f] for m in metas]
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -3246,6 +3246,94 @@ SELECT doc_id, NULL, NULL, NULL, NULL FROM base WHERE doc_id % 8 = 7
 """
 
 
+def q_bmp_pixel_stats(spark, sf_dir):
+    """CONTENT-level IMAGE decode under the gate — the pixel-array
+    sibling of q_wav_pcm_stats (r8 verdict item 6, second modality):
+    documents get a genuine uncompressed 24-bit BMP synthesized
+    JVM-side with REAL pixel data — width 4 + doc_id % 5, height
+    3 + doc_id % 4, channel byte (x, y, c) = (doc_id·7 + y·131 + x·31
+    + c·17) mod 256, rows stored BOTTOM-UP with 4-byte stride padding
+    per the BMP spec (nested transform/sequence builds the row hex,
+    one unhex) — and functions.multimodal.parse_bmp_pixels must walk
+    the header to the pixel offset, un-flip the rows, skip the padding,
+    and report per-channel means plus the order-sensitive weighted
+    checksum wsum = Σ (y·w + x + 1)(b+g+r), which the oracle recomputes
+    over a double generate_series — a decoder that forgets the row flip
+    or the stride produces a different wsum, so the gate checks the
+    byte-level pixel layout, not just aggregate luck. doc_id % 8 == 7
+    rows carry non-BMP bytes and degrade to NULLs."""
+    from .functions.multimodal import decode_bmp_pixel_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    le, zeros, ascii_ = _syn_le, _syn_zeros, _syn_ascii
+
+    w = (4 + d % 5).cast("bigint")
+    h = (3 + d % 4).cast("bigint")
+    stride = ((w * 3 + 3) / 4).cast("bigint") * 4
+    img_size = stride * h
+
+    def hex2(v):
+        return F.lpad(F.hex(v), 2, "0")
+
+    def chan(x, y, c):
+        return (d * 7 + y * 131 + x * 31 + F.lit(c * 17)) % 256
+
+    pad_hex = F.repeat(F.lit("00"), (stride - w * 3).cast("int"))
+    pixels_hex = F.array_join(
+        F.transform(
+            F.sequence(h - 1, F.lit(0).cast("bigint"), F.lit(-1).cast("bigint")),
+            lambda y: F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0).cast("bigint"), w - 1),
+                        lambda x: F.concat(
+                            hex2(chan(x, y, 0)), hex2(chan(x, y, 1)), hex2(chan(x, y, 2))
+                        ),
+                    ),
+                    "",
+                ),
+                pad_hex,
+            ),
+        ),
+        "",
+    )
+    bmp = F.concat(
+        ascii_("BM"), le(img_size + 54, 8), zeros(4), le(F.lit(54), 8),
+        le(F.lit(40), 8), le(w, 8), le(h, 8), le(F.lit(1), 4), le(F.lit(24), 4),
+        le(F.lit(0), 8), le(img_size, 8), zeros(16),
+    )
+    payload = F.when(d % 8 == 7, ascii_("not a bitmap")).otherwise(
+        F.concat(bmp, F.unhex(pixels_hex))
+    )
+    return decode_bmp_pixel_stats(docs.withColumn("payload", payload))
+
+
+SQL_BMP_PIXEL_STATS = """
+WITH base AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents),
+px AS (
+  SELECT doc_id, w, h, y, unnest(generate_series(0, w - 1)) AS x
+  FROM (SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS y
+        FROM base WHERE doc_id % 8 != 7)),
+ch AS (SELECT doc_id, w, h, y, x,
+         (doc_id*7 + y*131 + x*31) % 256 AS b,
+         (doc_id*7 + y*131 + x*31 + 17) % 256 AS g,
+         (doc_id*7 + y*131 + x*31 + 34) % 256 AS r
+       FROM px)
+SELECT doc_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       COUNT(*) AS n_px,
+       round(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_b,
+       round(CAST(SUM(g) AS DOUBLE) / COUNT(*), 6) AS mean_g,
+       round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_r,
+       SUM((y*w + x + 1) * (b + g + r)) AS wsum
+FROM ch GROUP BY doc_id
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM base WHERE doc_id % 8 = 7
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Feature extraction over binary payloads (mapInPandas batch loop;
     deterministic md5-derived stand-in features, oracle-checked byte
@@ -5098,6 +5186,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "image_header_meta": QuerySpec(q_image_header_meta, SQL_IMAGE_HEADER_META, ("multimodal",)),
     "audio_header_meta": QuerySpec(q_audio_header_meta, SQL_AUDIO_HEADER_META, ("multimodal",)),
     "wav_pcm_stats": QuerySpec(q_wav_pcm_stats, SQL_WAV_PCM_STATS, ("multimodal",)),
+    "bmp_pixel_stats": QuerySpec(q_bmp_pixel_stats, SQL_BMP_PIXEL_STATS, ("multimodal",)),
     "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, ("multimodal",)),
     "sort_limit_offset": QuerySpec(q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET, ("relational",)),
@@ -5141,6 +5230,7 @@ _GATE_ORDER = [
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
     "wav_pcm_stats",             # new: content-level PCM sample decode
+    "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks
     # — round 8 additions, re-evidence next —
     "bpe_train_merges",          # new: iterative BPE tokenizer training

@@ -945,3 +945,49 @@ def test_parse_wav_pcm_reads_samples_and_degrades():
     assert parse_wav_pcm(wav([1], fmt_tag=3)) is None
     assert parse_wav_pcm(wav([1], bits=8)) is None
     assert parse_wav_pcm(b"not audio") is None
+
+
+def test_parse_bmp_pixels_layout_sensitivity():
+    """parse_bmp_pixels must honor the BMP pixel layout: bottom-up row
+    order for positive heights, top-down for negative, 4-byte row
+    stride padding, and B-G-R channel order — pinned via the
+    order-sensitive wsum checksum; compressed/low-bpp/garbage payloads
+    degrade to None and truncated pixel data to the rows present."""
+    import struct
+
+    from kafkastreams_example_spark.functions.multimodal import parse_bmp_pixels
+
+    def bmp(w, h, rows_file_order, bpp=24, compression=0):
+        stride = (w * 3 + 3) // 4 * 4
+        body = b"".join(
+            bytes(row) + b"\x00" * (stride - 3 * w) for row in rows_file_order
+        )
+        return (
+            b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4
+            + struct.pack("<I", 54)
+            + struct.pack("<IiiHHII", 40, w, h, 1, bpp, compression, len(body))
+            + b"\x00" * 16 + body
+        )
+
+    # 2x2, image rows: y=0 -> pixels (b,g,r) (1,2,3)(4,5,6); y=1 -> (7,8,9)(10,11,12)
+    top = [1, 2, 3, 4, 5, 6]
+    bot = [7, 8, 9, 10, 11, 12]
+    expected_wsum = (
+        1 * (1 + 2 + 3) + 2 * (4 + 5 + 6) + 3 * (7 + 8 + 9) + 4 * (10 + 11 + 12)
+    )
+    # bottom-up (h > 0): file stores y=1 row first
+    m_up = parse_bmp_pixels(bmp(2, 2, [bot, top]))
+    # top-down (h < 0): file stores y=0 row first
+    m_down = parse_bmp_pixels(bmp(2, -2, [top, bot]))
+    assert m_up["wsum"] == m_down["wsum"] == expected_wsum
+    assert m_up["n_px"] == 4 and m_up["mean_g"] == round((2 + 5 + 8 + 11) / 4, 6)
+    # ROW-SWAPPED bottom-up file must CHANGE wsum (layout sensitivity)
+    assert parse_bmp_pixels(bmp(2, 2, [top, bot]))["wsum"] != expected_wsum
+    # truncation: only the first file row survives
+    full = bmp(2, 2, [bot, top])
+    m_tr = parse_bmp_pixels(full[: 54 + 8])
+    assert m_tr["n_px"] == 2 and m_tr["wsum"] == 3 * (7 + 8 + 9) + 4 * (10 + 11 + 12)
+    # degrade cases
+    assert parse_bmp_pixels(bmp(2, 2, [bot, top], bpp=8)) is None
+    assert parse_bmp_pixels(bmp(2, 2, [bot, top], compression=1)) is None
+    assert parse_bmp_pixels(b"not a bitmap") is None
