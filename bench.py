@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "interval_coverage",
     # round-9 additions
     "sql_q21_blame_supplier",
+    "sql_q17_small_qty_revenue",
     "wav_pcm_stats",
     "bmp_pixel_stats",
 ]

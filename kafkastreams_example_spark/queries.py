@@ -1482,6 +1482,53 @@ def q_sql_q21_blame_supplier(spark, sf_dir):
 SQL_SQL_Q21_BLAME_SUPPLIER = _SQL_Q21_BODY
 
 
+# Q17 body shared verbatim by both engines. The reference predicate is
+# l_quantity < 0.2 * avg(l_quantity per part); both sides multiplied by
+# 5 * count make it INTEGER-EXACT (quantities are integral doubles):
+# 5*q*cnt < sum(q) — no double avg whose partial-sum ORDER could differ
+# across engines/partitions and flip a boundary row
+_SQL_Q17_BODY = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) *
+      (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    < (SELECT SUM(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+       WHERE l3.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+"""
+
+
+def q_sql_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17-shaped (small-quantity-order revenue) via the SQL API —
+    the correlated SCALAR-AGGREGATE subquery shape completing the
+    subquery tier (Q21 covers EXISTS/NOT EXISTS → semi/anti; this is
+    the per-outer-row aggregate lookup): each lineitem compares its
+    quantity against 20% of the average quantity OF ITS PART, phrased
+    as two correlated scalar subqueries over the fact table. At 100 TB
+    what matters is the decorrelation: Catalyst rewrites each into a
+    per-part partial-agg HashAggregate pair joined back on partkey
+    (observed plan: the count join LeftOuter, the sum join carrying the
+    integer predicate) — never a per-row subplan re-scanning lineitem
+    per outer tuple (plan guard: tests/test_plans.py::test_sql_q17_
+    scalar_subquery_decorrelates; Spark 4.1 keeps the two aggregates
+    separate rather than merging them — two narrow column-pruned
+    lineitem scans, a cost the guard documents). The predicate is
+    integer-exact (see
+    _SQL_Q17_BODY); revenue sums are decimal-from-source with the
+    double cast only at the output boundary."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q17_BODY)
+
+
+SQL_SQL_Q17_SMALL_QTY_REVENUE = _SQL_Q17_BODY
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct). Sketch estimates
     differ across engines by design, so the raw estimate can't be
@@ -5079,6 +5126,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q21_blame_supplier": QuerySpec(
         q_sql_q21_blame_supplier, SQL_SQL_Q21_BLAME_SUPPLIER, ("relational", "sql-api")
     ),
+    "sql_q17_small_qty_revenue": QuerySpec(
+        q_sql_q17_small_qty_revenue, SQL_SQL_Q17_SMALL_QTY_REVENUE, ("relational", "sql-api")
+    ),
     "approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT, ("relational", "approximate")
     ),
@@ -5229,6 +5279,7 @@ _GATE_ORDER = [
     # — changed, fixed, or new in round 9: must (re-)evidence first —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
+    "sql_q17_small_qty_revenue", # new: correlated scalar-agg subquery shape
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks

@@ -304,6 +304,20 @@ def test_sql_q21_semi_and_anti_join(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_sql_q17_scalar_subquery_decorrelates(spark):
+    """Both correlated scalar-aggregate subqueries (per-part count and
+    sum) must decorrelate into per-part HashAggregate pairs joined back
+    on partkey — no per-row subplan re-scanning lineitem per outer
+    tuple. Partial aggregation must survive (map-side partials around
+    the exchanges)."""
+    from kafkastreams_example_spark.queries import q_sql_q17_small_qty_revenue
+
+    plan = plan_string(q_sql_q17_small_qty_revenue(spark, SF_DIR), "simple")
+    assert "Subquery subquery" not in plan
+    assert plan.count("HashAggregate") >= 4  # count agg pair + sum agg pair
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
 def test_bucketed_assign_exchanges_are_narrow(spark):
     """r7 verdict finding: the PQ assignment top-n_probe selection must
     exchange NARROW (id, cell, score) rows — the embedding column may
