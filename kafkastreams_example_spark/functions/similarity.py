@@ -805,6 +805,13 @@ def knn_label_report(
             assign = bucketed_assign(emb, grid, n_probe, vec_col, id_col).select(
                 "bucket", "id"
             )
+        # both the query side and the candidate side read this frame; a
+        # lazy localCheckpoint materializes the NARROW (bucket, id)
+        # assignment once and serves both, instead of re-running the
+        # whole assignment subtree (and its corpus scans) per side —
+        # plan-guarded by tests/test_plans.py::test_knn_screened_
+        # assignment_computed_once
+        assign = assign.localCheckpoint(eager=False)
         qa = assign.filter(F.col("id") % query_mod == 0).select(
             "bucket", F.col("id").alias("query_id")
         )

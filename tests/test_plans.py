@@ -304,6 +304,20 @@ def test_sql_q21_semi_and_anti_join(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_knn_screened_assignment_computed_once(spark):
+    """The screened kNN eval feeds the SAME PQ-bucket assignment to the
+    query side and the candidate side; without the lazy localCheckpoint
+    the whole assignment subtree (and its corpus scans) re-runs per
+    side — 12 FileScans observed vs 3 with the checkpoint. Pin the
+    3-scan shape: the corpus re-enters only for the query/candidate
+    vector re-joins plus the runtime-stats agg."""
+    from kafkastreams_example_spark.queries import REGISTRY
+
+    df = REGISTRY["knn_label_accuracy"].fn(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("FileScan") <= 3, plan.count("FileScan")
+
+
 def test_sql_q17_scalar_subquery_decorrelates(spark):
     """Both correlated scalar-aggregate subqueries (per-part count and
     sum) must decorrelate into per-part HashAggregate pairs joined back
