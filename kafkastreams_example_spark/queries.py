@@ -1817,8 +1817,13 @@ FROM bits GROUP BY doc_id
 def q_tfidf_top_terms(spark, sf_dir):
     """TF-IDF: the canonical text-pipeline weighting. tf per (doc,term)
     → document frequency per term → idf = ln(N/df) → top-3 terms per
-    doc. Two narrow aggregations + one broadcastable join (term-level
-    df table is tiny relative to the corpus)."""
+    doc. Two narrow aggregations + one equi-join on term — a plain
+    shuffle join (round 9, the tfidf_cosine_pairs hardening applied
+    here too: the df side's cardinality is the corpus VOCABULARY,
+    unbounded at 100 TB, so it is never broadcast; the 1-row count
+    frame stays broadcast) — and the top-3 window ranks on round(w, 6)
+    so a 1-ulp libm-ln divergence can't flip membership across
+    engines."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1831,12 +1836,14 @@ def q_tfidf_top_terms(spark, sf_dir):
     # .count() would be a second full scan scheduled eagerly; this stays
     # one lazy plan and the scalar rides the (tiny) df_ broadcast
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(n)).select(
+    scored = tf.join(df_, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("tfidf"), 6).desc(), F.col("term")
+    )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -1855,7 +1862,7 @@ scored AS (
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
 SELECT doc_id, term, rnk, round(tfidf, 6) AS tfidf
 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, term) AS rnk
+                                   ORDER BY round(tfidf, 6) DESC, term) AS rnk
       FROM scored)
 WHERE rnk <= 3
 """

@@ -179,9 +179,18 @@ def _vocab_bands(spark) -> list[list[str]]:
     builder convenience, not a scale statement."""
     rows = (
         spark.read.parquet(f"{SRC}/documents.parquet")
-        .select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("tok"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("tok"),
+        )
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
+        # DOCUMENT frequency, not instance count: idf = ln(N/df) is
+        # defined over docs-containing-term, and the permutation's
+        # idf-invariance argument holds exactly for the quantity the
+        # bands are built from
+        .agg(F.countDistinct("doc_id").alias("df"))
         .orderBy(F.col("df").desc(), "tok")
         .collect()
     )
