@@ -798,42 +798,78 @@ def knn_label_report(
                 F.count(F.lit(1)), F.min(F.col(id_col).cast("bigint"))
             ).first()
             grid = product_grid(n_rows)
-            assign = bucketed_assign(
+            members = bucketed_assign(
                 emb, grid, n_probe, vec_col, id_col, id_offset=min_id
-            ).select("bucket", "id")
+            )
         else:
-            assign = bucketed_assign(emb, grid, n_probe, vec_col, id_col).select(
-                "bucket", "id"
+            members = bucketed_assign(emb, grid, n_probe, vec_col, id_col)
+
+        # Per-bucket BLAS kernel, the bucketed_cosine_pairs shape: the
+        # probed assignment is shuffled ONCE by bucket, each bucket does
+        # one queries×members matmul and emits only its per-query top-k
+        # (k rows per query per bucket, never the candidate pairs).
+        # The earlier join formulation materialized every candidate
+        # pair through two vector-fat joins — ~22M rows × 512 B vectors
+        # shuffled twice at 30× sf0.1 (measured 47 s); the kernel emits
+        # ≤ n_probe·k rows per query. Per-bucket top-k then global
+        # top-k is LOSSLESS: every global top-k candidate is within the
+        # top-k of any bucket it shares with the query under the same
+        # (cosine desc, id) total order. Cosines are rounded to 6
+        # decimals BEFORE ranking so numpy's blocked matmul, the
+        # oracle's sequential list_sum fold, and a pair scored in two
+        # different buckets all agree on the order (the
+        # bucketed_cosine_pairs float discipline).
+        def bucket_topk(pdf):
+            import numpy as np
+            import pandas as pd
+
+            empty = pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype=np.int64),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "cosine": np.array([], dtype=np.float64),
+                }
             )
-        # both the query side and the candidate side read this frame; a
-        # lazy localCheckpoint materializes the NARROW (bucket, id)
-        # assignment once and serves both, instead of re-running the
-        # whole assignment subtree (and its corpus scans) per side —
-        # plan-guarded by tests/test_plans.py::test_knn_screened_
-        # assignment_computed_once
-        assign = assign.localCheckpoint(eager=False)
-        qa = assign.filter(F.col("id") % query_mod == 0).select(
-            "bucket", F.col("id").alias("query_id")
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            qmask = ids % query_mod == 0
+            if len(pdf) < 2 or not qmask.any():
+                return empty
+            mat = np.stack(pdf["uv"].to_numpy())
+            qids, qmat = ids[qmask], mat[qmask]
+            out = [empty]
+            stripe = 1024
+            for s in range(0, len(qids), stripe):
+                sims = np.round(qmat[s : s + stripe] @ mat.T, 6)
+                sims[ids[None, :] == qids[s : s + stripe, None]] = -np.inf
+                for r in range(sims.shape[0]):
+                    row = sims[r]
+                    order = np.lexsort((ids, -row))[:k]
+                    keep = order[row[order] != -np.inf]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[s + r],
+                                "neighbor_id": ids[keep],
+                                "cosine": row[keep],
+                            }
+                        )
+                    )
+            return pd.concat(out, ignore_index=True)
+
+        pairs = members.groupBy("bucket").applyInPandas(
+            bucket_topk, schema="query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
         )
-        ca = assign.select("bucket", F.col("id").alias("neighbor_id"))
-        # a pair sharing both probed buckets arrives twice → distinct on
-        # the narrow id pair BEFORE the vector re-join (no fat fan-out)
-        cand = (
-            qa.join(ca, "bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-            .distinct()
+        # a pair sharing both probed buckets arrives once per bucket
+        # with an identical rounded score — collapse, then global top-k
+        best = pairs.groupBy("query_id", "neighbor_id").agg(
+            F.max("cosine").alias("cosine")
         )
-        scored = (
-            cand.join(qside, "query_id")
-            .join(cside, "neighbor_id")
-            .select(
-                "query_id",
-                "true_label",
-                "neighbor_id",
-                "neighbor_label",
-                _dot(F.col("qv"), F.col("cv")).alias("cosine"),
-            )
+        wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+        knn = (
+            best.withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= k)
+            .join(qside.select("query_id", "true_label"), "query_id")
+            .join(cside.select("neighbor_id", "neighbor_label"), "neighbor_id")
         )
     else:
         scored = (
@@ -847,8 +883,8 @@ def knn_label_report(
                 _dot(F.col("qv"), F.col("cv")).alias("cosine"),
             )
         )
-    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    knn = scored.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= k)
+        wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+        knn = scored.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= k)
     votes = knn.groupBy("query_id", "true_label", "neighbor_label").agg(
         F.count("*").alias("votes")
     )

@@ -4520,16 +4520,20 @@ def q_knn_label_accuracy(spark, sf_dir):
     c1×c2 grid of functions.similarity.bucketed_assign, n_probe=2 — the
     same sublinear inverted-file machinery as dedup_embeddings /
     cosine_pairs), so per-query candidate count is bounded by
-    n_probe × target bucket size (~2×1024) instead of the whole corpus:
-    candidate generation is a narrow (bucket, id) equi-join (linear as C
-    tracks n), exact cosine re-scoring via the sequential-fold _dot
-    touches ONLY candidates, and the top-5 vote → per-label
-    n/correct/accuracy report stages are unchanged from the brute-force
-    form (knn_label_accuracy_exact, kept as the test-only ground truth —
-    accuracy agreement vs it is floor-pinned on a clustered-label corpus
-    in tests/test_operators.py::test_knn_screened_agreement). The oracle
+    n_probe × target bucket size (~2×1024) instead of the whole corpus.
+    Scoring is the bucketed_cosine_pairs shape: the probed assignment
+    shuffles ONCE by bucket and a per-bucket BLAS kernel emits only each
+    query's top-5 (candidate PAIRS are never materialized — the join
+    formulation shuffled ~22M vector-fat rows at 30× and measured 47 s
+    vs 7.6 s for the kernel); per-bucket top-k → global top-k is
+    lossless under the shared (round(cosine,6) DESC, id) order. Vote →
+    per-label n/correct/accuracy stages are unchanged from the
+    brute-force form (knn_label_accuracy_exact, kept as the test-only
+    ground truth — accuracy agreement vs it is floor-pinned on a
+    clustered-label corpus in
+    tests/test_operators.py::test_knn_screened_agreement). The oracle
     reproduces grid derivation, bucket assignment, candidate set, and
-    scoring bit-for-bit via the shared _SQL_GRID/_SQL_PQ_ASSIGN CTEs.
+    rounded-rank scoring via the shared _SQL_GRID/_SQL_PQ_ASSIGN CTEs.
     Core: functions.similarity.knn_label_report(screened=True)."""
     from .functions.similarity import knn_label_report
 
@@ -4578,9 +4582,13 @@ scored AS (
          b.label AS neighbor_label, {_COS} AS cosine
   FROM cand c JOIN u a ON a.vec_id = c.query_id
               JOIN u b ON b.vec_id = c.neighbor_id),
+-- ranking on round(cosine, 6), matching the engine's per-bucket BLAS
+-- kernel discipline: numpy's blocked matmul and this sequential fold
+-- can differ in the last ulp, and a raw-double rank would let that
+-- flip top-5 membership
 knn AS (SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+                                 ORDER BY round(cosine, 6) DESC, neighbor_id) AS rnk
     FROM scored) WHERE rnk <= 5),
 votes AS (SELECT query_id, true_label, neighbor_label, COUNT(*) AS votes
           FROM knn GROUP BY 1, 2, 3),

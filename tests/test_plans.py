@@ -304,18 +304,20 @@ def test_sql_q21_semi_and_anti_join(spark):
     assert "rangepartitioning" not in plan
 
 
-def test_knn_screened_assignment_computed_once(spark):
-    """The screened kNN eval feeds the SAME PQ-bucket assignment to the
-    query side and the candidate side; without the lazy localCheckpoint
-    the whole assignment subtree (and its corpus scans) re-runs per
-    side — 12 FileScans observed vs 3 with the checkpoint. Pin the
-    3-scan shape: the corpus re-enters only for the query/candidate
-    vector re-joins plus the runtime-stats agg."""
+def test_knn_screened_is_bucketed_kernel(spark):
+    """The screened kNN eval must score through the per-bucket BLAS
+    kernel (one FlatMapGroupsInPandas over the probed assignment,
+    emitting per-query top-k), never a candidate-pair join that
+    re-shuffles vector-fat rows — the join formulation measured 47 s at
+    30× vs 7.6 s for the kernel. Scan budget: the assignment subtree's
+    narrow column-pruned passes plus the two label joins — 12-scan
+    double-assignment shapes must not come back."""
     from kafkastreams_example_spark.queries import REGISTRY
 
     df = REGISTRY["knn_label_accuracy"].fn(spark, SF_DIR)
     plan = plan_string(df, "simple")
-    assert plan.count("FileScan") <= 3, plan.count("FileScan")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("FileScan") <= 8, plan.count("FileScan")
 
 
 def test_sql_q17_scalar_subquery_decorrelates(spark):
