@@ -60,6 +60,8 @@ from kafkastreams_example_spark.streaming.pipelines import (  # noqa: E402
     filter_pipeline,
     minhash_band_dedup_any_pipeline,
     minhash_band_dedup_pipeline,
+    embedding_corpus_index,
+    embedding_dedup_pipeline,
     quality_filter_pipeline,
     session_window_pipeline,
     sliding_window_pipeline,
@@ -85,6 +87,13 @@ THRESHOLDS = {
     # 252.7k vs windowed_agg 264.3k, round-9 min-of-3 in BASELINE.md);
     # floor at the same ~2.5x under-recording policy as windowed_agg
     "sliding_window": 100_000,
+    # per-row cost is the SemDeDup screening contract itself: n_probe ×
+    # target_bucket_rows (~250) dim-64 cosines per vector in codegen
+    # expressions, plus the 64-double synthesis + 8 codebook dots.
+    # Quiet reading 8.6k rows/s on 32 cores — floor at the ~2x policy.
+    # When ingest rates outgrow expression scoring, the documented
+    # swap-in is the batch BLAS kernel via foreachBatch.
+    "embedding_dedup": 4_000,
     "interval_join": 40_000,
     "quality_filter": 100_000,
     # quiet-machine readings 40–50k; 30k left only ~1.5x headroom and a
@@ -250,6 +259,42 @@ def main() -> None:
             **_run_query(sliding_window_pipeline(d), "sliding_window", ckpt_root),
             "rows_per_batch": rows_filter,
         }
+
+        # streaming embedding near-dup ingest gate (round 9): stateless
+        # per-row PQ assignment (codebooks as literal arrays), probed
+        # rows anti-join a static corpus index on bucket + cosine, the
+        # any-band counting trick closes the verdict. Corpus/index are
+        # batch side inputs from the sf0.1 embeddings table; the stream
+        # synthesizes 64-dim vectors from the rate value. Python-free:
+        # every stage is codegen expressions + one stream-static join.
+        emb_corpus = spark.read.parquet(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            + "/embeddings.parquet"
+        )
+        e_index, e_ac, e_bc, e_grid = embedding_corpus_index(emb_corpus)
+        e_index = e_index.cache()
+        e_index.count()
+        # ~250 cosines per row (see THRESHOLDS note) — smaller batches
+        # keep per-batch latency comparable to the other pipelines
+        n_emb = rows_filter // 8
+        vec_expr = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: ((F.col("value") * 31 + i * 7919) % 1000) / 500.0 - 1.0,
+        )
+        ev = _rate_source(spark, n_emb).select(
+            F.col("value").alias("vec_id"),
+            F.col("timestamp").alias("event_time"),
+            vec_expr.alias("embedding"),
+        )
+        results["embedding_dedup"] = {
+            **_run_query(
+                embedding_dedup_pipeline(ev, e_index, e_ac, e_bc, e_grid),
+                "embedding_dedup",
+                ckpt_root,
+            ),
+            "rows_per_batch": n_emb,
+        }
+        e_index.unpersist()
 
         # watermarked stream-stream interval join (impression→click
         # attribution, 1:1 key match): measures symmetric join-state

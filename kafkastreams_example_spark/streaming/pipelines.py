@@ -470,3 +470,139 @@ def stream_dedup_recall_metrics(
         "any_band": tier(sup_any),
         "any_band_hot_capped": tier(sup_capped),
     }
+
+
+def embedding_corpus_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    target_bucket_rows: int = 1024,
+):
+    """Batch-build the STATIC artifacts for the streaming embedding
+    near-dup gate (embedding_dedup_pipeline): the adaptive product-grid
+    codebooks and the corpus bucket index — the embedding analog of
+    hot_band_frame's batch-computed, periodically refreshed side input.
+
+    Returns (index, acents, bcents, grid): `index` is the (bucket, cuv)
+    frame of corpus home-bucket assignments (bucketed_assign, n_probe=1
+    — at scale this is a written table, refreshed with the corpus, not
+    recomputed per batch); acents/bcents are the O(√C) codebook vectors
+    COLLECTED to the driver as (cell_id, unit_vec) lists so the stream
+    side can assign buckets with pure per-row expressions (stateless —
+    a streaming groupBy would otherwise be needed; the codebooks are
+    sublinear in the corpus by construction, ~10³ vectors at 10⁹ rows,
+    so the driver collect is bounded)."""
+    from ..functions.similarity import _unit, bucketed_assign, product_grid
+
+    n_rows, min_id = corpus.agg(
+        F.count(F.lit(1)), F.min(F.col(id_col).cast("bigint"))
+    ).first()
+    grid = product_grid(n_rows, target_bucket_rows)
+    c1, c2 = grid
+    off = int(min_id or 0)
+    unit = corpus.select(
+        F.col(id_col).cast("bigint").alias("id"), _unit(F.col(vec_col)).alias("uv")
+    )
+    acents = [
+        (r["id"] - off, r["uv"])
+        for r in unit.filter((F.col("id") >= off) & (F.col("id") < off + c1)).collect()
+    ]
+    bcents = [
+        (r["id"] - off - c1, r["uv"])
+        for r in unit.filter(
+            (F.col("id") >= off + c1) & (F.col("id") < off + c1 + c2)
+        ).collect()
+    ]
+    index = bucketed_assign(
+        corpus, grid, n_probe=1, vec_col=vec_col, id_col=id_col, id_offset=off
+    ).select("bucket", F.col("uv").alias("cuv"))
+    return index, acents, bcents, grid
+
+
+def embedding_dedup_pipeline(
+    vecs: DataFrame,
+    corpus_index: DataFrame,
+    acents: list,
+    bcents: list,
+    grid: tuple[int, int],
+    threshold: float = 0.9,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Streaming embedding near-dup ingest gate — the SemDeDup-style
+    "is this vector already in the corpus?" filter applied AT ingest,
+    the embedding sibling of the in-stream MinHash tiers and the
+    batch dedup_incremental shape: new vectors stream in, the corpus
+    is a static, periodically refreshed index (embedding_corpus_index).
+
+    Three stages, all built-in:
+    1. Stateless per-row PQ assignment: the O(√C) codebooks ride the
+       plan as literal arrays, each vector scores c1 + c2 dots in pure
+       codegen expressions and probes its top-n_probe A cells × nearest
+       B cell — bit-identical cell choice to bucketed_assign's prefix
+       branch (ascending (o, cell) order with NaN→-inf guard).
+    2. Probed rows LEFT ANTI stream-static join the corpus index on
+       bucket equality AND cosine ≥ threshold — a probe row survives
+       iff its bucket holds NO close corpus vector. Stateless: the
+       static side re-reads per micro-batch (at scale: a bucketed
+       table, so the join is hash-partitioned, not broadcast).
+    3. A vector passes the gate iff ALL its probed rows survived —
+       the band_dedup_any_pipeline counting trick: windowed count ==
+       n_probe_effective, closing when the watermark passes.
+
+    Emits (id_col, window, n_won) for vectors that are NOT near-dups
+    of the corpus. Recall is the PQ co-bucketing probability (the same
+    contract as bucketed_cosine_pairs — floor-pinned for the batch
+    kernel; the streaming gate reuses the identical bucketing)."""
+    from ..functions.similarity import _dot, _unit
+
+    c1, c2 = grid
+    n_eff = min(n_probe, max(len(acents), 1))
+    uv = _unit(F.col(vec_col))
+    neg_inf = F.lit(float("-inf"))
+
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def scored_cells(cents):
+        return F.array(
+            *[
+                F.struct(
+                    F.nanvl(-_dot(F.col("__uv"), lit_vec(cv)), neg_inf).alias("o"),
+                    F.lit(int(cid)).cast("bigint").alias("cell"),
+                )
+                for cid, cv in cents
+            ]
+        )
+
+    base = vecs.select(
+        F.col(id_col), F.col(ts_col), uv.alias("__uv")
+    )
+    a_top = F.slice(F.array_sort(scored_cells(acents)), 1, n_eff)
+    b_best = (
+        F.array_sort(scored_cells(bcents))[0]["cell"] if bcents else F.lit(0).cast("bigint")
+    )
+    probes = (
+        base.select(
+            id_col, ts_col, "__uv", F.explode(a_top).alias("__ac"), b_best.alias("__b")
+        )
+        .withColumn("bucket", F.col("__ac.cell") * c2 + F.col("__b"))
+        .drop("__ac", "__b")
+    )
+
+    survivors = probes.join(
+        corpus_index,
+        (probes["bucket"] == corpus_index["bucket"])
+        & (_dot(F.col("__uv"), F.col("cuv")) >= threshold),
+        "left_anti",
+    )
+    counts = (
+        survivors.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), F.col(id_col))
+        .agg(F.count("*").alias("n_won"))
+    )
+    return counts.filter(F.col("n_won") == n_eff)

@@ -1196,3 +1196,102 @@ def test_stream_dedup_recall_gate(spark):
     assert m["any_band_hot_capped"]["suppressed"] < m["any_band"]["suppressed"]
     assert m["any_band_hot_capped"]["suppressed"] <= 350, m
     assert m["all_band"]["recall_vs_batch"] >= 0.60, m
+
+
+def test_embedding_dedup_pipeline_gates_near_dups(spark, tmp_path):
+    """Streaming embedding near-dup ingest gate (round 9): a stream
+    vector identical to a corpus vector is suppressed (its top-1 A cell
+    is among its n_probe probes, so it deterministically lands in the
+    corpus vector's home bucket and fails the ≥threshold anti-join); a
+    novel vector passes. The pipeline is pure DataFrame transforms, so
+    the SAME code runs in batch — the streaming output must equal the
+    batch run on the concatenated input (the TopologyTestDriver
+    pattern), pinning stream/batch parity, not just the two hand-picked
+    verdicts."""
+    import numpy as np
+
+    from kafkastreams_example_spark.streaming.pipelines import (
+        embedding_corpus_index,
+        embedding_dedup_pipeline,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(30, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    index, acents, bcents, grid = embedding_corpus_index(corpus)
+    assert len(acents) == grid[0] and len(bcents) == grid[1]
+    index = index.cache()
+
+    T0 = 1_704_067_200_000
+    novel = rng.normal(size=8)
+    novel /= np.linalg.norm(novel)
+    rows = [
+        {"vec_id": 100, "ts_ms": T0, "embedding": vecs[15].tolist()},  # exact corpus dup
+        {"vec_id": 101, "ts_ms": T0, "embedding": novel.tolist()},
+        {"vec_id": 102, "ts_ms": T0 + MIN, "embedding": vecs[20].tolist()},  # dup, later batch
+    ]
+    closers = [
+        {"vec_id": 900, "ts_ms": T0 + 40 * MIN, "embedding": novel.tolist()},
+        {"vec_id": 901, "ts_ms": T0 + 41 * MIN, "embedding": novel.tolist()},
+    ]
+
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+
+    def run_round():
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, ts_ms BIGINT, embedding ARRAY<DOUBLE>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .select("vec_id", "embedding", F.timestamp_millis(F.col("ts_ms")).alias("event_time"))
+        )
+        out = embedding_dedup_pipeline(stream, index, acents, bcents, grid, threshold=0.9)
+        q = (
+            out.select("vec_id", "n_won")
+            .writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src, "b1.json", rows[:2])
+    run_round()
+    _write_batch(src, "b2.json", rows[2:3])
+    run_round()
+    _write_batch(src, "b3.json", closers[:1])
+    run_round()
+    _write_batch(src, "b4.json", closers[1:])
+    run_round()
+
+    got = {
+        r["vec_id"]
+        for r in spark.read.schema("vec_id BIGINT, n_won BIGINT").json(str(out_dir)).collect()
+    }
+    assert 100 not in got and 102 not in got  # corpus dups gated
+    assert 101 in got  # novel vector passes
+
+    # batch parity: same transforms over the full input (watermark node
+    # is eliminated in batch, every windowed count closes trivially).
+    # The streaming side can only have emitted windows the watermark
+    # passed — the closers' own windows stay open — so compare on the
+    # closed-window ids and require the stream emitted nothing extra.
+    batch = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"], r["ts_ms"]) for r in rows + closers],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, ts_ms BIGINT",
+    ).select("vec_id", "embedding", F.timestamp_millis(F.col("ts_ms")).alias("event_time"))
+    expected = {
+        r["vec_id"]
+        for r in embedding_dedup_pipeline(
+            batch, index, acents, bcents, grid, threshold=0.9
+        ).collect()
+    }
+    closed = {r["vec_id"] for r in rows}
+    assert got == expected & closed
+    assert got <= expected
+    index.unpersist()
