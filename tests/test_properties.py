@@ -309,3 +309,57 @@ WHERE round(dot/(na.nrm*nb.nrm), 6) >= 0.6
     exact_pairs = {(a, b) for a, b in exact}
     stray = emitted - exact_pairs
     assert not stray, f"pruned pairs not in exact full-vector set: {sorted(stray)[:5]}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=512))
+def test_media_parsers_never_raise_on_arbitrary_bytes(payload):
+    """Ingest-robustness property: the pure-struct media decoders run
+    inside Arrow batches over 100 TB of untrusted payloads — ANY byte
+    string must yield a dict or None, never an exception (one raise
+    poisons the whole batch). Covers the header walkers and both
+    content-level decoders."""
+    from kafkastreams_example_spark.functions.multimodal import (
+        parse_audio_header,
+        parse_bmp_pixels,
+        parse_image_header,
+        parse_video_header,
+        parse_wav_pcm,
+    )
+
+    for parser in (
+        parse_image_header,
+        parse_audio_header,
+        parse_video_header,
+        parse_wav_pcm,
+        parse_bmp_pixels,
+    ):
+        out = parser(payload)
+        assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=256), st.sampled_from([b"RIFF", b"BM", b"OggS", b"fLaC", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff"]))
+def test_media_parsers_never_raise_on_magic_prefixed_garbage(tail, magic):
+    """Harder fuzz tier: payloads that PASS the magic check but carry
+    garbage structure exercise the deep walkers (chunk sizes, frame
+    hops, box trees) — the code paths plain random bytes rarely
+    reach."""
+    from kafkastreams_example_spark.functions.multimodal import (
+        parse_audio_header,
+        parse_bmp_pixels,
+        parse_image_header,
+        parse_video_header,
+        parse_wav_pcm,
+    )
+
+    payload = magic + tail
+    for parser in (
+        parse_image_header,
+        parse_audio_header,
+        parse_video_header,
+        parse_wav_pcm,
+        parse_bmp_pixels,
+    ):
+        out = parser(payload)
+        assert out is None or isinstance(out, dict)
