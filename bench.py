@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "sql_q17_small_qty_revenue",
     "wav_pcm_stats",
     "bmp_pixel_stats",
+    "cohort_retention",
 ]
 
 

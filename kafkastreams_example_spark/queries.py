@@ -2571,6 +2571,47 @@ WHERE vec_id NOT IN (SELECT id_b FROM pairs)
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix — the classic product-analytics shape
+    next to events_funnel/activity_streaks: users are cohorted by the
+    week of their FIRST activity, and each cell counts distinct users
+    from cohort week C still active at week offset K. Plan: one
+    distinct (user, week) pass (partial-agg), a per-user min-week agg
+    (partial-agg on the same narrow rows), one equi-join back on
+    user_id — a SHUFFLE join, the cohort frame is user-cardinality and
+    never broadcast — then a two-phase countDistinct per (cohort,
+    offset) cell. The offset is integer-exact: both timestamps are
+    week-truncated (Monday), so the day difference is always a
+    multiple of 7 and days/7 carries no float; the cohort week is
+    emitted as a formatted string so both engines hash the same value
+    regardless of date/timestamp type width."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    acts = ev.select("user_id", wk.alias("w")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        acts.join(cohort, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH acts AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+cohort AS (SELECT user_id, MIN(w) AS cw FROM acts GROUP BY user_id)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, a.w) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM acts a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 def q_events_funnel(spark, sf_dir):
     """Conversion funnel: per user, first signup and first purchase
     after it; aggregate conversion counts. Two conditional min-
@@ -5164,6 +5205,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # batch 5
     "dedup_embeddings": QuerySpec(q_dedup_embeddings, SQL_DEDUP_EMBEDDINGS, ("similarity", "dedup")),
     "events_funnel": QuerySpec(q_events_funnel, SQL_EVENTS_FUNNEL, ("relational", "temporal")),
+    "cohort_retention": QuerySpec(
+        q_cohort_retention, SQL_COHORT_RETENTION, ("relational", "temporal")
+    ),
     "window_distribution": QuerySpec(q_window_distribution, SQL_WINDOW_DISTRIBUTION, ("relational",)),
     "null_handling": QuerySpec(q_null_handling, SQL_NULL_HANDLING, ("relational",)),
     "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS, ("text",)),
@@ -5295,6 +5339,7 @@ _GATE_ORDER = [
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
     "sql_q17_small_qty_revenue", # new: correlated scalar-agg subquery shape
+    "cohort_retention",          # new: cohort retention matrix
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks
