@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "wav_pcm_stats",
     "bmp_pixel_stats",
     "cohort_retention",
+    "scd2_merge",
 ]
 
 

@@ -2571,6 +2571,78 @@ WHERE vec_id NOT IN (SELECT id_b FROM pairs)
     )
 
 
+def q_scd2_merge(spark, sf_dir):
+    """Slowly-changing-dimension type-2 MERGE — the warehouse upsert
+    shape (close the old version, append the new, insert unseen keys)
+    that every dimension-maintenance pipeline runs; previously absent
+    from the registry. The change batch is synthesized deterministically
+    from the dimension itself (every s_suppkey % 7 == 0 re-arrives with
+    acctbal + 100; five NEW suppliers arrive above the current max key
+    with key-derived balances), standing in for a CDC feed — the
+    contract assumes upstream CDC already dropped no-op rows, so no
+    value-equality squash is needed (both engines share that contract).
+    Plan: ONE full-outer equi-join of dimension and batch on the key,
+    each joined row classified and exploded into its 1-or-2 SCD2 output
+    rows (insert → v1 current; unmatched dim → v1 current; update →
+    v1 closed + v2 current) — no second pass over the dimension, no
+    fan-out beyond the 2-row update case; the max-key anchor is the
+    same narrow runtime-stat agg the adaptive-grid operators use. The
+    oracle phrases the identical result as two LEFT-join UNION branches
+    (set-equal by construction)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    mx = int(supp.agg(F.max("s_suppkey")).first()[0])
+    dim = supp.select(F.col("s_suppkey").alias("k"), F.col("s_acctbal").alias("v"))
+    chg = dim.filter(F.col("k") % 7 == 0).select("k", (F.col("v") + 100).alias("v")).unionAll(
+        spark.range(1, 6).select(
+            (F.lit(mx) + F.col("id")).alias("k"),
+            (((F.lit(mx) + F.col("id")) * 37) % 9000).cast("double").alias("v"),
+        )
+    )
+    d, c = dim.alias("d"), chg.alias("c")
+
+    def row(k, v, ver, cur):
+        return F.struct(
+            k.alias("k"), v.alias("v"),
+            F.lit(ver).cast("int").alias("version"), F.lit(cur).alias("is_current"),
+        )
+
+    rows = (
+        F.when(F.col("c.k").isNull(), F.array(row(F.col("d.k"), F.col("d.v"), 1, True)))
+        .when(F.col("d.k").isNull(), F.array(row(F.col("c.k"), F.col("c.v"), 1, True)))
+        .otherwise(
+            F.array(
+                row(F.col("d.k"), F.col("d.v"), 1, False),
+                row(F.col("c.k"), F.col("c.v"), 2, True),
+            )
+        )
+    )
+    return (
+        d.join(c, F.col("d.k") == F.col("c.k"), "full_outer")
+        .select(F.explode(rows).alias("r"))
+        .select(
+            F.col("r.k").alias("s_suppkey"),
+            F.col("r.v").alias("acctbal"),
+            F.col("r.version").alias("version"),
+            F.col("r.is_current").alias("is_current"),
+        )
+    )
+
+
+SQL_SCD2_MERGE = """
+WITH dim AS (SELECT s_suppkey AS k, s_acctbal AS v FROM supplier),
+chg AS (SELECT k, v + 100 AS v FROM dim WHERE k % 7 = 0
+        UNION ALL
+        SELECT mx + i AS k, CAST(((mx + i) * 37) % 9000 AS DOUBLE) AS v
+        FROM (SELECT MAX(s_suppkey) AS mx FROM supplier), range(1, 6) t(i))
+SELECT d.k AS s_suppkey, d.v AS acctbal, CAST(1 AS INT) AS version,
+       (c.k IS NULL) AS is_current
+FROM dim d LEFT JOIN chg c ON d.k = c.k
+UNION ALL
+SELECT c.k, c.v, CAST(CASE WHEN d.k IS NULL THEN 1 ELSE 2 END AS INT), TRUE
+FROM chg c LEFT JOIN dim d ON c.k = d.k
+"""
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention matrix — the classic product-analytics shape
     next to events_funnel/activity_streaks: users are cohorted by the
@@ -5208,6 +5280,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(
         q_cohort_retention, SQL_COHORT_RETENTION, ("relational", "temporal")
     ),
+    "scd2_merge": QuerySpec(
+        q_scd2_merge, SQL_SCD2_MERGE, ("relational", "maintenance")
+    ),
     "window_distribution": QuerySpec(q_window_distribution, SQL_WINDOW_DISTRIBUTION, ("relational",)),
     "null_handling": QuerySpec(q_null_handling, SQL_NULL_HANDLING, ("relational",)),
     "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS, ("text",)),
@@ -5340,6 +5415,7 @@ _GATE_ORDER = [
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
     "sql_q17_small_qty_revenue", # new: correlated scalar-agg subquery shape
     "cohort_retention",          # new: cohort retention matrix
+    "scd2_merge",                # new: SCD type-2 dimension merge
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks
