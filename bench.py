@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "bmp_pixel_stats",
     "cohort_retention",
     "scd2_merge",
+    "graph_pagerank",
 ]
 
 

@@ -2571,6 +2571,89 @@ WHERE vec_id NOT IN (SELECT id_b FROM pairs)
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (Brin & Page 1998; damping 0.85, 3 FIXED power
+    iterations) over the customer↔supplier bipartite trade graph —
+    the iterative GRAPH-processing tier next to the iterative-relational
+    kmeans_centroids and bpe_train_merges: authority scoring of this
+    kind weights sources in training-data pipelines (domain authority)
+    and the fixed iteration count keeps the whole computation
+    unrollable as oracle CTEs, the same discipline as those entries.
+    Graph: distinct (customer, supplier) pairs that traded (lineitem ⋈
+    orders), namespaced even/odd and doubled into both directions.
+    Each iteration is the standard distributed PR step: one equi-join
+    of the edge list with the current rank frame on src (ranks and
+    degrees are node-cardinality — shuffle joins, never broadcast), a
+    partial-agg SUM of r/outdeg per dst, and the damping update; the
+    rank frame localCheckpoints per round to keep lineage flat (the
+    _lloyd_iterations pattern). No dangling-node term is needed —
+    every node in the doubled bipartite graph has outdegree ≥ 1.
+    Output is round(rank·N, 6): scaling by N puts values at O(1) so
+    6-decimal rounding preserves resolution, and rounding keeps the
+    engines' last-ulp summation-order differences from reaching the
+    hash (float-sum discipline as elsewhere)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = deg.count()  # node count — narrow runtime-stat action
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select("dst", (F.col("r") / F.col("outdeg")).alias("m"))
+            .groupBy("dst")
+            .agg(F.sum("m").alias("acc"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("acc"), F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round(F.col("r") * n, 6).alias("scaled_rank"))
+
+
+def _sql_pagerank(iters: int = 3) -> str:
+    cte = [
+        """pairs AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM deg)",
+        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        cte.append(
+            f"""r{k} AS (
+  SELECT d.src AS node,
+         0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(x.acc, 0) AS r
+  FROM deg d LEFT JOIN (
+    SELECT e.dst AS nd, SUM(p.r / dg.outdeg) AS acc
+    FROM edges e JOIN r{k - 1} p ON e.src = p.node
+                 JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst) x ON x.nd = d.src)"""
+        )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT node, round(r * (SELECT n FROM nn), 6) AS scaled_rank FROM r{iters}"
+    )
+
+
 def q_scd2_merge(spark, sf_dir):
     """Slowly-changing-dimension type-2 MERGE — the warehouse upsert
     shape (close the old version, append the new, insert unseen keys)
@@ -5283,6 +5366,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "scd2_merge": QuerySpec(
         q_scd2_merge, SQL_SCD2_MERGE, ("relational", "maintenance")
     ),
+    "graph_pagerank": QuerySpec(
+        q_graph_pagerank, _sql_pagerank(), ("relational", "iterative", "graph")
+    ),
     "window_distribution": QuerySpec(q_window_distribution, SQL_WINDOW_DISTRIBUTION, ("relational",)),
     "null_handling": QuerySpec(q_null_handling, SQL_NULL_HANDLING, ("relational",)),
     "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS, ("text",)),
@@ -5416,6 +5502,7 @@ _GATE_ORDER = [
     "sql_q17_small_qty_revenue", # new: correlated scalar-agg subquery shape
     "cohort_retention",          # new: cohort retention matrix
     "scd2_merge",                # new: SCD type-2 dimension merge
+    "graph_pagerank",            # new: 3-iteration PageRank, unrolled oracle
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks
