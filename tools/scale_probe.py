@@ -151,6 +151,21 @@ ROUND8_FAMILY = [
     "classifier_eval",
 ]
 
+# round-9 additions. Note the replicated fixture's shape for
+# graph_pagerank: lineitem replicas keep their original l_suppkey range
+# while suppliers are id-offset, so supplier nodes become F×-degree
+# hubs — a legitimate (and deliberate-by-accident) SKEW probe for the
+# per-iteration edge⋈rank join, not an output-linearity probe.
+ROUND9_FAMILY = [
+    "sql_q21_blame_supplier",
+    "sql_q17_small_qty_revenue",
+    "wav_pcm_stats",
+    "bmp_pixel_stats",
+    "cohort_retention",
+    "scd2_merge",
+    "graph_pagerank",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -443,6 +458,8 @@ if __name__ == "__main__":
             fam = RELATIONAL_FAMILY
         elif "r8" in sys.argv[2:]:
             fam = ROUND8_FAMILY
+        elif "r9" in sys.argv[2:]:
+            fam = ROUND9_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
