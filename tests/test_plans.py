@@ -304,6 +304,35 @@ def test_sql_q21_semi_and_anti_join(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_scd2_merge_is_single_full_outer_join(spark):
+    """The SCD2 merge must classify through ONE full-outer equi-join of
+    dimension and change batch — a second dimension pass (separate
+    joins per output branch, the naive UNION formulation) would double
+    the dominant scan at 100 TB. The change batch derives from the
+    dimension, so the plan carries exactly two dimension scans total
+    (dim side + batch side), one join, and the explode fan-out."""
+    from kafkastreams_example_spark.queries import q_scd2_merge
+
+    plan = plan_string(q_scd2_merge(spark, SF_DIR), "simple")
+    assert "FullOuter" in plan
+    joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, plan
+    assert plan.count("FileScan") <= 2
+
+
+def test_cohort_retention_partial_aggregates(spark):
+    """The cohort matrix must partial-aggregate every stage (the
+    distinct activity pass, the per-user min-week, the per-cell
+    countDistinct) — shuffles carry per-key partials, never raw events
+    — and read the events scan at most twice (activity + cohort both
+    derive from the same distinct frame)."""
+    from kafkastreams_example_spark.queries import q_cohort_retention
+
+    plan = plan_string(q_cohort_retention(spark, SF_DIR), "simple")
+    assert "partial_min" in plan and "partial_count" in plan
+    assert plan.count("FileScan") <= 2
+
+
 def test_knn_screened_is_bucketed_kernel(spark):
     """The screened kNN eval must score through the per-bucket BLAS
     kernel (one FlatMapGroupsInPandas over the probed assignment,
