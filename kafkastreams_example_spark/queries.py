@@ -2602,29 +2602,43 @@ def q_graph_pagerank(spark, sf_dir):
         )
         .distinct()
     )
+    # persist the edge list once: every power iteration re-reads it for
+    # the contribution join, and without the persist each round re-runs
+    # the lineitem⋈orders join + distinct from parquet (the
+    # kmeans_centroids persist discipline; pre-fold the 1/outdeg weight
+    # so the loop joins ONE narrow frame instead of edges ⋈ deg)
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    n = deg.count()  # node count — narrow runtime-stat action
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("r"))
-    for _ in range(3):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select("dst", (F.col("r") / F.col("outdeg")).alias("m"))
-            .groupBy("dst")
-            .agg(F.sum("m").alias("acc"))
-        )
-        ranks = (
-            deg.select(F.col("src").alias("node"))
-            .join(contrib, F.col("node") == F.col("dst"), "left")
-            .select(
-                "node",
-                (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("acc"), F.lit(0.0))).alias("r"),
+    wedges = (
+        edges.join(deg, "src")
+        .select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
+        .persist()
+    )
+    try:
+        n = deg.count()  # node count — narrow runtime-stat action
+        nodes = deg.select(F.col("src").alias("node"))
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+        for _ in range(3):
+            contrib = (
+                wedges.join(ranks, wedges["src"] == ranks["node"])
+                .select("dst", (F.col("r") * F.col("w")).alias("m"))
+                .groupBy("dst")
+                .agg(F.sum("m").alias("acc"))
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                nodes.join(contrib, F.col("node") == F.col("dst"), "left")
+                .select(
+                    "node",
+                    (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("acc"), F.lit(0.0))).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        # per-round eager checkpoints cut ranks' lineage from wedges,
+        # so the cache can always be dropped (the kmeans pattern)
+        wedges.unpersist()
     return ranks.select("node", F.round(F.col("r") * n, 6).alias("scaled_rank"))
 
 
@@ -2643,7 +2657,7 @@ def _sql_pagerank(iters: int = 3) -> str:
   SELECT d.src AS node,
          0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(x.acc, 0) AS r
   FROM deg d LEFT JOIN (
-    SELECT e.dst AS nd, SUM(p.r / dg.outdeg) AS acc
+    SELECT e.dst AS nd, SUM(p.r * (1.0 / dg.outdeg)) AS acc
     FROM edges e JOIN r{k - 1} p ON e.src = p.node
                  JOIN deg dg ON dg.src = e.src
     GROUP BY e.dst) x ON x.nd = d.src)"""
