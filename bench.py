@@ -10,7 +10,8 @@ warmup; a warmup no-op runs first so per-query numbers reflect
 execution, not session start.
 
 Quiet-by-construction (r8 verdict item 2): before timing, the harness
-waits up to $SPARK_GRAFT_BENCH_QUIET_WAIT (300 s) for the 1-minute
+waits up to $SPARK_GRAFT_BENCH_QUIET_WAIT (180 s — bounded so the
+per-round artifact can never be lost to a driver timeout) for the 1-minute
 loadavg to drop under $SPARK_GRAFT_BENCH_MAX_LOAD (1.0 — the BASELINE.md
 discipline), runs min-of-$SPARK_GRAFT_BENCH_REPEAT (3) passes, and
 stamps "loadavg_start" (+ "loaded": true when the gate never cleared)
@@ -150,7 +151,7 @@ def wait_for_quiet(
     construction, not triaged after the fact. Polls the 1-minute
     loadavg until it drops below `threshold` (default 1.0 — the
     discipline every quiet baseline in BASELINE.md was recorded under)
-    or `budget_sec` (default 300 s) runs out. Returns (loadavg at
+    or `budget_sec` (default 180 s) runs out. Returns (loadavg at
     go-time, loaded_flag); the flag is stamped into the JSON so a
     reading taken on a busy box is self-identifying instead of
     poisoning round-over-round comparisons. Pre-timing check only: the
@@ -159,7 +160,7 @@ def wait_for_quiet(
     if threshold is None:
         threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
     if budget_sec is None:
-        budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
+        budget_sec = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "180"))
     deadline = time.monotonic() + budget_sec
     load = os.getloadavg()[0]
     while load >= threshold and time.monotonic() < deadline:
