@@ -5520,6 +5520,7 @@ _GATE_ORDER = [
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks
+    "tfidf_top_terms",           # changed: same two hardenings applied
     # — round 8 additions, re-evidence next —
     "bpe_train_merges",          # new: iterative BPE tokenizer training
     "zorder_layout",             # new: Morton-key clustering report
@@ -5605,7 +5606,6 @@ _GATE_ORDER = [
     "window_lag_lead",
     "reference_pipeline",
     "scalar_funcs2",
-    "tfidf_top_terms",
     "sql_q3_shipping",
     "sql_q5_local_supplier",
     # — last driver evidence is r2 —
