@@ -89,11 +89,14 @@ THRESHOLDS = {
     "sliding_window": 100_000,
     # per-row cost is the SemDeDup screening contract itself: n_probe ×
     # target_bucket_rows (~250) dim-64 cosines per vector in codegen
-    # expressions, plus the 64-double synthesis + 8 codebook dots.
-    # Quiet reading 8.6k rows/s on 32 cores — floor at the ~2x policy.
-    # When ingest rates outgrow expression scoring, the documented
-    # swap-in is the batch BLAS kernel via foreachBatch.
-    "embedding_dedup": 4_000,
+    # expressions, plus the 64-double synthesis + 8 codebook dots (the
+    # codebooks ride as broadcast DATA, ~15% slower than inlined
+    # literals but O(1) plan size at any codebook cardinality — the
+    # round-9 review fix). Readings 8.6k quiet / 5.7-6.7k loaded —
+    # floor at the ~2-3x policy. When ingest rates outgrow expression
+    # scoring, the documented swap-in is the batch BLAS kernel via
+    # foreachBatch.
+    "embedding_dedup": 3_000,
     "interval_join": 40_000,
     "quality_filter": 100_000,
     # quiet-machine readings 40–50k; 30k left only ~1.5x headroom and a

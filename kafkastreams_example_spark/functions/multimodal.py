@@ -391,6 +391,45 @@ VIDEO_META_DDL = (
 )
 
 
+def _parser_stage(
+    df: DataFrame,
+    parse_fn,
+    fields: tuple,
+    ddl: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    byte_len: bool = False,
+    degrade=None,
+) -> DataFrame:
+    """The ONE mapInPandas batch loop behind every pure-struct decode
+    stage (image/audio/video headers, WAV PCM content, BMP pixel
+    content): run parse_fn per payload, degrade a None result to the
+    all-NULL field dict (or `degrade()`, e.g. format='unknown'), and
+    assemble the Arrow output batch. Factored in round 9 — five
+    structurally identical closures meant a degrade/assembly fix had to
+    land five times."""
+    out_schema = f"{id_col} BIGINT, {ddl}"
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            metas = []
+            for p in pdf[payload_col]:
+                m = parse_fn(p)
+                if m is None:
+                    m = degrade() if degrade is not None else dict.fromkeys(fields)
+                if byte_len:
+                    m = {**m, "byte_len": len(p)}
+                metas.append(m)
+            out = pdf[[id_col]].copy()
+            if byte_len:
+                out["byte_len"] = [m["byte_len"] for m in metas]
+            for f in fields:
+                out[f] = [m[f] for m in metas]
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+
+
 def decode_video_meta(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -398,26 +437,12 @@ def decode_video_meta(
     (id, byte_len, timescale, duration_ms, n_tracks, width, height,
     format). Same Arrow batch shape as decode_audio_meta; unrecognized
     payloads degrade to NULL fields + 'unknown'."""
-    out_schema = f"{id_col} BIGINT, {VIDEO_META_DDL}"
     fields = ("timescale", "duration_ms", "n_tracks", "width", "height", "format")
-
-    def batches(it: Iterator) -> Iterator:
-        for pdf in it:
-            metas = []
-            for p in pdf[payload_col]:
-                m = parse_video_header(p)
-                if m is None:
-                    m = dict.fromkeys(fields)
-                    m["format"] = "unknown"
-                m["byte_len"] = len(p)
-                metas.append(m)
-            out = pdf[[id_col]].copy()
-            out["byte_len"] = [m["byte_len"] for m in metas]
-            for f in fields:
-                out[f] = [m[f] for m in metas]
-            yield out
-
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+    return _parser_stage(
+        df, parse_video_header, fields, VIDEO_META_DDL, payload_col, id_col,
+        byte_len=True,
+        degrade=lambda: {**dict.fromkeys(fields), "format": "unknown"},
+    )
 
 
 def decode_audio_meta(
@@ -427,26 +452,12 @@ def decode_audio_meta(
     (id, byte_len, sample_rate, channels, bits, duration_ms, format).
     Same Arrow batch shape as decode_media_meta; unrecognized payloads
     degrade to NULL fields + 'unknown'."""
-    out_schema = f"{id_col} BIGINT, {AUDIO_META_DDL}"
     fields = ("sample_rate", "channels", "bits", "duration_ms", "format")
-
-    def batches(it: Iterator) -> Iterator:
-        for pdf in it:
-            metas = []
-            for p in pdf[payload_col]:
-                m = parse_audio_header(p)
-                if m is None:
-                    m = dict.fromkeys(fields)
-                    m["format"] = "unknown"
-                m["byte_len"] = len(p)
-                metas.append(m)
-            out = pdf[[id_col]].copy()
-            out["byte_len"] = [m["byte_len"] for m in metas]
-            for f in fields:
-                out[f] = [m[f] for m in metas]
-            yield out
-
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+    return _parser_stage(
+        df, parse_audio_header, fields, AUDIO_META_DDL, payload_col, id_col,
+        byte_len=True,
+        degrade=lambda: {**dict.fromkeys(fields), "format": "unknown"},
+    )
 
 
 def decode_media_meta(
@@ -468,27 +479,13 @@ def decode_media_meta(
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}: use 'fake' or 'real'")
 
-    out_schema = f"{id_col} BIGINT, {MEDIA_META_DDL}"
-
-    def decode_one(p: bytes) -> dict[str, Any]:
-        if decoder == "fake":
-            return fake_decode_meta(p)
-        meta = parse_image_header(p)
-        if meta is None:
-            return {"byte_len": len(p), "width": None, "height": None, "format": "unknown"}
-        return {"byte_len": len(p), **meta}
-
-    def batches(it: Iterator) -> Iterator:
-        for pdf in it:
-            metas = [decode_one(p) for p in pdf[payload_col]]
-            out = pdf[[id_col]].copy()
-            out["byte_len"] = [m["byte_len"] for m in metas]
-            out["width"] = [m["width"] for m in metas]
-            out["height"] = [m["height"] for m in metas]
-            out["format"] = [m["format"] for m in metas]
-            yield out
-
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+    fields = ("width", "height", "format")
+    parse = fake_decode_meta if decoder == "fake" else parse_image_header
+    return _parser_stage(
+        df, parse, fields, MEDIA_META_DDL, payload_col, id_col,
+        byte_len=True,
+        degrade=lambda: {**dict.fromkeys(fields), "format": "unknown"},
+    )
 
 
 def extract_media_features(
@@ -593,21 +590,12 @@ def decode_wav_pcm_stats(
     """mapInPandas PCM sample-statistics stage: (id, payload) →
     (id, n_samples, s_min, s_max, s_mean). Same Arrow batch shape as
     decode_audio_meta; non-WAV/non-PCM-16 payloads degrade to NULLs."""
-    out_schema = f"{id_col} BIGINT, n_samples BIGINT, s_min INT, s_max INT, s_mean DOUBLE"
     fields = ("n_samples", "s_min", "s_max", "s_mean")
-
-    def batches(it: Iterator) -> Iterator:
-        for pdf in it:
-            metas = []
-            for p in pdf[payload_col]:
-                m = parse_wav_pcm(p)
-                metas.append(m if m is not None else dict.fromkeys(fields))
-            out = pdf[[id_col]].copy()
-            for f in fields:
-                out[f] = [m[f] for m in metas]
-            yield out
-
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+    return _parser_stage(
+        df, parse_wav_pcm, fields,
+        "n_samples BIGINT, s_min INT, s_max INT, s_mean DOUBLE",
+        payload_col, id_col,
+    )
 
 
 def parse_bmp_pixels(payload: bytes) -> dict[str, Any] | None:
@@ -670,21 +658,10 @@ def decode_bmp_pixel_stats(
     """mapInPandas BMP pixel-statistics stage: (id, payload) → (id,
     width, height, n_px, mean_b, mean_g, mean_r, wsum). Non-BMP /
     compressed / non-24bpp payloads degrade to NULLs."""
-    out_schema = (
-        f"{id_col} BIGINT, width INT, height INT, n_px BIGINT, "
-        "mean_b DOUBLE, mean_g DOUBLE, mean_r DOUBLE, wsum BIGINT"
-    )
     fields = ("width", "height", "n_px", "mean_b", "mean_g", "mean_r", "wsum")
-
-    def batches(it: Iterator) -> Iterator:
-        for pdf in it:
-            metas = []
-            for p in pdf[payload_col]:
-                m = parse_bmp_pixels(p)
-                metas.append(m if m is not None else dict.fromkeys(fields))
-            out = pdf[[id_col]].copy()
-            for f in fields:
-                out[f] = [m[f] for m in metas]
-            yield out
-
-    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
+    return _parser_stage(
+        df, parse_bmp_pixels, fields,
+        "width INT, height INT, n_px BIGINT, "
+        "mean_b DOUBLE, mean_g DOUBLE, mean_r DOUBLE, wsum BIGINT",
+        payload_col, id_col,
+    )

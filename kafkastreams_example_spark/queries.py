@@ -1832,9 +1832,9 @@ def q_tfidf_top_terms(spark, sf_dir):
     terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # corpus size as a broadcast 1-row join, not a driver-side count():
-    # .count() would be a second full scan scheduled eagerly; this stays
-    # one lazy plan and the scalar rides the (tiny) df_ broadcast
+    # corpus size as a broadcast 1-row cross join, not a driver-side
+    # count(): .count() would be a second full scan scheduled eagerly;
+    # this stays one lazy plan
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = tf.join(df_, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
@@ -2617,8 +2617,13 @@ def q_graph_pagerank(spark, sf_dir):
         .persist()
     )
     try:
-        n = deg.count()  # node count — narrow runtime-stat action
-        nodes = deg.select(F.col("src").alias("node"))
+        # materialize the node list ONCE: it anchors the left join in
+        # every iteration, and without its own checkpoint each eager
+        # ranks checkpoint would re-derive nodes → deg → edges → pairs
+        # all the way from parquet (the cost the wedges persist exists
+        # to avoid); n then comes from the materialized frame for free
+        nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+        n = nodes.count()
         ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
         for _ in range(3):
             contrib = (
@@ -4708,13 +4713,17 @@ WHERE round(dot/(na.nrm*nb.nrm), 6) >= 0.6
 
 
 def knn_label_accuracy_exact(spark, sf_dir):
-    """Brute-force exact-kNN majority-vote label accuracy — the ground
-    truth the screened registry entry (q_knn_label_accuracy) is
-    agreement-floor-pinned against in
-    tests/test_operators.py::test_knn_screened_agreement. Quadratic by
-    construction (every query scores the whole corpus), so it is NOT a
-    registry entry; at scale use the PQ-screened path. Core shared with
-    the screened form: functions.similarity.knn_label_report."""
+    """Brute-force exact-kNN majority-vote label accuracy — test-only
+    ground truth for the screened registry entry (q_knn_label_accuracy):
+    the agreement floor itself runs on synthetic clustered corpora via
+    functions.similarity.knn_label_report(screened=False)
+    (tests/test_operators.py::test_knn_screened_agreement), and THIS
+    sf_dir wrapper plus SQL_KNN_LABEL_ACCURACY_EXACT keep their own
+    oracle gate in tests/test_parity.py::
+    test_knn_exact_ground_truth_matches_its_oracle so neither rots
+    unreferenced. Quadratic by construction (every query scores the
+    whole corpus), so NOT a registry entry; at scale use the
+    PQ-screened path."""
     from .functions.similarity import knn_label_report
 
     return knn_label_report(load_table(spark, sf_dir, "embeddings"), screened=False)

@@ -540,11 +540,17 @@ def embedding_dedup_pipeline(
     is a static, periodically refreshed index (embedding_corpus_index).
 
     Three stages, all built-in:
-    1. Stateless per-row PQ assignment: the O(√C) codebooks ride the
-       plan as literal arrays, each vector scores c1 + c2 dots in pure
-       codegen expressions and probes its top-n_probe A cells × nearest
-       B cell — bit-identical cell choice to bucketed_assign's prefix
-       branch (ascending (o, cell) order with NaN→-inf guard).
+    1. Stateless per-row PQ assignment: the O(√C) codebooks ride as
+       DATA — a broadcast 1-row static frame carrying each codebook as
+       an array<struct<cell, cv>> column, cross-joined into the stream
+       — so the expression tree stays O(1) no matter how many cells the
+       adaptive grid has (embedding them as per-cell literal
+       expressions would blow Catalyst planning and the codegen method
+       limit at ~10³ cells). Each vector folds its c1 + c2 dots with
+       higher-order functions over the codebook columns and probes its
+       top-n_probe A cells × nearest B cell — bit-identical cell
+       choice to bucketed_assign's prefix branch (ascending (o, cell)
+       struct order with the NaN→-inf guard).
     2. Probed rows LEFT ANTI stream-static join the corpus index on
        bucket equality AND cosine ≥ threshold — a probe row survives
        iff its bucket holds NO close corpus vector. Stateless: the
@@ -558,33 +564,47 @@ def embedding_dedup_pipeline(
     of the corpus. Recall is the PQ co-bucketing probability (the same
     contract as bucketed_cosine_pairs — floor-pinned for the batch
     kernel; the streaming gate reuses the identical bucketing)."""
-    from ..functions.similarity import _dot, _unit
+    from ..functions.similarity import _unit
 
+    spark = vecs.sparkSession
     c1, c2 = grid
     n_eff = min(n_probe, max(len(acents), 1))
-    uv = _unit(F.col(vec_col))
     neg_inf = F.lit(float("-inf"))
 
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
+    cb_schema = (
+        "__acb ARRAY<STRUCT<cell: BIGINT, cv: ARRAY<DOUBLE>>>, "
+        "__bcb ARRAY<STRUCT<cell: BIGINT, cv: ARRAY<DOUBLE>>>"
+    )
+    codebooks = spark.createDataFrame(
+        [(
+            [(int(cid), [float(x) for x in cv]) for cid, cv in acents],
+            [(int(cid), [float(x) for x in cv]) for cid, cv in bcents],
+        )],
+        cb_schema,
+    )
 
-    def scored_cells(cents):
-        return F.array(
-            *[
-                F.struct(
-                    F.nanvl(-_dot(F.col("__uv"), lit_vec(cv)), neg_inf).alias("o"),
-                    F.lit(int(cid)).cast("bigint").alias("cell"),
-                )
-                for cid, cv in cents
-            ]
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    base = vecs.select(
-        F.col(id_col), F.col(ts_col), uv.alias("__uv")
+    def scored_cells(cb_col):
+        return F.transform(
+            F.col(cb_col),
+            lambda s: F.struct(
+                F.nanvl(-dot(F.col("__uv"), s["cv"]), neg_inf).alias("o"),
+                s["cell"].alias("cell"),
+            ),
+        )
+
+    base = vecs.crossJoin(F.broadcast(codebooks)).select(
+        F.col(id_col), F.col(ts_col), _unit(F.col(vec_col)).alias("__uv"),
+        "__acb", "__bcb",
     )
-    a_top = F.slice(F.array_sort(scored_cells(acents)), 1, n_eff)
-    b_best = (
-        F.array_sort(scored_cells(bcents))[0]["cell"] if bcents else F.lit(0).cast("bigint")
+    a_top = F.slice(F.array_sort(scored_cells("__acb")), 1, n_eff)
+    b_best = F.coalesce(
+        F.array_sort(scored_cells("__bcb")).getItem(0).getField("cell"),
+        F.lit(0).cast("bigint"),
     )
     probes = (
         base.select(
@@ -597,7 +617,7 @@ def embedding_dedup_pipeline(
     survivors = probes.join(
         corpus_index,
         (probes["bucket"] == corpus_index["bucket"])
-        & (_dot(F.col("__uv"), F.col("cuv")) >= threshold),
+        & (dot(F.col("__uv"), F.col("cuv")) >= threshold),
         "left_anti",
     )
     counts = (

@@ -86,3 +86,21 @@ def test_oracle_parity(spark, name):
     b = _normrows(drows, dcols)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y]
     assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+def test_knn_exact_ground_truth_matches_its_oracle(spark):
+    """The brute-force kNN eval is test-only (the registry entry is the
+    PQ-screened form), but it IS the agreement test's ground truth — so
+    it gets its own oracle gate here, keeping knn_label_accuracy_exact
+    and SQL_KNN_LABEL_ACCURACY_EXACT from rotting unreferenced."""
+    from kafkastreams_example_spark.queries import (
+        SQL_KNN_LABEL_ACCURACY_EXACT,
+        knn_label_accuracy_exact,
+    )
+
+    sdf = knn_label_accuracy_exact(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ocols, orows = _duck(SQL_KNN_LABEL_ACCURACY_EXACT)
+    assert sorted(scols) == sorted(ocols)
+    assert _normrows(srows, scols) == _normrows(orows, ocols)

@@ -258,6 +258,29 @@ def _docs_replica_salted(docs, k: int, offset: int):
     )
 
 
+def _assert_no_twin_replicas(bands: list[list[str]], factor: int) -> None:
+    """Guard the no-twin property the idf fixture depends on: the
+    affine maps repeat with period m·|units(m)| per band, so a corpus
+    whose df-bands are all tiny (e.g. sizes {1,2,3} → lcm of periods 6)
+    would hand two replicas identical permutations in EVERY band —
+    byte-identical document twins whose cosine-1.0 cross-replica pairs
+    inflate idf-weighted outputs quadratically (the exact dup-mass
+    artifact the affine scheme exists to prevent, reintroduced
+    data-dependently). Cheap exact check: the full per-replica
+    signature (every band's permutation) must be pairwise distinct."""
+    sigs = {}
+    for k in range(factor):
+        sig = tuple(tuple(_affine_perm(len(b), k)) for b in bands)
+        if sig in sigs:
+            raise SystemExit(
+                f"idf fixture would contain twin replicas {sigs[sig]} and {k}: "
+                f"every df-band permutation repeats (band sizes "
+                f"{[len(b) for b in bands]}). Widen the bands "
+                f"(_vocab_bands threshold) or lower the factor."
+            )
+        sigs[sig] = k
+
+
 def _docs_replica_mapped(docs, k: int, offset: int, bands: list[list[str]]):
     """Replica k of the documents table: ids shift by k*offset; for
     k > 0 every token is replaced via the within-df-band affine
@@ -346,6 +369,7 @@ def build() -> None:
         ).withColumn("user_id", F.col("user_id") + F.lit(k * off_cust))
 
     bands = _vocab_bands(spark)
+    _assert_no_twin_replicas(bands, max(FACTORS))
     reps = {
         "documents": ("doc_id", _docs_replica_salted),
         "embeddings": ("vec_id", _emb_replica),
