@@ -365,6 +365,82 @@ def simhash_band_pairs(
     )
 
 
+def simhash_manku_pairs(
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    hamming_max: int = 3,
+    bits: int = 60,
+    blocks: int = 6,
+) -> DataFrame:
+    """Near-dup pairs within hamming distance `hamming_max` — the
+    MULTI-BLOCK banding of Manku, Jain & Das Sarma (WWW 2007, Google's
+    web-scale simhash dedup), the at-scale sibling of the 4-band
+    simhash_band_pairs: the fingerprint splits into `blocks` (6) blocks
+    of bits/blocks (10) bits, and for EVERY combination of
+    blocks − hamming_max (3) blocks the concatenation of those blocks
+    is a join key. ≤ hamming_max differing bits touch ≤ hamming_max
+    blocks, so some key combination is untouched (pigeonhole) — recall
+    is exact, identical output to all-pairs.
+
+    Why this wins at corpus scale: the 4×15 scheme's RANDOM collision
+    mass is n²/2¹⁵ per band — at 10⁹ docs its 32k-value band space
+    saturates and candidates go quadratic regardless of true dup
+    density. Here each key carries (blocks − hamming_max)·(bits/blocks)
+    = 30 bits, so random collisions are n²/2³⁰ per table × C(6,3) = 20
+    tables — ~6500× fewer random candidates. The price is explode
+    fan-out 20 vs 4 rows per doc, and a true near-dup pair surfaces in
+    up to C(blocks − touched, blocks − hamming_max) tables before the
+    distinct — so on a DUPLICATE-DENSE corpus (where candidates are
+    dominated by real pairs) the 4-band form is cheaper, and on a
+    realistic sparse corpus this form is the one that survives 10⁹
+    rows. Both are exact; pick by corpus regime."""
+    import itertools
+
+    block_bits = bits // blocks
+    keep = blocks - hamming_max
+    mask = (1 << block_bits) - 1
+    combos = list(itertools.combinations(range(blocks), keep))
+
+    def key_expr(combo):
+        # concatenate the kept blocks into one integer key: shift-left
+        # by block_bits per step (as multiplication — exact for the 30
+        # result bits of a 64-bit signed value)
+        k = F.lit(0).cast("bigint")
+        for b in combo:
+            blk = F.expr(f"shiftright(simhash, {b * block_bits}) & {mask}")
+            k = k * (1 << block_bits) + blk
+        return k
+
+    keyed = fp.withColumn(
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("tbl"), key_expr(c).alias("key"))
+                    for i, c in enumerate(combos)
+                ]
+            )
+        ),
+    ).select(id_col, "simhash", F.col("t.tbl").alias("tbl"), F.col("t.key").alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.tbl") == F.col("b.tbl"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .distinct()
+    )
+
+
 def deletion_neighborhood(col: Column | str, max_deletes: int = 2) -> Column:
     """Symmetric-delete neighborhood D≤k(s): the string plus every
     variant reachable by deleting up to `max_deletes` characters,

@@ -2115,6 +2115,26 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_band_pairs(fp)
 
 
+def q_simhash_pairs_manku(spark, sf_dir):
+    """SimHash near-dup pairs via the MULTI-BLOCK Manku banding (WWW
+    2007 — Google's web-scale simhash dedup): 6 blocks of 10 bits,
+    every C(6,3) = 20 combination of 3 blocks is a 30-bit join key, so
+    any ≤3-bit difference leaves some key combination untouched —
+    recall exact, output identical to all-pairs AND to the 4-band
+    simhash_pairs (pinned in tests/test_operators.py). The scale
+    story: the 4×15 scheme's random-collision mass is n²/2¹⁵ per band
+    (its 32k-value band space saturates at corpus scale regardless of
+    true dup density); the 30-bit keys cut that to n²/2³⁰ × 20 tables
+    — ~6500× fewer random candidates — at the cost of 20-vs-4 explode
+    fan-out, which is why the 4-band form stays the default on
+    duplicate-DENSE corpora and this one is the 10⁹-row path. Shares
+    the all-pairs oracle verbatim (banding is plan, not semantics)."""
+    from .functions.dedup_approx import simhash_manku_pairs
+
+    fp = simhash(load_table(spark, sf_dir, "documents"))
+    return simhash_manku_pairs(fp)
+
+
 SQL_SIMHASH_PAIRS = f"""
 WITH w AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents),
 h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM w),
@@ -5397,6 +5417,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS, ("text",)),
     "clean_pipeline": QuerySpec(q_clean_pipeline, SQL_CLEAN_PIPELINE, ("text", "pipeline")),
     "simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS, ("text", "dedup")),
+    "simhash_pairs_manku": QuerySpec(
+        q_simhash_pairs_manku, SQL_SIMHASH_PAIRS, ("text", "dedup")
+    ),
     "agg_percentiles": QuerySpec(q_agg_percentiles, SQL_AGG_PERCENTILES, ("relational",)),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS, ("text", "dedup", "iterative")),
     "session_window_agg": QuerySpec(q_session_window_agg, SQL_SESSION_WINDOW_AGG, ("relational", "temporal")),
@@ -5526,6 +5549,7 @@ _GATE_ORDER = [
     "cohort_retention",          # new: cohort retention matrix
     "scd2_merge",                # new: SCD type-2 dimension merge
     "graph_pagerank",            # new: 3-iteration PageRank, unrolled oracle
+    "simhash_pairs_manku",       # new: multi-block Manku banding (WWW'07)
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks

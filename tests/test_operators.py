@@ -991,3 +991,54 @@ def test_parse_bmp_pixels_layout_sensitivity():
     assert parse_bmp_pixels(bmp(2, 2, [bot, top], bpp=8)) is None
     assert parse_bmp_pixels(bmp(2, 2, [bot, top], compression=1)) is None
     assert parse_bmp_pixels(b"not a bitmap") is None
+
+
+def test_simhash_manku_matches_band_pairs_with_fewer_random_candidates(spark):
+    """The Manku multi-block banding must (a) emit EXACTLY the same
+    pairs as the 4x15 banding — both are pigeonhole-exact for
+    hamming ≤ 3 — and (b) generate far fewer RANDOM candidates on a
+    corpus with no true near-dups: 30-bit keys collide ~n²/2³⁰ per
+    table vs 15-bit bands' ~n²/2¹⁵ (the saturation that goes quadratic
+    at corpus scale). Candidate mass is measured by mirroring each
+    scheme's keying and summing C(bucket, 2)."""
+    import itertools
+
+    import numpy as np
+
+    from kafkastreams_example_spark.functions.dedup_approx import (
+        simhash_band_pairs,
+        simhash_manku_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    fps = [(i, int(rng.integers(0, 1 << 60))) for i in range(3000)]
+    fp = spark.createDataFrame(fps, "doc_id BIGINT, simhash BIGINT")
+
+    got_band = {(r["id_a"], r["id_b"]) for r in simhash_band_pairs(fp).collect()}
+    got_manku = {(r["id_a"], r["id_b"]) for r in simhash_manku_pairs(fp).collect()}
+    assert got_band == got_manku
+
+    def cands(keys_per_doc):
+        from collections import Counter
+
+        c = Counter()
+        for _, h in fps:
+            for key in keys_per_doc(h):
+                c[key] += 1
+        return sum(v * (v - 1) // 2 for v in c.values())
+
+    band_c = cands(lambda h: [(b, (h >> (b * 15)) & 0x7FFF) for b in range(4)])
+    combos = list(itertools.combinations(range(6), 3))
+
+    def manku_keys(h):
+        out = []
+        for i, combo in enumerate(combos):
+            k = 0
+            for b in combo:
+                k = (k << 10) | ((h >> (b * 10)) & 0x3FF)
+            out.append((i, k))
+        return out
+
+    manku_c = cands(manku_keys)
+    assert band_c > 100, band_c  # the 15-bit space genuinely saturates
+    assert manku_c <= band_c // 10, (manku_c, band_c)
