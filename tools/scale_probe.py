@@ -164,6 +164,10 @@ ROUND9_FAMILY = [
     "cohort_retention",
     "scd2_merge",
     "graph_pagerank",
+    # dup-dense corpora favor the 4-band form (real pairs dominate its
+    # candidates); the probe documents that honest cost while the
+    # random-corpus candidate test pins where Manku wins
+    "simhash_pairs_manku",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
