@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Plan audit: compile every registry entry (no execution) and tabulate
+the physical-plan properties that matter at 100 TB — exchange count,
+broadcast joins, parquet scans, whole-stage-codegen coverage, top-k vs
+global sort — into one markdown table (PLANS.md). The per-claim
+assertions live in tests/test_plans.py; this is the whole-surface
+inventory, regenerated per round so plan regressions are diffable.
+
+Entries that run driver-side runtime-stat actions (adaptive grids,
+iterative training) EXECUTE those few narrow actions during planning —
+still cheap at the audit SF.
+
+Usage: python tools/plan_audit.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from kafkastreams_example_spark.queries import REGISTRY  # noqa: E402
+from kafkastreams_example_spark.session import get_spark  # noqa: E402
+
+
+def audit_one(spark, name: str, sf_dir: str) -> dict:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    # force THIS QueryExecution: under AQE the FINAL plan (runtime join
+    # choices, WholeStageCodegen spans) only exists after the adaptive
+    # plan object itself executes — df.count()/write spawn NEW
+    # executions and leave this one isFinalPlan=false
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().executeCollect()
+    plan = qe.executedPlan().toString()
+    # the finalized AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    # "== Initial Plan ==" sections — audit only the final one (counting
+    # both doubles every metric); codegen'd operators carry a "*(id)"
+    # prefix there
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    return {
+        "name": name,
+        "exchanges": len(re.findall(r"Exchange (?:hash|range|Single)", plan)),
+        "bcast": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "scans": plan.count("FileScan"),
+        "codegen": len(ids),
+        "python": plan.count("InPandas")
+        + plan.count("FlatMapGroupsInPandas")
+        + plan.count("ArrowEvalPython")
+        + plan.count("BatchEvalPython"),
+        "topk": "Y" if "TakeOrderedAndProject" in plan else "",
+        "gsort": "Y" if "rangepartitioning" in plan else "",
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
+    spark = get_spark(app_name="plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows, errs = [], []
+    t0 = time.time()
+    for name in sorted(REGISTRY):
+        try:
+            rows.append(audit_one(spark, name, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errs.append((name, f"{type(exc).__name__}: {exc}"[:200]))
+    lines = [
+        "# Plan audit (auto-generated: python tools/plan_audit.py)",
+        "",
+        f"{len(rows)} registry entries compiled at `{sf_dir}`; columns are",
+        "physical-plan node counts. `python` counts Arrow-batched stages",
+        "(`mapInPandas`/`applyInPandas`/pandas UDF — never row-at-a-time",
+        "Python). `topk` = TakeOrderedAndProject; `gsort` = a global range",
+        "sort (only acceptable where ordered output IS the contract).",
+        "Broadcast counts at this audit SF include AQE stat-driven choices",
+        "that become shuffle joins on bigger inputs; forced broadcasts are",
+        "only ever bounded sides (see the F.broadcast audit in BASELINE.md).",
+        "",
+        "| entry | exchanges | bcast joins | merge joins | scans | codegen spans | python stages | topk | global sort |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['name']} | {r['exchanges']} | {r['bcast']} | {r['smj']} | "
+            f"{r['scans']} | {r['codegen']} | {r['python']} | {r['topk']} | {r['gsort']} |"
+        )
+    if errs:
+        lines += ["", "## Errors", ""]
+        lines += [f"- {n}: {e}" for n, e in errs]
+    lines += [
+        "",
+        f"_Generated in {time.time() - t0:.0f}s; {len(errs)} errors._",
+    ]
+    Path(out_md).write_text("\n".join(lines) + "\n")
+    print(f"wrote {out_md}: {len(rows)} entries, {len(errs)} errors")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
