@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     # round-9 additions
     "sql_q21_blame_supplier",
     "sql_q17_small_qty_revenue",
+    "sql_q16_supplier_cnt",
     "wav_pcm_stats",
     "bmp_pixel_stats",
     "cohort_retention",

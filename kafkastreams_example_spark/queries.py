@@ -1430,6 +1430,39 @@ LIMIT 100
 """
 
 
+_SQL_Q16_BODY = """
+SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size <= 20
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_name LIKE '%7%')
+GROUP BY p.p_brand, p.p_type
+"""
+
+
+def q_sql_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16-shaped (supplier count excluding complained-about
+    suppliers) via the SQL API — the NOT IN subquery shape completing
+    the subquery tier (Q21: EXISTS/NOT EXISTS → semi/anti; Q17:
+    correlated scalar aggregates; this: uncorrelated NOT IN, which is
+    NOT a plain anti join — SQL's three-valued logic means one NULL in
+    the subquery result empties the output, so Catalyst must compile a
+    NULL-AWARE anti join, a physically different operator the other
+    shapes never exercise (plan guard:
+    tests/test_plans.py::test_sql_q16_null_aware_anti_join). The
+    distinct-supplier count per (brand, type) is the expand +
+    two-phase partial agg; the excluded-supplier list is a filtered
+    dimension scan the null-aware join broadcasts."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q16_BODY)
+
+
+SQL_SQL_Q16_SUPPLIER_CNT = _SQL_Q16_BODY
+
+
 # the one Q21 body both engines run verbatim: this testdata has no
 # l_commitdate/l_receiptdate (TPC-H-ish, reference's LogEvent-era
 # subset), so the "kept waiting" predicate maps to l_returnflag = 'R'
@@ -5383,6 +5416,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q17_small_qty_revenue": QuerySpec(
         q_sql_q17_small_qty_revenue, SQL_SQL_Q17_SMALL_QTY_REVENUE, ("relational", "sql-api")
     ),
+    "sql_q16_supplier_cnt": QuerySpec(
+        q_sql_q16_supplier_cnt, SQL_SQL_Q16_SUPPLIER_CNT, ("relational", "sql-api")
+    ),
     "approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT, ("relational", "approximate")
     ),
@@ -5550,6 +5586,7 @@ _GATE_ORDER = [
     "scd2_merge",                # new: SCD type-2 dimension merge
     "graph_pagerank",            # new: 3-iteration PageRank, unrolled oracle
     "simhash_pairs_manku",       # new: multi-block Manku banding (WWW'07)
+    "sql_q16_supplier_cnt",      # new: NOT IN -> null-aware anti join
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks

@@ -333,6 +333,22 @@ def test_cohort_retention_partial_aggregates(spark):
     assert plan.count("FileScan") <= 2
 
 
+def test_sql_q16_null_aware_anti_join(spark):
+    """NOT IN under SQL's three-valued logic is not a plain anti join
+    (one NULL in the subquery result must empty the output): Catalyst
+    must compile the null-aware anti-join variant, and the distinct
+    count must partial-aggregate."""
+    from kafkastreams_example_spark.queries import q_sql_q16_supplier_cnt
+
+    import re
+
+    plan = plan_string(q_sql_q16_supplier_cnt(spark, SF_DIR), "simple")
+    # BroadcastHashJoin renders the isNullAwareAntiJoin flag as the
+    # trailing positional boolean: "... LeftAnti, BuildRight, true"
+    assert re.search(r"LeftAnti, Build\w+, true", plan), plan
+    assert "partial_count" in plan
+
+
 def test_knn_screened_is_bucketed_kernel(spark):
     """The screened kNN eval must score through the per-bucket BLAS
     kernel (one FlatMapGroupsInPandas over the probed assignment,
