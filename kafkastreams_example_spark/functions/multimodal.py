@@ -665,3 +665,65 @@ def decode_bmp_pixel_stats(
         "mean_b DOUBLE, mean_g DOUBLE, mean_r DOUBLE, wsum BIGINT",
         payload_col, id_col,
     )
+
+
+def resize_bmp_nn(payload: bytes, factor: int = 2) -> dict[str, Any] | None:
+    """CONTENT-level image RESIZE — nearest-neighbor downsample of an
+    uncompressed 24-bit BMP's actual pixel array (the brief's
+    decode / feature-extract / RESIZE / frame-sample quartet; resize
+    was the remaining stub — real here because uncompressed pixels
+    need no codec, exactly like parse_bmp_pixels which this reuses for
+    the header/layout walk). Target pixel (x, y) samples source
+    (factor·x, factor·y); reports the resized dimensions and the same
+    order-sensitive statistics as parse_bmp_pixels so the oracle can
+    regenerate the sampled raster arithmetically — a decoder that
+    samples the wrong source coordinates or forgets the bottom-up flip
+    produces a different wsum."""
+    import struct
+
+    n = len(payload)
+    if n < 54 or payload[:2] != b"BM":
+        return None
+    (pix_off,) = struct.unpack("<I", payload[10:14])
+    w, h = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    import numpy as np
+
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if pix_off + (h - 1) * stride + w * 3 > n:
+        return None  # resize contract: whole image or nothing
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=pix_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    img = rows if top_down else rows[::-1]  # raster order (y=0 top)
+    out = img[::factor, ::factor].astype(np.int64)  # NN: src = factor·dst
+    oh, ow = out.shape[0], out.shape[1]
+    b, g, r = out[:, :, 0], out[:, :, 1], out[:, :, 2]
+    weights = (np.arange(oh)[:, None] * ow + np.arange(ow)[None, :] + 1)
+    n_px = oh * ow
+    return {
+        "out_w": ow, "out_h": oh, "n_px": n_px,
+        "mean_b": round(int(b.sum()) / n_px, 6),
+        "mean_g": round(int(g.sum()) / n_px, 6),
+        "mean_r": round(int(r.sum()) / n_px, 6),
+        "wsum": int((weights * (b + g + r)).sum()),
+    }
+
+
+def resize_bmp_stats(
+    df: DataFrame, factor: int = 2, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas nearest-neighbor BMP resize stage: (id, payload) →
+    (id, out_w, out_h, n_px, mean_b, mean_g, mean_r, wsum)."""
+    fields = ("out_w", "out_h", "n_px", "mean_b", "mean_g", "mean_r", "wsum")
+    return _parser_stage(
+        df, lambda p: resize_bmp_nn(p, factor), fields,
+        "out_w INT, out_h INT, n_px BIGINT, "
+        "mean_b DOUBLE, mean_g DOUBLE, mean_r DOUBLE, wsum BIGINT",
+        payload_col, id_col,
+    )

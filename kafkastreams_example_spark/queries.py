@@ -3587,6 +3587,14 @@ def q_bmp_pixel_stats(spark, sf_dir):
     from .functions.multimodal import decode_bmp_pixel_stats
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_bmp_pixel_stats(docs.withColumn("payload", _syn_bmp_payload()))
+
+
+def _syn_bmp_payload():
+    """The shared pixel-carrying BMP synthesis (see q_bmp_pixel_stats
+    docstring for the layout): one Column expression, reused by the
+    pixel-stats and resize entries so both gates decode the same
+    bytes."""
     d = F.col("doc_id")
     le, zeros, ascii_ = _syn_le, _syn_zeros, _syn_ascii
 
@@ -3625,10 +3633,9 @@ def q_bmp_pixel_stats(spark, sf_dir):
         le(F.lit(40), 8), le(w, 8), le(h, 8), le(F.lit(1), 4), le(F.lit(24), 4),
         le(F.lit(0), 8), le(img_size, 8), zeros(16),
     )
-    payload = F.when(d % 8 == 7, ascii_("not a bitmap")).otherwise(
+    return F.when(d % 8 == 7, ascii_("not a bitmap")).otherwise(
         F.concat(bmp, F.unhex(pixels_hex))
     )
-    return decode_bmp_pixel_stats(docs.withColumn("payload", payload))
 
 
 SQL_BMP_PIXEL_STATS = """
@@ -3649,6 +3656,51 @@ SELECT doc_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
        round(CAST(SUM(g) AS DOUBLE) / COUNT(*), 6) AS mean_g,
        round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_r,
        SUM((y*w + x + 1) * (b + g + r)) AS wsum
+FROM ch GROUP BY doc_id
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM base WHERE doc_id % 8 = 7
+"""
+
+
+def q_bmp_resize(spark, sf_dir):
+    """CONTENT-level image RESIZE under the gate — completes the
+    brief's decode / feature-extract / resize / frame-sample quartet
+    with a REAL resize for the uncompressed modality (compressed-codec
+    resize remains the documented env stub): the same synthesized
+    pixel-carrying BMPs as q_bmp_pixel_stats, downsampled 2×
+    nearest-neighbor (target (x, y) samples source (2x, 2y)) by
+    functions.multimodal.resize_bmp_nn, which must walk the layout,
+    un-flip bottom-up rows, skip stride padding, and sample the RIGHT
+    source coordinates — the oracle regenerates the sampled raster
+    arithmetically over a double generate_series and checks the
+    resized dimensions, per-channel means, and the order-sensitive
+    positional checksum. doc_id % 8 == 7 rows degrade to NULLs."""
+    from .functions.multimodal import resize_bmp_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return resize_bmp_stats(docs.withColumn("payload", _syn_bmp_payload()))
+
+
+SQL_BMP_RESIZE = """
+WITH base AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents),
+dims AS (SELECT doc_id, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM base),
+px AS (
+  SELECT doc_id, ow, oh, y, unnest(generate_series(0, ow - 1)) AS x
+  FROM (SELECT doc_id, ow, oh, unnest(generate_series(0, oh - 1)) AS y
+        FROM dims WHERE doc_id % 8 != 7)),
+ch AS (SELECT doc_id, ow, oh, y, x,
+         (doc_id*7 + (2*y)*131 + (2*x)*31) % 256 AS b,
+         (doc_id*7 + (2*y)*131 + (2*x)*31 + 17) % 256 AS g,
+         (doc_id*7 + (2*y)*131 + (2*x)*31 + 34) % 256 AS r
+       FROM px)
+SELECT doc_id, CAST(MAX(ow) AS INT) AS out_w, CAST(MAX(oh) AS INT) AS out_h,
+       COUNT(*) AS n_px,
+       round(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_b,
+       round(CAST(SUM(g) AS DOUBLE) / COUNT(*), 6) AS mean_g,
+       round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_r,
+       SUM((y*ow + x + 1) * (b + g + r)) AS wsum
 FROM ch GROUP BY doc_id
 UNION ALL
 SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
@@ -5539,6 +5591,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "audio_header_meta": QuerySpec(q_audio_header_meta, SQL_AUDIO_HEADER_META, ("multimodal",)),
     "wav_pcm_stats": QuerySpec(q_wav_pcm_stats, SQL_WAV_PCM_STATS, ("multimodal",)),
     "bmp_pixel_stats": QuerySpec(q_bmp_pixel_stats, SQL_BMP_PIXEL_STATS, ("multimodal",)),
+    "bmp_resize": QuerySpec(q_bmp_resize, SQL_BMP_RESIZE, ("multimodal",)),
     "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, ("multimodal",)),
     "sort_limit_offset": QuerySpec(q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET, ("relational",)),
@@ -5587,6 +5640,7 @@ _GATE_ORDER = [
     "graph_pagerank",            # new: 3-iteration PageRank, unrolled oracle
     "simhash_pairs_manku",       # new: multi-block Manku banding (WWW'07)
     "sql_q16_supplier_cnt",      # new: NOT IN -> null-aware anti join
+    "bmp_resize",                # new: real nearest-neighbor pixel resize
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks

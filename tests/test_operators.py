@@ -1042,3 +1042,44 @@ def test_simhash_manku_matches_band_pairs_with_fewer_random_candidates(spark):
     manku_c = cands(manku_keys)
     assert band_c > 100, band_c  # the 15-bit space genuinely saturates
     assert manku_c <= band_c // 10, (manku_c, band_c)
+
+
+def test_resize_bmp_nn_samples_correct_sources():
+    """Nearest-neighbor resize must sample source (2x, 2y) in RASTER
+    coordinates: a 4x4 image downsampled 2x keeps exactly pixels
+    (0,0),(2,0),(0,2),(2,2) — verified per channel against a
+    hand-built bottom-up BMP, plus top-down equivalence and the
+    whole-image-or-nothing truncation contract."""
+    import struct
+
+    from kafkastreams_example_spark.functions.multimodal import resize_bmp_nn
+
+    w = h = 4
+    # pixel (x, y) channels: b = 10*y + x, g = b + 100, r = b + 200
+    def px(x, y):
+        return bytes([10 * y + x, 10 * y + x + 100, 10 * y + x + 200])
+
+    def bmp(rows_file_order, hh):
+        body = b"".join(b"".join(r) for r in rows_file_order)  # stride 12, no pad
+        return (
+            b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4
+            + struct.pack("<I", 54)
+            + struct.pack("<IiiHHII", 40, w, hh, 1, 24, 0, len(body))
+            + b"\x00" * 16 + body
+        )
+
+    raster = [[px(x, y) for x in range(w)] for y in range(h)]
+    up = bmp(list(reversed(raster)), h)       # bottom-up storage
+    down = bmp(raster, -h)                    # top-down storage
+    m_up, m_down = resize_bmp_nn(up), resize_bmp_nn(down)
+    assert m_up == m_down
+    assert (m_up["out_w"], m_up["out_h"], m_up["n_px"]) == (2, 2, 4)
+    # kept sources: (0,0)=0, (2,0)=2, (0,2)=20, (2,2)=22  (b channel)
+    assert m_up["mean_b"] == round((0 + 2 + 20 + 22) / 4, 6)
+    assert m_up["mean_g"] == round((0 + 2 + 20 + 22) / 4 + 100, 6)
+    # wsum with weights 1..4 over (b+g+r) = 3b + 300
+    vals = [0, 2, 20, 22]
+    assert m_up["wsum"] == sum((i + 1) * (3 * v + 300) for i, v in enumerate(vals))
+    # truncated pixel data: resize refuses (whole image or nothing)
+    assert resize_bmp_nn(up[:-5]) is None
+    assert resize_bmp_nn(b"not a bitmap") is None
