@@ -727,3 +727,64 @@ def resize_bmp_stats(
         "mean_b DOUBLE, mean_g DOUBLE, mean_r DOUBLE, wsum BIGINT",
         payload_col, id_col,
     )
+
+
+def decimate_wav_pcm(payload: bytes, factor: int = 2) -> dict[str, Any] | None:
+    """CONTENT-level audio RESAMPLE (decimation without filtering —
+    take every factor-th sample, halving the sample rate for factor=2):
+    the audio sibling of resize_bmp_nn, completing the resample leg of
+    the media quartet for the codec-free modality. Reuses the
+    parse_wav_pcm chunk walk; reports the decimated sample statistics
+    plus the output sample rate so a decoder that drops the wrong
+    samples or mis-reads the source rate is caught by the oracle.
+    (A production resampler low-pass-filters first; plain decimation is
+    the deterministic, oracle-checkable contract here and is exact when
+    downstream only needs envelope statistics.)"""
+    import struct
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt_tag = bits = sample_rate = None
+    data_off = data_size = None
+    i = 12
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= n:
+            (fmt_tag,) = struct.unpack("<H", payload[i + 8 : i + 10])
+            (sample_rate,) = struct.unpack("<I", payload[i + 12 : i + 16])
+            (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
+        elif cid == b"data":
+            data_off, data_size = i + 8, size
+        i += 8 + size + (size & 1)
+    if fmt_tag != 1 or bits != 16 or data_off is None or not sample_rate:
+        return None
+    import numpy as np
+
+    avail = min(data_size, n - data_off)
+    samples = np.frombuffer(payload, dtype="<i2", count=avail // 2, offset=data_off)
+    out = samples[::factor].astype(np.int64)
+    if not len(out):
+        return {"out_rate": sample_rate // factor, "n_samples": 0,
+                "s_min": None, "s_max": None, "s_mean": None}
+    return {
+        "out_rate": sample_rate // factor,
+        "n_samples": int(len(out)),
+        "s_min": int(out.min()),
+        "s_max": int(out.max()),
+        "s_mean": round(int(out.sum()) / len(out), 6),
+    }
+
+
+def decimate_wav_stats(
+    df: DataFrame, factor: int = 2, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas PCM decimation stage: (id, payload) → (id, out_rate,
+    n_samples, s_min, s_max, s_mean)."""
+    fields = ("out_rate", "n_samples", "s_min", "s_max", "s_mean")
+    return _parser_stage(
+        df, lambda p: decimate_wav_pcm(p, factor), fields,
+        "out_rate INT, n_samples BIGINT, s_min INT, s_max INT, s_mean DOUBLE",
+        payload_col, id_col,
+    )

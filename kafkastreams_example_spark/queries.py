@@ -3520,6 +3520,13 @@ def q_wav_pcm_stats(spark, sf_dir):
     from .functions.multimodal import decode_wav_pcm_stats
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_wav_pcm_stats(docs.withColumn("payload", _syn_wav_payload()))
+
+
+def _syn_wav_payload():
+    """The shared sample-carrying WAV synthesis (see q_wav_pcm_stats
+    docstring): one Column expression, reused by the PCM-stats and
+    decimation entries so both gates decode the same bytes."""
     d = F.col("doc_id")
     le, ascii_ = _syn_le, _syn_ascii
 
@@ -3545,8 +3552,42 @@ def q_wav_pcm_stats(spark, sf_dir):
         ascii_("data"), le(wds, 8),
         F.unhex(pcm_hex),
     )
-    payload = F.when(d % 8 == 7, ascii_("not audio")).otherwise(wav)
-    return decode_wav_pcm_stats(docs.withColumn("payload", payload))
+    return F.when(d % 8 == 7, ascii_("not audio")).otherwise(wav)
+
+
+def q_wav_decimate(spark, sf_dir):
+    """CONTENT-level audio RESAMPLE under the gate — decimation by 2
+    (every second sample; output rate 8000 from the synthesized 16000)
+    over the same real-PCM WAVs as q_wav_pcm_stats, by
+    functions.multimodal.decimate_wav_pcm: the audio sibling of
+    q_bmp_resize, so BOTH codec-free modalities now have a real
+    decode→transform step, not just decode→stats. The oracle
+    regenerates the even-index subsequence arithmetically
+    (generate_series step 2) and checks the output rate, count, and
+    envelope statistics — a decoder that keeps odd samples or
+    mis-reads the fmt rate diverges. doc_id % 8 == 7 degrades to
+    NULLs."""
+    from .functions.multimodal import decimate_wav_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decimate_wav_stats(docs.withColumn("payload", _syn_wav_payload()))
+
+
+SQL_WAV_DECIMATE = """
+WITH base AS (SELECT doc_id, 160 + doc_id % 320 AS n FROM documents),
+s AS (
+  SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp
+  FROM (SELECT doc_id,
+               (doc_id * 31 + unnest(generate_series(0, n - 1, 2)) * 7919)
+                 % 65536 AS u
+        FROM base WHERE doc_id % 8 != 7))
+SELECT doc_id, CAST(8000 AS INT) AS out_rate, COUNT(*) AS n_samples,
+       CAST(MIN(smp) AS INT) AS s_min, CAST(MAX(smp) AS INT) AS s_max,
+       round(CAST(SUM(smp) AS DOUBLE) / COUNT(*), 6) AS s_mean
+FROM s GROUP BY doc_id
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL, NULL FROM base WHERE doc_id % 8 = 7
+"""
 
 
 # the oracle re-generates the waveform arithmetically (lateral range()
@@ -5592,6 +5633,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "wav_pcm_stats": QuerySpec(q_wav_pcm_stats, SQL_WAV_PCM_STATS, ("multimodal",)),
     "bmp_pixel_stats": QuerySpec(q_bmp_pixel_stats, SQL_BMP_PIXEL_STATS, ("multimodal",)),
     "bmp_resize": QuerySpec(q_bmp_resize, SQL_BMP_RESIZE, ("multimodal",)),
+    "wav_decimate": QuerySpec(q_wav_decimate, SQL_WAV_DECIMATE, ("multimodal",)),
     "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, ("multimodal",)),
     "sort_limit_offset": QuerySpec(q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET, ("relational",)),
@@ -5641,6 +5683,7 @@ _GATE_ORDER = [
     "simhash_pairs_manku",       # new: multi-block Manku banding (WWW'07)
     "sql_q16_supplier_cnt",      # new: NOT IN -> null-aware anti join
     "bmp_resize",                # new: real nearest-neighbor pixel resize
+    "wav_decimate",              # new: real PCM decimation (resample leg)
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks
