@@ -5684,6 +5684,11 @@ _GATE_ORDER = [
     "sql_q16_supplier_cnt",      # new: NOT IN -> null-aware anti join
     "bmp_resize",                # new: real nearest-neighbor pixel resize
     "wav_decimate",              # new: real PCM decimation (resample leg)
+    # decode stages refactored onto the shared _parser_stage helper —
+    # behavior-identical, re-evidence anyway
+    "audio_header_meta",
+    "video_header_meta",
+    "multimodal_meta",
     "wav_pcm_stats",             # new: content-level PCM sample decode
     "bmp_pixel_stats",           # new: content-level BMP pixel decode
     "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks
@@ -5693,11 +5698,9 @@ _GATE_ORDER = [
     "zorder_layout",             # new: Morton-key clustering report
     "classifier_eval",           # new: per-class precision/recall/F1
     "weighted_sample",           # new: priority sampling (integer-exact)
-    "video_header_meta",         # new: real MP4 box-walk decode
     "interval_coverage",         # new: merged-interval union time
     "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
     "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
-    "audio_header_meta",         # changed: duration for all 4 containers
     "dedup_embeddings",          # changed: narrowed assignment exchange
     "cosine_pairs",              # changed: narrowed assignment exchange
     "udtf_term_counts",          # changed: defaultParallelism fan-out
@@ -5804,7 +5807,6 @@ _GATE_ORDER = [
     "agg_percentiles",
     "clean_pipeline",
     "date_arith",
-    "multimodal_meta",
     "session_stats",
     "sort_limit_offset",
     "lang_id",
