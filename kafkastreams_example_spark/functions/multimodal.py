@@ -788,3 +788,59 @@ def decimate_wav_stats(
         "out_rate INT, n_samples BIGINT, s_min INT, s_max INT, s_mean DOUBLE",
         payload_col, id_col,
     )
+
+
+def sample_bmp_frames(payload: bytes, every: int = 2) -> dict[str, Any] | None:
+    """CONTENT-level FRAME SAMPLING — the fourth leg of the media
+    quartet made real for the codec-free container: the payload is a
+    concatenation of complete BMP files (a trivial uncompressed
+    "animation"); the walker hops frame to frame by each BMP's declared
+    file size (header bytes 2..6), samples every `every`-th frame, and
+    reduces each sampled frame's pixel array with parse_bmp_pixels'
+    statistics. Reports the frame count, sampled count, and the sum of
+    sampled frames' order-sensitive wsum checksums — a walker that hops
+    wrong offsets, samples odd frames, or decodes frame pixels wrong
+    diverges from the oracle. Returns None when the payload starts with
+    no valid BMP; a malformed tail frame ends the walk with the frames
+    already parsed (truncated-upload policy)."""
+    import struct
+
+    n = len(payload)
+    frames = []
+    off = 0
+    while off + 6 <= n and payload[off : off + 2] == b"BM":
+        (fsize,) = struct.unpack("<I", payload[off + 2 : off + 6])
+        if fsize < 54 or off + fsize > n:
+            break
+        frames.append(payload[off : off + fsize])
+        off += fsize
+    if not frames:
+        return None
+    sampled = frames[::every]
+    wsum = 0
+    n_px = 0
+    for fr in sampled:
+        m = parse_bmp_pixels(fr)
+        if m is None or m["wsum"] is None:
+            return None  # a sampled frame that isn't a valid 24bpp BMP
+        wsum += m["wsum"]
+        n_px += m["n_px"]
+    return {
+        "n_frames": len(frames),
+        "n_sampled": len(sampled),
+        "n_px": n_px,
+        "wsum_total": wsum,
+    }
+
+
+def frame_sample_stats(
+    df: DataFrame, every: int = 2, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """mapInPandas frame-sampling stage: (id, payload) → (id, n_frames,
+    n_sampled, n_px, wsum_total)."""
+    fields = ("n_frames", "n_sampled", "n_px", "wsum_total")
+    return _parser_stage(
+        df, lambda p: sample_bmp_frames(p, every), fields,
+        "n_frames INT, n_sampled INT, n_px BIGINT, wsum_total BIGINT",
+        payload_col, id_col,
+    )

@@ -3749,6 +3749,104 @@ FROM base WHERE doc_id % 8 = 7
 """
 
 
+def q_bmp_frame_sample(spark, sf_dir):
+    """CONTENT-level FRAME SAMPLING under the gate — the last leg of
+    the brief's decode / feature-extract / resize / frame-sample
+    quartet made REAL for the codec-free container (q_frame_sample
+    keeps the offset-plumbing form for opaque payloads): each document
+    gets a synthetic "animation" of 2 + doc_id % 3 complete BMP files
+    concatenated, frame f's pixel channel being (doc_id·7 + f·59 +
+    y·131 + x·31 + c·17) mod 256, and
+    functions.multimodal.sample_bmp_frames must hop frame headers by
+    their declared file sizes, sample every 2nd frame, and reduce each
+    sampled frame's ACTUAL pixels — frame count, sampled count, pixel
+    count, and the summed order-sensitive wsum are all recomputed
+    arithmetically by the oracle over a triple generate_series, so
+    wrong hop offsets, wrong sampled indices, or wrong per-frame decode
+    all diverge. doc_id % 8 == 7 rows degrade to NULLs."""
+    from .functions.multimodal import frame_sample_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    w = (4 + d % 5).cast("bigint")
+    h = (3 + d % 4).cast("bigint")
+    nf = (2 + d % 3).cast("bigint")
+    stride = ((w * 3 + 3) / 4).cast("bigint") * 4
+    img_size = stride * h
+
+    def hex2(v):
+        return F.lpad(F.hex(v), 2, "0")
+
+    def le_hex(c, hexw):
+        hh = F.lpad(F.hex(c), hexw, "0")
+        return F.concat(*[F.substring(hh, i, 2) for i in range(hexw - 1, 0, -2)])
+
+    pad_hex = F.repeat(F.lit("00"), (stride - w * 3).cast("int"))
+
+    def chan(x, y, f, c):
+        return (d * 7 + f * 59 + y * 131 + x * 31 + F.lit(c * 17)) % 256
+
+    def frame_hex(f):
+        pixels = F.array_join(
+            F.transform(
+                F.sequence(h - 1, F.lit(0).cast("bigint"), F.lit(-1).cast("bigint")),
+                lambda y: F.concat(
+                    F.array_join(
+                        F.transform(
+                            F.sequence(F.lit(0).cast("bigint"), w - 1),
+                            lambda x: F.concat(
+                                hex2(chan(x, y, f, 0)),
+                                hex2(chan(x, y, f, 1)),
+                                hex2(chan(x, y, f, 2)),
+                            ),
+                        ),
+                        "",
+                    ),
+                    pad_hex,
+                ),
+            ),
+            "",
+        )
+        return F.concat(
+            F.lit("424D"), le_hex(img_size + 54, 8), F.lit("00000000"),
+            le_hex(F.lit(54), 8), le_hex(F.lit(40), 8), le_hex(w, 8), le_hex(h, 8),
+            le_hex(F.lit(1), 4), le_hex(F.lit(24), 4), le_hex(F.lit(0), 8),
+            le_hex(img_size, 8), F.lit("00" * 16), pixels,
+        )
+
+    anim_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0).cast("bigint"), nf - 1), frame_hex), ""
+    )
+    payload = F.when(d % 8 == 7, F.encode(F.lit("not a movie"), "utf-8")).otherwise(
+        F.unhex(anim_hex)
+    )
+    return frame_sample_stats(docs.withColumn("payload", payload))
+
+
+SQL_BMP_FRAME_SAMPLE = """
+WITH base AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                     2 + doc_id % 3 AS nf FROM documents),
+fr AS (SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1, 2)) AS f
+       FROM base WHERE doc_id % 8 != 7),
+px AS (
+  SELECT doc_id, w, nf, f, y, unnest(generate_series(0, w - 1)) AS x
+  FROM (SELECT doc_id, w, h, nf, f, unnest(generate_series(0, h - 1)) AS y
+        FROM fr)),
+ch AS (SELECT doc_id, nf, w, f, y, x,
+         (doc_id*7 + f*59 + y*131 + x*31) % 256 AS b,
+         (doc_id*7 + f*59 + y*131 + x*31 + 17) % 256 AS g,
+         (doc_id*7 + f*59 + y*131 + x*31 + 34) % 256 AS r
+       FROM px)
+SELECT doc_id, CAST(MAX(nf) AS INT) AS n_frames,
+       CAST((MAX(nf) + 1) // 2 AS INT) AS n_sampled,
+       COUNT(*) AS n_px,
+       SUM((y*w + x + 1) * (b + g + r)) AS wsum_total
+FROM ch GROUP BY doc_id
+UNION ALL
+SELECT doc_id, NULL, NULL, NULL, NULL FROM base WHERE doc_id % 8 = 7
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Feature extraction over binary payloads (mapInPandas batch loop;
     deterministic md5-derived stand-in features, oracle-checked byte
@@ -5634,6 +5732,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bmp_pixel_stats": QuerySpec(q_bmp_pixel_stats, SQL_BMP_PIXEL_STATS, ("multimodal",)),
     "bmp_resize": QuerySpec(q_bmp_resize, SQL_BMP_RESIZE, ("multimodal",)),
     "wav_decimate": QuerySpec(q_wav_decimate, SQL_WAV_DECIMATE, ("multimodal",)),
+    "bmp_frame_sample": QuerySpec(
+        q_bmp_frame_sample, SQL_BMP_FRAME_SAMPLE, ("multimodal",)
+    ),
     "frame_sample": QuerySpec(q_frame_sample, SQL_FRAME_SAMPLE, ("multimodal",)),
     "media_features": QuerySpec(q_media_features, SQL_MEDIA_FEATURES, ("multimodal",)),
     "sort_limit_offset": QuerySpec(q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET, ("relational",)),
@@ -5684,6 +5785,7 @@ _GATE_ORDER = [
     "sql_q16_supplier_cnt",      # new: NOT IN -> null-aware anti join
     "bmp_resize",                # new: real nearest-neighbor pixel resize
     "wav_decimate",              # new: real PCM decimation (resample leg)
+    "bmp_frame_sample",          # new: real frame hop + sample + decode
     # decode stages refactored onto the shared _parser_stage helper —
     # behavior-identical, re-evidence anyway
     "audio_header_meta",

@@ -1083,3 +1083,35 @@ def test_resize_bmp_nn_samples_correct_sources():
     # truncated pixel data: resize refuses (whole image or nothing)
     assert resize_bmp_nn(up[:-5]) is None
     assert resize_bmp_nn(b"not a bitmap") is None
+
+
+def test_sample_bmp_frames_walker():
+    """The frame walker must hop by declared file sizes, sample frames
+    0, 2, ... and stop at a malformed tail (truncated-upload policy:
+    keep the frames already parsed)."""
+    import struct
+
+    from kafkastreams_example_spark.functions.multimodal import (
+        parse_bmp_pixels,
+        sample_bmp_frames,
+    )
+
+    def bmp(seed):
+        w = h = 2
+        body = bytes((seed + i) % 256 for i in range(h * 8))  # stride 8
+        return (
+            b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4
+            + struct.pack("<I", 54)
+            + struct.pack("<IiiHHII", 40, w, h, 1, 24, 0, len(body))
+            + b"\x00" * 16 + body
+        )
+
+    frames = [bmp(s) for s in (0, 50, 100, 150)]
+    m = sample_bmp_frames(b"".join(frames))
+    assert (m["n_frames"], m["n_sampled"]) == (4, 2)
+    expect = sum(parse_bmp_pixels(frames[i])["wsum"] for i in (0, 2))
+    assert m["wsum_total"] == expect and m["n_px"] == 8
+    # truncated tail frame: walk keeps the complete prefix
+    m2 = sample_bmp_frames(b"".join(frames[:3]) + frames[3][:-4])
+    assert m2["n_frames"] == 3 and m2["n_sampled"] == 2
+    assert sample_bmp_frames(b"not a movie") is None
