@@ -320,11 +320,14 @@ def test_media_parsers_never_raise_on_arbitrary_bytes(payload):
     poisons the whole batch). Covers the header walkers and both
     content-level decoders."""
     from kafkastreams_example_spark.functions.multimodal import (
+        decimate_wav_pcm,
         parse_audio_header,
         parse_bmp_pixels,
         parse_image_header,
         parse_video_header,
         parse_wav_pcm,
+        resize_bmp_nn,
+        sample_bmp_frames,
     )
 
     for parser in (
@@ -333,6 +336,9 @@ def test_media_parsers_never_raise_on_arbitrary_bytes(payload):
         parse_video_header,
         parse_wav_pcm,
         parse_bmp_pixels,
+        resize_bmp_nn,
+        decimate_wav_pcm,
+        sample_bmp_frames,
     ):
         out = parser(payload)
         assert out is None or isinstance(out, dict)
@@ -346,11 +352,14 @@ def test_media_parsers_never_raise_on_magic_prefixed_garbage(tail, magic):
     hops, box trees) — the code paths plain random bytes rarely
     reach."""
     from kafkastreams_example_spark.functions.multimodal import (
+        decimate_wav_pcm,
         parse_audio_header,
         parse_bmp_pixels,
         parse_image_header,
         parse_video_header,
         parse_wav_pcm,
+        resize_bmp_nn,
+        sample_bmp_frames,
     )
 
     payload = magic + tail
@@ -360,6 +369,9 @@ def test_media_parsers_never_raise_on_magic_prefixed_garbage(tail, magic):
         parse_video_header,
         parse_wav_pcm,
         parse_bmp_pixels,
+        resize_bmp_nn,
+        decimate_wav_pcm,
+        sample_bmp_frames,
     ):
         out = parser(payload)
         assert out is None or isinstance(out, dict)
