@@ -2093,6 +2093,60 @@ FROM reach GROUP BY node
 """
 
 
+def q_dedup_cluster_profile(spark, sf_dir):
+    """Dedup-operations TELEMETRY: the cluster-size histogram every
+    dedup sweep reports before committing deletions — how much
+    duplicate mass exists and in what shape (many pairs vs a few huge
+    templates decide salvage-one-per-cluster vs drop-the-template).
+    Composes the connected-components output (dedup_clusters) into
+    (cluster_size, n_clusters, n_docs) buckets, with the un-clustered
+    remainder counted as size-1 clusters via a LEFT ANTI join (emitted
+    only when non-empty, identically in both engines). All partial-agg
+    groupBys over the narrow (doc, cluster) frame; n_docs =
+    size × count is integer-exact."""
+    from .functions.dedup_approx import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, threshold=0.0).select("id_a", "id_b")
+    cl = dedup_clusters(pairs)
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters")).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(cl, "doc_id", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
+SQL_DEDUP_CLUSTER_PROFILE = (
+    SQL_DEDUP_CLUSTERS.replace(
+        "SELECT node AS doc_id, MIN(lab) AS cluster_id\nFROM reach GROUP BY node",
+        """, cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+         FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY cluster_id),
+hist AS (SELECT cluster_size, COUNT(*) AS n_clusters,
+                cluster_size * COUNT(*) AS n_docs
+         FROM sizes GROUP BY cluster_size),
+singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size, COUNT(*) AS n_clusters,
+                   COUNT(*) AS n_docs
+            FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+            HAVING COUNT(*) > 0)
+SELECT * FROM hist UNION ALL SELECT * FROM singles""",
+    )
+)
+
+
 def q_session_window_agg(spark, sf_dir):
     """Built-in session_window aggregation (30-min gap) — the native
     form of session_stats' manual lag/cumsum sessionization; in
@@ -5649,6 +5703,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "agg_percentiles": QuerySpec(q_agg_percentiles, SQL_AGG_PERCENTILES, ("relational",)),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS, ("text", "dedup", "iterative")),
+    "dedup_cluster_profile": QuerySpec(
+        q_dedup_cluster_profile, SQL_DEDUP_CLUSTER_PROFILE, ("text", "dedup", "iterative")
+    ),
     "session_window_agg": QuerySpec(q_session_window_agg, SQL_SESSION_WINDOW_AGG, ("relational", "temporal")),
     "window_nth": QuerySpec(q_window_nth, SQL_WINDOW_NTH, ("relational",)),
     # text analysis
@@ -5786,6 +5843,7 @@ _GATE_ORDER = [
     "bmp_resize",                # new: real nearest-neighbor pixel resize
     "wav_decimate",              # new: real PCM decimation (resample leg)
     "bmp_frame_sample",          # new: real frame hop + sample + decode
+    "dedup_cluster_profile",     # new: cluster-size histogram telemetry
     # decode stages refactored onto the shared _parser_stage helper —
     # behavior-identical, re-evidence anyway
     "audio_header_meta",
