@@ -1430,6 +1430,43 @@ LIMIT 100
 """
 
 
+# Q14's one body both engines run verbatim: decimal-exact sums from the
+# source column, each cast to DOUBLE before the one ratio division
+# (decimal/decimal division scale-and-round rules differ between
+# engines; double division of exact sums is IEEE-identical), rounded
+# once at the output boundary
+_SQL_Q14_BODY = """
+SELECT round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_sql_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped (promotion revenue share) via the SQL API — the
+    conditional-aggregate-RATIO shape: one month of lineitem joined to
+    part, with the promo share computed as a CASE-gated sum over the
+    total sum in a single aggregation (no second scan, no self-join —
+    the classic one-pass ratio idiom). At 100 TB the shipdate range
+    predicate must reach the parquet scan (PushedFilters) so the join
+    only sees the month; the part side is a broadcast lookup. Float
+    discipline per _SQL_Q14_BODY: decimal-exact sums, ONE double
+    division at the boundary."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q14_BODY)
+
+
+SQL_SQL_Q14_PROMO_REVENUE = _SQL_Q14_BODY
+
+
 _SQL_Q16_BODY = """
 SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
 FROM lineitem l
@@ -5664,6 +5701,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q16_supplier_cnt": QuerySpec(
         q_sql_q16_supplier_cnt, SQL_SQL_Q16_SUPPLIER_CNT, ("relational", "sql-api")
     ),
+    "sql_q14_promo_revenue": QuerySpec(
+        q_sql_q14_promo_revenue, SQL_SQL_Q14_PROMO_REVENUE, ("relational", "sql-api")
+    ),
     "approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT, ("relational", "approximate")
     ),
@@ -5844,6 +5884,7 @@ _GATE_ORDER = [
     "wav_decimate",              # new: real PCM decimation (resample leg)
     "bmp_frame_sample",          # new: real frame hop + sample + decode
     "dedup_cluster_profile",     # new: cluster-size histogram telemetry
+    "sql_q14_promo_revenue",     # new: conditional-aggregate ratio shape
     # decode stages refactored onto the shared _parser_stage helper —
     # behavior-identical, re-evidence anyway
     "audio_header_meta",
