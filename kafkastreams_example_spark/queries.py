@@ -2224,39 +2224,40 @@ FROM s GROUP BY user_id, sid
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: docs whose 60-bit fingerprints are
-    within hamming distance 3 (bit_count(xor)).
+    within hamming distance 3 (bit_count(xor)) — PRODUCTION DEFAULT.
 
-    Banded LSH plan, not all-pairs: the fingerprint is split into 4
-    15-bit bands; hamming ≤ 3 means at most 3 bits differ, which can
-    touch at most 3 of the 4 bands, so every qualifying pair shares at
-    least one band value exactly (pigeonhole). Candidates come from an
-    equi-join on (band index, band value) — a hash join Catalyst can
-    shuffle-partition — then the exact hamming filter and a distinct
-    (a pair can collide in several bands). Output is identical to the
-    all-pairs form (the oracle runs all-pairs); the plan scales as the
-    candidate count, not n²."""
-    fp = simhash(load_table(spark, sf_dir, "documents"))
-    return simhash_band_pairs(fp)
-
-
-def q_simhash_pairs_manku(spark, sf_dir):
-    """SimHash near-dup pairs via the MULTI-BLOCK Manku banding (WWW
-    2007 — Google's web-scale simhash dedup): 6 blocks of 10 bits,
-    every C(6,3) = 20 combination of 3 blocks is a 30-bit join key, so
-    any ≤3-bit difference leaves some key combination untouched —
-    recall exact, output identical to all-pairs AND to the 4-band
-    simhash_pairs (pinned in tests/test_operators.py). The scale
-    story: the 4×15 scheme's random-collision mass is n²/2¹⁵ per band
-    (its 32k-value band space saturates at corpus scale regardless of
-    true dup density); the 30-bit keys cut that to n²/2³⁰ × 20 tables
-    — ~6500× fewer random candidates — at the cost of 20-vs-4 explode
-    fan-out, which is why the 4-band form stays the default on
-    duplicate-DENSE corpora and this one is the 10⁹-row path. Shares
-    the all-pairs oracle verbatim (banding is plan, not semantics)."""
+    Delegates to the multi-block Manku banding (WWW 2007): 6 blocks of
+    10 bits, every C(6,3) = 20 combination of 3 blocks is a 30-bit
+    equi-join key, so any ≤3-bit difference leaves some key untouched
+    (pigeonhole) — recall exact, output identical to all-pairs. This is
+    the default because its RANDOM candidate mass is n²/2³⁰ × 20
+    tables; the 4×15-bit banding (kept as simhash_pairs_4band, the
+    teaching contrast) collides at n²/2¹⁵ per band — its 32k-value band
+    space saturates at corpus scale regardless of true dup density
+    (measured 272k → 10.5M candidates at 30× on the scale fixtures), a
+    superlinear term no registry default should carry. Shares the
+    all-pairs oracle verbatim (banding is plan, not semantics)."""
     from .functions.dedup_approx import simhash_manku_pairs
 
     fp = simhash(load_table(spark, sf_dir, "documents"))
     return simhash_manku_pairs(fp)
+
+
+def q_simhash_pairs_4band(spark, sf_dir):
+    """SimHash near-dup pairs via the 4×15-bit banding — the TEACHING
+    CONTRAST to the Manku default (see q_simhash_pairs).
+
+    ≤3 differing bits touch ≤3 of the 4 bands, so every qualifying
+    pair shares at least one band value exactly (pigeonhole);
+    candidates come from an equi-join on (band index, band value),
+    then the exact hamming filter and a distinct. Output identical to
+    all-pairs and to the Manku form. Regime note: on a DUPLICATE-DENSE
+    corpus (candidates dominated by real pairs) this form's 4-vs-20
+    explode fan-out is cheaper; on realistic sparse corpora its
+    n²/2¹⁵ random-collision floor makes it the wrong plan at 10⁹ rows
+    — which is why it is no longer the default."""
+    fp = simhash(load_table(spark, sf_dir, "documents"))
+    return simhash_band_pairs(fp)
 
 
 SQL_SIMHASH_PAIRS = f"""
@@ -5738,8 +5739,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "bigram_counts": QuerySpec(q_bigram_counts, SQL_BIGRAM_COUNTS, ("text",)),
     "clean_pipeline": QuerySpec(q_clean_pipeline, SQL_CLEAN_PIPELINE, ("text", "pipeline")),
     "simhash_pairs": QuerySpec(q_simhash_pairs, SQL_SIMHASH_PAIRS, ("text", "dedup")),
-    "simhash_pairs_manku": QuerySpec(
-        q_simhash_pairs_manku, SQL_SIMHASH_PAIRS, ("text", "dedup")
+    "simhash_pairs_4band": QuerySpec(
+        q_simhash_pairs_4band, SQL_SIMHASH_PAIRS, ("text", "dedup")
     ),
     "agg_percentiles": QuerySpec(q_agg_percentiles, SQL_AGG_PERCENTILES, ("relational",)),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS, ("text", "dedup", "iterative")),
@@ -5878,7 +5879,7 @@ _GATE_ORDER = [
     "cohort_retention",          # new: cohort retention matrix
     "scd2_merge",                # new: SCD type-2 dimension merge
     "graph_pagerank",            # new: 3-iteration PageRank, unrolled oracle
-    "simhash_pairs_manku",       # new: multi-block Manku banding (WWW'07)
+    "simhash_pairs_4band",       # r10: the 4x15 banding, demoted to teaching contrast
     "sql_q16_supplier_cnt",      # new: NOT IN -> null-aware anti join
     "bmp_resize",                # new: real nearest-neighbor pixel resize
     "wav_decimate",              # new: real PCM decimation (resample leg)

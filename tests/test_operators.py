@@ -1044,6 +1044,31 @@ def test_simhash_manku_matches_band_pairs_with_fewer_random_candidates(spark):
     assert manku_c <= band_c // 10, (manku_c, band_c)
 
 
+def test_simhash_pairs_default_is_manku_banding(spark):
+    """Round-10 pin: the registry DEFAULT simhash_pairs must compile to
+    the Manku multi-block plan (20 C(6,3) key tables — the n²/2³⁰
+    candidate class), not the demoted 4×15 banding (n²/2¹⁵). Checked
+    structurally: the analyzed plan carries the 20-way table explode
+    ('tbl' key-table column), which the 4-band plan does not; the
+    contrast entry must still be the band form."""
+    from kafkastreams_example_spark.queries import REGISTRY
+
+    default_plan = str(
+        REGISTRY["simhash_pairs"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .analyzed()
+    )
+    contrast_plan = str(
+        REGISTRY["simhash_pairs_4band"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .analyzed()
+    )
+    assert "tbl" in default_plan
+    assert "tbl" not in contrast_plan and "band" in contrast_plan
+
+
 def test_resize_bmp_nn_samples_correct_sources():
     """Nearest-neighbor resize must sample source (2x, 2y) in RASTER
     coordinates: a 4x4 image downsampled 2x keeps exactly pixels

@@ -164,10 +164,10 @@ ROUND9_FAMILY = [
     "cohort_retention",
     "scd2_merge",
     "graph_pagerank",
-    # dup-dense corpora favor the 4-band form (real pairs dominate its
-    # candidates); the probe documents that honest cost while the
-    # random-corpus candidate test pins where Manku wins
-    "simhash_pairs_manku",
+    # round 10: simhash_pairs is now the Manku multi-block banding (the
+    # FAMILY probe above covers it); this probes the demoted 4x15-band
+    # teaching contrast, documenting its honest n^2/2^15 saturation cost
+    "simhash_pairs_4band",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
