@@ -772,6 +772,17 @@ def knn_label_report(
     Both paths share the tail: top-k by (cosine DESC, neighbor_id),
     majority vote with ties toward the smaller label, per-label
     n/correct/accuracy. Output: (label, n_queries, n_correct, accuracy).
+
+    Denominator caveat (screened=True): a query whose n_probe probed
+    buckets contain NO other vector produces no candidate rows and is
+    silently absent from the report — so per-label n_queries can be
+    smaller than the screened=False ground truth for reasons other than
+    vote disagreement. Compare accuracies between the two paths only on
+    the intersection of reported queries (what
+    test_knn_screened_agreement does), or treat missing queries as
+    abstentions. At the registry's adaptive grid (target bucket ≈ √n
+    rows) singleton buckets are rare; they matter on tiny or highly
+    clustered corpora.
     """
     from pyspark.sql import Window
 
@@ -839,6 +850,12 @@ def knn_label_report(
             out = [empty]
             stripe = 1024
             for s in range(0, len(qids), stripe):
+                # np.round is round-half-to-even vs the oracle's
+                # half-away-from-zero: divergence needs a cosine landing
+                # EXACTLY on a 5e-7 boundary (measure-zero for dot
+                # products of normalized doubles; same discipline as
+                # bucketed_cosine_pairs). If ever bitten, switch both
+                # sides to floor(x*1e6 + 0.5)/1e6.
                 sims = np.round(qmat[s : s + stripe] @ mat.T, 6)
                 sims[ids[None, :] == qids[s : s + stripe, None]] = -np.inf
                 for r in range(sims.shape[0]):

@@ -1,14 +1,18 @@
 #!/usr/bin/env python
-"""Plan audit: compile every registry entry (no execution) and tabulate
+"""Plan audit: EXECUTE every registry entry at the audit SF and tabulate
 the physical-plan properties that matter at 100 TB — exchange count,
 broadcast joins, parquet scans, whole-stage-codegen coverage, top-k vs
 global sort — into one markdown table (PLANS.md). The per-claim
 assertions live in tests/test_plans.py; this is the whole-surface
 inventory, regenerated per round so plan regressions are diffable.
 
-Entries that run driver-side runtime-stat actions (adaptive grids,
-iterative training) EXECUTE those few narrow actions during planning —
-still cheap at the audit SF.
+Execution is REQUIRED, not an implementation detail: under AQE the
+finalized plan (runtime join strategy choices, codegen span ids) only
+exists after the adaptive plan object runs, so audit_one calls
+executedPlan().executeCollect() — every query fully runs and its result
+rows land on the driver. That is cheap at the default sf0.001 audit
+fixture but becomes a full run with driver-memory risk at larger SFs;
+main() warns when pointed at anything other than a sf0.001 dir.
 
 Usage: python tools/plan_audit.py [sf_dir] [out_md]
 """
@@ -62,6 +66,14 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
+    if "sf0.001" not in sf_dir:
+        print(
+            f"WARNING: plan audit EXECUTES every registry entry and collects "
+            f"its rows to the driver (AQE final plans require execution); "
+            f"'{sf_dir}' is not a sf0.001 audit fixture — this is a full run "
+            f"with driver-memory risk, not a compile-only pass.",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     rows, errs = [], []
