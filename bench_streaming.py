@@ -88,15 +88,13 @@ THRESHOLDS = {
     # floor at the same ~2.5x under-recording policy as windowed_agg
     "sliding_window": 100_000,
     # per-row cost is the SemDeDup screening contract itself: n_probe ×
-    # target_bucket_rows (~250) dim-64 cosines per vector in codegen
-    # expressions, plus the 64-double synthesis + 8 codebook dots (the
-    # codebooks ride as broadcast DATA, ~15% slower than inlined
-    # literals but O(1) plan size at any codebook cardinality — the
-    # round-9 review fix). Readings 8.6k quiet / 5.7-6.7k loaded —
-    # floor at the ~2-3x policy. When ingest rates outgrow expression
-    # scoring, the documented swap-in is the batch BLAS kernel via
-    # foreachBatch.
-    "embedding_dedup": 3_000,
+    # target_bucket_rows (~250) dim-64 cosines per vector — since
+    # round 10 evaluated as per-bucket BLAS matmuls inside the single
+    # mapInPandas kernel (assignment + screening), not per-pair
+    # codegen expressions. Quiet reading 33.2k rows/s at 50k-row
+    # batches (was 8.6k at the r9 expression form) — floor at the
+    # ~2-3x under-recording policy.
+    "embedding_dedup": 12_000,
     "interval_join": 40_000,
     "quality_filter": 100_000,
     # quiet-machine readings 40–50k; 30k left only ~1.5x headroom and a
@@ -277,12 +275,18 @@ def main() -> None:
         e_index, e_ac, e_bc, e_grid = embedding_corpus_index(emb_corpus)
         e_index = e_index.cache()
         e_index.count()
-        # ~250 cosines per row (see THRESHOLDS note) — smaller batches
-        # keep per-batch latency comparable to the other pipelines
-        n_emb = rows_filter // 8
-        vec_expr = F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda i: ((F.col("value") * 31 + i * 7919) % 1000) / 500.0 - 1.0,
+        # round 10: the gate's two BLAS-vectorized stages cut per-batch
+        # latency ~4x, so batches doubled (rows_filter // 8 → // 4,
+        # p50 ~1.6 s — still comparable to the sibling pipelines) and
+        # the synthesis moved from F.transform (a higher-order function
+        # — interpreted per element, 64 lambda evals/row) to an
+        # UNROLLED F.array of 64 codegen expressions. A numpy
+        # mapInPandas synthesizer was measured SLOWER (16k vs 22k
+        # rows/s): chaining a second Python stage round-trips the fat
+        # array column through Arrow twice.
+        n_emb = rows_filter // 4
+        vec_expr = F.array(
+            *[((F.col("value") * 31 + i * 7919) % 1000) / 500.0 - 1.0 for i in range(64)]
         )
         ev = _rate_source(spark, n_emb).select(
             F.col("value").alias("vec_id"),

@@ -532,6 +532,7 @@ def embedding_dedup_pipeline(
     ts_col: str = "event_time",
     watermark: str = "10 minutes",
     window: str = "5 minutes",
+    broadcast_index: bool = True,
 ) -> DataFrame:
     """Streaming embedding near-dup ingest gate — the SemDeDup-style
     "is this vector already in the corpus?" filter applied AT ingest,
@@ -539,23 +540,47 @@ def embedding_dedup_pipeline(
     batch dedup_incremental shape: new vectors stream in, the corpus
     is a static, periodically refreshed index (embedding_corpus_index).
 
-    Three stages, all built-in:
-    1. Stateless per-row PQ assignment: the O(√C) codebooks ride as
-       DATA — a broadcast 1-row static frame carrying each codebook as
-       an array<struct<cell, cv>> column, cross-joined into the stream
-       — so the expression tree stays O(1) no matter how many cells the
-       adaptive grid has (embedding them as per-cell literal
-       expressions would blow Catalyst planning and the codegen method
-       limit at ~10³ cells). Each vector folds its c1 + c2 dots with
-       higher-order functions over the codebook columns and probes its
-       top-n_probe A cells × nearest B cell — bit-identical cell
-       choice to bucketed_assign's prefix branch (ascending (o, cell)
-       struct order with the NaN→-inf guard).
-    2. Probed rows LEFT ANTI stream-static join the corpus index on
-       bucket equality AND cosine ≥ threshold — a probe row survives
-       iff its bucket holds NO close corpus vector. Stateless: the
-       static side re-reads per micro-batch (at scale: a bucketed
-       table, so the join is hash-partitioned, not broadcast).
+    Round-10 rewrite — the per-row higher-order-function cosines (an
+    interpreted F.aggregate over zip_with per codebook cell AND per
+    bucket candidate) were the measured bottleneck at 5.7–8.6k rows/s;
+    both stages are now Arrow-batched BLAS in ONE stateless mapInPandas
+    kernel (default) or BLAS assignment + codegen hash join (at-scale
+    tier). Stages:
+
+    1. Assignment: the kernel normalizes each micro-batch as a numpy
+       matrix and scores ALL c1 + c2 codebook dots as two matrix
+       products (U @ A.T / U @ B.T), deriving each vector's n_probe
+       probed buckets. Cell choice is bit-identical to bucketed_assign's
+       prefix branch: ascending (o = -dot, cell) with the NaN→-inf
+       guard (stable argsort over cell-ascending codebooks ≡ the
+       (o, cell) struct sort). Codebooks are O(√C) and ride in the
+       kernel closure (~10³ vectors ≈ 512 KB at 10⁹ corpus rows —
+       bounded by construction). Rows whose embedding is NULL or
+       mis-dimensioned are DROPPED here: an ingest gate quarantines
+       what it cannot score rather than silently admitting it.
+    2. Screening — a probe survives iff its bucket holds NO corpus
+       vector with cosine ≥ threshold. Two regimes:
+       - broadcast_index=True (default): the corpus index is collected
+         ONCE at pipeline build into per-bucket matrices held in the
+         kernel closure, and screening is a per-bucket BLAS matmul in
+         the same kernel — the n_probe × target-bucket-rows (~2k at the
+         1024-row design point) candidate cosines per vector are the
+         SemDeDup screening contract itself; BLAS evaluates them ~50×
+         faster than any per-pair JVM expression. Right whenever the
+         reference index fits in worker memory (the same budget class
+         as broadcasting it); refresh = rebuild the query, the normal
+         side-input cycle.
+       - broadcast_index=False — the 10⁹-row-corpus tier: the kernel
+         emits probes with the unit vector as d FLAT double columns and
+         LEFT ANTI stream-static joins a widened (bucket, c_0..c_{d-1})
+         index projection on bucket equality AND an UNROLLED
+         per-dimension product sum ≥ threshold. Flat attributes, not
+         array getItem: the element-wise null/bounds checks of the
+         array form overflow the JIT method budget and drop the join
+         to interpreted evaluation (measured 13× slower). Materialize
+         corpus_index as a table bucketed on `bucket` so the join is
+         hash-partitioned and co-located. Left-assoc addition from 0.0
+         keeps the sum bit-identical to a sequential fold.
     3. A vector passes the gate iff ALL its probed rows survived —
        the band_dedup_any_pipeline counting trick: windowed count ==
        n_probe_effective, closing when the watermark passes.
@@ -564,62 +589,110 @@ def embedding_dedup_pipeline(
     of the corpus. Recall is the PQ co-bucketing probability (the same
     contract as bucketed_cosine_pairs — floor-pinned for the batch
     kernel; the streaming gate reuses the identical bucketing)."""
-    from ..functions.similarity import _unit
+    import numpy as np
+    import pandas as pd
 
-    spark = vecs.sparkSession
     c1, c2 = grid
     n_eff = min(n_probe, max(len(acents), 1))
-    neg_inf = F.lit(float("-inf"))
+    dim = len(acents[0][1]) if acents else (len(bcents[0][1]) if bcents else 0)
 
-    cb_schema = (
-        "__acb ARRAY<STRUCT<cell: BIGINT, cv: ARRAY<DOUBLE>>>, "
-        "__bcb ARRAY<STRUCT<cell: BIGINT, cv: ARRAY<DOUBLE>>>"
+    # cell-ascending codebook matrices: with unique ascending cells a
+    # STABLE argsort over o alone reproduces the (o, cell) struct order
+    a_sorted = sorted(acents, key=lambda t: t[0])
+    b_sorted = sorted(bcents, key=lambda t: t[0])
+    a_cells = np.array([int(c) for c, _ in a_sorted], dtype=np.int64)
+    b_cells = np.array([int(c) for c, _ in b_sorted], dtype=np.int64)
+    amat = (
+        np.array([list(map(float, v)) for _, v in a_sorted], dtype=np.float64)
+        if a_sorted
+        else np.zeros((0, dim))
     )
-    codebooks = spark.createDataFrame(
-        [(
-            [(int(cid), [float(x) for x in cv]) for cid, cv in acents],
-            [(int(cid), [float(x) for x in cv]) for cid, cv in bcents],
-        )],
-        cb_schema,
+    bmat = (
+        np.array([list(map(float, v)) for _, v in b_sorted], dtype=np.float64)
+        if b_sorted
+        else np.zeros((0, dim))
     )
 
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    bucket_mats: dict[int, "np.ndarray"] = {}
+    if broadcast_index:
+        grouped: dict[int, list] = {}
+        for r in corpus_index.select("bucket", "cuv").collect():
+            grouped.setdefault(int(r["bucket"]), []).append(
+                [float(x) for x in r["cuv"]]
+            )
+        bucket_mats = {
+            b: np.array(v, dtype=np.float64) for b, v in grouped.items()
+        }
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or amat.size == 0:
+                continue
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok.to_numpy(dtype=bool)]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            nrm[nrm == 0.0] = 1.0  # zero vector stays zero (_unit rule)
+            unit = mat / nrm[:, None]
+            oa = -(unit @ amat.T)
+            oa[np.isnan(oa)] = -np.inf  # NaN ranks FIRST, as under DESC
+            a_top = a_cells[np.argsort(oa, axis=1, kind="stable")[:, :n_eff]]
+            if bmat.size:
+                ob = -(unit @ bmat.T)
+                ob[np.isnan(ob)] = -np.inf
+                b_best = b_cells[np.argsort(ob, axis=1, kind="stable")[:, 0]]
+            else:
+                b_best = np.zeros(len(unit), dtype=np.int64)
+            bucket = (a_top * c2 + b_best[:, None]).ravel()
+            rep = np.repeat(np.arange(len(unit)), a_top.shape[1])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)[rep]
+            tss = pdf[ts_col].to_numpy()[rep]
+            uprobe = unit[rep]
+            if broadcast_index:
+                # in-kernel screening: one BLAS matmul per bucket
+                # present in this batch; probes in index-absent buckets
+                # survive by definition
+                keep = np.ones(len(bucket), dtype=bool)
+                for b in np.unique(bucket):
+                    m = bucket_mats.get(int(b))
+                    if m is None:
+                        continue
+                    sel = bucket == b
+                    close = (uprobe[sel] @ m.T >= threshold).any(axis=1)
+                    idx = np.flatnonzero(sel)
+                    keep[idx[close]] = False
+                yield pd.DataFrame({id_col: ids[keep], ts_col: tss[keep]})
+            else:
+                out = {id_col: ids, ts_col: tss, "bucket": bucket}
+                for i in range(dim):
+                    out[f"__u{i}"] = uprobe[:, i]
+                yield pd.DataFrame(out)
+
+    if broadcast_index:
+        schema = f"`{id_col}` BIGINT, `{ts_col}` TIMESTAMP"
+        survivors = vecs.select(id_col, ts_col, vec_col).mapInPandas(
+            _assign, schema
         )
-
-    def scored_cells(cb_col):
-        return F.transform(
-            F.col(cb_col),
-            lambda s: F.struct(
-                F.nanvl(-dot(F.col("__uv"), s["cv"]), neg_inf).alias("o"),
-                s["cell"].alias("cell"),
-            ),
+    else:
+        schema = (
+            f"`{id_col}` BIGINT, `{ts_col}` TIMESTAMP, bucket BIGINT, "
+            + ", ".join(f"__u{i} DOUBLE" for i in range(dim))
         )
-
-    base = vecs.crossJoin(F.broadcast(codebooks)).select(
-        F.col(id_col), F.col(ts_col), _unit(F.col(vec_col)).alias("__uv"),
-        "__acb", "__bcb",
-    )
-    a_top = F.slice(F.array_sort(scored_cells("__acb")), 1, n_eff)
-    b_best = F.coalesce(
-        F.array_sort(scored_cells("__bcb")).getItem(0).getField("cell"),
-        F.lit(0).cast("bigint"),
-    )
-    probes = (
-        base.select(
-            id_col, ts_col, "__uv", F.explode(a_top).alias("__ac"), b_best.alias("__b")
+        probes = vecs.select(id_col, ts_col, vec_col).mapInPandas(_assign, schema)
+        wide_index = corpus_index.select(
+            F.col("bucket").alias("__cb"),
+            *[F.col("cuv")[i].alias(f"__c{i}") for i in range(dim)],
         )
-        .withColumn("bucket", F.col("__ac.cell") * c2 + F.col("__b"))
-        .drop("__ac", "__b")
-    )
-
-    survivors = probes.join(
-        corpus_index,
-        (probes["bucket"] == corpus_index["bucket"])
-        & (dot(F.col("__uv"), F.col("cuv")) >= threshold),
-        "left_anti",
-    )
+        cos = F.lit(0.0)
+        for i in range(dim):
+            cos = cos + F.col(f"__u{i}") * F.col(f"__c{i}")
+        survivors = probes.join(
+            wide_index,
+            (probes["bucket"] == F.col("__cb")) & (cos >= threshold),
+            "left_anti",
+        )
     counts = (
         survivors.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window), F.col(id_col))

@@ -1294,4 +1294,15 @@ def test_embedding_dedup_pipeline_gates_near_dups(spark, tmp_path):
     closed = {r["vec_id"] for r in rows}
     assert got == expected & closed
     assert got <= expected
+
+    # the at-scale tier (broadcast_index=False: flat-column probes LEFT
+    # ANTI joined to the widened index) must gate identically to the
+    # default in-kernel BLAS screening
+    via_join = {
+        r["vec_id"]
+        for r in embedding_dedup_pipeline(
+            batch, index, acents, bcents, grid, threshold=0.9, broadcast_index=False
+        ).collect()
+    }
+    assert via_join == expected
     index.unpersist()
