@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "sql_q10_returns",
     "sql_q12_latency",
     "ngram_span_dedup",
+    "ngram_span_removal",
     "sequence_pack",
     "bpe_pair_counts",
     "quality_mix_sample",

@@ -154,6 +154,93 @@ def duplicated_ngram_stats(
     )
 
 
+def remove_duplicated_ngram_spans(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the second half of the Lee et al.
+    2022 ExactSubstr pipeline: where duplicated_ngram_stats only FLAGS
+    how much of each doc is covered by cross-document n-gram spans,
+    this operator CUTS those spans and returns the cleaned remainder —
+    the transform a training-data pipeline actually applies next.
+
+    Contract: a token position is covered iff it lies inside any
+    n-token window whose n-gram occurs in ≥ 2 DISTINCT documents;
+    cleaned_text is the space-joined uncovered tokens (the tokenized
+    view — same normalization as every text operator here). The span
+    is cut from EVERY document containing it, a deterministic,
+    order-free relational rule; the paper's keep-one-occurrence
+    variant needs a canonical-survivor choice that is inherently
+    sequential across overlapping spans — cut-everywhere is the
+    contract that scales and the common conservative choice for
+    contamination-style cleanup. Docs shorter than n tokens have no
+    grams and pass through untouched.
+
+    Plan (all Catalyst, no Python): the same gram frame as
+    duplicated_ngram_stats (linear explode, ≈ n_tokens rows/doc) →
+    two-phase count-distinct dup-hash set → LEFT SEMI back onto the
+    gram occurrences (hot grams emit each occurrence once — no
+    fan-out) → explode each dup occurrence into its n covered
+    positions, distinct per (doc, pos) (bounded n× fan-out of DUP
+    grams only) → posexplode'd tokens LEFT ANTI the covered set →
+    ordered re-assembly per doc via array_sort(collect_list(struct)).
+    Shuffles: gram hash (agg + semi, exchange reused), (doc_id, pos)
+    twice (distinct + anti join — same key, exchange reused), doc_id
+    (final agg). Nothing is ever all-pairs; the widest intermediate
+    stays (doc_id, pos)."""
+    toks = tokenize(text_col)
+    t = docs.select("doc_id", toks.alias("toks"))
+    n_grams = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+    starts = F.sequence(F.lit(1), n_grams, F.lit(1))
+    grams = (
+        t.filter(n_grams > 0)
+        .select("doc_id", F.explode(starts).alias("start"), F.col("toks"))
+        .select(
+            "doc_id",
+            "start",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("start"), n))).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1), F.lit(1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_pos = t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    totals = t.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("bigint").alias(
+            "n_removed_tokens"
+        ),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, top_k: int = 100, text_col: str = "text") -> DataFrame:
     """Corpus-wide adjacent character-pair frequencies over token
     occurrences — iteration 1 of BPE vocabulary training (Sennrich et

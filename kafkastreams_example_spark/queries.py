@@ -4069,6 +4069,46 @@ FROM tt LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_ngram_span_removal(spark, sf_dir):
+    """Exact-substring span REMOVAL (Lee et al. 2022 ExactSubstr,
+    second half): cut every cross-document duplicated 8-gram span and
+    return (doc_id, n_tokens, n_removed_tokens, cleaned_text) — the
+    operator a training-data pipeline runs after the ngram_span_dedup
+    signal. See functions/text.py::remove_duplicated_ngram_spans for
+    the covered-position contract and the no-all-pairs plan."""
+    from .functions.text import remove_duplicated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_ngram_spans(docs, n=8)
+
+
+SQL_NGRAM_SPAN_REMOVAL = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+tt AS (SELECT doc_id, toks, greatest(len(toks) - 7, 0) AS n_ngrams FROM t),
+g AS (SELECT doc_id, s,
+             md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS h
+      FROM tt, unnest(range(1, n_ngrams + 1)) AS u(s)),
+d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT doc_id, s + o AS pos
+        FROM g, unnest(range(0, 8)) AS v(o)
+        WHERE h IN (SELECT h FROM d)),
+tok AS (SELECT doc_id, toks[pos] AS tok, pos
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(pos)),
+kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+         FROM tok LEFT JOIN cov
+           ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         WHERE cov.pos IS NULL),
+re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+              string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed_tokens,
+       COALESCE(re.cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+"""
+
+
 def q_sequence_pack(spark, sf_dir):
     """Sequence packing for pretraining shards: documents are dealt to
     8 shards (doc_id % 8), deterministically shuffled within each shard
@@ -5803,6 +5843,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ngram_span_dedup": QuerySpec(
         q_ngram_span_dedup, SQL_NGRAM_SPAN_DEDUP, ("text", "dedup")
     ),
+    "ngram_span_removal": QuerySpec(
+        q_ngram_span_removal, SQL_NGRAM_SPAN_REMOVAL, ("text", "dedup", "pipeline")
+    ),
     "sequence_pack": QuerySpec(q_sequence_pack, SQL_SEQUENCE_PACK, ("text", "pipeline")),
     "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS, ("text",)),
     "quality_mix_sample": QuerySpec(
@@ -5872,7 +5915,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # CORRECTNESS_r0{1,2,3}.json latest-row ages as of round 4 — rotate
 # again next round.
 _GATE_ORDER = [
-    # — changed, fixed, or new in round 9: must (re-)evidence first —
+    # — changed or new in round 10: must (re-)evidence first —
+    "simhash_pairs",             # r10 changed: Manku banding is now the default
+    "ngram_span_removal",        # r10 new: ExactSubstr span cut (Lee et al. 2nd half)
+    # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
     "sql_q17_small_qty_revenue", # new: correlated scalar-agg subquery shape
@@ -5927,7 +5973,6 @@ _GATE_ORDER = [
     "value_histogram",
     "embedding_quantize",
     "simhash",
-    "simhash_pairs",
     "dedup_candidates_union",
     "kmeans_centroids",
     # — last driver evidence is r1 (49 entries): the 50-slot window

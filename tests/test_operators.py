@@ -1140,3 +1140,30 @@ def test_sample_bmp_frames_walker():
     m2 = sample_bmp_frames(b"".join(frames[:3]) + frames[3][:-4])
     assert m2["n_frames"] == 3 and m2["n_sampled"] == 2
     assert sample_bmp_frames(b"not a movie") is None
+
+
+def test_ngram_span_removal_cuts_shared_span_only(spark):
+    """Hand-built case: two docs share an 8-token span; the span must
+    be cut from BOTH docs (cut-everywhere contract) while every
+    non-shared token survives in order; a short (<8 tokens) doc passes
+    through untouched."""
+    from kafkastreams_example_spark.functions.text import (
+        remove_duplicated_ngram_spans,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one {shared} tail one"),
+            (2, f"prefix two two {shared} outro"),
+            (3, "tiny doc only"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_text"])
+        for r in remove_duplicated_ngram_spans(docs, n=8).collect()
+    }
+    assert got[1] == (12, 8, "intro one tail one")
+    assert got[2] == (12, 8, "prefix two two outro")
+    assert got[3] == (3, 0, "tiny doc only")

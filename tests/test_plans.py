@@ -430,6 +430,20 @@ def test_ngram_span_dedup_semi_join_no_fanout(spark):
     assert "LeftSemi" in plan
 
 
+def test_ngram_span_removal_no_allpairs(spark):
+    """Span removal must keep the dedup-signal shape (LEFT SEMI dup
+    probe), subtract coverage with a LEFT ANTI position join, and never
+    introduce an all-pairs term: no cartesian product, and the only
+    fan-outs are the linear gram/token explodes."""
+    from kafkastreams_example_spark.queries import q_ngram_span_removal
+
+    plan = plan_string(q_ngram_span_removal(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The salted plan must (a) join on the composite (key, salt) pair
     and (b) replicate the dim side via explode — the two ingredients
