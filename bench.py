@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "sql_q21_blame_supplier",
     "sql_q17_small_qty_revenue",
     "sql_q16_supplier_cnt",
+    "sql_q2_min_cost_supplier",
+    "sql_q20_excess_share_supplier",
+    "sql_q22_dormant_customers",
     "wav_pcm_stats",
     "bmp_pixel_stats",
     "cohort_retention",

@@ -1599,6 +1599,152 @@ def q_sql_q17_small_qty_revenue(spark, sf_dir):
 SQL_SQL_Q17_SMALL_QTY_REVENUE = _SQL_Q17_BODY
 
 
+# Q2 body shared verbatim by both engines: this testdata has no
+# partsupp, so lineitem is the part↔supplier bridge and the "supply
+# cost" analog is l_extendedprice — the STRUCTURE is exactly Q2's:
+# a correlated scalar MIN whose subquery is itself a 4-way join
+# (lineitem⋈supplier⋈nation⋈region) correlated on p_partkey, equality
+# against the outer 5-way join's price. MIN over doubles is exact (no
+# arithmetic), so the float-parity rules allow direct comparison.
+_SQL_Q2_BODY = """
+SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+       l.l_extendedprice AS supply_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_type = 'ECONOMY'
+  AND r.r_name = 'EUROPE'
+  AND l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def q_sql_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped (minimum-cost supplier per part within a region)
+    via the SQL API — the correlated-scalar-MIN-ACROSS-A-JOIN shape
+    that completes the decorrelation taxonomy next to Q17 (scalar agg
+    over ONE table) and Q21 (EXISTS/NOT EXISTS): here the correlated
+    scalar subquery contains its own multi-way join, so Catalyst must
+    decorrelate the whole join SUBTREE into a per-partkey min aggregate
+    joined back on (partkey, price) — never a per-outer-row re-plan of
+    a 4-way join (plan guard:
+    tests/test_plans.py::test_sql_q2_decorrelated_min_join). At 100 TB
+    the rewrite is the difference between 2 lineitem scans and 10⁹ of
+    them; dims broadcast, the top-100 compiles to
+    TakeOrderedAndProject. See _SQL_Q2_BODY for the partsupp →
+    lineitem adaptation."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q2_BODY)
+
+
+SQL_SQL_Q2_MIN_COST_SUPPLIER = _SQL_Q2_BODY
+
+
+# Q20 body shared verbatim: availqty > 0.5 * shipped-qty maps to
+# "supplier ships > 5% of a prefix-named part's total volume"
+# (integer-exact: 20·sum_sp > sum_total over integral quantities).
+# The nesting is exactly Q20's: IN (grouped fact subquery whose HAVING
+# carries a correlated scalar agg, itself filtered by IN (dimension
+# prefix scan)).
+_SQL_Q20_BODY = """
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'large%')
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING 20 * SUM(CAST(l.l_quantity AS BIGINT)) >
+             (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+ORDER BY s.s_name
+"""
+
+
+def q_sql_q20_excess_share_supplier(spark, sf_dir):
+    """TPC-H Q20-shaped (suppliers holding an outsized share of a named
+    part family) via the SQL API — the NESTED IN/semi CHAIN shape: an
+    IN whose subquery is a grouped aggregate over the fact table, which
+    itself filters by an IN over a dimension prefix scan AND carries a
+    correlated scalar aggregate in its HAVING. Catalyst must compile
+    the chain into stacked LEFT SEMI hash joins (supplier ⋉ grouped
+    lineitem ⋉ part) with the HAVING's correlated sum decorrelated into
+    a per-partkey aggregate joined back — no nested-loop subplans (plan
+    guard: tests/test_plans.py::test_sql_q20_semi_chain). The share
+    predicate is integer-exact (see _SQL_Q20_BODY); the part prefix
+    scan broadcasts, lineitem shuffles once per grouping key."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q20_BODY)
+
+
+SQL_SQL_Q20_EXCESS_SHARE_SUPPLIER = _SQL_Q20_BODY
+
+
+# Q22 body shared verbatim: c_phone's country code maps to the last
+# digit of c_name (substring cohort key), "no orders at all" maps to
+# "no orders since 1998-01-01" (every sf0.01 customer has SOME order —
+# the anti join would be vacuously empty), and the avg comparison is
+# decimal-exact via the multiply-through form bal·cnt > sum (AVG of
+# DECIMAL returns DOUBLE in DuckDB but DECIMAL in Spark — dividing
+# would diverge the engines at boundary rows).
+_SQL_Q22_BODY = """
+SELECT right(c.c_name, 1) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE right(c.c_name, 1) IN ('1','3','5','7','9')
+  AND CAST(c.c_acctbal AS DECIMAL(18,2)) *
+      (SELECT COUNT(*) FROM customer c2
+       WHERE CAST(c2.c_acctbal AS DECIMAL(18,2)) > 0
+         AND right(c2.c_name, 1) IN ('1','3','5','7','9'))
+    > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+       WHERE CAST(c2.c_acctbal AS DECIMAL(18,2)) > 0
+         AND right(c2.c_name, 1) IN ('1','3','5','7','9'))
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY right(c.c_name, 1)
+"""
+
+
+def q_sql_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22-shaped (well-funded customers gone dormant) via the
+    SQL API — the NOT EXISTS + UNCORRELATED-scalar-avg cohort shape
+    closing the subquery taxonomy: a substring cohort key, two
+    uncorrelated scalar aggregates over the cohort (executed ONCE and
+    broadcast as literals — unlike Q17/Q2's per-row correlated
+    lookups), and an anti join against a date-filtered fact subset.
+    Catalyst compiles the NOT EXISTS to a LEFT ANTI hash join on
+    custkey with the date predicate pushed INTO the orders scan (plan
+    guard: tests/test_plans.py::test_sql_q22_anti_join_scalar_cohort).
+    Comparisons are decimal-exact via multiply-through (see
+    _SQL_Q22_BODY)."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q22_BODY)
+
+
+SQL_SQL_Q22_DORMANT_CUSTOMERS = _SQL_Q22_BODY
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct). Sketch estimates
     differ across engines by design, so the raw estimate can't be
@@ -5742,6 +5888,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q16_supplier_cnt": QuerySpec(
         q_sql_q16_supplier_cnt, SQL_SQL_Q16_SUPPLIER_CNT, ("relational", "sql-api")
     ),
+    "sql_q2_min_cost_supplier": QuerySpec(
+        q_sql_q2_min_cost_supplier, SQL_SQL_Q2_MIN_COST_SUPPLIER, ("relational", "sql-api")
+    ),
+    "sql_q20_excess_share_supplier": QuerySpec(
+        q_sql_q20_excess_share_supplier,
+        SQL_SQL_Q20_EXCESS_SHARE_SUPPLIER,
+        ("relational", "sql-api"),
+    ),
+    "sql_q22_dormant_customers": QuerySpec(
+        q_sql_q22_dormant_customers, SQL_SQL_Q22_DORMANT_CUSTOMERS, ("relational", "sql-api")
+    ),
     "sql_q14_promo_revenue": QuerySpec(
         q_sql_q14_promo_revenue, SQL_SQL_Q14_PROMO_REVENUE, ("relational", "sql-api")
     ),
@@ -5918,6 +6075,9 @@ _GATE_ORDER = [
     # — changed or new in round 10: must (re-)evidence first —
     "simhash_pairs",             # r10 changed: Manku banding is now the default
     "ngram_span_removal",        # r10 new: ExactSubstr span cut (Lee et al. 2nd half)
+    "sql_q2_min_cost_supplier",  # r10 new: correlated scalar MIN across a join
+    "sql_q20_excess_share_supplier",  # r10 new: nested IN/semi chain
+    "sql_q22_dormant_customers", # r10 new: NOT EXISTS + scalar-avg cohort
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape

@@ -365,6 +365,54 @@ def test_knn_screened_is_bucketed_kernel(spark):
     assert plan.count("FileScan") <= 8, plan.count("FileScan")
 
 
+def test_sql_q2_decorrelated_min_join(spark):
+    """Q2's correlated scalar MIN contains its own 4-way join; Catalyst
+    must decorrelate the whole subtree into a per-partkey min aggregate
+    joined back on (partkey, price) — no per-row Subquery subplan — and
+    the top-100 must compile to TakeOrderedAndProject."""
+    from kafkastreams_example_spark.queries import q_sql_q2_min_cost_supplier
+
+    plan = plan_string(q_sql_q2_min_cost_supplier(spark, SF_DIR), "simple")
+    assert "min(l_extendedprice" in plan  # the decorrelated aggregate
+    assert "Subquery subquery" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q20_semi_chain(spark):
+    """Q20's nested IN chain must compile to stacked LEFT SEMI hash
+    joins (supplier ⋉ grouped lineitem, lineitem ⋉ part prefix scan)
+    with the HAVING's correlated per-part sum decorrelated into an
+    aggregate joined back under the share inequality — never a per-row
+    subplan."""
+    from kafkastreams_example_spark.queries import (
+        q_sql_q20_excess_share_supplier,
+    )
+
+    plan = plan_string(q_sql_q20_excess_share_supplier(spark, SF_DIR), "simple")
+    assert plan.count("LeftSemi") >= 2
+    assert "Subquery subquery" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_q22_anti_join_scalar_cohort(spark):
+    """Q22's NOT EXISTS must be a LEFT ANTI join on custkey with the
+    date predicate pushed into the orders scan; the two cohort
+    aggregates are UNCORRELATED scalar subqueries — executed once as
+    their own Subquery stages, which is the one legitimate Subquery
+    appearance in the tier (unlike the correlated shapes, where a
+    surviving Subquery node means per-row re-execution)."""
+    from kafkastreams_example_spark.plans.explain import assert_pushed_filters
+    from kafkastreams_example_spark.queries import q_sql_q22_dormant_customers
+
+    df = q_sql_q22_dormant_customers(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "LeftAnti" in plan
+    assert "Subquery subquery" in plan  # the one-shot cohort aggregates
+    assert "CartesianProduct" not in plan
+    assert_pushed_filters(df, "o_orderdate")
+
+
 def test_sql_q17_scalar_subquery_decorrelates(spark):
     """Both correlated scalar-aggregate subqueries (per-part count and
     sum) must decorrelate into per-part HashAggregate pairs joined back
