@@ -2893,48 +2893,22 @@ def q_graph_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    # persist the edge list once: every power iteration re-reads it for
-    # the contribution join, and without the persist each round re-runs
-    # the lineitem⋈orders join + distinct from parquet (the
-    # kmeans_centroids persist discipline; pre-fold the 1/outdeg weight
-    # so the loop joins ONE narrow frame instead of edges ⋈ deg)
+    # round 10: the power-iteration loop moved to functions/graph.py::
+    # pagerank — the generalized operator adds dangling-mass
+    # redistribution (a no-op here: every node of the doubled bipartite
+    # graph has outdegree ≥ 1, detected upfront so the loop stays
+    # 3-shuffle) and an iterate-until-converged mode (tol=...; this
+    # entry keeps tol=None + 3 fixed iterations so the oracle stays the
+    # unrolled CTE chain). teleport=0.15 passes the oracle's exact
+    # literal (1.0 − 0.85 is 0.15000000000000002 in IEEE — a 1-ulp seed
+    # divergence the parity discipline refuses on principle).
+    from .functions.graph import pagerank
+
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    wedges = (
-        edges.join(deg, "src")
-        .select("src", "dst", (1.0 / F.col("outdeg")).alias("w"))
-        .persist()
-    )
-    try:
-        # materialize the node list ONCE: it anchors the left join in
-        # every iteration, and without its own checkpoint each eager
-        # ranks checkpoint would re-derive nodes → deg → edges → pairs
-        # all the way from parquet (the cost the wedges persist exists
-        # to avoid); n then comes from the materialized frame for free
-        nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
-        n = nodes.count()
-        ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
-        for _ in range(3):
-            contrib = (
-                wedges.join(ranks, wedges["src"] == ranks["node"])
-                .select("dst", (F.col("r") * F.col("w")).alias("m"))
-                .groupBy("dst")
-                .agg(F.sum("m").alias("acc"))
-            )
-            ranks = (
-                nodes.join(contrib, F.col("node") == F.col("dst"), "left")
-                .select(
-                    "node",
-                    (F.lit(0.15 / n) + 0.85 * F.coalesce(F.col("acc"), F.lit(0.0))).alias("r"),
-                )
-                .localCheckpoint(eager=True)
-            )
-    finally:
-        # per-round eager checkpoints cut ranks' lineage from wedges,
-        # so the cache can always be dropped (the kmeans pattern)
-        wedges.unpersist()
+    ranks = pagerank(edges, iters=3, teleport=0.15)
+    n = ranks.count()
     return ranks.select("node", F.round(F.col("r") * n, 6).alias("scaled_rank"))
 
 
@@ -6078,13 +6052,13 @@ _GATE_ORDER = [
     "sql_q2_min_cost_supplier",  # r10 new: correlated scalar MIN across a join
     "sql_q20_excess_share_supplier",  # r10 new: nested IN/semi chain
     "sql_q22_dormant_customers", # r10 new: NOT EXISTS + scalar-avg cohort
+    "graph_pagerank",            # r10 changed: delegates to functions/graph.py::pagerank
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
     "sql_q17_small_qty_revenue", # new: correlated scalar-agg subquery shape
     "cohort_retention",          # new: cohort retention matrix
     "scd2_merge",                # new: SCD type-2 dimension merge
-    "graph_pagerank",            # new: 3-iteration PageRank, unrolled oracle
     "simhash_pairs_4band",       # r10: the 4x15 banding, demoted to teaching contrast
     "sql_q16_supplier_cnt",      # new: NOT IN -> null-aware anti join
     "bmp_resize",                # new: real nearest-neighbor pixel resize

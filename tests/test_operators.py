@@ -1167,3 +1167,46 @@ def test_ngram_span_removal_cuts_shared_span_only(spark):
     assert got[1] == (12, 8, "intro one tail one")
     assert got[2] == (12, 8, "prefix two two outro")
     assert got[3] == (3, 0, "tiny doc only")
+
+
+def test_pagerank_sinks_sum_to_one(spark):
+    """Dangling-mass property: on a graph WITH sinks the ranks must
+    still sum to 1 (mass redistributed uniformly each round, not
+    leaked) and match a numpy power-iteration reference per node."""
+    import numpy as np
+
+    from kafkastreams_example_spark.functions.graph import pagerank
+
+    # 0→1, 0→2, 1→2, 3→0 ; node 2 is a sink
+    edge_list = [(0, 1), (0, 2), (1, 2), (3, 0)]
+    edges = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+    got = {r["node"]: r["r"] for r in pagerank(edges, iters=7).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    d, n = 0.85, 4
+    r = np.full(n, 1.0 / n)
+    out = {0: [1, 2], 1: [2], 3: [0]}
+    for _ in range(7):
+        nxt = np.full(n, (1.0 - d) / n)
+        dmass = r[2]  # the sink
+        for s, ds in out.items():
+            for t in ds:
+                nxt[t] += d * r[s] / len(ds)
+        nxt += d * dmass / n
+        r = nxt
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_pagerank_converges_under_tol(spark):
+    """tol mode must stop early once the L1 delta drops below tol and
+    agree with a long fixed run to within that tolerance."""
+    from kafkastreams_example_spark.functions.graph import pagerank
+
+    edge_list = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(edge_list, "src BIGINT, dst BIGINT")
+    fixed = {r["node"]: r["r"] for r in pagerank(edges, iters=60).collect()}
+    tol = {r["node"]: r["r"] for r in pagerank(edges, iters=60, tol=1e-10).collect()}
+    assert set(fixed) == set(tol)
+    for k in fixed:
+        assert abs(fixed[k] - tol[k]) < 1e-8, (k, fixed[k], tol[k])
