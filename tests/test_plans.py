@@ -492,6 +492,23 @@ def test_ngram_span_removal_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_scd2_merge_single_full_outer_no_global_sort(spark):
+    """SCD2 merge must be exactly ONE full-outer change-detection join
+    (a hash exchange per side, the declared cost) with no global range
+    sort anywhere — the r9 probe's 4.4x-at-30x reading is join/output
+    growth, and this pins that no second pass or sort ever creeps in."""
+    import re
+
+    from kafkastreams_example_spark.queries import q_scd2_merge
+
+    plan = plan_string(q_scd2_merge(spark, SF_DIR), "simple")
+    assert plan.count("FullOuter") == 1
+    assert "rangepartitioning" not in plan
+    # two hash exchanges feed the join (one per side); nothing else
+    # about the shape may shuffle the dimension again
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The salted plan must (a) join on the composite (key, salt) pair
     and (b) replicate the dim side via explode — the two ingredients
