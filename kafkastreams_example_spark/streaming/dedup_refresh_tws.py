@@ -12,7 +12,10 @@ re-derived from the reference DeduplicationTransformer
 
 Availability: the Python StatefulProcessor worker path requires
 protobuf (state-server messages are proto-encoded). This sandbox ships
-no protobuf, so the module degrades to a guarded factory:
+no protobuf and has no package-index network access (pip install AND
+pip download both fail on DNS — re-verified rounds 9 and 10, so a
+vendored wheel is also unobtainable here), so the module degrades to a
+guarded factory:
 ``tws_available()`` reports (usable, reason) and
 ``dedup_refresh_stream_tws`` raises a clear RuntimeError when the
 runtime can't execute it — callers fall back to
