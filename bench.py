@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "sql_q2_min_cost_supplier",
     "sql_q20_excess_share_supplier",
     "sql_q22_dormant_customers",
+    "sql_q13_order_distribution",
+    "sql_q15_top_supplier",
+    "sql_q19_disjunct_revenue",
+    "gopher_rules",
     "wav_pcm_stats",
     "bmp_pixel_stats",
     "cohort_retention",

@@ -154,6 +154,53 @@ def duplicated_ngram_stats(
     )
 
 
+def gopher_quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality RULES (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", appendix A1.1 quality heuristics) —
+    the accept/reject tier that runs BEFORE expensive pipeline stages,
+    complementing text_quality's continuous scores with the hard
+    pass/fail contract a filtering pipeline actually branches on.
+
+    Rules (thresholds calibrated to this corpus's 10-99-token synthetic
+    docs so both outcomes exist; the paper's 50-100k-word bounds are
+    web-document calibrations of the same rule shapes):
+      - word_count_ok:    30 ≤ n_tokens ≤ 80
+      - mean_len_ok:      4.2 ≤ mean token length ≤ 4.8
+      - stopwords_ok:     ≥ 2 stopword occurrences
+      - repetition_ok:    type-token ratio ≥ 0.5 (the paper's
+                          duplicate-n-gram-fraction family)
+    All arithmetic is a single integer-sum / integer-count division per
+    signal (one IEEE op — engine-exact); passes = every rule holds,
+    n_failed counts violations for triage dashboards. Plan: one narrow
+    projection over the scan, no shuffle at all — the cheapest possible
+    full-corpus pass, which is the point of a gate that fronts 100 TB."""
+    toks = tokenize(text_col)
+    n_tok = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+        / n_tok
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    rules = {
+        "word_count_ok": (n_tok >= 30) & (n_tok <= 80),
+        "mean_len_ok": (mean_len >= 4.2) & (mean_len <= 4.8),
+        "stopwords_ok": n_stop >= 2,
+        "repetition_ok": ttr >= 0.5,
+    }
+    n_failed = sum(
+        (~c).cast("int") for c in rules.values()
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        *[c.alias(n) for n, c in rules.items()],
+        n_failed.cast("int").alias("n_failed"),
+        (n_failed == 0).alias("passes"),
+    )
+
+
 def remove_duplicated_ngram_spans(
     docs: DataFrame, n: int = 8, text_col: str = "text"
 ) -> DataFrame:

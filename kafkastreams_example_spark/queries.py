@@ -1745,6 +1745,115 @@ def q_sql_q22_dormant_customers(spark, sf_dir):
 SQL_SQL_Q22_DORMANT_CUSTOMERS = _SQL_Q22_BODY
 
 
+# Q13 body shared verbatim: the priority exclusion lives INSIDE the
+# outer-join condition (the Q13 trick — a WHERE would turn the outer
+# join inner and drop order-less customers from the histogram). No
+# ORDER BY: the histogram is a set, and a global sort of it would be
+# the one scale-hostile operator in an otherwise two-agg plan.
+_SQL_Q13_BODY = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+"""
+
+
+def q_sql_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped (customer order-count distribution) via the SQL
+    API — the OUTER-JOIN-AGGREGATION histogram shape: customers LEFT
+    OUTER joined to a predicate-filtered orders side (the filter is
+    part of the JOIN CONDITION so zero-order customers survive with
+    count 0), counted per customer, then re-aggregated into the
+    distribution. Two chained aggregations over one join — the
+    double-shuffle pattern every engagement/frequency histogram uses;
+    the second aggregate's input is already tiny (one row per
+    customer). Plan guard pins the LeftOuter join and the absence of
+    any global sort."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q13_BODY)
+
+
+SQL_SQL_Q13_ORDER_DISTRIBUTION = _SQL_Q13_BODY
+
+
+# Q15 body shared verbatim: the revenue view is decimal-from-source
+# (the float discipline), so the MAX-equality against it is EXACT in
+# both engines — the one comparison class where "= (SELECT MAX(...))"
+# is engine-safe; the double cast happens only at the output boundary.
+_SQL_Q15_BODY = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_sql_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15-shaped (top supplier by quarterly revenue) via the SQL
+    API — the DERIVED-VIEW + scalar-MAX-equality shape: a grouped
+    revenue view consumed twice, once as the join input and once under
+    an uncorrelated MAX scalar subquery, keeping ALL ties (the original
+    query's view semantics, which a LIMIT 1 would break). The
+    comparison is exact because the view sums decimals from source
+    columns (see _SQL_Q15_BODY); Catalyst evaluates the scalar subquery
+    once and broadcasts the literal into the filter. Plan guard pins
+    the one-shot Subquery and the pushed shipdate range."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q15_BODY)
+
+
+SQL_SQL_Q15_TOP_SUPPLIER = _SQL_Q15_BODY
+
+
+# Q19 body shared verbatim: three brand/size/quantity disjuncts spanning
+# BOTH join sides — the OR-predicate pushdown stress shape.
+_SQL_Q19_BODY = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20 AND l.l_returnflag = 'N')
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 35 AND l.l_returnflag = 'R')
+   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+"""
+
+
+def q_sql_q19_disjunct_revenue(spark, sf_dir):
+    """TPC-H Q19-shaped (discounted revenue under brand/size/quantity
+    disjuncts) via the SQL API — the DISJUNCTIVE-predicate shape: three
+    OR'd conjunctions each constraining BOTH join sides. What matters
+    at 100 TB is per-side predicate extraction: Catalyst must derive
+    the single-table implications of the OR (the union of each side's
+    disjunct ranges) and push them into BOTH scans, so the join sees
+    pre-filtered inputs instead of evaluating the full disjunction on
+    the cross of full tables (plan guard:
+    tests/test_plans.py::test_sql_q19_disjunct_pushdown). Revenue is
+    decimal-from-source with the double cast at the boundary."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q19_BODY)
+
+
+SQL_SQL_Q19_DISJUNCT_REVENUE = _SQL_Q19_BODY
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct). Sketch estimates
     differ across engines by design, so the raw estimate can't be
@@ -4189,6 +4298,45 @@ FROM tt LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style hard quality gate (Rae et al. 2021): per-doc rule
+    flags + pass verdict — the branch-on filter tier in front of every
+    expensive stage. One shuffle-free projection over the scan; see
+    functions/text.py::gopher_quality_rules for rules and calibration."""
+    from .functions.text import gopher_quality_rules
+
+    return gopher_quality_rules(load_table(spark, sf_dir, "documents"))
+
+
+SQL_GOPHER_RULES = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n_tok,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS DOUBLE) / len(toks) AS mean_len,
+             len(list_filter(toks, x -> x IN
+                 ('the','a','of','and','to','in','is','it'))) AS n_stop,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+      FROM t),
+r AS (SELECT doc_id, n_tok, mean_len,
+             (n_tok >= 30 AND n_tok <= 80) AS word_count_ok,
+             (mean_len >= 4.2 AND mean_len <= 4.8) AS mean_len_ok,
+             (n_stop >= 2) AS stopwords_ok,
+             (ttr >= 0.5) AS repetition_ok
+      FROM m)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       round(mean_len, 6) AS mean_token_len,
+       word_count_ok, mean_len_ok, stopwords_ok, repetition_ok,
+       CAST((NOT word_count_ok)::INT + (NOT mean_len_ok)::INT
+            + (NOT stopwords_ok)::INT + (NOT repetition_ok)::INT AS INT)
+         AS n_failed,
+       (word_count_ok AND mean_len_ok AND stopwords_ok AND repetition_ok)
+         AS passes
+FROM r
+"""
+
+
 def q_ngram_span_removal(spark, sf_dir):
     """Exact-substring span REMOVAL (Lee et al. 2022 ExactSubstr,
     second half): cut every cross-document duplicated 8-gram span and
@@ -5873,6 +6021,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q22_dormant_customers": QuerySpec(
         q_sql_q22_dormant_customers, SQL_SQL_Q22_DORMANT_CUSTOMERS, ("relational", "sql-api")
     ),
+    "sql_q13_order_distribution": QuerySpec(
+        q_sql_q13_order_distribution,
+        SQL_SQL_Q13_ORDER_DISTRIBUTION,
+        ("relational", "sql-api"),
+    ),
+    "sql_q15_top_supplier": QuerySpec(
+        q_sql_q15_top_supplier, SQL_SQL_Q15_TOP_SUPPLIER, ("relational", "sql-api")
+    ),
+    "sql_q19_disjunct_revenue": QuerySpec(
+        q_sql_q19_disjunct_revenue, SQL_SQL_Q19_DISJUNCT_REVENUE, ("relational", "sql-api")
+    ),
     "sql_q14_promo_revenue": QuerySpec(
         q_sql_q14_promo_revenue, SQL_SQL_Q14_PROMO_REVENUE, ("relational", "sql-api")
     ),
@@ -5977,6 +6136,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ngram_span_removal": QuerySpec(
         q_ngram_span_removal, SQL_NGRAM_SPAN_REMOVAL, ("text", "dedup", "pipeline")
     ),
+    "gopher_rules": QuerySpec(
+        q_gopher_rules, SQL_GOPHER_RULES, ("text", "pipeline")
+    ),
     "sequence_pack": QuerySpec(q_sequence_pack, SQL_SEQUENCE_PACK, ("text", "pipeline")),
     "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS, ("text",)),
     "quality_mix_sample": QuerySpec(
@@ -6053,6 +6215,10 @@ _GATE_ORDER = [
     "sql_q20_excess_share_supplier",  # r10 new: nested IN/semi chain
     "sql_q22_dormant_customers", # r10 new: NOT EXISTS + scalar-avg cohort
     "graph_pagerank",            # r10 changed: delegates to functions/graph.py::pagerank
+    "gopher_rules",              # r10 new: Gopher hard quality gate (Rae et al. 2021)
+    "sql_q13_order_distribution",  # r10 new: outer-join-aggregation histogram
+    "sql_q15_top_supplier",      # r10 new: derived view + scalar-max equality
+    "sql_q19_disjunct_revenue",  # r10 new: disjunctive predicate pushdown
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape

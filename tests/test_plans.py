@@ -492,6 +492,45 @@ def test_ngram_span_removal_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sql_q13_outer_join_histogram_no_sort(spark):
+    """Q13's histogram must keep the LEFT OUTER join (the priority
+    exclusion lives in the join condition — an inner join would drop
+    zero-order customers) and contain no global range sort."""
+    from kafkastreams_example_spark.queries import q_sql_q13_order_distribution
+
+    plan = plan_string(q_sql_q13_order_distribution(spark, SF_DIR), "simple")
+    assert "LeftOuter" in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("HashAggregate") >= 4  # two two-phase aggregations
+
+
+def test_sql_q15_scalar_max_and_pushdown(spark):
+    """Q15's MAX-equality must be a one-shot uncorrelated scalar
+    Subquery (evaluated once, broadcast as a literal) and the quarter
+    range must reach the lineitem scan."""
+    from kafkastreams_example_spark.plans.explain import assert_pushed_filters
+    from kafkastreams_example_spark.queries import q_sql_q15_top_supplier
+
+    df = q_sql_q15_top_supplier(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "Subquery subquery" in plan
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_sql_q19_disjunct_pushdown(spark):
+    """Q19's OR-of-conjunctions spans both join sides; Catalyst must
+    extract each side's single-table implication and push it into that
+    side's scan, so neither table is scanned unfiltered."""
+    from kafkastreams_example_spark.queries import q_sql_q19_disjunct_revenue
+
+    plan = plan_string(q_sql_q19_disjunct_revenue(spark, SF_DIR), "simple")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    joined = "\n".join(pushed)
+    assert "p_brand" in joined, joined   # part-side OR implication pushed
+    assert "l_quantity" in joined, joined  # lineitem-side OR implication pushed
+    assert "CartesianProduct" not in plan
+
+
 def test_scd2_merge_single_full_outer_no_global_sort(spark):
     """SCD2 merge must be exactly ONE full-outer change-detection join
     (a hash exchange per side, the declared cost) with no global range
