@@ -201,6 +201,35 @@ def main() -> None:
         record["loaded"] = True
     print(json.dumps(record))
     spark.stop()
+    _warn_untracked_artifacts()
+
+
+def _warn_untracked_artifacts() -> None:
+    """Round-evidence hygiene (a four-time verdict repeat): BENCH_r*/
+    CORRECTNESS_r* files sitting untracked at round end read as missing
+    evidence — remind whoever ran this to commit them immediately."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+            cwd=str(Path(__file__).resolve().parent),
+        ).stdout
+    except Exception:
+        return
+    loose = [
+        ln.split()[-1]
+        for ln in out.splitlines()
+        if ln.startswith("??")
+        and ("BENCH_r" in ln or "CORRECTNESS_r" in ln or "BENCH_STREAMING_r" in ln)
+    ]
+    if loose:
+        print(
+            f"REMINDER: untracked round artifacts {loose} — "
+            f"`git add` and commit them with this run.",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -4298,6 +4298,54 @@ FROM tt LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split — the last step before a
+    corpus ships to training: each doc lands in a split by a hash of
+    its id (md5 → first 8 hex chars → bucket mod 100; <80 train,
+    <90 val, else test). Hash-based, not random: reproducible across
+    runs, engines, and partitionings (a rand() split is none of those),
+    and adding documents never moves existing ones between splits — the
+    property that keeps eval sets uncontaminated as the corpus grows.
+    Emits per-doc assignment plus the split-level counts as a windowed
+    total so one query serves both the manifest and the sanity check.
+    Plan: one narrow projection + one tiny (3-group) aggregate joined
+    back broadcast — no full-corpus shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    assigned = docs.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    totals = assigned.groupBy("split").agg(F.count("*").alias("split_size"))
+    return assigned.join(F.broadcast(totals), "split").select(
+        "doc_id", "bucket", "split", "split_size"
+    )
+
+
+SQL_DATASET_SPLIT = """
+WITH a AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS INT) AS bucket
+  FROM documents),
+s AS (SELECT doc_id, bucket,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM a),
+t AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS split_size FROM s GROUP BY split)
+SELECT s.doc_id, s.bucket, s.split, t.split_size
+FROM s JOIN t ON s.split = t.split
+"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher-style hard quality gate (Rae et al. 2021): per-doc rule
     flags + pass verdict — the branch-on filter tier in front of every
@@ -6139,6 +6187,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "gopher_rules": QuerySpec(
         q_gopher_rules, SQL_GOPHER_RULES, ("text", "pipeline")
     ),
+    "dataset_split": QuerySpec(
+        q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")
+    ),
     "sequence_pack": QuerySpec(q_sequence_pack, SQL_SEQUENCE_PACK, ("text", "pipeline")),
     "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS, ("text",)),
     "quality_mix_sample": QuerySpec(
@@ -6219,6 +6270,7 @@ _GATE_ORDER = [
     "sql_q13_order_distribution",  # r10 new: outer-join-aggregation histogram
     "sql_q15_top_supplier",      # r10 new: derived view + scalar-max equality
     "sql_q19_disjunct_revenue",  # r10 new: disjunctive predicate pushdown
+    "dataset_split",             # r10 new: deterministic hash-based split manifest
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape

@@ -170,6 +170,22 @@ ROUND9_FAMILY = [
     "simhash_pairs_4band",
 ]
 
+# round-10 additions. ngram_span_removal is the output-heaviest (it
+# re-materializes cleaned text per doc — output ∝ corpus by contract);
+# the SQL shapes scale their fact sides while part/nation/region stay
+# 1x symlinks (dimension-stable, the realistic growth mode).
+ROUND10_FAMILY = [
+    "ngram_span_removal",
+    "gopher_rules",
+    "dataset_split",
+    "sql_q2_min_cost_supplier",
+    "sql_q20_excess_share_supplier",
+    "sql_q22_dormant_customers",
+    "sql_q13_order_distribution",
+    "sql_q15_top_supplier",
+    "sql_q19_disjunct_revenue",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -488,6 +504,8 @@ if __name__ == "__main__":
             fam = ROUND8_FAMILY
         elif "r9" in sys.argv[2:]:
             fam = ROUND9_FAMILY
+        elif "r10" in sys.argv[2:]:
+            fam = ROUND10_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
