@@ -3482,29 +3482,6 @@ FROM a{final} GROUP BY cent_id
     )
 
 
-def q_dataset_split(spark, sf_dir):
-    """Deterministic train/val/test split by content hash — the
-    portable, rerun-stable alternative to RNG sampling for corpus
-    pipelines (md5 of doc id, mod 10: 8/1/1 split)."""
-    docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 10
-    split = (
-        F.when(h <= 7, "train").when(h == 8, "val").otherwise("test")
-    )
-    return docs.select("doc_id", split.alias("split"))
-
-
-SQL_DATASET_SPLIT = """
-SELECT doc_id,
-  CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split
-FROM (SELECT doc_id,
-        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS h
-      FROM documents)
-"""
-
-
 def q_activity_streaks(spark, sf_dir):
     """Gaps-and-islands: per-user consecutive-active-day streaks via the
     classic day − row_number island key (no self-join, no recursion —
@@ -4299,7 +4276,8 @@ FROM tt LEFT JOIN pd USING (doc_id)
 
 
 def q_dataset_split(spark, sf_dir):
-    """Deterministic train/val/test split — the last step before a
+    """Deterministic train/val/test split (round 10 upgrade of the
+    original mod-10 8/1/1 form) — the last step before a
     corpus ships to training: each doc lands in a split by a hash of
     its id (md5 → first 8 hex chars → bucket mod 100; <80 train,
     <90 val, else test). Hash-based, not random: reproducible across
@@ -6206,7 +6184,6 @@ REGISTRY: dict[str, QuerySpec] = {
         q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, ("similarity", "pipeline")
     ),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
-    "dataset_split": QuerySpec(q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
     "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),
     # multimodal
@@ -6270,7 +6247,7 @@ _GATE_ORDER = [
     "sql_q13_order_distribution",  # r10 new: outer-join-aggregation histogram
     "sql_q15_top_supplier",      # r10 new: derived view + scalar-max equality
     "sql_q19_disjunct_revenue",  # r10 new: disjunctive predicate pushdown
-    "dataset_split",             # r10 new: deterministic hash-based split manifest
+    "dataset_split",             # r10 changed: mod-100 buckets + split sizes (was mod-10)
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
@@ -6394,7 +6371,6 @@ _GATE_ORDER = [
     "media_features",
     "text_stats",
     "udf_normalize",
-    "dataset_split",
     "doc_fingerprint",
     "bit_aggs",
     "dedup_exact_docs",
