@@ -1672,7 +1672,6 @@ WHERE r.r_name = 'ASIA'
       HAVING 20 * SUM(CAST(l.l_quantity AS BIGINT)) >
              (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
               FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
-ORDER BY s.s_name
 """
 
 

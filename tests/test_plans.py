@@ -393,6 +393,10 @@ def test_sql_q20_semi_chain(spark):
     assert plan.count("LeftSemi") >= 2
     assert "Subquery subquery" not in plan
     assert "CartesianProduct" not in plan
+    # r10 plan-audit catch: the original body carried an unlimited
+    # ORDER BY s_name — a global range sort of the result. Output is a
+    # set; no range partitioning may appear.
+    assert "rangepartitioning" not in plan
 
 
 def test_sql_q22_anti_join_scalar_cohort(spark):
