@@ -5514,70 +5514,10 @@ def q_bpe_train_merges(spark, sf_dir):
     for 4 rounds; plan-guarded at ≤1 in tests/test_plans.py). Oracle
     replays training with per-round recursive-CTE merge walks over
     materialized vocab stages."""
-    from .functions.text import tokenize
+    from .functions.text import bpe_train_vocab
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(tokenize("text")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("weight"))
-        .withColumn(
-            "syms", F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-        )
-        .localCheckpoint(eager=True)
-    )
-    bests = []
-    for r in range(1, 5):
-        pairs = (
-            vocab.select(
-                "weight",
-                F.explode(
-                    F.expr(
-                        "transform(slice(syms, 1, size(syms)-1),"
-                        " (s, i) -> struct(s AS pa, syms[i+1] AS pb))"
-                    )
-                ).alias("pr"),
-            )
-            .groupBy("pr.pa", "pr.pb")
-            .agg(F.sum("weight").alias("w"))
-        )
-        best = (
-            pairs.agg(
-                F.min(F.struct((-F.col("w")).alias("nw"), "pa", "pb")).alias("m")
-            )
-            .select(
-                F.col("m.pa").alias("pa"),
-                F.col("m.pb").alias("pb"),
-                (-F.col("m.nw")).alias("w"),
-            )
-            # a round with NO pairs (vocabulary exhausted to single
-            # symbols) must END training, matching the oracle whose
-            # `LIMIT 1` over an empty pair set emits nothing — without
-            # this, min() over the empty frame fabricates a NULL merge
-            # row and the engines diverge on row count. The filter
-            # makes the checkpointed frame genuinely empty then.
-            .filter(F.col("pa").isNotNull())
-            .localCheckpoint(eager=True)
-        )
-        if best.count() == 0:  # same acknowledged-action class as the
-            break              # adaptive-C count(); frame is checkpointed
-        bests.append(
-            best.select(
-                F.lit(r).alias("merge_rank"),
-                F.col("pa").alias("left_sym"),
-                F.col("pb").alias("right_sym"),
-                F.col("w").alias("weight"),
-            )
-        )
-        from .functions.text import bpe_greedy_merge
-
-        vocab = (
-            vocab.crossJoin(F.broadcast(best))
-            .withColumn(
-                "syms", bpe_greedy_merge(F.col("syms"), F.col("pa"), F.col("pb"))
-            )
-            .select("word", "weight", "syms")
-        )
+    bests, _vocab = bpe_train_vocab(docs, n_merges=4)
     if not bests:  # vocabulary was single symbols from the start
         return spark.createDataFrame(
             [], "merge_rank INT, left_sym STRING, right_sym STRING, weight BIGINT"
@@ -5637,6 +5577,70 @@ vocab0 AS MATERIALIZED (
 {','.join(ctes)}
 {selects}
 """
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION — train the 4-round merge table
+    (functions/text.py::bpe_train_vocab, the q_bpe_train_merges loop)
+    and ENCODE the corpus with it: per document, the raw token count,
+    the BPE-symbol count after all merges, and symbols-per-word — the
+    operator a pipeline runs to budget sequence lengths with the
+    tokenizer it just trained (token counting with a REAL trained
+    tokenizer, not the whitespace proxy).
+
+    Plan: per-word symbol counts live on the DISTINCT-word vocabulary
+    frame (the merge fold cost is vocabulary-sized); the corpus-sized
+    work is one explode + one equi-join on word + one per-doc agg. The
+    vocabulary joins as a plain equi-join (AQE may broadcast it at this
+    SF from stats; never forced — a 100 TB corpus's vocabulary is
+    bounded but not driver-bounded). syms_per_word is one IEEE division
+    of two exact ints — engine-identical. Oracle: the bpe_train_merges
+    unrolled recursive-CTE training walk, extended with the token →
+    vocab4 join and per-doc aggregation."""
+    from .functions.text import bpe_train_vocab, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    _bests, vocab = bpe_train_vocab(docs, n_merges=4)
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
+    enc = toks.join(vocab.select("word", F.size("syms").alias("n_syms")), "word")
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+                "syms_per_word"
+            ),
+        )
+    )
+
+
+def _sql_bpe_encode(n_merges: int = 4) -> str:
+    """Oracle for q_bpe_encode: reuse the bpe_train_merges recursive-
+    CTE training walk through vocab{n}, then swap the merge-table
+    SELECT for the token->vocab join + per-doc aggregation."""
+    train = _sql_bpe_train_merges(n_merges)
+    cut = "SELECT 1 AS merge_rank"
+    assert cut in train
+    with_block = train[: train.index(cut)].rstrip()
+    assert with_block.endswith(")")
+    return (
+        with_block
+        + ",\ntok AS (SELECT doc_id, unnest("
+        + _TOK
+        + ") AS word FROM documents)\n"
+        + "SELECT t.doc_id,\n"
+        + "  CAST(COUNT(*) AS BIGINT) AS n_words,\n"
+        + "  CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens,\n"
+        + "  CAST(SUM(len(v.syms)) AS DOUBLE) / COUNT(*) AS syms_per_word\n"
+        + f"FROM tok t JOIN vocab{n_merges} v ON t.word = v.word\n"
+        + "GROUP BY t.doc_id\n"
+    )
 
 
 def q_zorder_layout(spark, sf_dir):
@@ -6208,6 +6212,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bpe_train_merges": QuerySpec(
         q_bpe_train_merges, _sql_bpe_train_merges(), ("text", "iterative")
     ),
+    "bpe_encode": QuerySpec(
+        q_bpe_encode, _sql_bpe_encode(), ("text", "iterative", "pipeline")
+    ),
     "zorder_layout": QuerySpec(
         q_zorder_layout, SQL_ZORDER_LAYOUT, ("relational", "maintenance")
     ),
@@ -6247,6 +6254,7 @@ _GATE_ORDER = [
     "sql_q15_top_supplier",      # r10 new: derived view + scalar-max equality
     "sql_q19_disjunct_revenue",  # r10 new: disjunctive predicate pushdown
     "dataset_split",             # r10 changed: mod-100 buckets + split sizes (was mod-10)
+    "bpe_encode",                # r10 new: corpus encoding with the trained BPE merges
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
