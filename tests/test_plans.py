@@ -482,6 +482,16 @@ def test_ngram_span_dedup_semi_join_no_fanout(spark):
     assert "LeftSemi" in plan
 
 
+def test_gopher_rules_shuffle_free(spark):
+    """The hard quality gate fronts every expensive stage at 100 TB —
+    it must stay a single narrow projection over the scan: zero
+    exchanges, zero joins."""
+    from kafkastreams_example_spark.plans.explain import assert_no_shuffle
+    from kafkastreams_example_spark.queries import q_gopher_rules
+
+    assert_no_shuffle(q_gopher_rules(spark, SF_DIR))
+
+
 def test_ngram_span_removal_no_allpairs(spark):
     """Span removal must keep the dedup-signal shape (LEFT SEMI dup
     probe), subtract coverage with a LEFT ANTI position join, and never
