@@ -1210,3 +1210,47 @@ def test_pagerank_converges_under_tol(spark):
     assert set(fixed) == set(tol)
     for k in fixed:
         assert abs(fixed[k] - tol[k]) < 1e-8, (k, fixed[k], tol[k])
+
+
+def test_ngram_span_removal_matches_python_reference(spark):
+    """Third-engine check (the doc_chunking discipline): recompute the
+    covered-position contract in plain Python — an n-gram is duplicated
+    iff it occurs in ≥2 distinct docs; a position is covered iff inside
+    any such window — and compare cleaned outputs exactly. Catches
+    off-by-one window bugs the DuckDB oracle could share."""
+    import re
+    from collections import defaultdict
+
+    from kafkastreams_example_spark.functions.text import (
+        remove_duplicated_ngram_spans,
+    )
+    from kafkastreams_example_spark.sources.tables import load_table
+
+    n = 8
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").limit(120).collect()
+    }
+    toks = {d: re.findall("[a-z0-9]+", t.lower()) for d, t in docs.items()}
+    gram_docs = defaultdict(set)
+    for d, ts in toks.items():
+        for s in range(len(ts) - n + 1):
+            gram_docs[tuple(ts[s : s + n])].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    expected = {}
+    for d, ts in toks.items():
+        covered = set()
+        for s in range(len(ts) - n + 1):
+            if tuple(ts[s : s + n]) in dup:
+                covered.update(range(s, s + n))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        expected[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+
+    sub = spark.createDataFrame(
+        [(d, docs[d]) for d in docs], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["cleaned_text"])
+        for r in remove_duplicated_ngram_spans(sub, n=n).collect()
+    }
+    assert got == expected
