@@ -1988,6 +1988,7 @@ FROM orders GROUP BY o_orderstatus
 # --------------------------------------------------------------------------
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_TOK_S2 = _TOK  # same tokenizer; resolves `text` from the enclosing CTE
 
 
 def q_text_stats(spark, sf_dir):
@@ -4362,6 +4363,111 @@ FROM r
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Corpus-curation FUNNEL — the survivor-count telemetry every
+    training-data pipeline dashboards: raw → Gopher hard gate →
+    exact dedup (min-doc per normalized fingerprint) → MinHash near-dup
+    removal, one row per stage with count and fraction-of-raw. The
+    stages are the registry's own operators composed in their
+    production order (gopher_rules, doc_fingerprint's normalization,
+    minhash_lsh_pairs), so the funnel doubles as an integration check
+    that the gates agree on one corpus. pct_of_raw is one IEEE division
+    of two exact counts — engine-identical.
+
+    Plan note: each stage's count re-derives its predecessors (the
+    lineage recomputes — ~4 passes over the scan at this telemetry
+    query's size); a production run materializes each stage to a table
+    as it filters, and this entry exists to pin the composed SEMANTICS,
+    which is what the oracle replays stage by stage."""
+    from pyspark.sql import Window
+
+    from .functions.dedup_approx import minhash_lsh_pairs
+    from .functions.text import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    passed = gopher_quality_rules(docs).filter(F.col("passes")).select("doc_id")
+    s1 = docs.join(passed, "doc_id")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    dropped = (
+        minhash_lsh_pairs(s2).select(F.col("id_b").alias("doc_id")).distinct()
+    )
+    s3 = s2.join(dropped, "doc_id", "left_anti")
+
+    def cnt(stage, name, df):
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+
+    counts = (
+        cnt(0, "raw", docs)
+        .unionAll(cnt(1, "gopher_pass", s1))
+        .unionAll(cnt(2, "exact_dedup", s2))
+        .unionAll(cnt(3, "near_dedup", s3))
+    )
+    total = docs.agg(F.count("*").cast("bigint").alias("__raw"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "stage",
+        "stage_name",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("__raw")).alias("pct_of_raw"),
+    )
+
+
+SQL_CURATION_FUNNEL = f"""
+WITH t AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+m AS (SELECT doc_id, text,
+             len(toks) AS n_tok,
+             CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                  AS DOUBLE) / len(toks) AS mean_len,
+             len(list_filter(toks, x -> x IN
+                 ('the','a','of','and','to','in','is','it'))) AS n_stop,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+      FROM t),
+s1 AS (SELECT doc_id, text FROM m
+       WHERE n_tok >= 30 AND n_tok <= 80
+         AND mean_len >= 4.2 AND mean_len <= 4.8
+         AND n_stop >= 2 AND ttr >= 0.5),
+s2 AS (SELECT doc_id, text FROM (
+         SELECT doc_id, text,
+                row_number() OVER (
+                  PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                  ORDER BY doc_id) AS rn
+         FROM s1)
+       WHERE rn = 1),
+w2 AS (SELECT doc_id, unnest(list_distinct({_TOK_S2})) AS tok FROM s2),
+sig AS (SELECT doc_id, {_MH_AGGS} FROM w2 GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bh FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bh FROM sig),
+capped AS (
+  SELECT doc_id, band, bh
+  FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS n FROM bands)
+  WHERE n <= 64),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+counts AS (
+  SELECT 0 AS stage, 'raw' AS stage_name, CAST(COUNT(*) AS BIGINT) AS n_docs FROM t
+  UNION ALL SELECT 1, 'gopher_pass', CAST(COUNT(*) AS BIGINT) FROM s1
+  UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM s3)
+SELECT stage, stage_name, n_docs,
+       CAST(n_docs AS DOUBLE) / (SELECT n FROM raw) AS pct_of_raw
+FROM counts
+"""
+
+
 def q_ngram_span_removal(spark, sf_dir):
     """Exact-substring span REMOVAL (Lee et al. 2022 ExactSubstr,
     second half): cut every cross-document duplicated 8-gram span and
@@ -6165,6 +6271,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ngram_span_removal": QuerySpec(
         q_ngram_span_removal, SQL_NGRAM_SPAN_REMOVAL, ("text", "dedup", "pipeline")
     ),
+    "curation_funnel": QuerySpec(
+        q_curation_funnel, SQL_CURATION_FUNNEL, ("text", "dedup", "pipeline")
+    ),
     "gopher_rules": QuerySpec(
         q_gopher_rules, SQL_GOPHER_RULES, ("text", "pipeline")
     ),
@@ -6255,6 +6364,7 @@ _GATE_ORDER = [
     "sql_q19_disjunct_revenue",  # r10 new: disjunctive predicate pushdown
     "dataset_split",             # r10 changed: mod-100 buckets + split sizes (was mod-10)
     "bpe_encode",                # r10 new: corpus encoding with the trained BPE merges
+    "curation_funnel",           # r10 new: per-stage survivor telemetry of composed gates
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
