@@ -4374,6 +4374,14 @@ def q_curation_funnel(spark, sf_dir):
     that the gates agree on one corpus. pct_of_raw is one IEEE division
     of two exact counts — engine-identical.
 
+    Relation to quality_funnel: that entry is the SINGLE-PASS form —
+    per-doc flags counted conditionally in one narrow agg, possible
+    because its stages are all doc-local. This funnel's stages are
+    CROSS-DOCUMENT (the rule gate feeds a corpus-level near-dup join
+    whose candidate set depends on who survived), which no single pass
+    can express — the two entries bracket the funnel-telemetry design
+    space.
+
     Plan note: each stage's count re-derives its predecessors (the
     lineage recomputes — ~4 passes over the scan at this telemetry
     query's size); a production run materializes each stage to a table
