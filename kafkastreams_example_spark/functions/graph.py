@@ -59,6 +59,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph → empty ranks (round-10 review fix: a reusable
+        # operator must not ZeroDivisionError on a filtered-to-nothing
+        # edge frame)
+        return nodes.select("node", F.lit(0.0).alias("r"))
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     wedges = (
         e.join(deg, "src")

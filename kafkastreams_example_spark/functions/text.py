@@ -95,6 +95,40 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _dup_gram_frames(docs: DataFrame, n: int, text_col: str):
+    """Shared gram/dup-set construction for the two ExactSubstr
+    operators — the FLAG (duplicated_ngram_stats) and the CUT
+    (remove_duplicated_ngram_spans) MUST agree on what counts as a
+    duplicated n-gram, so the tokenize → n-gram window → md5 → ≥2-
+    distinct-docs pipeline lives exactly once (round-10 review fix:
+    it existed twice and could silently desynchronize the stats a
+    pipeline branches on from the spans that then get removed).
+    Returns (t, n_grams, grams, dup): the (doc_id, toks) frame, the
+    per-doc gram-count expression over it, the (doc_id, start, h)
+    occurrence frame (1-based starts; linear explode), and the
+    duplicated-hash set (two-phase count-distinct, map-side partial)."""
+    toks = tokenize(text_col)
+    t = docs.select("doc_id", toks.alias("toks"))
+    n_grams = F.greatest(F.size("toks") - (n - 1), F.lit(0))
+    starts = F.sequence(F.lit(1), n_grams, F.lit(1))
+    grams = (
+        t.filter(n_grams > 0)
+        .select("doc_id", F.explode(starts).alias("start"), F.col("toks"))
+        .select(
+            "doc_id",
+            "start",
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("start"), n))).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    return t, n_grams, grams, dup
+
+
 def duplicated_ngram_stats(
     docs: DataFrame, n: int = 8, text_col: str = "text"
 ) -> DataFrame:
@@ -115,23 +149,7 @@ def duplicated_ngram_stats(
     reused), by doc_id (final agg). At 100 TB the gram frame is the
     big intermediate; it is never widened past (doc_id, hash).
     """
-    toks = tokenize(text_col)
-    t = docs.select("doc_id", toks.alias("toks"))
-    n_grams = F.greatest(F.size("toks") - (n - 1), F.lit(0))
-    starts = F.sequence(F.lit(1), n_grams, F.lit(1))
-    grams = t.filter(n_grams > 0).select(
-        "doc_id",
-        F.explode(starts).alias("start"),
-        F.col("toks"),
-    ).select(
-        "doc_id", F.md5(F.concat_ws(" ", F.slice("toks", F.col("start"), n))).alias("h")
-    )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("h")
-    )
+    t, n_grams, grams, dup = _dup_gram_frames(docs, n, text_col)
     per_doc = (
         grams.join(dup, "h", "left_semi")
         .groupBy("doc_id")
@@ -173,20 +191,28 @@ def gopher_quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     signal (one IEEE op — engine-exact); passes = every rule holds,
     n_failed counts violations for triage dashboards. Plan: one narrow
     projection over the scan, no shuffle at all — the cheapest possible
-    full-corpus pass, which is the point of a gate that fronts 100 TB."""
+    full-corpus pass, which is the point of a gate that fronts 100 TB.
+
+    Zero-token rule (round-10 review fix): a doc with NO tokens fails
+    EVERY rule deterministically — mean_len/ttr are x/0 and would
+    otherwise null-poison the flags (Spark: NULL == 0 is NULL; a hard
+    gate whose verdict can be NULL is broken), so the ratio rules are
+    coalesced to False and mean_token_len reports NULL. Both engines
+    share the contract."""
     toks = tokenize(text_col)
     n_tok = F.size(toks)
-    mean_len = (
+    mean_len = F.when(
+        n_tok > 0,
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
-        / n_tok
+        / n_tok,
     )
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ttr = F.when(n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok)
     rules = {
         "word_count_ok": (n_tok >= 30) & (n_tok <= 80),
-        "mean_len_ok": (mean_len >= 4.2) & (mean_len <= 4.8),
+        "mean_len_ok": F.coalesce((mean_len >= 4.2) & (mean_len <= 4.8), F.lit(False)),
         "stopwords_ok": n_stop >= 2,
-        "repetition_ok": ttr >= 0.5,
+        "repetition_ok": F.coalesce(ttr >= 0.5, F.lit(False)),
     }
     n_failed = sum(
         (~c).cast("int") for c in rules.values()
@@ -234,25 +260,7 @@ def remove_duplicated_ngram_spans(
     twice (distinct + anti join — same key, exchange reused), doc_id
     (final agg). Nothing is ever all-pairs; the widest intermediate
     stays (doc_id, pos)."""
-    toks = tokenize(text_col)
-    t = docs.select("doc_id", toks.alias("toks"))
-    n_grams = F.greatest(F.size("toks") - (n - 1), F.lit(0))
-    starts = F.sequence(F.lit(1), n_grams, F.lit(1))
-    grams = (
-        t.filter(n_grams > 0)
-        .select("doc_id", F.explode(starts).alias("start"), F.col("toks"))
-        .select(
-            "doc_id",
-            "start",
-            F.md5(F.concat_ws(" ", F.slice("toks", F.col("start"), n))).alias("h"),
-        )
-    )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("h")
-    )
+    t, n_grams, grams, dup = _dup_gram_frames(docs, n, text_col)
     covered = (
         grams.join(dup, "h", "left_semi")
         .select(

@@ -1698,8 +1698,11 @@ SQL_SQL_Q20_EXCESS_SHARE_SUPPLIER = _SQL_Q20_BODY
 
 # Q22 body shared verbatim: c_phone's country code maps to the last
 # digit of c_name (substring cohort key), "no orders at all" maps to
-# "no orders since 1998-01-01" (every sf0.01 customer has SOME order —
-# the anti join would be vacuously empty), and the avg comparison is
+# "no orders since 1999-01-01" (every sf0.01 customer has SOME order —
+# the anti join on bare existence would be vacuously empty; the round-10
+# review moved the cutoff from 1998-01-01, which was itself vacuous at
+# sf0.001 — the gate carries signal at BOTH scales now: 1 row at
+# sf0.001, 5 cohort rows at sf0.01), and the avg comparison is
 # decimal-exact via the multiply-through form bal·cnt > sum (AVG of
 # DECIMAL returns DOUBLE in DuckDB but DECIMAL in Spark — dividing
 # would diverge the engines at boundary rows).
@@ -1718,7 +1721,7 @@ WHERE right(c.c_name, 1) IN ('1','3','5','7','9')
          AND right(c2.c_name, 1) IN ('1','3','5','7','9'))
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY right(c.c_name, 1)
 """
 
@@ -4346,9 +4349,9 @@ m AS (SELECT doc_id,
       FROM t),
 r AS (SELECT doc_id, n_tok, mean_len,
              (n_tok >= 30 AND n_tok <= 80) AS word_count_ok,
-             (mean_len >= 4.2 AND mean_len <= 4.8) AS mean_len_ok,
+             COALESCE(mean_len >= 4.2 AND mean_len <= 4.8, FALSE) AS mean_len_ok,
              (n_stop >= 2) AS stopwords_ok,
-             (ttr >= 0.5) AS repetition_ok
+             COALESCE(ttr >= 0.5, FALSE) AS repetition_ok
       FROM m)
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
@@ -5714,7 +5717,16 @@ def q_bpe_encode(spark, sf_dir):
     from .functions.text import bpe_train_vocab, tokenize
 
     docs = load_table(spark, sf_dir, "documents")
-    _bests, vocab = bpe_train_vocab(docs, n_merges=4)
+    bests, vocab = bpe_train_vocab(docs, n_merges=4)
+    if len(bests) < 4:
+        # training exhausted before n_merges rounds: the oracle's
+        # vocab{n} CTE chain goes empty from the exhausted round on, so
+        # its final join emits nothing — mirror that exactly (round-10
+        # review fix; practical corpora never exhaust at 4 merges)
+        return spark.createDataFrame(
+            [],
+            "doc_id BIGINT, n_words BIGINT, n_bpe_tokens BIGINT, syms_per_word DOUBLE",
+        )
     toks = docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
     enc = toks.join(vocab.select("word", F.size("syms").alias("n_syms")), "word")
     return (

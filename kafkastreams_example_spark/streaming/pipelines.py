@@ -580,7 +580,12 @@ def embedding_dedup_pipeline(
          to interpreted evaluation (measured 13× slower). Materialize
          corpus_index as a table bucketed on `bucket` so the join is
          hash-partitioned and co-located. Left-assoc addition from 0.0
-         keeps the sum bit-identical to a sequential fold.
+         keeps the sum bit-identical to a sequential fold. Between the
+         TWO tiers the sums are NOT bit-identical — numpy's matmul uses
+         pairwise/SIMD summation — so a cosine landing within an ulp of
+         the threshold could gate differently per tier (measure-zero
+         for dot products of normalized doubles; the same accepted
+         class as the np.round half-to-even note in similarity.py).
     3. A vector passes the gate iff ALL its probed rows survived —
        the band_dedup_any_pipeline counting trick: windowed count ==
        n_probe_effective, closing when the watermark passes.
@@ -628,7 +633,12 @@ def embedding_dedup_pipeline(
         for pdf in batches:
             if len(pdf) == 0 or amat.size == 0:
                 continue
-            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
+            # quarantine rule covers the ID too (round-10 review fix):
+            # a NULL id would crash to_numpy(int64) executor-side and
+            # kill the query; an unidentifiable row can't be gated
+            ok = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == dim
+            ) & pdf[id_col].notna()
             pdf = pdf[ok.to_numpy(dtype=bool)]
             if len(pdf) == 0:
                 continue

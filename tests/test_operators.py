@@ -1254,3 +1254,30 @@ def test_ngram_span_removal_matches_python_reference(spark):
         for r in remove_duplicated_ngram_spans(sub, n=n).collect()
     }
     assert got == expected
+
+
+def test_gopher_rules_zero_token_doc_fails_deterministically(spark):
+    """Round-10 review fix: a doc with no tokens must FAIL every rule
+    with boolean (never NULL) flags — a hard gate whose verdict can be
+    NULL is broken (Spark NULL == 0 is NULL and filter(passes) would
+    silently drop rather than reject)."""
+    from kafkastreams_example_spark.functions.text import gopher_quality_rules
+
+    df = spark.createDataFrame(
+        [(1, "!!!"), (2, "")], "doc_id BIGINT, text STRING"
+    )
+    for r in gopher_quality_rules(df).collect():
+        assert r["passes"] is False
+        assert r["n_failed"] == 4
+        assert r["mean_token_len"] is None
+        for f in ("word_count_ok", "mean_len_ok", "stopwords_ok", "repetition_ok"):
+            assert r[f] is False
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """Round-10 review fix: a filtered-to-nothing edge frame must yield
+    an empty rank frame, not a driver-side ZeroDivisionError."""
+    from kafkastreams_example_spark.functions.graph import pagerank
+
+    empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert pagerank(empty, iters=3).collect() == []
