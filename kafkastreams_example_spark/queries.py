@@ -1991,7 +1991,6 @@ FROM orders GROUP BY o_orderstatus
 # --------------------------------------------------------------------------
 
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-_TOK_S2 = _TOK  # same tokenizer; resolves `text` from the enclosing CTE
 
 
 def q_text_stats(spark, sf_dir):
@@ -4453,7 +4452,7 @@ s2 AS (SELECT doc_id, text FROM (
                   ORDER BY doc_id) AS rn
          FROM s1)
        WHERE rn = 1),
-w2 AS (SELECT doc_id, unnest(list_distinct({_TOK_S2})) AS tok FROM s2),
+w2 AS (SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM s2),
 sig AS (SELECT doc_id, {_MH_AGGS} FROM w2 GROUP BY doc_id),
 bands AS (
   SELECT doc_id, 0 AS band, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bh FROM sig UNION ALL
