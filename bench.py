@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "sql_q13_order_distribution",
     "sql_q15_top_supplier",
     "sql_q19_disjunct_revenue",
+    "sql_q7_nation_volume",
     "gopher_rules",
     "wav_pcm_stats",
     "bmp_pixel_stats",

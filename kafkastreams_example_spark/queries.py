@@ -1856,6 +1856,58 @@ def q_sql_q19_disjunct_revenue(spark, sf_dir):
 SQL_SQL_Q19_DISJUNCT_REVENUE = _SQL_Q19_BODY
 
 
+# Q7 body shared verbatim: the two-nation volume-shipping shape — a
+# 6-way join whose nation filter is a DISJUNCTION OF PAIRS (either
+# direction of trade between the two named nations), then per-year
+# revenue. Revenue is decimal-from-source; year() is integer in both
+# engines.
+_SQL_Q7_BODY = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(3,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
+      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7-shaped (volume shipping between two nations) via the
+    SQL API — the MULTI-DIMENSION join shape of the tier: a 6-way join
+    (two roles of the same nation dimension) whose selective predicate
+    is a DISJUNCTION OF CONJUNCTION PAIRS over BOTH dimension roles
+    (either trade direction), then a 3-key per-year rollup. What
+    matters at 100 TB: Catalyst pushes each role's disjunct union
+    (n_name IN (NATION_3, NATION_19)) into its own broadcast nation
+    scan, the shipdate range reaches the lineitem scan, and the fact
+    table flows through broadcast hash joins without ever shuffling on
+    a dimension key (plan guard:
+    tests/test_plans.py::test_sql_q7_dim_pushdown_no_fact_shuffle).
+    Revenue is decimal-from-source with the double cast at the
+    boundary; year() is integer in both engines."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q7_BODY)
+
+
+SQL_SQL_Q7_NATION_VOLUME = _SQL_Q7_BODY
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct). Sketch estimates
     differ across engines by design, so the raw estimate can't be
@@ -6186,6 +6238,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q19_disjunct_revenue": QuerySpec(
         q_sql_q19_disjunct_revenue, SQL_SQL_Q19_DISJUNCT_REVENUE, ("relational", "sql-api")
     ),
+    "sql_q7_nation_volume": QuerySpec(
+        q_sql_q7_nation_volume, SQL_SQL_Q7_NATION_VOLUME, ("relational", "sql-api")
+    ),
     "sql_q14_promo_revenue": QuerySpec(
         q_sql_q14_promo_revenue, SQL_SQL_Q14_PROMO_REVENUE, ("relational", "sql-api")
     ),
@@ -6384,6 +6439,7 @@ _GATE_ORDER = [
     "dataset_split",             # r10 changed: mod-100 buckets + split sizes (was mod-10)
     "bpe_encode",                # r10 new: corpus encoding with the trained BPE merges
     "curation_funnel",           # r10 new: per-stage survivor telemetry of composed gates
+    "sql_q7_nation_volume",      # r10 new: two-role dimension disjunction, 6-way join
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape

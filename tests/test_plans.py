@@ -506,6 +506,24 @@ def test_ngram_span_removal_no_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sql_q7_dim_pushdown_no_fact_shuffle(spark):
+    """Q7's 6-way join: each nation role's disjunct union must be
+    pushed into its own scan, the shipdate range must reach lineitem,
+    and the fact table must flow through broadcast joins — the only
+    exchange is the final per-year rollup."""
+    import re
+
+    from kafkastreams_example_spark.plans.explain import assert_pushed_filters
+    from kafkastreams_example_spark.queries import q_sql_q7_nation_volume
+
+    df = q_sql_q7_nation_volume(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+    assert_pushed_filters(df, "n_name", "l_shipdate")
+
+
 def test_sql_q13_outer_join_histogram_no_sort(spark):
     """Q13's histogram must keep the LEFT OUTER join (the priority
     exclusion lives in the join condition — an inner join would drop
