@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "sql_q15_top_supplier",
     "sql_q19_disjunct_revenue",
     "sql_q7_nation_volume",
+    "sql_q9_product_profit",
     "gopher_rules",
     "wav_pcm_stats",
     "bmp_pixel_stats",

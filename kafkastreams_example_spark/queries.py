@@ -1908,6 +1908,50 @@ def q_sql_q7_nation_volume(spark, sf_dir):
 SQL_SQL_Q7_NATION_VOLUME = _SQL_Q7_BODY
 
 
+# Q9 body shared verbatim: no partsupp in this testdata, so the supply
+# cost maps to p_retailprice (part-level, decimal-from-source) — the
+# STRUCTURE is Q9's: profit = revenue − cost·qty summed inside the
+# aggregate (decimal SUBTRACTION, the one arithmetic class the other
+# revenue shapes never exercise), over a 5-way join, rolled up by
+# supplier nation × order year, part family selected by infix LIKE.
+_SQL_Q9_BODY = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+              - CAST(p.p_retailprice AS DECIMAL(18,2))
+                * CAST(l.l_quantity AS BIGINT)) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+def q_sql_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9-shaped (product-type profit by nation and year) via the
+    SQL API — the PROFIT-EXPRESSION shape: the aggregate sums a decimal
+    SUBTRACTION of two products (revenue − cost·qty), all factors cast
+    from source columns so the difference is exact in both engines (a
+    double subtraction of near-equal products is the classic
+    cancellation trap the float discipline exists for). Join shape: the
+    infix-LIKE part filter cannot push to parquet as a range (it
+    evaluates post-scan — the honest cost of %substring% selection) but
+    DOES prune the join via the broadcast part side; supplier/nation/
+    orders broadcast, the single exchange is the nation×year rollup
+    (plan guard: tests/test_plans.py::test_sql_q9_profit_shape)."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q9_BODY)
+
+
+SQL_SQL_Q9_PRODUCT_PROFIT = _SQL_Q9_BODY
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct). Sketch estimates
     differ across engines by design, so the raw estimate can't be
@@ -6241,6 +6285,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q7_nation_volume": QuerySpec(
         q_sql_q7_nation_volume, SQL_SQL_Q7_NATION_VOLUME, ("relational", "sql-api")
     ),
+    "sql_q9_product_profit": QuerySpec(
+        q_sql_q9_product_profit, SQL_SQL_Q9_PRODUCT_PROFIT, ("relational", "sql-api")
+    ),
     "sql_q14_promo_revenue": QuerySpec(
         q_sql_q14_promo_revenue, SQL_SQL_Q14_PROMO_REVENUE, ("relational", "sql-api")
     ),
@@ -6440,6 +6487,7 @@ _GATE_ORDER = [
     "bpe_encode",                # r10 new: corpus encoding with the trained BPE merges
     "curation_funnel",           # r10 new: per-stage survivor telemetry of composed gates
     "sql_q7_nation_volume",      # r10 new: two-role dimension disjunction, 6-way join
+    "sql_q9_product_profit",     # r10 new: decimal-subtraction profit aggregate
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape

@@ -524,6 +524,20 @@ def test_sql_q7_dim_pushdown_no_fact_shuffle(spark):
     assert_pushed_filters(df, "n_name", "l_shipdate")
 
 
+def test_sql_q9_profit_shape(spark):
+    """Q9's 5-way profit join: all dims broadcast (no sort-merge), the
+    nation×year rollup is the single exchange, no global sort."""
+    import re
+
+    from kafkastreams_example_spark.queries import q_sql_q9_product_profit
+
+    plan = plan_string(q_sql_q9_product_profit(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+    assert "rangepartitioning" not in plan
+
+
 def test_sql_q13_outer_join_histogram_no_sort(spark):
     """Q13's histogram must keep the LEFT OUTER join (the priority
     exclusion lives in the join condition — an inner join would drop
