@@ -876,42 +876,53 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 def q_asof_join(spark, sf_dir):
-    """As-of join: for each order, the latest event of the same user at
-    or before the order date.
+    """As-of join: for each PURCHASE event, the latest same-user
+    non-purchase event at or before it — "what was the user last doing
+    when they bought?", the attribution lookup shape.
+
+    Round-10 review-class fix: this entry previously joined orders to
+    events, whose time axes never overlap in this testdata (events sit
+    in 2024, orders in 1995-2001), so the as-of match was NULL for
+    every row at every SF — a zero-signal gate. Both sides now come
+    from the events table (shared clock), and the sf0.01 gate carries
+    ~2k real matches.
 
     Implemented as the scalable union-merge shape (tag both sides,
-    one sort-partition by key, carry the last event forward) — a single
-    shuffle on the key, no row-multiplying range join. The same window
-    formulation is ANSI SQL for the oracle.
+    one sort-partition by key, carry the last state event forward) — a
+    single shuffle on the key, no row-multiplying range join; ties at
+    identical timestamps resolve state-before-probe then by event id
+    (the (ts, side, event_id) order, same in the oracle).
     """
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    state = ev.filter(F.col("event_type") != "purchase").select(
         F.col("user_id").alias("k"),
         F.col("ts"),
         F.lit(0).alias("side"),
         F.col("event_id"),
-        F.lit(None).cast("bigint").alias("o_orderkey"),
     )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("ts"),
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts"),
         F.lit(1).alias("side"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.col("o_orderkey"),
+        F.col("event_id"),
     )
-    merged = ev.unionByName(orders)
+    merged = state.unionByName(probes)
     w = (
         Window.partitionBy("k")
         .orderBy("ts", "side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.withColumn("asof_event_id", F.last("event_id", ignorenulls=True).over(w))
+    state_id = F.when(F.col("side") == 0, F.col("event_id"))
+    carried = merged.withColumn(
+        "asof_event_id", F.last(state_id, ignorenulls=True).over(w)
+    )
     return (
         carried.filter(F.col("side") == 1)
         .select(
-            "o_orderkey",
-            F.col("k").alias("o_custkey"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("k").alias("user_id"),
             "asof_event_id",
         )
     )
@@ -919,18 +930,94 @@ def q_asof_join(spark, sf_dir):
 
 SQL_ASOF_JOIN = """
 WITH merged AS (
-  SELECT user_id AS k, ts, 0 AS side, event_id, CAST(NULL AS BIGINT) AS o_orderkey
-  FROM events
+  SELECT user_id AS k, ts, 0 AS side, event_id
+  FROM events WHERE event_type <> 'purchase'
   UNION ALL
-  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ts, 1 AS side,
-         CAST(NULL AS BIGINT) AS event_id, o_orderkey
-  FROM orders)
-SELECT o_orderkey, k AS o_custkey,
-  last_value(event_id IGNORE NULLS)
-    OVER (PARTITION BY k ORDER BY ts, side, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
-FROM merged
-QUALIFY side = 1
+  SELECT user_id, ts, 1, event_id
+  FROM events WHERE event_type = 'purchase'),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY k ORDER BY ts, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS asof_event_id
+  FROM merged)
+SELECT event_id AS purchase_event_id, k AS user_id, asof_event_id
+FROM carried WHERE side = 1
+"""
+
+
+def q_asof_join_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE — the pandas merge_asof(tolerance=...)
+    contract q_asof_join lacks: the last same-user state event before a
+    purchase counts only if it is at most 1 hour old; staler matches
+    return NULL (a stale "last known state" is often worse than none —
+    the contract feature-store lookups actually use). Same union-merge
+    shape; the window additionally carries the matched event's
+    timestamp, and the freshness check is integer epoch-second
+    arithmetic (exact in both engines — the timestamp-math
+    discipline)."""
+    from pyspark.sql import Window
+
+    tol_s = 3600
+    ev = load_table(spark, sf_dir, "events")
+    state = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts"),
+        F.lit(0).alias("side"), F.col("event_id"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts"),
+        F.lit(1).alias("side"), F.col("event_id"),
+    )
+    merged = state.unionByName(probes)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    state_id = F.when(F.col("side") == 0, F.col("event_id"))
+    state_ts = F.when(F.col("side") == 0, F.col("ts"))
+    carried = merged.withColumn(
+        "asof_event_id", F.last(state_id, ignorenulls=True).over(w)
+    ).withColumn("asof_ev_ts", F.last(state_ts, ignorenulls=True).over(w))
+    lag = F.unix_timestamp("ts") - F.unix_timestamp("asof_ev_ts")
+    fresh = F.col("asof_event_id").isNotNull() & (lag <= tol_s)
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("k").alias("user_id"),
+            F.when(fresh, F.col("asof_event_id")).alias("asof_event_id"),
+            F.when(fresh, lag).cast("bigint").alias("lag_seconds"),
+        )
+    )
+
+
+SQL_ASOF_JOIN_TOLERANCE = """
+WITH merged AS (
+  SELECT user_id AS k, ts, 0 AS side, event_id
+  FROM events WHERE event_type <> 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 1, event_id
+  FROM events WHERE event_type = 'purchase'),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w
+           AS asof_event_id,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w
+           AS asof_ev_ts
+  FROM merged
+  WINDOW w AS (PARTITION BY k ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id AS purchase_event_id, k AS user_id,
+       CASE WHEN asof_event_id IS NOT NULL
+             AND date_diff('second', asof_ev_ts, ts) <= 3600
+            THEN asof_event_id END AS asof_event_id,
+       CAST(CASE WHEN asof_event_id IS NOT NULL
+             AND date_diff('second', asof_ev_ts, ts) <= 3600
+            THEN date_diff('second', asof_ev_ts, ts) END AS BIGINT)
+         AS lag_seconds
+FROM carried WHERE side = 1
 """
 
 
@@ -6231,6 +6318,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "window_moving_avg": QuerySpec(q_window_moving_avg, SQL_WINDOW_MOVING_AVG, ("relational",)),
     "agg_cube": QuerySpec(q_agg_cube, SQL_AGG_CUBE, ("relational",)),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN, ("relational", "temporal")),
+    "asof_join_tolerance": QuerySpec(
+        q_asof_join_tolerance, SQL_ASOF_JOIN_TOLERANCE, ("relational", "temporal")
+    ),
     "range_join": QuerySpec(q_range_join, SQL_RANGE_JOIN, ("relational", "temporal")),
     "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS, ("relational", "temporal")),
     "scalar_funcs2": QuerySpec(q_scalar_funcs2, SQL_SCALAR_FUNCS2, ("relational",)),
@@ -6488,6 +6578,7 @@ _GATE_ORDER = [
     "curation_funnel",           # r10 new: per-stage survivor telemetry of composed gates
     "sql_q7_nation_volume",      # r10 new: two-role dimension disjunction, 6-way join
     "sql_q9_product_profit",     # r10 new: decimal-subtraction profit aggregate
+    "asof_join_tolerance",       # r10 new: merge_asof tolerance contract
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
