@@ -432,9 +432,17 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def q_join_anti(spark, sf_dir):
-    """Left-anti join: customers with no orders at all."""
+    """Left-anti join: customers with no RECENT order (none since
+    1999-01-01). Round-10 signal-audit fix: the original "no orders at
+    all" predicate matched zero customers at every SF (this testdata
+    gives every customer at least one order), so the gate never
+    produced an anti-join survivor; the recency filter keeps the same
+    physical anti-join shape (with the date predicate pushed into the
+    orders scan) and yields 6 rows at sf0.001 / 29 at sf0.01."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -442,7 +450,8 @@ def q_join_anti(spark, sf_dir):
 
 SQL_JOIN_ANTI = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
 """
 
 
@@ -705,9 +714,13 @@ def q_string_funcs3(spark, sf_dir):
         F.reverse("p_name").alias("rev"),
         F.repeat(F.substring("p_brand", 1, 2), 2).alias("brand2x"),
         F.instr("p_name", "a").alias("a_pos"),
-        F.col("p_name").startswith("p").alias("starts_p"),
-        F.col("p_name").endswith("0").alias("ends_0"),
-        F.col("p_name").contains("art").alias("has_art"),
+        # round-10 signal-audit fix: the previous affixes ('p', '0',
+        # 'art') never occur in this corpus's part names — all three
+        # flags were constant False, so the affix functions were never
+        # exercised on the true branch; these split 269/514/664 of 2000
+        F.col("p_name").startswith("s").alias("starts_s"),
+        F.col("p_name").endswith("t").alias("ends_t"),
+        F.col("p_name").contains("ol").alias("has_ol"),
         F.ascii("p_brand").alias("brand_ascii"),
     )
 
@@ -717,9 +730,9 @@ SELECT p_partkey,
   reverse(p_name) AS rev,
   repeat(substring(p_brand, 1, 2), 2) AS brand2x,
   CAST(strpos(p_name, 'a') AS INT) AS a_pos,
-  starts_with(p_name, 'p') AS starts_p,
-  ends_with(p_name, '0') AS ends_0,
-  contains(p_name, 'art') AS has_art,
+  starts_with(p_name, 's') AS starts_s,
+  ends_with(p_name, 't') AS ends_t,
+  contains(p_name, 'ol') AS has_ol,
   ascii(p_brand) AS brand_ascii
 FROM part
 """
@@ -3347,10 +3360,18 @@ GROUP BY 1, 2
 
 def q_events_funnel(spark, sf_dir):
     """Conversion funnel: per user, first signup and first purchase
-    after it; aggregate conversion counts. Two conditional min-
-    aggregations over one shuffle — no self-join."""
+    after it; converted = that purchase lands within 24 HOURS of the
+    signup (round-10 signal-audit fix: without the window, every user
+    at this event density converts and the flag was constant True —
+    the 24 h bound splits 6/15 at sf0.001, 57/150 at sf0.01, so both
+    funnel outcomes are live at the gate; signed_up remains
+    data-dependent and is constant at this density — that is the
+    corpus, not a dead predicate: it shares the hash with the live
+    columns). Two conditional min-aggregations over one shuffle — no
+    self-join; the window check is integer-ms arithmetic."""
     ev = load_table(spark, sf_dir, "events")
     ms = F.unix_millis("ts")
+    win_ms = 24 * 3600 * 1000
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", ms)).alias("first_signup_ms"),
     )
@@ -3362,13 +3383,15 @@ def q_events_funnel(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("p_ms").alias("first_purchase_ms"))
     )
+    lag = F.col("first_purchase_ms") - F.col("first_signup_ms")
+    conv = F.coalesce(lag <= win_ms, F.lit(False))
     return (
         per_user.join(purch, "user_id", "left")
         .select(
             "user_id",
             F.col("first_signup_ms").isNotNull().alias("signed_up"),
-            F.col("first_purchase_ms").isNotNull().alias("converted"),
-            (F.col("first_purchase_ms") - F.col("first_signup_ms")).alias("ms_to_convert"),
+            conv.alias("converted"),
+            F.when(conv, lag).alias("ms_to_convert"),
         )
     )
 
@@ -3386,8 +3409,9 @@ purch AS (
   GROUP BY e.user_id)
 SELECT p.user_id,
   first_signup_ms IS NOT NULL AS signed_up,
-  first_purchase_ms IS NOT NULL AS converted,
-  first_purchase_ms - first_signup_ms AS ms_to_convert
+  COALESCE(first_purchase_ms - first_signup_ms <= 86400000, FALSE) AS converted,
+  CASE WHEN COALESCE(first_purchase_ms - first_signup_ms <= 86400000, FALSE)
+       THEN first_purchase_ms - first_signup_ms END AS ms_to_convert
 FROM per_user p LEFT JOIN purch ON p.user_id = purch.user_id
 """
 
