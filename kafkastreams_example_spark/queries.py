@@ -6603,6 +6603,10 @@ _GATE_ORDER = [
     "sql_q7_nation_volume",      # r10 new: two-role dimension disjunction, 6-way join
     "sql_q9_product_profit",     # r10 new: decimal-subtraction profit aggregate
     "asof_join_tolerance",       # r10 new: merge_asof tolerance contract
+    "asof_join",                 # r10 changed: rebased onto events (was zero-signal)
+    "join_anti",                 # r10 changed: recency anti-join (was zero rows)
+    "string_funcs3",             # r10 changed: affixes that actually occur
+    "events_funnel",             # r10 changed: 24h conversion window
     # — changed, fixed, or new in round 9 —
     "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
     "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
@@ -6669,13 +6673,11 @@ _GATE_ORDER = [
     "json_encode",
     "setop_except",
     "sort_limit",
-    "string_funcs3",
     "agg_cube",
     "agg_having",
     "agg_minmax",
     "agg_windowed_events",
     "approx_distinct",
-    "join_anti",
     "join_semi",
     "pivot_events",
     "setop_intersect_all",
@@ -6702,7 +6704,6 @@ _GATE_ORDER = [
     "map_explode",
     "scalar_funcs",
     "window_moving_avg",
-    "asof_join",
     "range_join",
     "window_lag_lead",
     "reference_pipeline",
@@ -6746,7 +6747,6 @@ _GATE_ORDER = [
     "window_distribution",
     "ann_hyperplane",
     "sim_topk",
-    "events_funnel",
     "subquery_above_avg",
     "minhash_lsh_pairs",
     "ivf_topk",
