@@ -104,3 +104,45 @@ def test_knn_exact_ground_truth_matches_its_oracle(spark):
     ocols, orows = _duck(SQL_KNN_LABEL_ACCURACY_EXACT)
     assert sorted(scols) == sorted(ocols)
     assert _normrows(srows, scols) == _normrows(orows, ocols)
+
+
+def test_no_zero_signal_oracles():
+    """Degeneracy gate (round 10): every oracle's sf0.001 output must
+    be able to distinguish a working operator from a broken one — no
+    zero-row results, no all-NULL columns, no constant boolean columns
+    (beyond the documented ACCEPTED ledger). A hash compare of a
+    degenerate output is not evidence; this is how asof_join stayed
+    'green' for eight rounds while its match column was NULL at every
+    scale. DuckDB-only: no Spark session needed."""
+    import duckdb
+
+    from tools.signal_audit import ACCEPTED, TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad = []
+    for name, spec in sorted(REGISTRY.items()):
+        if not spec.oracle:
+            continue
+        rel = con.execute(spec.oracle)
+        rows = rel.fetchall()
+        cols = [d[0] for d in rel.description]
+        if not rows:
+            bad.append((name, "zero rows"))
+            continue
+        for i, c in enumerate(cols):
+            vals = [r[i] for r in rows]
+            nonnull = [v for v in vals if v is not None]
+            if not nonnull:
+                bad.append((name, f"{c} all null"))
+            elif (
+                isinstance(nonnull[0], bool)
+                and len(set(nonnull)) == 1
+                and len(rows) >= 10
+                and (name, c) not in ACCEPTED
+            ):
+                bad.append((name, f"{c} constant {nonnull[0]}"))
+    assert not bad, bad
