@@ -888,6 +888,41 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def _asof_carried(spark, sf_dir):
+    """Shared union-merge as-of frame for the two as-of entries (plain
+    and tolerance — round-10 review: the construction existed twice and
+    a future rebase would plausibly update one and miss the other):
+    purchase probes and non-purchase state events tagged and merged,
+    one sort-partition per user, the latest state event's id AND
+    timestamp carried forward under the deterministic
+    (ts, side, event_id) order. Ties at identical timestamps resolve
+    state-before-probe then by event id — same in the oracles. Unused
+    carried columns are pruned by Catalyst, so the plain entry pays
+    nothing for the timestamp carry it doesn't select."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    state = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts"),
+        F.lit(0).alias("side"), F.col("event_id"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts"),
+        F.lit(1).alias("side"), F.col("event_id"),
+    )
+    merged = state.unionByName(probes)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    state_id = F.when(F.col("side") == 0, F.col("event_id"))
+    state_ts = F.when(F.col("side") == 0, F.col("ts"))
+    return merged.withColumn(
+        "asof_event_id", F.last(state_id, ignorenulls=True).over(w)
+    ).withColumn("asof_ev_ts", F.last(state_ts, ignorenulls=True).over(w))
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: for each PURCHASE event, the latest same-user
     non-purchase event at or before it — "what was the user last doing
@@ -902,37 +937,12 @@ def q_asof_join(spark, sf_dir):
 
     Implemented as the scalable union-merge shape (tag both sides,
     one sort-partition by key, carry the last state event forward) — a
-    single shuffle on the key, no row-multiplying range join; ties at
-    identical timestamps resolve state-before-probe then by event id
-    (the (ts, side, event_id) order, same in the oracle).
+    single shuffle on the key, no row-multiplying range join; see
+    _asof_carried for the shared construction and tie-break contract.
     """
-    from pyspark.sql import Window
-
-    ev = load_table(spark, sf_dir, "events")
-    state = ev.filter(F.col("event_type") != "purchase").select(
-        F.col("user_id").alias("k"),
-        F.col("ts"),
-        F.lit(0).alias("side"),
-        F.col("event_id"),
-    )
-    probes = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("k"),
-        F.col("ts"),
-        F.lit(1).alias("side"),
-        F.col("event_id"),
-    )
-    merged = state.unionByName(probes)
-    w = (
-        Window.partitionBy("k")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    state_id = F.when(F.col("side") == 0, F.col("event_id"))
-    carried = merged.withColumn(
-        "asof_event_id", F.last(state_id, ignorenulls=True).over(w)
-    )
     return (
-        carried.filter(F.col("side") == 1)
+        _asof_carried(spark, sf_dir)
+        .filter(F.col("side") == 1)
         .select(
             F.col("event_id").alias("purchase_event_id"),
             F.col("k").alias("user_id"),
@@ -965,34 +975,12 @@ def q_asof_join_tolerance(spark, sf_dir):
     contract q_asof_join lacks: the last same-user state event before a
     purchase counts only if it is at most 1 hour old; staler matches
     return NULL (a stale "last known state" is often worse than none —
-    the contract feature-store lookups actually use). Same union-merge
-    shape; the window additionally carries the matched event's
-    timestamp, and the freshness check is integer epoch-second
-    arithmetic (exact in both engines — the timestamp-math
+    the contract feature-store lookups actually use). Shares
+    _asof_carried's union-merge frame; the freshness check is integer
+    epoch-second arithmetic (exact in both engines — the timestamp-math
     discipline)."""
-    from pyspark.sql import Window
-
     tol_s = 3600
-    ev = load_table(spark, sf_dir, "events")
-    state = ev.filter(F.col("event_type") != "purchase").select(
-        F.col("user_id").alias("k"), F.col("ts"),
-        F.lit(0).alias("side"), F.col("event_id"),
-    )
-    probes = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("k"), F.col("ts"),
-        F.lit(1).alias("side"), F.col("event_id"),
-    )
-    merged = state.unionByName(probes)
-    w = (
-        Window.partitionBy("k")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    state_id = F.when(F.col("side") == 0, F.col("event_id"))
-    state_ts = F.when(F.col("side") == 0, F.col("ts"))
-    carried = merged.withColumn(
-        "asof_event_id", F.last(state_id, ignorenulls=True).over(w)
-    ).withColumn("asof_ev_ts", F.last(state_ts, ignorenulls=True).over(w))
+    carried = _asof_carried(spark, sf_dir)
     lag = F.unix_timestamp("ts") - F.unix_timestamp("asof_ev_ts")
     fresh = F.col("asof_event_id").isNotNull() & (lag <= tol_s)
     return (
@@ -2009,7 +1997,12 @@ SQL_SQL_Q7_NATION_VOLUME = _SQL_Q7_BODY
 
 
 # Q9 body shared verbatim: no partsupp in this testdata, so the supply
-# cost maps to p_retailprice (part-level, decimal-from-source) — the
+# cost maps to p_retailprice (part-level, decimal-from-source). NOTE
+# the CAST(l_quantity AS BIGINT): quantities are integral doubles by
+# generator contract, for which the cast is exact in both engines; on
+# FRACTIONAL doubles Spark truncates while DuckDB rounds half-even —
+# the same contract Q17/Q20 already rely on (a corpus with fractional
+# quantities would need a shared explicit floor()/round() first). The
 # STRUCTURE is Q9's: profit = revenue − cost·qty summed inside the
 # aggregate (decimal SUBTRACTION, the one arithmetic class the other
 # revenue shapes never exercise), over a 5-way join, rolled up by

@@ -113,36 +113,12 @@ def test_no_zero_signal_oracles():
     (beyond the documented ACCEPTED ledger). A hash compare of a
     degenerate output is not evidence; this is how asof_join stayed
     'green' for eight rounds while its match column was NULL at every
-    scale. DuckDB-only: no Spark session needed."""
+    scale. Reuses tools/signal_audit.py's audit() verbatim so the CI
+    gate and the operator tool cannot drift. DuckDB-only."""
     import duckdb
 
-    from tools.signal_audit import ACCEPTED, TABLES
+    from tools.signal_audit import audit, register_views
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
-        )
-    bad = []
-    for name, spec in sorted(REGISTRY.items()):
-        if not spec.oracle:
-            continue
-        rel = con.execute(spec.oracle)
-        rows = rel.fetchall()
-        cols = [d[0] for d in rel.description]
-        if not rows:
-            bad.append((name, "zero rows"))
-            continue
-        for i, c in enumerate(cols):
-            vals = [r[i] for r in rows]
-            nonnull = [v for v in vals if v is not None]
-            if not nonnull:
-                bad.append((name, f"{c} all null"))
-            elif (
-                isinstance(nonnull[0], bool)
-                and len(set(nonnull)) == 1
-                and len(rows) >= 10
-                and (name, c) not in ACCEPTED
-            ):
-                bad.append((name, f"{c} constant {nonnull[0]}"))
-    assert not bad, bad
+    register_views(con, SF_DIR)
+    assert audit(con) == []

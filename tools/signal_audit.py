@@ -14,6 +14,10 @@ earlier sql_q22 (a dormancy cutoff vacuous at sf0.001). A hash compare
 of a degenerate output is not evidence; this sweep makes degeneracy
 visible.
 
+The audit loop lives here ONCE; the CI degeneracy gate
+(tests/test_parity.py::test_no_zero_signal_oracles) imports audit()
+rather than re-implementing it, so the tool and the gate cannot drift.
+
 Known-accepted finding: events_funnel.signed_up is constant True —
 every synthetic user signs up at this density; that is the corpus, not
 a dead predicate (documented in the entry docstring).
@@ -31,21 +35,24 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from kafkastreams_example_spark.queries import REGISTRY  # noqa: E402
+from kafkastreams_example_spark.schema import TABLE_NAMES  # noqa: E402
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
 ACCEPTED = {("events_funnel", "signed_up")}
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    con = duckdb.connect()
-    for t in TABLES:
+def register_views(con, sf_dir: str) -> None:
+    for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    findings = []
-    for name, spec in sorted(REGISTRY.items()):
+
+
+def audit(con, registry=None, accepted=None) -> list[tuple[str, str]]:
+    """Run every oracle and return (entry, finding) pairs for
+    degenerate outputs. Oracle execution errors are reported as
+    findings too (a broken oracle is also a broken gate)."""
+    registry = REGISTRY if registry is None else registry
+    accepted = ACCEPTED if accepted is None else accepted
+    findings: list[tuple[str, str]] = []
+    for name, spec in sorted(registry.items()):
         if not spec.oracle:
             continue
         try:
@@ -56,20 +63,28 @@ def main() -> int:
             findings.append((name, f"oracle error: {str(exc).splitlines()[0][:80]}"))
             continue
         if not rows:
-            findings.append((name, "ZERO ROWS"))
+            findings.append((name, "zero rows"))
             continue
         n = len(rows)
         for i, c in enumerate(cols):
             vals = [r[i] for r in rows]
             nonnull = [v for v in vals if v is not None]
             if not nonnull:
-                findings.append((name, f"column {c}: ALL NULL ({n} rows)"))
+                findings.append((name, f"column {c}: all null ({n} rows)"))
             elif isinstance(nonnull[0], bool) and len(set(nonnull)) == 1 and n >= 10:
-                if (name, c) in ACCEPTED:
+                if (name, c) in accepted:
                     continue
                 findings.append(
                     (name, f"bool column {c}: constant {nonnull[0]} over {n} rows")
                 )
+    return findings
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+    findings = audit(con)
     for f in findings:
         print(f)
     print(f"checked {len(REGISTRY)} entries; {len(findings)} findings")
