@@ -184,6 +184,11 @@ ROUND10_FAMILY = [
     "sql_q13_order_distribution",
     "sql_q15_top_supplier",
     "sql_q19_disjunct_revenue",
+    "sql_q7_nation_volume",
+    "sql_q9_product_profit",
+    "bpe_encode",
+    "curation_funnel",
+    "asof_join_tolerance",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
