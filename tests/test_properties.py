@@ -375,3 +375,32 @@ def test_media_parsers_never_raise_on_magic_prefixed_garbage(tail, magic):
     ):
         out = parser(payload)
         assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_gopher_rules_never_raise_and_flags_are_boolean(spark, texts):
+    """Fuzz the hard quality gate: arbitrary unicode-ish text (incl.
+    token-free strings) must never raise, and every rule flag plus the
+    verdict must be a real boolean — never NULL (the round-10
+    zero-token contract, generalized)."""
+    from kafkastreams_example_spark.functions.text import gopher_quality_rules
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    rows = gopher_quality_rules(df).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        for f in ("word_count_ok", "mean_len_ok", "stopwords_ok",
+                  "repetition_ok", "passes"):
+            assert isinstance(r[f], bool), (f, r)
