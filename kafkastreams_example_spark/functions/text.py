@@ -197,9 +197,14 @@ def gopher_quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     EVERY rule deterministically — mean_len/ttr are x/0 and would
     otherwise null-poison the flags (Spark: NULL == 0 is NULL; a hard
     gate whose verdict can be NULL is broken), so the ratio rules are
-    coalesced to False and mean_token_len reports NULL. Both engines
-    share the contract."""
-    toks = tokenize(text_col)
+    coalesced to False and mean_token_len reports NULL. NULL text is
+    folded into the same class (round-11 review fix): tokenize(NULL)
+    is NULL, which would make n_tok NULL and null-poison the two
+    count rules the zero-token fix did NOT coalesce — so text is
+    coalesced to '' first and a NULL-text doc fails all four rules
+    exactly like an empty one. Both engines share the contract."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokenize(F.coalesce(c, F.lit("")))
     n_tok = F.size(toks)
     mean_len = F.when(
         n_tok > 0,

@@ -586,6 +586,10 @@ def embedding_dedup_pipeline(
          the threshold could gate differently per tier (measure-zero
          for dot products of normalized doubles; the same accepted
          class as the np.round half-to-even note in similarity.py).
+         Non-finite embeddings would be a LARGER divergence (numpy's
+         `NaN >= t` is False, Spark orders NaN above every double) —
+         they are quarantined in _assign before either tier can score
+         one, so the ulp class is the only remaining divergence.
     3. A vector passes the gate iff ALL its probed rows survived —
        the band_dedup_any_pipeline counting trick: windowed count ==
        n_probe_effective, closing when the watermark passes.
@@ -635,9 +639,19 @@ def embedding_dedup_pipeline(
                 continue
             # quarantine rule covers the ID too (round-10 review fix):
             # a NULL id would crash to_numpy(int64) executor-side and
-            # kill the query; an unidentifiable row can't be gated
+            # kill the query; an unidentifiable row can't be gated.
+            # Non-finite embeddings are quarantined too (round-11
+            # review fix): a NaN/inf component makes the cosine NaN,
+            # and the two screening tiers DISAGREE on NaN — numpy's
+            # `NaN >= t` is False (probe survives) while Spark's
+            # flat-column `cos >= t` treats NaN as greater-than-any-
+            # double (probe killed). A vector that can't be scored
+            # can't be gated; dropping it here makes both tiers
+            # identical by construction.
             ok = pdf[vec_col].map(
-                lambda v: v is not None and len(v) == dim
+                lambda v: v is not None
+                and len(v) == dim
+                and np.isfinite(np.asarray(v, dtype=np.float64)).all()
             ) & pdf[id_col].notna()
             pdf = pdf[ok.to_numpy(dtype=bool)]
             if len(pdf) == 0:

@@ -1264,7 +1264,7 @@ def test_gopher_rules_zero_token_doc_fails_deterministically(spark):
     from kafkastreams_example_spark.functions.text import gopher_quality_rules
 
     df = spark.createDataFrame(
-        [(1, "!!!"), (2, "")], "doc_id BIGINT, text STRING"
+        [(1, "!!!"), (2, ""), (3, None)], "doc_id BIGINT, text STRING"
     )
     for r in gopher_quality_rules(df).collect():
         assert r["passes"] is False

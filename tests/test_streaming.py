@@ -1306,3 +1306,60 @@ def test_embedding_dedup_pipeline_gates_near_dups(spark, tmp_path):
     }
     assert via_join == expected
     index.unpersist()
+
+
+def test_embedding_dedup_quarantines_nonfinite(spark):
+    """Round-11 review fix: a NaN/inf embedding makes the cosine NaN,
+    and the two screening tiers DISAGREE on NaN (numpy `NaN >= t` is
+    False → probe survives; Spark orders NaN above every double →
+    probe killed). The quarantine rule must drop non-finite vectors in
+    _assign so BOTH tiers emit the same verdicts: the poisoned rows
+    appear in neither output, and the finite rows gate identically."""
+    import numpy as np
+
+    from kafkastreams_example_spark.streaming.pipelines import (
+        embedding_corpus_index,
+        embedding_dedup_pipeline,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(20)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    index, acents, bcents, grid = embedding_corpus_index(corpus)
+    index = index.cache()
+
+    T0 = 1_704_067_200_000
+    novel = rng.normal(size=8)
+    novel /= np.linalg.norm(novel)
+    nan_vec = novel.tolist()
+    nan_vec[3] = float("nan")
+    inf_vec = vecs[5].tolist()
+    inf_vec[0] = float("inf")
+    batch = spark.createDataFrame(
+        [
+            (200, vecs[10].tolist(), T0),  # corpus dup → gated
+            (201, novel.tolist(), T0),  # novel → survives
+            (202, nan_vec, T0),  # non-finite → quarantined
+            (203, inf_vec, T0),  # non-finite → quarantined
+        ],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, ts_ms BIGINT",
+    ).select(
+        "vec_id",
+        "embedding",
+        F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+    )
+    verdicts = {}
+    for bcast in (True, False):
+        verdicts[bcast] = {
+            r["vec_id"]
+            for r in embedding_dedup_pipeline(
+                batch, index, acents, bcents, grid,
+                threshold=0.9, broadcast_index=bcast,
+            ).collect()
+        }
+    assert verdicts[True] == verdicts[False] == {201}
+    index.unpersist()
