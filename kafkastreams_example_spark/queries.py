@@ -2045,6 +2045,178 @@ def q_sql_q9_product_profit(spark, sf_dir):
 SQL_SQL_Q9_PRODUCT_PROFIT = _SQL_Q9_BODY
 
 
+_SQL_Q4_BODY = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_sql_q4_priority_count(spark, sf_dir):
+    """TPC-H Q4-shaped (order-priority checking) via the SQL API — the
+    EXISTS-correlated-on-an-EXPRESSION shape the subquery tier still
+    lacked: Q21's EXISTS correlates on a plain column equality, while
+    Q4's inner predicate compares an inner column against an
+    ARITHMETIC of the outer row (l_shipdate > o_orderdate + 60 days —
+    this testdata carries no commit/receiptdate, so the spec's
+    "committed late" maps to "shipped ≥60 days after ordering", the
+    same late-fulfilment semantics). Catalyst must still decorrelate
+    to ONE left semi hash join on orderkey with the date comparison as
+    the join condition's non-equi residual — never a per-outer-row
+    lineitem scan. At 100 TB the quarter predicate on orders pushes to
+    the scan and the semi join shuffles only (orderkey, shipdate) vs
+    (orderkey, orderdate) narrow rows; the 5-row priority rollup is a
+    trivial final agg. Plan guard:
+    tests/test_plans.py::test_sql_q4_semi_join_with_residual."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q4_BODY)
+
+
+SQL_SQL_Q4_PRIORITY_COUNT = _SQL_Q4_BODY
+
+
+_SQL_Q6_BODY = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_sql_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped (forecasting revenue change) via the SQL API —
+    the pure SCAN-FILTER-AGGREGATE shape: no join at all, one pass over
+    the fact table with three conjunctive predicates and a single
+    decimal-exact sum. This is the query whose entire 100 TB cost is
+    the scan, so the plan is the pushdown showcase: all three
+    predicates (shipdate range, discount band, quantity cap) must reach
+    the parquet reader as PushedFilters, the scan must read exactly the
+    four referenced columns (ReadSchema), and the aggregate is a
+    two-phase HashAggregate whose shuffle carries ONE partial row per
+    task. The discount literals compare against the same stored doubles
+    in both engines, so the filter set is engine-exact; the summed term
+    is decimal(18,2)×decimal(3,2) — exact, one double cast at the
+    boundary. Plan guard:
+    tests/test_plans.py::test_sql_q6_full_pushdown_no_join."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q6_BODY)
+
+
+SQL_SQL_Q6_FORECAST_REVENUE = _SQL_Q6_BODY
+
+
+_SQL_Q8_BODY = """
+SELECT year(o.o_orderdate) AS o_year,
+       round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(3,2)))
+                ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE),
+             6) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_type = 'STANDARD'
+  AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY year(o.o_orderdate)
+"""
+
+
+def q_sql_q8_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped (national market share) via the SQL API — the
+    WIDEST join shape in the tier: eight relations, with nation joined
+    TWICE under different roles (customer's nation → region filter;
+    supplier's nation → the market-share numerator), the pattern that
+    exercises Catalyst's alias-scoped column resolution and join
+    reordering across a star with two dimension arms. The share is the
+    Q14 one-pass conditional-ratio idiom (CASE-gated decimal sum over
+    total decimal sum, ONE double division then round) — never a
+    self-join of two filtered aggregates. At 100 TB everything except
+    lineitem⋈orders broadcasts: region/nation/part/supplier/customer
+    are bounded dims, so the plan has exactly one shuffle-worthy join
+    (fact to orders on orderkey) plus the 2-row year rollup. Plan
+    guard: tests/test_plans.py::test_sql_q8_broadcast_star."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q8_BODY)
+
+
+SQL_SQL_Q8_MARKET_SHARE = _SQL_Q8_BODY
+
+
+# Q11 adapted: this testdata has no partsupp table, so "stock value"
+# maps to each part's lineitem value (extendedprice × quantity) via
+# suppliers of one REGION (a nation is too sparse at sf0.001 — zero
+# suppliers), and the spec's fixed FRACTION threshold (which cannot
+# hold signal across scale factors: any constant is too high at one SF
+# and too low at another) maps to "above 2× the average part value",
+# phrased division-free (value·n > 2·total) so both engines compare
+# exact decimals — the HAVING-above-scalar-subquery STRUCTURE is
+# exactly Q11's.
+_SQL_Q11_BODY = """
+WITH val AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(l.l_quantity AS BIGINT)) AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+FROM val
+WHERE value * (SELECT COUNT(*) FROM val)
+      > (SELECT SUM(value) FROM val) * 2
+"""
+
+
+def q_sql_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11-shaped (important stock identification) via the SQL
+    API — the GROUP-THEN-FILTER-BY-GLOBAL-SCALAR shape that closes the
+    22-query taxonomy: an aggregate CTE consumed THREE times (group
+    rows, a COUNT(*) scalar, a SUM scalar), where the filter compares
+    each group's aggregate against a scalar aggregate OVER THE SAME
+    derived relation. What matters at 100 TB is that Catalyst evaluates
+    the two uncorrelated scalar subqueries ONCE each (driver-side
+    scalar broadcast, never per-row) and — because all three consumers
+    share one CTE — the expensive fact-side aggregation is planned
+    once and reused, not recomputed per consumer. The threshold is
+    division-free exact-decimal arithmetic (see _SQL_Q11_BODY note) so
+    no double rounding can flip a boundary part between engines. Plan
+    guard: tests/test_plans.py::test_sql_q11_scalar_subquery_once."""
+    from .sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q11_BODY)
+
+
+SQL_SQL_Q11_IMPORTANT_PARTS = _SQL_Q11_BODY
+
+
 def q_approx_distinct(spark, sf_dir):
     """Approximate aggregates (HLL count-distinct). Sketch estimates
     differ across engines by design, so the raw estimate can't be
@@ -6398,6 +6570,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "sql_q14_promo_revenue": QuerySpec(
         q_sql_q14_promo_revenue, SQL_SQL_Q14_PROMO_REVENUE, ("relational", "sql-api")
     ),
+    "sql_q4_priority_count": QuerySpec(
+        q_sql_q4_priority_count, SQL_SQL_Q4_PRIORITY_COUNT, ("relational", "sql-api")
+    ),
+    "sql_q6_forecast_revenue": QuerySpec(
+        q_sql_q6_forecast_revenue, SQL_SQL_Q6_FORECAST_REVENUE, ("relational", "sql-api")
+    ),
+    "sql_q8_market_share": QuerySpec(
+        q_sql_q8_market_share, SQL_SQL_Q8_MARKET_SHARE, ("relational", "sql-api")
+    ),
+    "sql_q11_important_parts": QuerySpec(
+        q_sql_q11_important_parts, SQL_SQL_Q11_IMPORTANT_PARTS, ("relational", "sql-api")
+    ),
     "approx_distinct": QuerySpec(
         q_approx_distinct, SQL_APPROX_DISTINCT, ("relational", "approximate")
     ),
@@ -6579,6 +6763,12 @@ REGISTRY: dict[str, QuerySpec] = {
 # CORRECTNESS_r0{1,2,3}.json latest-row ages as of round 4 — rotate
 # again next round.
 _GATE_ORDER = [
+    # — changed or new in round 11: must (re-)evidence first —
+    "sql_q4_priority_count",     # r11 new: EXISTS correlated on an expression
+    "sql_q6_forecast_revenue",   # r11 new: pure scan-filter-aggregate pushdown
+    "sql_q8_market_share",       # r11 new: 8-way star, nation in two roles
+    "sql_q11_important_parts",   # r11 new: group-filter-by-global-scalar
+    "gopher_rules",              # r11 changed: NULL text folded into the fail class
     # — changed or new in round 10: must (re-)evidence first —
     "simhash_pairs",             # r10 changed: Manku banding is now the default
     "ngram_span_removal",        # r10 new: ExactSubstr span cut (Lee et al. 2nd half)
@@ -6586,7 +6776,6 @@ _GATE_ORDER = [
     "sql_q20_excess_share_supplier",  # r10 new: nested IN/semi chain
     "sql_q22_dormant_customers", # r10 new: NOT EXISTS + scalar-avg cohort
     "graph_pagerank",            # r10 changed: delegates to functions/graph.py::pagerank
-    "gopher_rules",              # r10 new: Gopher hard quality gate (Rae et al. 2021)
     "sql_q13_order_distribution",  # r10 new: outer-join-aggregation histogram
     "sql_q15_top_supplier",      # r10 new: derived view + scalar-max equality
     "sql_q19_disjunct_revenue",  # r10 new: disjunctive predicate pushdown

@@ -349,6 +349,76 @@ def test_sql_q16_null_aware_anti_join(spark):
     assert "partial_count" in plan
 
 
+def test_sql_q4_semi_join_with_residual(spark):
+    """Q4's EXISTS correlates on an expression of the outer row
+    (shipdate > orderdate + 60 days): Catalyst must still decorrelate
+    to ONE left semi join on orderkey carrying the date comparison as
+    a non-equi residual — never a per-outer-row lineitem subplan — and
+    the quarter predicate must push to the orders scan."""
+    from kafkastreams_example_spark.queries import q_sql_q4_priority_count
+
+    df = q_sql_q4_priority_count(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "LeftSemi" in plan
+    assert "Subquery subquery" not in plan
+    assert "rangepartitioning" not in plan
+    assert_pushed_filters(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_sql_q6_full_pushdown_no_join(spark):
+    """Q6 is the pure scan showcase: zero joins, all three predicate
+    families pushed to the parquet reader, a pruned 4-column
+    ReadSchema, and a two-phase agg whose shuffle carries one partial
+    row per task."""
+    from kafkastreams_example_spark.queries import q_sql_q6_forecast_revenue
+
+    df = q_sql_q6_forecast_revenue(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert not any(
+        j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert plan.count("HashAggregate") == 2
+    assert_pushed_filters(
+        df, "GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"
+    )
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_returnflag" not in read[0] and "l_partkey" not in read[0]
+
+
+def test_sql_q8_broadcast_star(spark):
+    """Q8's eight-relation star must broadcast every dimension arm
+    (region, the two nation roles, part, supplier, customer, orders
+    after its date filter) — seven broadcast joins, no sort-merge
+    join, no global sort; the one remaining exchange is the 2-row
+    year rollup."""
+    from kafkastreams_example_spark.queries import q_sql_q8_market_share
+
+    plan = plan_string(q_sql_q8_market_share(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_sql_q11_scalar_subquery_once(spark):
+    """Q11's two uncorrelated scalar subqueries aggregate the SAME
+    derived relation the outer query groups over. The executed plan
+    must (a) merge the two scalars into one subplan with the second
+    reference a ReusedSubquery (MergeScalarSubqueries) and (b) reuse
+    the per-part aggregation exchange between the main branch and the
+    scalar subplan (ReusedExchange) — i.e., the fact side is
+    aggregated ONCE at runtime, not once per consumer. AQE finalizes
+    reuse at execution, so the guard reads the post-collect plan."""
+    from kafkastreams_example_spark.queries import q_sql_q11_important_parts
+
+    df = q_sql_q11_important_parts(spark, SF_DIR)
+    df.collect()
+    plan = plan_string(df, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "ReusedSubquery" in plan
+    assert "ReusedExchange" in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_knn_screened_is_bucketed_kernel(spark):
     """The screened kNN eval must score through the per-bucket BLAS
     kernel (one FlatMapGroupsInPandas over the probed assignment,
