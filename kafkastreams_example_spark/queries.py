@@ -3934,6 +3934,80 @@ GROUP BY bin
 """
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier gate over events.value: per event_type MEDIAN and
+    MAD (median absolute deviation), then the count and fraction of
+    rows with |value − median| > 5·MAD — the data-cleaning filter that
+    survives heavy-tailed junk where mean/stddev z-scores break (one
+    corrupt 1e12 reading shifts a mean arbitrarily; the median moves by
+    at most one rank). The standard robust-scale gate a training-data
+    pipeline runs over numeric telemetry before fitting anything.
+
+    Exactness: both medians are EXACT interpolated percentiles (Spark
+    `median` = percentile 0.5; DuckDB median = quantile_cont(0.5)) —
+    for even counts both average the two middle doubles, the same one
+    IEEE operation on the same stored values, so med/MAD agree
+    bit-for-bit and the 5·MAD comparison cannot flip a boundary row
+    between engines.
+
+    Plan: sequential passes over a 2-column (event_type, value)
+    projection — median per type, MAD per type with the O(#types)
+    median frame broadcast back, then the outlier count with both tiny
+    stat frames broadcast. The medians compile to hash-partitioned
+    ObjectHashAggregates (typed percentile buffers), never a global
+    range sort; the dev subtree appears under two consumers but AQE
+    exchange reuse dedupes the identical median aggregation at runtime
+    (final plan carries a ReusedExchange — the guard in
+    tests/test_plans.py::test_mad_outliers_no_global_sort pins both
+    properties). At 100 TB the alternative single-pass
+    approx_percentile trades exactness for one scan; this entry is the
+    exact tier (the approximate tier is q_approx_quantiles)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_value",
+        F.abs(F.col("value") - F.col("med_value")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad_value"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.first("med_value").alias("med_value"),
+        F.first("mad_value").alias("mad_value"),
+        F.sum((F.col("ad") > 5 * F.col("mad_value")).cast("bigint")).alias(
+            "n_outliers"
+        ),
+        (
+            F.sum((F.col("ad") > 5 * F.col("mad_value")).cast("bigint"))
+            / F.count("*")
+        ).alias("outlier_frac"),
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, median(value) AS med_value FROM e GROUP BY event_type),
+dev AS (SELECT e.event_type, m.med_value, abs(e.value - m.med_value) AS ad
+        FROM e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, median(ad) AS mad_value FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       any_value(d.med_value) AS med_value,
+       any_value(m.mad_value) AS mad_value,
+       CAST(sum(CASE WHEN d.ad > 5 * m.mad_value THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(sum(CASE WHEN d.ad > 5 * m.mad_value THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS outlier_frac
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def q_profile_events(spark, sf_dir):
     """Column profiling: per-column null counts, distinct counts, and
     numeric ranges in one pass — the stats stage before heavy pipeline
@@ -6704,6 +6778,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "value_histogram": QuerySpec(
         q_value_histogram, SQL_VALUE_HISTOGRAM, ("relational", "pipeline")
     ),
+    "mad_outliers": QuerySpec(
+        q_mad_outliers, SQL_MAD_OUTLIERS, ("relational", "pipeline")
+    ),
     "embedding_quantize": QuerySpec(
         q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, ("similarity", "pipeline")
     ),
@@ -6768,6 +6845,7 @@ _GATE_ORDER = [
     "sql_q6_forecast_revenue",   # r11 new: pure scan-filter-aggregate pushdown
     "sql_q8_market_share",       # r11 new: 8-way star, nation in two roles
     "sql_q11_important_parts",   # r11 new: group-filter-by-global-scalar
+    "mad_outliers",              # r11 new: exact median/MAD robust outlier gate
     "gopher_rules",              # r11 changed: NULL text folded into the fail class
     # — changed or new in round 10: must (re-)evidence first —
     "simhash_pairs",             # r10 changed: Manku banding is now the default

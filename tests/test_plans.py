@@ -419,6 +419,23 @@ def test_sql_q11_scalar_subquery_once(spark):
     assert "rangepartitioning" not in plan
 
 
+def test_mad_outliers_no_global_sort(spark):
+    """Exact per-group medians must compile to hash-partitioned typed
+    aggregates (ObjectHashAggregate percentile buffers), never a global
+    range sort; the O(#types) stat frames broadcast back over the scan,
+    and AQE dedupes the repeated median subtree at runtime."""
+    from kafkastreams_example_spark.queries import q_mad_outliers
+
+    df = q_mad_outliers(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "rangepartitioning" not in plan
+    assert "ObjectHashAggregate" in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    df.collect()
+    final = plan_string(df, "simple")
+    assert "isFinalPlan=true" in final and "ReusedExchange" in final
+
+
 def test_knn_screened_is_bucketed_kernel(spark):
     """The screened kNN eval must score through the per-bucket BLAS
     kernel (one FlatMapGroupsInPandas over the probed assignment,
