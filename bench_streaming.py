@@ -65,6 +65,7 @@ from kafkastreams_example_spark.streaming.pipelines import (  # noqa: E402
     quality_filter_pipeline,
     session_window_pipeline,
     sliding_window_pipeline,
+    static_enrich_pipeline,
     windowed_count_pipeline,
 )
 
@@ -96,6 +97,10 @@ THRESHOLDS = {
     # ~2-3x under-recording policy.
     "embedding_dedup": 12_000,
     "interval_join": 40_000,
+    # stateless broadcast probe fused into the batch scan — expected to
+    # track the filter pipeline; floor set after first quiet recording
+    # at the same ~2-3x under-recording policy
+    "static_enrich": 150_000,
     "quality_filter": 100_000,
     # quiet-machine readings 40–50k; 30k left only ~1.5x headroom and a
     # moderately loaded (but healthy) run tripped it — 15k restores the
@@ -319,6 +324,31 @@ def main() -> None:
             ),
             "rows_per_batch": 2 * n_join,
         }
+        # stream-static broadcast enrichment: events keyed into the
+        # sf customer dim (bounded snapshot, explicitly broadcast) —
+        # measures the per-batch broadcast-probe path, the canonical
+        # streaming dimension lookup
+        cust = spark.read.parquet(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            + "/customer.parquet"
+        ).select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+        n_cust = cust.count()
+        ev = _rate_source(spark, rows_filter).select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("event_time"),
+            (F.col("value") % n_cust + 1).alias("user_id"),
+        )
+        results["static_enrich"] = {
+            **_run_query(
+                static_enrich_pipeline(ev, cust), "static_enrich", ckpt_root
+            ),
+            "rows_per_batch": rows_filter,
+        }
+
         # LLM-ingest pipelines over a synthetic document stream:
         # ~14-token docs, 90% in-window duplicate mass for the dedup
         def _doc_stream(n):

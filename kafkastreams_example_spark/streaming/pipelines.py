@@ -142,6 +142,36 @@ def quality_filter_pipeline(
     )
 
 
+def static_enrich_pipeline(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the canonical streaming
+    lookup join: every micro-batch hash-joins the stream against a
+    bounded dimension snapshot (user profile, ad campaign, device
+    registry), attaching the dim's columns to each event at ingest so
+    downstream consumers never re-join it.
+
+    Semantics: stateless and watermark-free — a stream-static equi-join
+    buffers NO state (Spark re-plans the static side per micro-batch,
+    so a dim refreshed underneath the path is picked up on the next
+    trigger). Default how='left' preserves unmatched events with NULL
+    dim columns: an ingest path must never DROP telemetry because the
+    dimension is stale; the gate that filters is a separate downstream
+    decision. how='inner' is the filtering variant.
+
+    Scale: the dim side is explicitly broadcast — at 100 TB of stream
+    the lookup must be a map-side hash probe fused into the batch's
+    scan stage, never a shuffle of the stream on the join key (a
+    shuffled stream-static join would re-partition every micro-batch).
+    For dims too big to broadcast, pre-bucket the dim table on the key
+    and let the stream side shuffle once per batch — that variant is a
+    deployment choice, not a different operator."""
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def minhash_band_dedup_pipeline(
     docs: DataFrame,
     n_hashes: int = 8,

@@ -1308,6 +1308,74 @@ def test_embedding_dedup_pipeline_gates_near_dups(spark, tmp_path):
     index.unpersist()
 
 
+def test_static_enrich_pipeline(spark, tmp_path):
+    """Stream-static broadcast enrichment: events pick up their dim
+    columns per micro-batch, unmatched events survive with NULLs
+    (how='left' — ingest never drops telemetry over a stale dim), and
+    the streaming output equals the batch join over the same input
+    (the TopologyTestDriver pattern). The micro-batch plan must probe
+    a broadcast of the dim, never shuffle the stream on the key."""
+    from kafkastreams_example_spark.streaming.pipelines import (
+        static_enrich_pipeline,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id BIGINT, tier STRING"
+    )
+    rows = [
+        {"event_id": 10, "ts_ms": 0, "user_id": 1},
+        {"event_id": 11, "ts_ms": MIN, "user_id": 2},
+        {"event_id": 12, "ts_ms": 2 * MIN, "user_id": 99},  # no dim row
+    ]
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    _write_batch(src, "b1.json", rows)
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts_ms BIGINT, user_id BIGINT")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = static_enrich_pipeline(stream, dim)
+    q = (
+        out.select("event_id", "user_id", "tier")
+        .writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["tier"])
+        for r in spark.read.schema("event_id BIGINT, user_id BIGINT, tier STRING")
+        .json(str(out_dir))
+        .collect()
+    }
+    assert got == {(10, "gold"), (11, "silver"), (12, None)}
+
+    # batch parity: identical transforms over the same rows
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts_ms"], r["user_id"]) for r in rows],
+        "event_id BIGINT, ts_ms BIGINT, user_id BIGINT",
+    ).withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    expected = {
+        (r["event_id"], r["tier"])
+        for r in static_enrich_pipeline(batch, dim)
+        .select("event_id", "tier")
+        .collect()
+    }
+    assert got == expected
+
+    # the batch-equivalent plan is a broadcast probe, not a shuffle of
+    # the stream side on user_id
+    plan = static_enrich_pipeline(batch, dim)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(user_id" not in plan
+
+
 def test_embedding_dedup_quarantines_nonfinite(spark):
     """Round-11 review fix: a NaN/inf embedding makes the cosine NaN,
     and the two screening tiers DISAGREE on NaN (numpy `NaN >= t` is
