@@ -116,6 +116,12 @@ BENCH_QUERIES = [
     "cohort_retention",
     "scd2_merge",
     "graph_pagerank",
+    # round-11 additions
+    "sql_q4_priority_count",
+    "sql_q6_forecast_revenue",
+    "sql_q8_market_share",
+    "sql_q11_important_parts",
+    "mad_outliers",
 ]
 
 

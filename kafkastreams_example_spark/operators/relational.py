@@ -159,3 +159,56 @@ def broadcast_dim(df: DataFrame) -> DataFrame:
     and a full shuffle of the fact table; AQE would usually get it right
     from statistics, but being explicit survives stale stats."""
     return F.broadcast(df)
+
+
+def grouped_exact_median(
+    df: DataFrame, keys: list[str], col: str, out: str = "med"
+) -> DataFrame:
+    """EXACT per-group median that scales: value-histogram + cumulative
+    rank pick, never a per-group value buffer.
+
+    Spark's built-in `median`/`percentile` aggregate is exact but
+    buffers EVERY value of a group in the aggregation buffer
+    (ObjectHashAggregate) — per-group O(rows) executor memory, which
+    with a handful of groups is exactly the operator that OOMs at
+    100 TB. This helper computes the same exact interpolated median
+    through bounded state: count by (keys, value) — the histogram is
+    bounded by the column's DISTINCT-value cardinality, the natural
+    bound for fixed-precision telemetry — then a running sum over the
+    per-group histogram locates the rank-⌈n/2⌉ and rank-(⌊n/2⌋+1)
+    values, and the median interpolates lower + (upper − lower)·0.5,
+    the same IEEE expression quantile_cont / Spark's Percentile use, so
+    results are bit-identical to the built-in (pinned by
+    tests/test_operators.py::test_grouped_exact_median_matches_builtin).
+
+    Plan: one two-phase count aggregation over the scan, then two
+    window passes over the HISTOGRAM (hash-partitioned by group, sorted
+    within partitions by value — no global range sort, no value
+    buffering), then a final one-row-per-group aggregate. For columns
+    with unbounded distinct values, quantize first or use
+    approx_percentile — an exact median fundamentally requires rank
+    structure over the value domain."""
+    from pyspark.sql.window import Window
+
+    hist = df.groupBy(*keys, col).agg(F.count("*").alias("__cnt"))
+    w_run = Window.partitionBy(*keys).orderBy(col)
+    w_all = Window.partitionBy(*keys)
+    h = (
+        hist.withColumn("__hi", F.sum("__cnt").over(w_run))
+        .withColumn("__lo", F.col("__hi") - F.col("__cnt") + 1)
+        .withColumn("__n", F.sum("__cnt").over(w_all))
+    )
+    k1 = F.floor((F.col("__n") + 1) / 2)
+    k2 = F.floor(F.col("__n") / 2) + 1
+    covers1 = (F.col("__lo") <= k1) & (k1 <= F.col("__hi"))
+    covers2 = (F.col("__lo") <= k2) & (k2 <= F.col("__hi"))
+    picked = h.filter(covers1 | covers2).groupBy(*keys).agg(
+        F.min(F.when(covers1, F.col(col))).alias("__v1"),
+        F.min(F.when(covers2, F.col(col))).alias("__v2"),
+    )
+    return picked.select(
+        *keys,
+        (
+            F.col("__v1") + (F.col("__v2") - F.col("__v1")) * F.lit(0.5)
+        ).alias(out),
+    )

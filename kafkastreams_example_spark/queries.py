@@ -3943,37 +3943,42 @@ def q_mad_outliers(spark, sf_dir):
     at most one rank). The standard robust-scale gate a training-data
     pipeline runs over numeric telemetry before fitting anything.
 
-    Exactness: both medians are EXACT interpolated percentiles (Spark
-    `median` = percentile 0.5; DuckDB median = quantile_cont(0.5)) —
-    for even counts both average the two middle doubles, the same one
-    IEEE operation on the same stored values, so med/MAD agree
-    bit-for-bit and the 5·MAD comparison cannot flip a boundary row
-    between engines.
+    Exactness: both medians are EXACT interpolated percentiles
+    (lower + (upper − lower)·0.5 on the two middle values — the same
+    IEEE expression DuckDB's median/quantile_cont evaluates on the same
+    stored doubles), so med/MAD agree bit-for-bit and the 5·MAD
+    comparison cannot flip a boundary row between engines.
 
-    Plan: sequential passes over a 2-column (event_type, value)
-    projection — median per type, MAD per type with the O(#types)
-    median frame broadcast back, then the outlier count with both tiny
-    stat frames broadcast. The medians compile to hash-partitioned
-    ObjectHashAggregates (typed percentile buffers), never a global
-    range sort; the dev subtree appears under two consumers but AQE
-    exchange reuse dedupes the identical median aggregation at runtime
-    (final plan carries a ReusedExchange — the guard in
-    tests/test_plans.py::test_mad_outliers_no_global_sort pins both
-    properties). At 100 TB the alternative single-pass
-    approx_percentile trades exactness for one scan; this entry is the
-    exact tier (the approximate tier is q_approx_quantiles)."""
+    Plan — and WHY not the built-in `median` aggregate: Spark's exact
+    percentile buffers every group value in executor memory
+    (ObjectHashAggregate); with a handful of event types that is
+    per-group O(rows) state — the operator that OOMs at 100 TB. The
+    medians here go through operators/relational.py::
+    grouped_exact_median instead: a bounded value-HISTOGRAM (two-phase
+    count by (type, value)) + cumulative-rank pick through window
+    passes over the histogram — state bounded by distinct-value
+    cardinality (fixed-precision telemetry ⇒ bounded), no global range
+    sort, no value buffering; bit-equality with the built-in is pinned
+    by tests/test_operators.py::test_grouped_exact_median_matches_builtin.
+    The O(#types) stat frames broadcast back over the scan (guard:
+    tests/test_plans.py::test_mad_outliers_no_global_sort). At 100 TB
+    the alternative single-pass approx_percentile trades exactness for
+    one scan; this entry is the exact tier (the approximate tier is
+    q_approx_quantiles)."""
+    from .operators.relational import grouped_exact_median
+
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    med = grouped_exact_median(ev, ["event_type"], "value", out="med_value")
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type",
         "med_value",
         F.abs(F.col("value") - F.col("med_value")).alias("ad"),
     )
-    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad_value"))
+    mad = grouped_exact_median(dev, ["event_type"], "ad", out="mad_value")
     flagged = dev.join(F.broadcast(mad), "event_type")
     return flagged.groupBy("event_type").agg(
         F.count("*").alias("n"),

@@ -1274,6 +1274,53 @@ def test_gopher_rules_zero_token_doc_fails_deterministically(spark):
             assert r[f] is False
 
 
+def test_grouped_exact_median_matches_builtin(spark):
+    """The bounded-histogram median must be BIT-identical to Spark's
+    exact `median` aggregate (which it replaces to avoid the per-group
+    value buffer): odd and even group sizes, duplicated values spanning
+    the middle ranks, negative values, and a single-row group."""
+    from kafkastreams_example_spark.operators.relational import (
+        grouped_exact_median,
+    )
+
+    rows = [
+        # odd count
+        ("a", 1.0), ("a", 2.5), ("a", 9.0),
+        # even count, duplicate value covering both middle ranks
+        ("b", 4.0), ("b", 4.0), ("b", 7.0), ("b", 8.0),
+        # even count, distinct middles -> interpolation
+        ("c", -3.0), ("c", 0.25), ("c", 0.75), ("c", 10.0),
+        # singleton
+        ("d", 42.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    got = {
+        r["k"]: r["med"]
+        for r in grouped_exact_median(df, ["k"], "v").collect()
+    }
+    want = {
+        r["k"]: r["med"]
+        for r in df.groupBy("k").agg(F.median("v").alias("med")).collect()
+    }
+    assert got == want, (got, want)
+
+    # and on the real fixture column, per event_type
+    ev = load_table(spark, SF_DIR, "events").filter(
+        F.col("value").isNotNull()
+    )
+    got = {
+        r["event_type"]: r["med"]
+        for r in grouped_exact_median(ev, ["event_type"], "value").collect()
+    }
+    want = {
+        r["event_type"]: r["med"]
+        for r in ev.groupBy("event_type")
+        .agg(F.median("value").alias("med"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_pagerank_empty_graph_returns_empty(spark):
     """Round-10 review fix: a filtered-to-nothing edge frame must yield
     an empty rank frame, not a driver-side ZeroDivisionError."""

@@ -420,20 +420,18 @@ def test_sql_q11_scalar_subquery_once(spark):
 
 
 def test_mad_outliers_no_global_sort(spark):
-    """Exact per-group medians must compile to hash-partitioned typed
-    aggregates (ObjectHashAggregate percentile buffers), never a global
-    range sort; the O(#types) stat frames broadcast back over the scan,
-    and AQE dedupes the repeated median subtree at runtime."""
+    """The exact medians must go through the bounded-histogram kernel:
+    NO ObjectHashAggregate (the built-in percentile's per-group value
+    buffer — per-group O(rows) memory, the 100 TB OOM), no global range
+    sort (the histogram windows sort within hash partitions), and the
+    O(#types) stat frames broadcast back over the scan."""
     from kafkastreams_example_spark.queries import q_mad_outliers
 
     df = q_mad_outliers(spark, SF_DIR)
     plan = plan_string(df, "simple")
     assert "rangepartitioning" not in plan
-    assert "ObjectHashAggregate" in plan
-    assert plan.count("BroadcastHashJoin") == 3
-    df.collect()
-    final = plan_string(df, "simple")
-    assert "isFinalPlan=true" in final and "ReusedExchange" in final
+    assert "ObjectHashAggregate" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_knn_screened_is_bucketed_kernel(spark):
