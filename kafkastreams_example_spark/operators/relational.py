@@ -161,32 +161,37 @@ def broadcast_dim(df: DataFrame) -> DataFrame:
     return F.broadcast(df)
 
 
-def grouped_exact_median(
-    df: DataFrame, keys: list[str], col: str, out: str = "med"
+def grouped_exact_percentile(
+    df: DataFrame, keys: list[str], col: str, p: float, out: str = "pct"
 ) -> DataFrame:
-    """EXACT per-group median that scales: value-histogram + cumulative
-    rank pick, never a per-group value buffer.
+    """EXACT per-group interpolated percentile that scales:
+    value-histogram + cumulative rank pick, never a per-group value
+    buffer.
 
-    Spark's built-in `median`/`percentile` aggregate is exact but
+    Spark's built-in `percentile`/`median` aggregate is exact but
     buffers EVERY value of a group in the aggregation buffer
     (ObjectHashAggregate) — per-group O(rows) executor memory, which
     with a handful of groups is exactly the operator that OOMs at
-    100 TB. This helper computes the same exact interpolated median
+    100 TB. This helper computes the same exact interpolated percentile
     through bounded state: count by (keys, value) — the histogram is
     bounded by the column's DISTINCT-value cardinality, the natural
     bound for fixed-precision telemetry — then a running sum over the
-    per-group histogram locates the rank-⌈n/2⌉ and rank-(⌊n/2⌋+1)
-    values, and the median interpolates lower + (upper − lower)·0.5,
-    the same IEEE expression quantile_cont / Spark's Percentile use, so
-    results are bit-identical to the built-in (pinned by
-    tests/test_operators.py::test_grouped_exact_median_matches_builtin).
+    per-group histogram locates the two straddling ranks of position
+    (n−1)·p and interpolates with the TWO-SIDED weighting
+    (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi — the exact expression BOTH
+    Spark's Percentile and DuckDB's quantile_cont evaluate (not the
+    algebraically-equal v_lo + (v_hi−v_lo)·frac, which lands an ulp
+    away at fractional positions; measured at p=0.9 on the fixture) —
+    so results are bit-identical to the built-in in both engines
+    (pinned by tests/test_operators.py::
+    test_grouped_exact_median_matches_builtin).
 
     Plan: one two-phase count aggregation over the scan, then two
     window passes over the HISTOGRAM (hash-partitioned by group, sorted
     within partitions by value — no global range sort, no value
     buffering), then a final one-row-per-group aggregate. For columns
     with unbounded distinct values, quantize first or use
-    approx_percentile — an exact median fundamentally requires rank
+    approx_percentile — an exact percentile fundamentally requires rank
     structure over the value domain."""
     from pyspark.sql.window import Window
 
@@ -198,17 +203,32 @@ def grouped_exact_median(
         .withColumn("__lo", F.col("__hi") - F.col("__cnt") + 1)
         .withColumn("__n", F.sum("__cnt").over(w_all))
     )
-    k1 = F.floor((F.col("__n") + 1) / 2)
-    k2 = F.floor(F.col("__n") / 2) + 1
+    # 0-based fractional position, exactly Spark's (count-1)*percentage
+    pos = (F.col("__n") - 1).cast("double") * F.lit(float(p))
+    k1 = F.floor(pos) + 1  # 1-based lower straddling rank
+    k2 = F.ceil(pos) + 1  # 1-based upper straddling rank
     covers1 = (F.col("__lo") <= k1) & (k1 <= F.col("__hi"))
     covers2 = (F.col("__lo") <= k2) & (k2 <= F.col("__hi"))
     picked = h.filter(covers1 | covers2).groupBy(*keys).agg(
         F.min(F.when(covers1, F.col(col))).alias("__v1"),
         F.min(F.when(covers2, F.col(col))).alias("__v2"),
+        F.min(pos).alias("__pos"),
     )
+    lo_d = F.floor("__pos").cast("double")
+    hi_d = F.ceil("__pos").cast("double")
+    interp = (hi_d - F.col("__pos")) * F.col("__v1") + (
+        F.col("__pos") - lo_d
+    ) * F.col("__v2")
     return picked.select(
         *keys,
-        (
-            F.col("__v1") + (F.col("__v2") - F.col("__v1")) * F.lit(0.5)
-        ).alias(out),
+        F.when(lo_d == hi_d, F.col("__v1")).otherwise(interp).alias(out),
     )
+
+
+def grouped_exact_median(
+    df: DataFrame, keys: list[str], col: str, out: str = "med"
+) -> DataFrame:
+    """Exact per-group median via the bounded-histogram percentile
+    kernel (p = 0.5) — see grouped_exact_percentile for the scale
+    argument and exactness contract."""
+    return grouped_exact_percentile(df, keys, col, 0.5, out)

@@ -2692,7 +2692,12 @@ FROM part GROUP BY p_brand
 def q_agg_percentiles(spark, sf_dir):
     """Exact percentiles (linear interpolation — verified bit-identical
     to DuckDB's quantile_cont). At 100 TB you'd use approx_percentile
-    sketches; the exact form is the correctness baseline."""
+    sketches — or, when the value domain has bounded distinct
+    cardinality, operators/relational.py::grouped_exact_percentile,
+    which computes the SAME bit-exact interpolated percentile through a
+    value histogram instead of the built-in's per-group value buffer
+    (mad_outliers runs on that kernel); the built-in exact form here is
+    the correctness baseline."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", 0.5).alias("med_total"),

@@ -1320,6 +1320,27 @@ def test_grouped_exact_median_matches_builtin(spark):
     }
     assert got == want
 
+    # the generalized kernel must match F.percentile bit-for-bit at
+    # arbitrary p (fractional interpolation positions included)
+    from kafkastreams_example_spark.operators.relational import (
+        grouped_exact_percentile,
+    )
+
+    for p in (0.25, 0.9):
+        got = {
+            r["event_type"]: r["pct"]
+            for r in grouped_exact_percentile(
+                ev, ["event_type"], "value", p
+            ).collect()
+        }
+        want = {
+            r["event_type"]: r["pct"]
+            for r in ev.groupBy("event_type")
+            .agg(F.percentile("value", p).alias("pct"))
+            .collect()
+        }
+        assert got == want, p
+
 
 def test_pagerank_empty_graph_returns_empty(spark):
     """Round-10 review fix: a filtered-to-nothing edge frame must yield

@@ -191,6 +191,20 @@ ROUND10_FAMILY = [
     "asof_join_tolerance",
 ]
 
+# round-11 additions: the four taxonomy-closing TPC-H shapes (fact
+# sides replicated, dims 1x symlinks — same growth mode as ROUND10) and
+# the histogram-median outlier gate (events replicated; its histogram
+# state grows with DISTINCT value cardinality, not rows — the probe
+# should show ~linear wall with flat output rows, since #event_types
+# is fixed).
+ROUND11_FAMILY = [
+    "sql_q4_priority_count",
+    "sql_q6_forecast_revenue",
+    "sql_q8_market_share",
+    "sql_q11_important_parts",
+    "mad_outliers",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -511,6 +525,8 @@ if __name__ == "__main__":
             fam = ROUND9_FAMILY
         elif "r10" in sys.argv[2:]:
             fam = ROUND10_FAMILY
+        elif "r11" in sys.argv[2:]:
+            fam = ROUND11_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
