@@ -404,3 +404,46 @@ def test_gopher_rules_never_raise_and_flags_are_boolean(spark, texts):
         for f in ("word_count_ok", "mean_len_ok", "stopwords_ok",
                   "repetition_ok", "passes"):
             assert isinstance(r[f], bool), (f, r)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # group key
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+)
+def test_grouped_exact_percentile_property(spark, rows, p):
+    """Fuzz the bounded-histogram percentile kernel against Spark's
+    built-in exact Percentile: random group sizes (incl. singletons),
+    duplicated values (floats drawn from a bounded range collide
+    often enough), negatives, and every common p. Bit-equality, not
+    approx — the kernel exists to REPLACE the built-in at scale, so
+    any ulp of divergence is a bug (NaN inputs are out of contract:
+    quarantine non-finite values upstream, as mad_outliers does)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_example_spark.operators.relational import (
+        grouped_exact_percentile,
+    )
+
+    df = spark.createDataFrame(rows, "k INT, v DOUBLE")
+    got = {
+        r["k"]: r["pct"]
+        for r in grouped_exact_percentile(df, ["k"], "v", p).collect()
+    }
+    want = {
+        r["k"]: r["pct"]
+        for r in df.groupBy("k").agg(F.percentile("v", p).alias("pct")).collect()
+    }
+    assert got == want, (p, got, want)
