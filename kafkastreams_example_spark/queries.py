@@ -6851,72 +6851,18 @@ REGISTRY: dict[str, QuerySpec] = {
 # again next round.
 _GATE_ORDER = [
     # — changed or new in round 11: must (re-)evidence first —
-    "sql_q4_priority_count",     # r11 new: EXISTS correlated on an expression
-    "sql_q6_forecast_revenue",   # r11 new: pure scan-filter-aggregate pushdown
-    "sql_q8_market_share",       # r11 new: 8-way star, nation in two roles
-    "sql_q11_important_parts",   # r11 new: group-filter-by-global-scalar
-    "mad_outliers",              # r11 new: exact median/MAD robust outlier gate
-    "gopher_rules",              # r11 changed: NULL text folded into the fail class
-    # — changed or new in round 10: must (re-)evidence first —
-    "simhash_pairs",             # r10 changed: Manku banding is now the default
-    "ngram_span_removal",        # r10 new: ExactSubstr span cut (Lee et al. 2nd half)
-    "sql_q2_min_cost_supplier",  # r10 new: correlated scalar MIN across a join
-    "sql_q20_excess_share_supplier",  # r10 new: nested IN/semi chain
-    "sql_q22_dormant_customers", # r10 new: NOT EXISTS + scalar-avg cohort
-    "graph_pagerank",            # r10 changed: delegates to functions/graph.py::pagerank
-    "sql_q13_order_distribution",  # r10 new: outer-join-aggregation histogram
-    "sql_q15_top_supplier",      # r10 new: derived view + scalar-max equality
-    "sql_q19_disjunct_revenue",  # r10 new: disjunctive predicate pushdown
-    "dataset_split",             # r10 changed: mod-100 buckets + split sizes (was mod-10)
-    "bpe_encode",                # r10 new: corpus encoding with the trained BPE merges
-    "curation_funnel",           # r10 new: per-stage survivor telemetry of composed gates
-    "sql_q7_nation_volume",      # r10 new: two-role dimension disjunction, 6-way join
-    "sql_q9_product_profit",     # r10 new: decimal-subtraction profit aggregate
-    "asof_join_tolerance",       # r10 new: merge_asof tolerance contract
-    "asof_join",                 # r10 changed: rebased onto events (was zero-signal)
-    "join_anti",                 # r10 changed: recency anti-join (was zero rows)
-    "string_funcs3",             # r10 changed: affixes that actually occur
-    "events_funnel",             # r10 changed: 24h conversion window
-    # — changed, fixed, or new in round 9 —
-    "knn_label_accuracy",        # changed: PQ-screened candidates (was brute force)
-    "sql_q21_blame_supplier",    # new: correlated multi-subquery TPC-H shape
-    "sql_q17_small_qty_revenue", # new: correlated scalar-agg subquery shape
-    "cohort_retention",          # new: cohort retention matrix
-    "scd2_merge",                # new: SCD type-2 dimension merge
-    "simhash_pairs_4band",       # r10: the 4x15 banding, demoted to teaching contrast
-    "sql_q16_supplier_cnt",      # new: NOT IN -> null-aware anti join
-    "bmp_resize",                # new: real nearest-neighbor pixel resize
-    "wav_decimate",              # new: real PCM decimation (resample leg)
-    "bmp_frame_sample",          # new: real frame hop + sample + decode
-    "dedup_cluster_profile",     # new: cluster-size histogram telemetry
-    "sql_q14_promo_revenue",     # new: conditional-aggregate ratio shape
-    # decode stages refactored onto the shared _parser_stage helper —
-    # behavior-identical, re-evidence anyway
-    "audio_header_meta",
-    "video_header_meta",
-    "multimodal_meta",
-    "wav_pcm_stats",             # new: content-level PCM sample decode
-    "bmp_pixel_stats",           # new: content-level BMP pixel decode
-    "tfidf_cosine_pairs",        # changed: shuffle df join + ln-free tie-breaks
-    "tfidf_top_terms",           # changed: same two hardenings applied
-    # — round 8 additions, re-evidence next —
-    "bpe_train_merges",          # new: iterative BPE tokenizer training
-    "zorder_layout",             # new: Morton-key clustering report
-    "classifier_eval",           # new: per-class precision/recall/F1
-    "weighted_sample",           # new: priority sampling (integer-exact)
-    "interval_coverage",         # new: merged-interval union time
-    "dedup_embeddings_trained",  # new: trained subspace-PQ codebooks
-    "sql_q18_large_orders",      # new: agg-dominated TPC-H shape
-    "dedup_embeddings",          # changed: narrowed assignment exchange
-    "cosine_pairs",              # changed: narrowed assignment exchange
-    "udtf_term_counts",          # changed: defaultParallelism fan-out
-    # — new in round 7, driver evidence only from r7 —
-    "ivf_topk_trained",
+    "sql_q4_priority_count",
+    "sql_q6_forecast_revenue",
+    "sql_q8_market_share",
+    "sql_q11_important_parts",
+    "mad_outliers",
+    "gopher_rules",
+    # — stale tier: NOT in CORRECTNESS_r10.json's 50-slot gate —
+    # oldest-evidence-first approximation: prior rotation order
     "approx_quantiles",
     "approx_distinct_merge",
     "sql_q10_returns",
     "sql_q12_latency",
-    # — changed, fixed, or new in round 4 —
     "agg_boolean",
     "fuzzy_match",
     "image_header_meta",
@@ -6933,8 +6879,6 @@ _GATE_ORDER = [
     "simhash",
     "dedup_candidates_union",
     "kmeans_centroids",
-    # — last driver evidence is r1 (49 entries): the 50-slot window
-    #   re-confirms these, cheapest-first —
     "agg_string_concat",
     "array_funcs",
     "cross_join_dims",
@@ -6980,7 +6924,6 @@ _GATE_ORDER = [
     "scalar_funcs2",
     "sql_q3_shipping",
     "sql_q5_local_supplier",
-    # — last driver evidence is r2 —
     "doc_chunking",
     "locf_fill",
     "window_range_frame",
@@ -6988,7 +6931,6 @@ _GATE_ORDER = [
     "subquery_exists",
     "quality_funnel",
     "jaccard_est",
-    # — re-evidenced green in r3, cheapest-first —
     "stratified_sample",
     "token_histogram",
     "frame_sample",
@@ -7028,6 +6970,56 @@ _GATE_ORDER = [
     "dedup_clusters",
     "repetition_ratio",
     "contamination",
+    # — freshly evidenced in round 10's driver gate: go last —
+    "simhash_pairs",
+    "ngram_span_removal",
+    "sql_q2_min_cost_supplier",
+    "sql_q20_excess_share_supplier",
+    "sql_q22_dormant_customers",
+    "graph_pagerank",
+    "sql_q13_order_distribution",
+    "sql_q15_top_supplier",
+    "sql_q19_disjunct_revenue",
+    "dataset_split",
+    "bpe_encode",
+    "curation_funnel",
+    "sql_q7_nation_volume",
+    "sql_q9_product_profit",
+    "asof_join_tolerance",
+    "asof_join",
+    "join_anti",
+    "string_funcs3",
+    "events_funnel",
+    "knn_label_accuracy",
+    "sql_q21_blame_supplier",
+    "sql_q17_small_qty_revenue",
+    "cohort_retention",
+    "scd2_merge",
+    "simhash_pairs_4band",
+    "sql_q16_supplier_cnt",
+    "bmp_resize",
+    "wav_decimate",
+    "bmp_frame_sample",
+    "dedup_cluster_profile",
+    "sql_q14_promo_revenue",
+    "audio_header_meta",
+    "video_header_meta",
+    "multimodal_meta",
+    "wav_pcm_stats",
+    "bmp_pixel_stats",
+    "tfidf_cosine_pairs",
+    "tfidf_top_terms",
+    "bpe_train_merges",
+    "zorder_layout",
+    "classifier_eval",
+    "weighted_sample",
+    "interval_coverage",
+    "dedup_embeddings_trained",
+    "sql_q18_large_orders",
+    "dedup_embeddings",
+    "cosine_pairs",
+    "udtf_term_counts",
+    "ivf_topk_trained",
 ]
 
 
