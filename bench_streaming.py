@@ -97,10 +97,10 @@ THRESHOLDS = {
     # ~2-3x under-recording policy.
     "embedding_dedup": 12_000,
     "interval_join": 40_000,
-    # stateless broadcast probe fused into the batch scan — expected to
-    # track the filter pipeline; floor set after first quiet recording
-    # at the same ~2-3x under-recording policy
-    "static_enrich": 150_000,
+    # stateless broadcast probe fused into the batch scan — tracks the
+    # filter pipeline as expected (quiet r11 recording 796k rows/s at
+    # 200k-row batches); floor at the ~2-3x under-recording policy
+    "static_enrich": 250_000,
     "quality_filter": 100_000,
     # quiet-machine readings 40–50k; 30k left only ~1.5x headroom and a
     # moderately loaded (but healthy) run tripped it — 15k restores the
