@@ -1,0 +1,171 @@
+"""Incremental materialized aggregate over a stream — the
+foreachBatch UPSERT pattern, with manifest-based bucket pruning.
+
+The reference app only appends (its sink is a Kafka topic); the
+pattern a real deployment runs NEXT is maintaining a keyed aggregate
+table (per-user counts, per-entity rollups) that every micro-batch
+UPDATES — a streaming materialized view. Lake formats (Delta/Iceberg)
+implement this as MERGE with file pruning; neither is available in
+this environment, so this module implements the same design from
+first principles on plain parquet + JSON manifests:
+
+  table/
+    data/version=<batch_id>/bucket=<b>/...parquet   (changed buckets)
+    manifests/manifest-<batch_id>.json              {bucket: data dir}
+    _CURRENT                                        (committed manifest name)
+
+* Rows hash-bucket by key (``pmod(xxhash64(key), n_buckets)``).
+* Each micro-batch aggregates its DELTA (partial count/sum per key),
+  then merges ONLY the buckets present in the delta: current state for
+  those buckets ∪ delta → re-aggregate → write under the new version.
+  Untouched buckets are carried forward BY REFERENCE in the manifest —
+  no data movement, which is the entire point at 100 TB: merge cost is
+  O(hot buckets), not O(table).
+* Commit protocol: data files first, then the manifest, then an atomic
+  ``os.replace`` pointer swap of ``_CURRENT``. A crash before the swap
+  leaves the old version live; foreachBatch replays the batch
+  (Structured Streaming guarantees redelivery of the failed batch id)
+  and the sink is IDEMPOTENT per batch id: a replay of a committed id
+  is a no-op (manifest for that id already exists and is committed or
+  re-committed by pointer swap — rewriting identical content is safe).
+
+At cluster scale the manifest lives on the object store and the
+pointer swap becomes a conditional PUT / lock-service commit — same
+protocol, different primitive (this is exactly an Iceberg snapshot
+commit, minus the format spec).
+
+Semantics: per-key COUNT and SUM(value) — the additive-aggregate
+class. Any commutative monoid merges the same way (min/max/HLL
+sketches); non-additive aggregates need the raw rows and are the
+watermarked-window operator's job, not an upsert table's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MaterializedCounts:
+    """Per-key streaming count/sum table with bucket-pruned merges.
+
+    Use ``sink()`` as a foreachBatch function; ``read()`` returns the
+    committed state as a DataFrame. Single-writer by contract (one
+    streaming query owns one table path)."""
+
+    def __init__(
+        self,
+        path: str,
+        keys: tuple[str, ...] = ("user_id",),
+        value_col: str | None = "value",
+        n_buckets: int = 16,
+    ) -> None:
+        self.path = path
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- commit protocol ------------------------------------------------
+    def _current_manifest(self) -> dict[str, str]:
+        ptr = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(ptr):
+            return {}
+        with open(ptr) as fh:
+            name = fh.read().strip()
+        with open(os.path.join(self.path, "manifests", name)) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict[str, str], batch_id: int) -> None:
+        name = f"manifest-{batch_id}.json"
+        mpath = os.path.join(self.path, "manifests", name)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        os.replace(tmp, mpath)
+        ptmp = os.path.join(self.path, "_CURRENT.tmp")
+        with open(ptmp, "w") as fh:
+            fh.write(name)
+        os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
+
+    def committed_batch(self) -> int | None:
+        ptr = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(fh.read().strip().rsplit("-", 1)[1].split(".")[0])
+
+    # -- aggregation ----------------------------------------------------
+    def _delta(self, batch_df: DataFrame) -> DataFrame:
+        val = (
+            F.sum(F.coalesce(F.col(self.value_col), F.lit(0.0)))
+            if self.value_col
+            else F.lit(0.0)
+        )
+        return (
+            batch_df.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int"),
+            )
+            .groupBy("bucket", *self.keys)
+            .agg(F.count("*").alias("n"), val.alias("total"))
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch. Idempotent per batch_id: replaying a
+        committed id is a no-op."""
+        committed = self.committed_batch()
+        if committed is not None and batch_id <= committed:
+            return  # replay of an already-committed batch
+        spark = batch_df.sparkSession
+        delta = self._delta(batch_df)
+        hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+        if not hot:
+            self._commit(self._current_manifest(), batch_id)
+            return
+        manifest = self._current_manifest()
+        cur_paths = [manifest[str(b)] for b in hot if str(b) in manifest]
+        merged = delta
+        if cur_paths:
+            # basePath discovery recovers the bucket (and version)
+            # partition columns from the bucket=<b> directory paths
+            cur = (
+                spark.read.option(
+                    "basePath", os.path.join(self.path, "data")
+                )
+                .parquet(*cur_paths)
+                .select("bucket", *self.keys, "n", "total")
+            )
+            merged = (
+                delta.unionByName(cur)
+                .groupBy("bucket", *self.keys)
+                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+            )
+        vdir = os.path.join(self.path, "data", f"version={batch_id}")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        new_manifest = dict(manifest)
+        for b in hot:
+            new_manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
+        self._commit(new_manifest, batch_id)
+
+    def sink(self):
+        """foreachBatch function maintaining this table."""
+        return lambda batch_df, batch_id: self.apply_batch(batch_df, batch_id)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Committed state: one row per key with (n, total)."""
+        manifest = self._current_manifest()
+        if not manifest:
+            fields = ", ".join(f"`{k}` STRING" for k in self.keys)
+            return spark.createDataFrame(
+                [], f"{fields}, n BIGINT, total DOUBLE"
+            )
+        return (
+            spark.read.option("basePath", os.path.join(self.path, "data"))
+            .parquet(*sorted(set(manifest.values())))
+            .select(*self.keys, "n", "total")
+        )

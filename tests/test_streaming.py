@@ -1431,3 +1431,94 @@ def test_embedding_dedup_quarantines_nonfinite(spark):
         }
     assert verdicts[True] == verdicts[False] == {201}
     index.unpersist()
+
+
+def test_materialized_counts_upsert_table(spark, tmp_path):
+    """Streaming materialized aggregate (round 11): per-user count/sum
+    maintained by a foreachBatch upsert with manifest-based bucket
+    pruning. Checks, across three availableNow rounds (separate query
+    restarts sharing one checkpoint):
+      1. final state == the batch groupBy over ALL input (parity),
+      2. replaying a committed batch id is a no-op (idempotence — the
+         at-least-once redelivery contract foreachBatch must absorb),
+      3. a batch touching ONE key rewrites only that key's bucket; the
+         other buckets carry forward by reference in the manifest (the
+         O(hot-buckets) merge that makes the pattern viable at scale).
+    """
+    import json as _json
+
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    table = MaterializedCounts(
+        str(tmp_path / "table"), keys=("user_id",), n_buckets=8
+    )
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+
+    batches = [
+        [{"user_id": 1, "value": 2.0}, {"user_id": 2, "value": 3.0},
+         {"user_id": 1, "value": 1.0}],
+        [{"user_id": 2, "value": 5.0}, {"user_id": 3, "value": 7.0}],
+        [{"user_id": 1, "value": 0.5}],
+    ]
+
+    def run_round():
+        stream = spark.readStream.schema("user_id BIGINT, value DOUBLE").json(
+            str(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(table.sink())
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    all_rows = []
+    for i, rows in enumerate(batches):
+        _write_batch(src, f"b{i}.json", rows)
+        all_rows += rows
+        run_round()
+
+    got = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in table.read(spark).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["value"]) for r in all_rows],
+        "user_id BIGINT, value DOUBLE",
+    )
+    want = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+    # idempotence: replay the last committed batch id — state unchanged
+    last = table.committed_batch()
+    replay = spark.createDataFrame(
+        [(9, 99.0)], "user_id BIGINT, value DOUBLE"
+    )
+    table.apply_batch(replay, last)
+    assert {
+        r["user_id"] for r in table.read(spark).collect()
+    } == set(want), "replayed batch must be a no-op"
+
+    # bucket pruning: the last real batch touched only user 1 —
+    # its manifest may update at most one bucket vs its predecessor
+    mdir = tmp_path / "table" / "manifests"
+    manifests = sorted(
+        mdir.glob("manifest-*.json"),
+        key=lambda p: int(p.stem.rsplit("-", 1)[1]),
+    )
+    prev, cur = (
+        _json.loads(manifests[-2].read_text()),
+        _json.loads(manifests[-1].read_text()),
+    )
+    changed = {b for b in cur if cur[b] != prev.get(b)}
+    assert len(changed) <= 1, (changed, prev, cur)
