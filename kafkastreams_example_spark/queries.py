@@ -4792,8 +4792,13 @@ def q_gopher_rules(spark, sf_dir):
     return gopher_quality_rules(load_table(spark, sf_dir, "documents"))
 
 
-SQL_GOPHER_RULES = f"""
-WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+# NULL text folds into the zero-token fail class on BOTH engines
+# (round-11 review fix mirrors functions/text.py's coalesce)
+SQL_GOPHER_RULES = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')
+                    AS toks
+           FROM documents),
 m AS (SELECT doc_id,
              len(toks) AS n_tok,
              CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')

@@ -101,8 +101,8 @@ class MaterializedCounts:
 
     # -- aggregation ----------------------------------------------------
     def _delta(self, batch_df: DataFrame) -> DataFrame:
-        val = (
-            F.sum(F.coalesce(F.col(self.value_col), F.lit(0.0)))
+        val = F.sum(
+            F.coalesce(F.col(self.value_col), F.lit(0.0))
             if self.value_col
             else F.lit(0.0)
         )
