@@ -4018,6 +4018,57 @@ GROUP BY d.event_type
 """
 
 
+def q_mat_view_counts(spark, sf_dir):
+    """Incremental materialized aggregate, oracle-checked end-to-end:
+    events split into THREE deterministic batches (event_id % 3 — a
+    stand-in for stream arrival), each merged into a
+    streaming/mat_view.py MaterializedCounts table (bucket-pruned
+    upsert, manifest commits), then the COMMITTED table state is read
+    back — and must hash-match the oracle's ONE-SHOT groupBy over all
+    events. This is the gate that proves the incremental path computes
+    the same answer as the batch path no matter how the input was
+    batched: counts are integers, totals accumulate as DECIMAL(18,2)
+    (associative — double addition is not, and an upsert table
+    re-associates sums across batches and merge rounds by design).
+
+    Plan character: three micro-batch merges, each aggregating its
+    delta map-side and rewriting ONLY the buckets the delta touches
+    (untouched buckets carry forward by reference in the manifest) —
+    merge cost O(hot buckets), not O(table), which is what makes a
+    100 TB materialized view maintainable. The table lives under a
+    fresh temp dir per run (state, not fixture)."""
+    import tempfile
+
+    from .streaming.mat_view import MaterializedCounts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    table = MaterializedCounts(
+        tempfile.mkdtemp(prefix="mat_view_counts_"),
+        keys=("user_id",),
+        value_col="value",
+        n_buckets=8,
+    )
+    for i in range(3):
+        table.apply_batch(ev.filter(F.col("event_id") % 3 == i), i)
+    return table.read(spark).select(
+        "user_id",
+        "n",
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+SQL_MAT_VIEW_COUNTS = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(COALESCE(CAST(value AS DECIMAL(18,2)),
+                         CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS total
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_profile_events(spark, sf_dir):
     """Column profiling: per-column null counts, distinct counts, and
     numeric ranges in one pass — the stats stage before heavy pipeline
@@ -6796,6 +6847,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "mad_outliers": QuerySpec(
         q_mad_outliers, SQL_MAD_OUTLIERS, ("relational", "pipeline")
     ),
+    "mat_view_counts": QuerySpec(
+        q_mat_view_counts, SQL_MAT_VIEW_COUNTS, ("streaming", "pipeline")
+    ),
     "embedding_quantize": QuerySpec(
         q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, ("similarity", "pipeline")
     ),
@@ -6861,6 +6915,7 @@ _GATE_ORDER = [
     "sql_q8_market_share",
     "sql_q11_important_parts",
     "mad_outliers",
+    "mat_view_counts",
     "gopher_rules",
     # — stale tier: NOT in CORRECTNESS_r10.json's 50-slot gate —
     # oldest-evidence-first approximation: prior rotation order

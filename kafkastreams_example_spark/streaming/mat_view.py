@@ -38,6 +38,15 @@ Semantics: per-key COUNT and SUM(value) — the additive-aggregate
 class. Any commutative monoid merges the same way (min/max/HLL
 sketches); non-additive aggregates need the raw rows and are the
 watermarked-window operator's job, not an upsert table's.
+
+Exactness: totals accumulate as DECIMAL(18,2), not double — an
+incremental table re-associates the sum across batches and merge
+rounds, and double addition is not associative (the final value would
+depend on batch arrival order); decimal is, so the table's state is
+bit-identical to a one-shot aggregate regardless of how the stream was
+batched (the repo-wide float discipline, applied to state). The 2-dp
+scale is the fixed-precision-telemetry contract; widen the scale for
+other domains.
 """
 
 from __future__ import annotations
@@ -102,9 +111,12 @@ class MaterializedCounts:
     # -- aggregation ----------------------------------------------------
     def _delta(self, batch_df: DataFrame) -> DataFrame:
         val = F.sum(
-            F.coalesce(F.col(self.value_col), F.lit(0.0))
+            F.coalesce(
+                F.col(self.value_col).cast("decimal(18,2)"),
+                F.lit(0).cast("decimal(18,2)"),
+            )
             if self.value_col
-            else F.lit(0.0)
+            else F.lit(0).cast("decimal(18,2)")
         )
         return (
             batch_df.withColumn(
@@ -112,7 +124,9 @@ class MaterializedCounts:
                 F.pmod(F.xxhash64(*self.keys), F.lit(self.n_buckets)).cast("int"),
             )
             .groupBy("bucket", *self.keys)
-            .agg(F.count("*").alias("n"), val.alias("total"))
+            # sum(decimal) widens precision per aggregation round — pin
+            # the stored type so every version file shares one schema
+            .agg(F.count("*").alias("n"), val.cast("decimal(38,2)").alias("total"))
         )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -143,7 +157,10 @@ class MaterializedCounts:
             merged = (
                 delta.unionByName(cur)
                 .groupBy("bucket", *self.keys)
-                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total").cast("decimal(38,2)").alias("total"),
+                )
             )
         vdir = os.path.join(self.path, "data", f"version={batch_id}")
         merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
@@ -162,7 +179,7 @@ class MaterializedCounts:
         if not manifest:
             fields = ", ".join(f"`{k}` STRING" for k in self.keys)
             return spark.createDataFrame(
-                [], f"{fields}, n BIGINT, total DOUBLE"
+                [], f"{fields}, n BIGINT, total DECIMAL(38,2)"
             )
         return (
             spark.read.option("basePath", os.path.join(self.path, "data"))

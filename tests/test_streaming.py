@@ -1494,7 +1494,12 @@ def test_materialized_counts_upsert_table(spark, tmp_path):
     want = {
         r["user_id"]: (r["n"], r["total"])
         for r in batch_df.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total"),
+        )
         .collect()
     }
     assert got == want
