@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "sql_q8_market_share",
     "sql_q11_important_parts",
     "mad_outliers",
+    "mat_view_counts",
+    "top_terms_sketched",
+    "split_divergence",
 ]
 
 

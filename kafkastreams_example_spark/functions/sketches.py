@@ -1,0 +1,152 @@
+"""Bounded-memory frequency sketches: Misra-Gries partition summaries
+with an exactness certificate.
+
+Why this exists next to the exact groupBy (queries.q_corpus_top_terms):
+at 100 TB the vocabulary is NOT small — web-scale corpora carry
+billions of singleton junk tokens (hashes, typos, serial numbers), so
+an exact `groupBy(term).count()` shuffles one row per distinct term
+PER MAP PARTITION (partial aggregation dedups within a partition, not
+across), and the shuffle is vocabulary-bound. The classic fix
+(Misra & Gries 1982; merge form per Agarwal et al., "Mergeable
+Summaries", PODS 2012) is a per-partition k-counter summary: each
+partition emits ≤ k candidate terms plus one scalar — its total
+decrement D_p — and the follow-up EXACT recount touches only
+candidate terms, so the heavy shuffle carries ≤ k rows per partition
+no matter how large the long tail is.
+
+The certificate that makes the sketch safe as a default: MG guarantees
+(a) every stored count undercounts its term by at most D_p, and
+(b) any term ABSENT from a partition's summary occurred at most D_p
+times in that partition — each decrement round subtracts d from ≥ k+1
+counters, destroying ≥ (k+1)·d mass, so Σd = D_p ≤ n_p/(k+1).
+Summing (b) over partitions: a term absent from EVERY summary has
+global count ≤ ΣD_p. After the exact recount of candidates, if the
+k-th requested result's exact count exceeds ΣD_p, NO excluded term
+can displace it — the top-k is provably exact, certified from the
+run's own numbers rather than a distributional assumption. On skewed
+(Zipfian) data the certificate holds at modest k; on adversarially
+flat data it honestly fails instead of silently returning wrong
+counts — `top_terms_sketched` raises in that case.
+
+No reference-repo counterpart (the reference is a 2-topology Kafka
+Streams demo, kafka-streams-examples PageViewTypeDemo scale); this is
+part of the training-data-pipeline extension surface (SURVEY.md §2c).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_partition_summaries(
+    terms: DataFrame, k: int, term_col: str = "term"
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a one-string-column
+    frame of term OCCURRENCES (pre-exploded).
+
+    Output rows, per input partition:
+      * ≤ k candidate rows: (term, cnt = MG lower-bound count, dp = 0)
+      * exactly one ledger row: (term = NULL, cnt = 0, dp = D_p), the
+        partition's total decrement — the error budget the certificate
+        sums.
+
+    Batch-form MG: accumulate exact batch counts into the counter map;
+    whenever the map exceeds k entries, subtract the (k+1)-th largest
+    value d from every counter and drop the non-positive ones (≥ k+1
+    counters lose the full d, so D_p ≤ n_p/(k+1) by mass conservation).
+    Arrow-batched via mapInPandas — partition state lives across the
+    batch iterator, per-batch counting is a vectorized value_counts,
+    and the decrement threshold is an O(m) np.partition select, so the
+    Python loop is per-DISTINCT-term-per-batch, never per-occurrence.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def summarize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        d_total = 0
+        for pdf in batches:
+            vc = pdf[term_col].dropna().value_counts()
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                vals = np.fromiter(counters.values(), dtype=np.int64)
+                # (k+1)-th largest = index -(k+1) of the ascending sort
+                d = int(np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)])
+                if d > 0:
+                    counters = {t: c - d for t, c in counters.items() if c > d}
+                    d_total += d
+        out = pd.DataFrame(
+            {
+                "term": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [0],
+                "dp": [0] * len(counters) + [d_total],
+            }
+        )
+        yield out
+
+    return terms.select(F.col(term_col).alias("term")).mapInPandas(
+        summarize, schema="term STRING, cnt BIGINT, dp BIGINT"
+    )
+
+
+def top_terms_sketched(
+    terms: DataFrame,
+    n: int,
+    k: int = 2048,
+    term_col: str = "term",
+    order_cols: tuple[Column, ...] | None = None,
+) -> DataFrame:
+    """Exact-or-error top-n terms by occurrence count WITHOUT a
+    vocabulary-wide shuffle: MG candidate generation (≤ k rows per
+    partition cross the wire) → broadcast semi-probe of the corpus →
+    exact recount of candidates only → certificate check.
+
+    The certificate collect is two scalars (ΣD_p and the n-th exact
+    candidate count) — bounded by construction, not a data-sized
+    driver pull. If the n-th count does not strictly exceed ΣD_p the
+    sketch cannot prove exactness and this RAISES rather than return
+    counts that might be wrong (raise k or fall back to the exact
+    groupBy). d=0 everywhere (partition vocab ≤ k) degrades to exact
+    per-partition counting, so small-data runs always certify.
+    """
+    summaries = mg_partition_summaries(terms, k, term_col=term_col)
+    summaries = summaries.persist()
+    try:
+        candidates = (
+            summaries.filter(F.col("term").isNotNull()).select("term").distinct()
+        )
+        exact = (
+            terms.select(F.col(term_col).alias("term"))
+            .join(F.broadcast(candidates), "term")
+            .groupBy("term")
+            .agg(F.count("*").alias("n"))
+        )
+        order = order_cols or (F.col("n").desc(), F.col("term"))
+        top = exact.orderBy(*order).limit(n).persist()
+        try:
+            rows = top.orderBy(*order).collect()
+            d_tot = summaries.agg(F.sum("dp")).collect()[0][0] or 0
+            # < n candidates is only provably complete when nothing was
+            # ever decremented (d_tot == 0 ⇒ summaries were exact)
+            certified = (
+                rows[n - 1]["n"] > d_tot if len(rows) >= n else d_tot == 0
+            )
+            if not certified:
+                bound = rows[n - 1]["n"] if len(rows) >= n else len(rows)
+                raise ValueError(
+                    f"top-{n} not certifiable: boundary {bound} vs "
+                    f"error budget {d_tot}; raise k"
+                )
+            spark = terms.sparkSession
+            return spark.createDataFrame(rows, schema=top.schema)
+        finally:
+            top.unpersist()
+    finally:
+        summaries.unpersist()

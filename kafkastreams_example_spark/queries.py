@@ -2578,6 +2578,35 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_top_terms_sketched(spark, sf_dir):
+    """Top-25 corpus terms via bounded-memory Misra-Gries partition
+    summaries + exact candidate recount — same ANSWER as the exact
+    groupBy (the oracle is the plain exact top-25), different SHUFFLE:
+    candidate generation crosses the wire with ≤ k rows per partition
+    regardless of vocabulary size, where corpus_top_terms' exact
+    groupBy ships one row per distinct term per map partition. At
+    100 TB the long tail (billions of singleton junk tokens) makes
+    that difference the whole cost; the MG form's recount shuffle is
+    candidate-only. Exactness is CERTIFIED from the run's own error
+    ledger (rank-25 exact count > sum of per-partition decrements) and
+    the operator raises rather than return uncertifiable counts — see
+    functions/sketches.py for the bound. Certificate collect is two
+    scalars + 25 rows: bounded by construction."""
+    from .functions.sketches import top_terms_sketched
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokenize("text")).alias("term"))
+    return top_terms_sketched(terms, n=25, k=2048)
+
+
+SQL_TOP_TERMS_SKETCHED = f"""
+SELECT term, COUNT(*) AS n
+FROM (SELECT unnest({_TOK}) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 25
+"""
+
+
 def q_subquery_above_avg(spark, sf_dir):
     """Correlated-style scalar subquery: parts priced above their
     type's average (decomposed as agg + broadcast join — the plan
@@ -5402,6 +5431,88 @@ FROM scored GROUP BY doc_id
 """
 
 
+def q_split_divergence(spark, sf_dir):
+    """Distribution-shift audit between two corpus slices: token
+    unigram distributions of the even/odd doc_id halves (a stand-in
+    for train-vs-validation or old-crawl-vs-new-crawl), add-one
+    smoothed over the union vocabulary, compared by KL divergence in
+    both directions plus each side's Shannon entropy — the drift gate
+    a training-data pipeline runs before mixing a new source into the
+    corpus (cf. the data-mixture audits in Gopher/ The Pile papers).
+
+    Plan character: ONE vocabulary-bound shuffle (groupBy term with
+    conditional partial sums — the split pivot happens map-side, so
+    both halves ride the same agg), then the scalar totals
+    (token counts + vocab size) ride a 1-row broadcast cross join back
+    onto the vocabulary frame, and the final reduce is a scalar agg —
+    no driver collect, no per-split re-scan of the corpus. At 100 TB
+    the cost is exactly one occurrence-frame agg, same as any term
+    count. Smoothed probabilities are ratios of exact integers in one
+    double division (bit-identical cross-engine); round(.,6) absorbs
+    the vocabulary-sum ordering ulp, the ngram_lm_score precedent."""
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        (F.col("doc_id") % 2).alias("split"),
+        F.explode(tokenize("text")).alias("term"),
+    )
+    counts = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("cq"),
+    )
+    totals = counts.agg(
+        F.sum("cp").alias("np"),
+        F.sum("cq").alias("nq"),
+        F.count("*").alias("v"),
+    )
+    pr = counts.crossJoin(F.broadcast(totals)).select(
+        "np",
+        "nq",
+        "v",
+        ((F.col("cp") + 1.0) / (F.col("np") + F.col("v"))).alias("p"),
+        ((F.col("cq") + 1.0) / (F.col("nq") + F.col("v"))).alias("q"),
+    )
+    return pr.groupBy("np", "nq", "v").agg(
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_pq"),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_qp"),
+        F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy_p"),
+        F.round(-F.sum(F.col("q") * F.log("q")), 6).alias("entropy_q"),
+    ).select(
+        F.col("np").alias("tokens_p"),
+        F.col("nq").alias("tokens_q"),
+        F.col("v").alias("vocab"),
+        "kl_pq",
+        "kl_qp",
+        "entropy_p",
+        "entropy_q",
+    )
+
+
+SQL_SPLIT_DIVERGENCE = f"""
+WITH t AS (
+  SELECT doc_id % 2 AS split, unnest({_TOK}) AS term FROM documents),
+c AS (
+  SELECT term,
+         SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS cp,
+         SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS cq
+  FROM t GROUP BY term),
+tot AS (SELECT SUM(cp) AS np, SUM(cq) AS nq, COUNT(*) AS v FROM c),
+pr AS (
+  SELECT np, nq, v,
+         (cp + 1.0) / (np + v) AS p,
+         (cq + 1.0) / (nq + v) AS q
+  FROM c CROSS JOIN tot)
+SELECT CAST(np AS BIGINT) AS tokens_p, CAST(nq AS BIGINT) AS tokens_q,
+       CAST(v AS BIGINT) AS vocab,
+       round(SUM(p * ln(p / q)), 6) AS kl_pq,
+       round(SUM(q * ln(q / p)), 6) AS kl_qp,
+       round(-SUM(p * ln(p)), 6) AS entropy_p,
+       round(-SUM(q * ln(q)), 6) AS entropy_q
+FROM pr GROUP BY np, nq, v
+"""
+
+
 def q_quality_funnel(spark, sf_dir):
     """Pipeline observability: documents surviving each cleaning stage
     (raw → length ≥ 10 tokens → type-token ratio ≥ 0.3 → exact-dedup
@@ -6734,6 +6845,9 @@ REGISTRY: dict[str, QuerySpec] = {
     # relational/text batch 4
     "tfidf_top_terms": QuerySpec(q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS, ("text",)),
     "corpus_top_terms": QuerySpec(q_corpus_top_terms, SQL_CORPUS_TOP_TERMS, ("text",)),
+    "top_terms_sketched": QuerySpec(
+        q_top_terms_sketched, SQL_TOP_TERMS_SKETCHED, ("text", "sketch")
+    ),
     "subquery_above_avg": QuerySpec(q_subquery_above_avg, SQL_SUBQUERY_ABOVE_AVG, ("relational",)),
     "regexp_extract": QuerySpec(q_regexp_extract, SQL_REGEXP_EXTRACT, ("relational", "text")),
     "agg_filtered": QuerySpec(q_agg_filtered, SQL_AGG_FILTERED, ("relational",)),
@@ -6801,6 +6915,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, SQL_STRATIFIED_SAMPLE, ("text", "pipeline")),
     "token_histogram": QuerySpec(q_token_histogram, SQL_TOKEN_HISTOGRAM, ("text",)),
     "ngram_lm_score": QuerySpec(q_ngram_lm_score, SQL_NGRAM_LM_SCORE, ("text",)),
+    "split_divergence": QuerySpec(
+        q_split_divergence, SQL_SPLIT_DIVERGENCE, ("text", "pipeline")
+    ),
     "quality_funnel": QuerySpec(q_quality_funnel, SQL_QUALITY_FUNNEL, ("text", "pipeline")),
     "dedup_candidates_union": QuerySpec(
         q_dedup_candidates_union, SQL_DEDUP_CANDIDATES_UNION, ("text", "dedup")
@@ -6916,6 +7033,8 @@ _GATE_ORDER = [
     "sql_q11_important_parts",
     "mad_outliers",
     "mat_view_counts",
+    "top_terms_sketched",
+    "split_divergence",
     "gopher_rules",
     # — stale tier: NOT in CORRECTNESS_r10.json's 50-slot gate —
     # oldest-evidence-first approximation: prior rotation order

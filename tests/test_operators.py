@@ -1349,3 +1349,87 @@ def test_pagerank_empty_graph_returns_empty(spark):
 
     empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
     assert pagerank(empty, iters=3).collect() == []
+
+
+def test_mg_summaries_superset_and_error_ledger(spark):
+    """Misra-Gries guarantee on a forced-decrement corpus: with k far
+    below the distinct-term count every partition must decrement, the
+    ledger rows must bound the undercount (stored cnt >= true - D_p,
+    absent term true count <= D_p), and the candidate set must contain
+    every term whose global count exceeds the summed budget."""
+    from collections import Counter
+
+    from kafkastreams_example_spark.functions.sketches import (
+        mg_partition_summaries,
+    )
+
+    # zipf-ish: term_i appears ~ 600/i times, plus a 400-singleton tail
+    data = []
+    for i in range(1, 30):
+        data += [f"hot{i:02d}"] * (600 // i)
+    data += [f"tail{j:04d}" for j in range(400)]
+    true = Counter(data)
+    terms = spark.createDataFrame(
+        [(t,) for t in data], "term STRING"
+    ).repartition(4)
+
+    summ = mg_partition_summaries(terms, k=8).collect()
+    ledgers = [r for r in summ if r["term"] is None]
+    cands = {r["term"]: r for r in summ if r["term"] is not None}
+    assert len(ledgers) == 4  # one ledger row per partition
+    d_tot = sum(r["dp"] for r in ledgers)
+    assert d_tot > 0  # the decrement path actually ran
+    # per-term: stored lower bound never exceeds truth, and any term
+    # absent from every summary is provably rare
+    for t, r in cands.items():
+        assert r["cnt"] <= true[t]
+    for t, c in true.items():
+        if t not in cands:
+            assert c <= d_tot, (t, c, d_tot)
+
+
+def test_top_terms_sketched_exact_and_certificate(spark):
+    """End-to-end: sketched top-n equals the exact groupBy top-n when
+    the certificate holds, and RAISES (never silently wrong) when k is
+    adversarially small."""
+    import pytest
+
+    from kafkastreams_example_spark.functions.sketches import (
+        top_terms_sketched,
+    )
+
+    data = []
+    for i in range(1, 30):
+        data += [f"hot{i:02d}"] * (600 // i)
+    data += [f"tail{j:04d}" for j in range(400)]
+    terms = spark.createDataFrame(
+        [(t,) for t in data], "term STRING"
+    ).repartition(4)
+
+    got = [(r["term"], r["n"]) for r in top_terms_sketched(terms, n=10, k=64).collect()]
+    want = [
+        (r["term"], r["n"])
+        for r in terms.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+    with pytest.raises(ValueError, match="not certifiable"):
+        top_terms_sketched(terms, n=10, k=2)
+
+
+def test_top_terms_sketched_small_vocab_degrades_exact(spark):
+    """Vocab <= k: no decrements, d_tot == 0, result certifies even
+    when fewer than n distinct terms exist."""
+    from kafkastreams_example_spark.functions.sketches import (
+        top_terms_sketched,
+    )
+
+    terms = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "term STRING"
+    ).repartition(2)
+    got = [(r["term"], r["n"]) for r in top_terms_sketched(terms, n=10, k=16).collect()]
+    assert got == [("a", 5), ("b", 3), ("c", 1)]
