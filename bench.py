@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "mat_view_counts",
     "top_terms_sketched",
     "split_divergence",
+    "embedding_pca_scores",
 ]
 
 

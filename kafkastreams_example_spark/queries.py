@@ -3027,6 +3027,138 @@ FROM a
 """
 
 
+def q_embedding_pca_scores(spark, sf_dir):
+    """Distributed PCA by power iteration, oracle-checked end-to-end:
+    3 unrolled iterations of x ← normalize(Cov·x) from the fixed start
+    x₀ = (1/8,…,1/8), then every vector's projection onto the resulting
+    principal direction — the whitening/compression step before
+    clustering or ANN indexing. The oracle replicates the SAME 3
+    unrolled iterations in pure SQL CTEs, so this is iterative linear
+    algebra under the full value-hash gate, not a rows-only check.
+
+    The scale story is why this shape and not a Gram matrix: Cov·x is
+    computed as two corpus aggregates — y = v·x − μ·x per row (a
+    narrow map fused into the scan) and z_j = Σ v_j·y − μ_j·Σy (one
+    posexplode + 64-group partial agg) — so each iteration is ONE
+    shuffle of 64·P partial sums; the d×d Gram matrix (4096 doubles
+    here, but d² at transformer widths) is never materialized, and the
+    driver only ever holds 64-float vectors (μ, z): bounded collects by
+    construction, the PQ-codebook precedent. The corpus frame is
+    persisted across the 4 aggregate passes and unpersisted before the
+    final projection (which fuses into a fresh scan). Engines diverge
+    only by float-sum ordering inside each aggregate; 3 iterations
+    amplify that ~linearly (≈1e-13 relative) and round(.,6) absorbs
+    it, the sim_topk/ngram_lm_score precedent."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("dv")
+    )
+    emb = emb.persist()
+    try:
+        dim = 64
+        mu_rows = (
+            emb.select(F.posexplode("dv").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        mu = [0.0] * dim
+        for r in mu_rows:
+            mu[r["pos"]] = r["s"] / r["c"]
+
+        x = [0.125] * dim  # 1/sqrt(64): exact in binary, same literal in SQL
+        for _ in range(3):
+            xlit = F.array(*[F.lit(v) for v in x])
+            mux = sum(m * v for m, v in zip(mu, x))
+            dot = F.aggregate(
+                F.zip_with("dv", xlit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            rows = (
+                emb.select("dv", (dot - F.lit(mux)).alias("y"))
+                .select(F.posexplode("dv").alias("pos", "val"), "y")
+                .groupBy("pos")
+                .agg(
+                    (F.sum(F.col("val") * F.col("y"))).alias("s"),
+                    F.sum("y").alias("ysum"),
+                )
+                .collect()
+            )
+            z = [0.0] * dim
+            for r in rows:
+                z[r["pos"]] = r["s"] - mu[r["pos"]] * r["ysum"]
+            nrm = math.sqrt(sum(v * v for v in z)) or 1.0
+            x = [v / nrm for v in z]
+    finally:
+        emb.unpersist()
+
+    xlit = F.array(*[F.lit(v) for v in x])
+    mux = sum(m * v for m, v in zip(mu, x))
+    dv = F.transform("embedding", lambda v: v.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dv, xlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.round(dot - F.lit(mux), 6).alias("pc1")
+    )
+
+
+# power iteration unrolled: each xN CTE is the normalized covariance
+# product of the previous direction; scores project onto x3. POSITIONAL
+# list indexing is 1-based in DuckDB; pos joins are on the same basis
+# both sides because both sides only ever join pos-to-pos.
+SQL_EMBEDDING_PCA_SCORES = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS pos),
+mu AS (SELECT pos, SUM(dv[pos]) / COUNT(*) AS m
+       FROM e CROSS JOIN dims GROUP BY pos),
+
+mux0 AS (SELECT SUM(m * 0.125) AS s FROM mu),
+y1 AS (SELECT dv, list_sum(list_transform(dv, v -> v * 0.125))
+                  - (SELECT s FROM mux0) AS y FROM e),
+z1 AS (SELECT pos, SUM(dv[pos] * y) AS s, SUM(y) AS ysum
+       FROM y1 CROSS JOIN dims GROUP BY pos),
+zz1 AS (SELECT z1.pos, z1.s - mu.m * z1.ysum AS z FROM z1 JOIN mu USING (pos)),
+n1 AS (SELECT CASE WHEN SUM(z * z) = 0 THEN 1 ELSE sqrt(SUM(z * z)) END AS nrm
+       FROM zz1),
+x1 AS (SELECT list(z / nrm ORDER BY pos) AS xv FROM zz1 CROSS JOIN n1),
+
+mux1 AS (SELECT SUM(mu.m * xv[mu.pos]) AS s FROM mu CROSS JOIN x1),
+y2 AS (SELECT dv, list_sum(list_transform(list_zip(dv, (SELECT xv FROM x1)),
+                                          p -> p[1] * p[2]))
+                  - (SELECT s FROM mux1) AS y FROM e),
+z2 AS (SELECT pos, SUM(dv[pos] * y) AS s, SUM(y) AS ysum
+       FROM y2 CROSS JOIN dims GROUP BY pos),
+zz2 AS (SELECT z2.pos, z2.s - mu.m * z2.ysum AS z FROM z2 JOIN mu USING (pos)),
+n2 AS (SELECT CASE WHEN SUM(z * z) = 0 THEN 1 ELSE sqrt(SUM(z * z)) END AS nrm
+       FROM zz2),
+x2 AS (SELECT list(z / nrm ORDER BY pos) AS xv FROM zz2 CROSS JOIN n2),
+
+mux2 AS (SELECT SUM(mu.m * xv[mu.pos]) AS s FROM mu CROSS JOIN x2),
+y3 AS (SELECT dv, list_sum(list_transform(list_zip(dv, (SELECT xv FROM x2)),
+                                          p -> p[1] * p[2]))
+                  - (SELECT s FROM mux2) AS y FROM e),
+z3 AS (SELECT pos, SUM(dv[pos] * y) AS s, SUM(y) AS ysum
+       FROM y3 CROSS JOIN dims GROUP BY pos),
+zz3 AS (SELECT z3.pos, z3.s - mu.m * z3.ysum AS z FROM z3 JOIN mu USING (pos)),
+n3 AS (SELECT CASE WHEN SUM(z * z) = 0 THEN 1 ELSE sqrt(SUM(z * z)) END AS nrm
+       FROM zz3),
+x3 AS (SELECT list(z / nrm ORDER BY pos) AS xv FROM zz3 CROSS JOIN n3),
+
+mux3 AS (SELECT SUM(mu.m * xv[mu.pos]) AS s FROM mu CROSS JOIN x3)
+SELECT vec_id,
+       round(list_sum(list_transform(list_zip(dv, (SELECT xv FROM x3)),
+                                     p -> p[1] * p[2]))
+             - (SELECT s FROM mux3), 6) AS pc1
+FROM e
+"""
+
+
 def q_sim_topk(spark, sf_dir):
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
@@ -6970,6 +7102,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_quantize": QuerySpec(
         q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, ("similarity", "pipeline")
     ),
+    "embedding_pca_scores": QuerySpec(
+        q_embedding_pca_scores, SQL_EMBEDDING_PCA_SCORES, ("similarity", "pipeline")
+    ),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
     "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),
@@ -7035,6 +7170,7 @@ _GATE_ORDER = [
     "mat_view_counts",
     "top_terms_sketched",
     "split_divergence",
+    "embedding_pca_scores",
     "gopher_rules",
     # — stale tier: NOT in CORRECTNESS_r10.json's 50-slot gate —
     # oldest-evidence-first approximation: prior rotation order
