@@ -107,6 +107,10 @@ THRESHOLDS = {
     # ~2-3x under-recording policy every other floor follows
     "minhash_dedup": 15_000,
     "minhash_dedup_any": 12_000,
+    # per-batch MG partition summaries + a ≤(k+1)·P-row collect; first
+    # recording 354.7k rows/s at 200k-row batches (round 11) — floor at
+    # the ~2-3x under-recording policy
+    "topk_terms": 120_000,
 }
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
@@ -147,11 +151,11 @@ def _decoded(src):
     )
 
 
-def _run_query(df, name: str, ckpt_root: str) -> dict:
-    """Run df through a counting foreachBatch sink for
+def _run_query(df, name: str, ckpt_root: str, sink_fn=None) -> dict:
+    """Run df through a foreachBatch sink (default: counting) for
     WARMUP+MEASURE batches; report throughput from query progress."""
     q = (
-        df.writeStream.foreachBatch(lambda bdf, bid: bdf.count())
+        df.writeStream.foreachBatch(sink_fn or (lambda bdf, bid: bdf.count()))
         .option("checkpointLocation", os.path.join(ckpt_root, name))
         .outputMode("append")
         .start()
@@ -387,6 +391,32 @@ def main() -> None:
                 ckpt_root,
             ),
             "rows_per_batch": rows_dedup,
+        }
+
+        # continuous heavy-hitters: each batch reduced to Misra-Gries
+        # partition summaries in the cluster, folded into a k-bounded
+        # driver sketch (functions/sketches.StreamingTopK). Term stream
+        # is zipf-ish (u³ skew over ~5000 ids) so the decrement path is
+        # genuinely exercised: k=512 < batch vocabulary.
+        from kafkastreams_example_spark.functions.sketches import (
+            StreamingTopK,
+        )
+
+        terms = _rate_source(spark, rows_filter).select(
+            F.concat(
+                F.lit("term_"),
+                F.floor(
+                    F.pow((F.col("value") % 10000) / 10000.0, 3) * 5000
+                ).cast("string"),
+            ).alias("term")
+        )
+        tracker = StreamingTopK(k=512)
+        results["topk_terms"] = {
+            **_run_query(
+                terms, "topk_terms", ckpt_root,
+                sink_fn=tracker.foreach_batch(),
+            ),
+            "rows_per_batch": rows_filter,
         }
     finally:
         shutil.rmtree(ckpt_root, ignore_errors=True)

@@ -42,6 +42,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def mg_reduce(batch_counts, k: int) -> tuple[dict, int]:
+    """The batch-form Misra-Gries reduction itself, Spark-free so the
+    invariants are directly property-testable (and reusable by the
+    streaming tier): fold per-batch exact count mappings into ≤ k
+    counters, returning (counters, d_total). Invariants (see module
+    docstring for the proof): for every term,
+    true_count − d_total ≤ stored_count ≤ true_count, and a term
+    absent from `counters` has true_count ≤ d_total."""
+    counters: dict = {}
+    d_total = 0
+    for vc in batch_counts:
+        for t, c in vc.items():
+            counters[t] = counters.get(t, 0) + int(c)
+        if len(counters) > k:
+            vals = np.fromiter(counters.values(), dtype=np.int64)
+            # (k+1)-th largest = index -(k+1) of the ascending sort
+            d = int(np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)])
+            if d > 0:
+                counters = {t: c - d for t, c in counters.items() if c > d}
+                d_total += d
+    return counters, d_total
+
+
 def mg_partition_summaries(
     terms: DataFrame, k: int, term_col: str = "term"
 ) -> DataFrame:
@@ -69,19 +92,9 @@ def mg_partition_summaries(
     def summarize(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        counters: dict[str, int] = {}
-        d_total = 0
-        for pdf in batches:
-            vc = pdf[term_col].dropna().value_counts()
-            for t, c in vc.items():
-                counters[t] = counters.get(t, 0) + int(c)
-            if len(counters) > k:
-                vals = np.fromiter(counters.values(), dtype=np.int64)
-                # (k+1)-th largest = index -(k+1) of the ascending sort
-                d = int(np.partition(vals, len(vals) - (k + 1))[len(vals) - (k + 1)])
-                if d > 0:
-                    counters = {t: c - d for t, c in counters.items() if c > d}
-                    d_total += d
+        counters, d_total = mg_reduce(
+            (pdf[term_col].dropna().value_counts() for pdf in batches), k
+        )
         out = pd.DataFrame(
             {
                 "term": list(counters.keys()) + [None],
@@ -94,6 +107,64 @@ def mg_partition_summaries(
     return terms.select(F.col(term_col).alias("term")).mapInPandas(
         summarize, schema="term STRING, cnt BIGINT, dp BIGINT"
     )
+
+
+class StreamingTopK:
+    """Continuous heavy-hitters over a term stream: each micro-batch is
+    reduced to a Misra-Gries partition summary IN the cluster (≤ k+1
+    rows per partition cross to the driver — bounded by construction,
+    never the batch vocabulary), then merged into a k-counter driver
+    state with `mg_reduce`. Mergeable-summaries composition (Agarwal
+    et al., PODS 2012): merging MG summaries yields an MG summary whose
+    error budgets ADD, so after any number of batches every stored
+    count satisfies true − d_total ≤ stored ≤ true and any absent term
+    has true ≤ d_total — the same certificate arithmetic as the batch
+    operator, maintained incrementally. State is O(k) on the driver
+    (the sketch IS the state; there is nothing to keep executor-side
+    between micro-batches, which is why this is a foreachBatch fold
+    rather than a stateful-operator job).
+
+    Usage: `.foreach_batch()` plugs into `writeStream.foreachBatch`;
+    `.topk(n)` reads the current heavy hitters with their count bounds
+    and whether rank order down to n is certified exact."""
+
+    def __init__(self, k: int = 1024, term_col: str = "term"):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.k = k
+        self.term_col = term_col
+        self.counters: dict = {}
+        self.d_total = 0
+
+    def apply_batch(self, batch_df: DataFrame) -> None:
+        rows = mg_partition_summaries(
+            batch_df, self.k, term_col=self.term_col
+        ).collect()
+        # a hot term appears in SEVERAL partition summaries — sum them
+        # (a plain dict build would keep one partition's count and
+        # silently discard the rest, breaking the lower-bound invariant)
+        batch_counts: dict = {}
+        dp = 0
+        for r in rows:
+            if r["term"] is None:
+                dp += r["dp"]
+            else:
+                batch_counts[r["term"]] = batch_counts.get(r["term"], 0) + r["cnt"]
+        self.counters, d_merge = mg_reduce([self.counters, batch_counts], self.k)
+        self.d_total += dp + d_merge
+
+    def foreach_batch(self):
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df)
+
+        return fn
+
+    def topk(self, n: int) -> list[tuple]:
+        """Top-n as (term, count_lower_bound, count_upper_bound),
+        ordered by stored count desc then term. Upper bound = stored +
+        d_total (the undercount can be anywhere in [0, d_total])."""
+        ranked = sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(t, c, c + self.d_total) for t, c in ranked[:n]]
 
 
 def top_terms_sketched(

@@ -89,6 +89,27 @@ class MaterializedCounts:
         with open(os.path.join(self.path, "manifests", name)) as fh:
             return json.load(fh)
 
+    def versions(self) -> list[int]:
+        """Committed batch ids, ascending — every one remains readable
+        (manifests are never deleted; a version file is only ever
+        superseded by a LATER manifest pointing elsewhere, so old
+        manifests keep resolving: snapshot isolation for free from the
+        immutable version=<id> layout)."""
+        mdir = os.path.join(self.path, "manifests")
+        out = []
+        for name in os.listdir(mdir):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                out.append(int(name[len("manifest-") : -len(".json")]))
+        return sorted(out)
+
+    def _manifest_at(self, batch_id: int) -> dict[str, str]:
+        eligible = [v for v in self.versions() if v <= batch_id]
+        if not eligible:
+            return {}
+        name = f"manifest-{max(eligible)}.json"
+        with open(os.path.join(self.path, "manifests", name)) as fh:
+            return json.load(fh)
+
     def _commit(self, manifest: dict[str, str], batch_id: int) -> None:
         name = f"manifest-{batch_id}.json"
         mpath = os.path.join(self.path, "manifests", name)
@@ -173,9 +194,18 @@ class MaterializedCounts:
         """foreachBatch function maintaining this table."""
         return lambda batch_df, batch_id: self.apply_batch(batch_df, batch_id)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Committed state: one row per key with (n, total)."""
-        manifest = self._current_manifest()
+    def read(self, spark: SparkSession, at_batch: int | None = None) -> DataFrame:
+        """Committed state: one row per key with (n, total).
+
+        ``at_batch=N`` time-travels to the table as of the latest
+        commit ≤ N (the Iceberg/Delta snapshot-read pattern, priced the
+        same way: a manifest is just a bucket→file map, so historical
+        reads cost exactly a current read — no log replay)."""
+        manifest = (
+            self._current_manifest()
+            if at_batch is None
+            else self._manifest_at(at_batch)
+        )
         if not manifest:
             fields = ", ".join(f"`{k}` STRING" for k in self.keys)
             return spark.createDataFrame(

@@ -447,3 +447,40 @@ def test_grouped_exact_percentile_property(spark, rows, p):
         for r in df.groupBy("k").agg(F.percentile("v", p).alias("pct")).collect()
     }
     assert got == want, (p, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries reduction invariants (functions/sketches.py) — the pure
+# kernel, no Spark: fuzz arbitrary batch splits, term distributions, and
+# k, and check the bounds the exactness certificate relies on.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    terms=st.lists(st.integers(min_value=0, max_value=40), max_size=300),
+    k=st.integers(min_value=1, max_value=12),
+    cuts=st.lists(st.integers(min_value=0, max_value=300), max_size=4),
+)
+def test_mg_reduce_bounds(terms, k, cuts):
+    from collections import Counter
+
+    from kafkastreams_example_spark.functions.sketches import mg_reduce
+
+    bounds = sorted({c for c in cuts if c <= len(terms)}) + [len(terms)]
+    batches, prev = [], 0
+    for b in bounds:
+        batches.append(Counter(terms[prev:b]))
+        prev = b
+    counters, d_total = mg_reduce(batches, k)
+    true = Counter(terms)
+
+    assert len(counters) <= k
+    # mass conservation bound: sum of decrements <= n/(k+1)
+    assert d_total <= len(terms) // (k + 1)
+    for t, c in counters.items():
+        assert true[t] - d_total <= c <= true[t]
+    for t, c in true.items():
+        if t not in counters:
+            assert c <= d_total

@@ -1527,3 +1527,102 @@ def test_materialized_counts_upsert_table(spark, tmp_path):
     )
     changed = {b for b in cur if cur[b] != prev.get(b)}
     assert len(changed) <= 1, (changed, prev, cur)
+
+
+def test_streaming_topk_tracker(spark, tmp_path):
+    """Continuous heavy-hitters (functions/sketches.StreamingTopK):
+    micro-batches fold into a k-bounded Misra-Gries driver state via
+    per-partition summaries. With ample k across three availableNow
+    rounds the tracker must be exact (zero error budget); with
+    adversarially small k the count bounds must still bracket the
+    truth — the mergeable-summaries contract."""
+    from collections import Counter
+
+    from kafkastreams_example_spark.functions.sketches import StreamingTopK
+
+    batches = [
+        ["a"] * 5 + ["b"] * 3 + ["c"],
+        ["a"] * 4 + ["d"] * 2,
+        ["b"] * 6 + ["e"],
+    ]
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    tracker = StreamingTopK(k=64)
+
+    def run_round():
+        stream = spark.readStream.schema("term STRING").json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(tracker.foreach_batch())
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, terms in enumerate(batches):
+        _write_batch(src, f"t{i}.json", [{"term": t} for t in terms])
+        run_round()
+
+    true = Counter(t for b in batches for t in b)
+    assert tracker.d_total == 0  # vocab << k: summaries stayed exact
+    got = tracker.topk(3)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(t, lo) for t, lo, hi in got] == want
+
+    # adversarial k: bounds must bracket the truth even under heavy
+    # decrement churn across merges
+    small = StreamingTopK(k=2)
+    data = [x for i in range(1, 8) for x in [f"w{i}"] * (20 // i)]
+    for chunk in (data[:25], data[25:]):
+        small.apply_batch(
+            spark.createDataFrame([(t,) for t in chunk], "term STRING")
+            .repartition(3)
+        )
+    truth = Counter(data)
+    for t, lo, hi in small.topk(2):
+        assert lo <= truth[t] <= hi
+    for t, c in truth.items():
+        if t not in small.counters:
+            assert c <= small.d_total
+
+
+def test_materialized_counts_time_travel(spark, tmp_path):
+    """Snapshot reads: because version=<id> data dirs are immutable and
+    manifests are never deleted, read(at_batch=N) reconstructs the
+    table exactly as of any committed batch at the cost of a current
+    read — the Iceberg/Delta time-travel contract from the same
+    manifest machinery."""
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    table = MaterializedCounts(
+        str(tmp_path / "tt"), keys=("user_id",), n_buckets=4
+    )
+    batches = [
+        [(1, 2.0), (2, 3.0)],
+        [(1, 1.0)],
+        [(3, 7.0), (2, 0.5)],
+    ]
+    for i, rows in enumerate(batches):
+        table.apply_batch(
+            spark.createDataFrame(rows, "user_id BIGINT, value DOUBLE"), i
+        )
+    assert table.versions() == [0, 1, 2]
+
+    def snap(at):
+        return {
+            r["user_id"]: (r["n"], float(r["total"]))
+            for r in table.read(spark, at_batch=at).collect()
+        }
+
+    assert snap(0) == {1: (1, 2.0), 2: (1, 3.0)}
+    assert snap(1) == {1: (2, 3.0), 2: (1, 3.0)}
+    assert snap(2) == {1: (2, 3.0), 2: (2, 3.5), 3: (1, 7.0)}
+    # current read == latest snapshot; pre-history read is empty
+    assert snap(2) == {
+        r["user_id"]: (r["n"], float(r["total"]))
+        for r in table.read(spark).collect()
+    }
+    assert table.read(spark, at_batch=-1).count() == 0

@@ -205,6 +205,23 @@ ROUND11_FAMILY = [
     "mad_outliers",
 ]
 
+# Late round-11 additions. Expected shapes: mat_view_counts ~linear
+# (three merges, each rewriting the buckets its delta touches — at this
+# key density every batch touches all 8 buckets, so merge cost tracks
+# data); top_terms_sketched ~linear wall with FLAT candidate volume
+# (the suffix-salted fixture grows the vocabulary ~F×, which is exactly
+# the regime the MG summary bounds: candidates stay ≤ k·P while the
+# exact-groupBy alternative's shuffle would grow with vocab);
+# split_divergence ~linear (one occurrence agg, vocab-bound reduce);
+# embedding_pca_scores ~linear (per iteration one posexplode agg over
+# rows; driver state fixed at 64 floats regardless of corpus size).
+ROUND11B_FAMILY = [
+    "mat_view_counts",
+    "top_terms_sketched",
+    "split_divergence",
+    "embedding_pca_scores",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -527,6 +544,8 @@ if __name__ == "__main__":
             fam = ROUND10_FAMILY
         elif "r11" in sys.argv[2:]:
             fam = ROUND11_FAMILY
+        elif "r11b" in sys.argv[2:]:
+            fam = ROUND11B_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
