@@ -194,6 +194,81 @@ class MaterializedCounts:
         """foreachBatch function maintaining this table."""
         return lambda batch_df, batch_id: self.apply_batch(batch_df, batch_id)
 
+    # -- maintenance ----------------------------------------------------
+    def compact(self, spark: SparkSession, batch_id: int) -> None:
+        """Rewrite the whole committed state into ONE fresh version dir
+        and commit a manifest where every bucket points there — the
+        rewrite_data_files half of table maintenance. After many
+        incremental merges each bucket's live file sits in whichever
+        version last touched it; scans stay correct (the manifest
+        resolves them) but the data layout fragments across version
+        dirs and, at parquet level, across small files. Compaction is
+        itself just a merge with an empty delta, so it inherits the
+        commit protocol (atomic pointer swap, idempotent, readable
+        history): readers never see a half-compacted table.
+        `batch_id` must exceed the last committed id (it occupies a
+        slot in the same monotonic sequence)."""
+        committed = self.committed_batch()
+        if committed is not None and batch_id <= committed:
+            return
+        manifest = self._current_manifest()
+        if not manifest:
+            return
+        cur = (
+            spark.read.option("basePath", os.path.join(self.path, "data"))
+            .parquet(*sorted(set(manifest.values())))
+            .select("bucket", *self.keys, "n", "total")
+        )
+        vdir = os.path.join(self.path, "data", f"version={batch_id}")
+        cur.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        new_manifest = {
+            b: os.path.join(vdir, f"bucket={b}") for b in manifest
+        }
+        self._commit(new_manifest, batch_id)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Expire history: drop all but the newest `keep_last`
+        manifests, then delete every version dir no kept manifest
+        references — the expire_snapshots half. Time travel keeps
+        working for the kept manifests and stops for the expired ones
+        (that is the operation's point: reclaiming the storage old
+        snapshots pin). Returns the expired batch ids. keep_last >= 1
+        (the current state is never vacuumable)."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        expire, keep = versions[:-keep_last], versions[-keep_last:]
+        if not expire:
+            return []
+        live_dirs: set[str] = set()
+        for v in keep:
+            with open(
+                os.path.join(self.path, "manifests", f"manifest-{v}.json")
+            ) as fh:
+                for p in json.load(fh).values():
+                    # bucket path -> its version dir
+                    live_dirs.add(os.path.dirname(p))
+        for v in expire:
+            os.remove(os.path.join(self.path, "manifests", f"manifest-{v}.json"))
+        # sweep ALL unreferenced version dirs, not just the ones named
+        # by this expiry round — an earlier vacuum may have removed a
+        # dir's manifest while a then-kept manifest still referenced
+        # the dir (carried-forward bucket); once that reference ages
+        # out the dir is orphaned and only a full sweep reclaims it
+        data = os.path.join(self.path, "data")
+        kept = {os.path.join(data, f"version={v}") for v in keep}
+        for name in os.listdir(data):
+            vdir = os.path.join(data, name)
+            if (
+                name.startswith("version=")
+                and vdir not in live_dirs
+                and vdir not in kept
+            ):
+                shutil.rmtree(vdir)
+        return expire
+
     def read(self, spark: SparkSession, at_batch: int | None = None) -> DataFrame:
         """Committed state: one row per key with (n, total).
 

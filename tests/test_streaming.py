@@ -1626,3 +1626,60 @@ def test_materialized_counts_time_travel(spark, tmp_path):
         for r in table.read(spark).collect()
     }
     assert table.read(spark, at_batch=-1).count() == 0
+
+
+def test_materialized_counts_compact_and_vacuum(spark, tmp_path):
+    """Table maintenance: compact() rewrites the committed state into
+    one version dir through the same atomic commit protocol (read
+    parity before/after), and vacuum() expires old manifests while
+    NEVER deleting a version dir a kept manifest still references —
+    the carried-forward-bucket hazard: after incremental merges the
+    newest manifest routinely points into OLD version dirs for cold
+    buckets, so a naive 'delete expired versions' would corrupt the
+    current table."""
+    import os
+
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    table = MaterializedCounts(
+        str(tmp_path / "m"), keys=("user_id",), n_buckets=4
+    )
+    # user 1 only in batch 0: its bucket is carried forward by
+    # reference through batches 1-2 and stays physically in version=0
+    batches = [[(1, 2.0), (2, 3.0)], [(2, 1.0)], [(2, 0.5), (3, 7.0)]]
+    for i, rows in enumerate(batches):
+        table.apply_batch(
+            spark.createDataFrame(rows, "user_id BIGINT, value DOUBLE"), i
+        )
+
+    def state():
+        return {
+            r["user_id"]: (r["n"], float(r["total"]))
+            for r in table.read(spark).collect()
+        }
+
+    want = {1: (1, 2.0), 2: (3, 4.5), 3: (1, 7.0)}
+    assert state() == want
+
+    # vacuum WITHOUT compaction: manifest-2 references version=0 (user
+    # 1's cold bucket) — that dir must survive expiry of manifest-0/1
+    expired = table.vacuum(keep_last=1)
+    assert expired == [0, 1]
+    assert table.versions() == [2]
+    assert state() == want  # carried-forward buckets intact
+    assert os.path.isdir(os.path.join(table.path, "data", "version=0"))
+
+    # compact, then vacuum: everything folds into the new version and
+    # the old dirs become genuinely unreferenced -> deleted
+    table.compact(spark, batch_id=3)
+    assert state() == want
+    manifest = table._current_manifest()
+    assert all("version=3" in p for p in manifest.values())
+    assert table.vacuum(keep_last=1) == [2]
+    assert state() == want
+    assert not os.path.isdir(os.path.join(table.path, "data", "version=0"))
+    # replaying a committed compaction id is a no-op (idempotence)
+    table.compact(spark, batch_id=3)
+    assert state() == want
