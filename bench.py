@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "top_terms_sketched",
     "split_divergence",
     "embedding_pca_scores",
+    "linear_trend",
 ]
 
 

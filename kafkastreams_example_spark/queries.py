@@ -2699,6 +2699,48 @@ FROM orders
 """
 
 
+def q_linear_trend(spark, sf_dir):
+    """Per-group OLS trend line: value regressed on event DAY for each
+    event_type via the SQL-standard REGR_* aggregates — the drift/
+    trend detector a telemetry pipeline runs per metric (is this
+    counter creeping up?). One hash aggregate, map-side partial
+    co-moments, O(#groups) output: the cheapest possible distributed
+    regression — no iteration, no driver math.
+
+    Exactness: the x axis is an INTEGER day index (unix_millis div
+    86_400_000 — integer division end-to-end, the session_stats
+    timestamp-math discipline) so both engines regress on identical
+    abscissae; slope/intercept/r2 are co-moment ratios whose only
+    cross-engine skew is partial-sum ordering, absorbed by round(.,6)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_millis(ts) div 86400000")
+    return (
+        ev.select("event_type", day.alias("day"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.regr_count("value", "day").alias("n_pts"),
+            F.round(F.regr_slope("value", "day"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "day"), 6).alias("intercept"),
+            F.round(F.regr_r2("value", "day"), 6).alias("r2"),
+            F.round(F.regr_avgx("value", "day"), 6).alias("avg_day"),
+            F.round(F.regr_avgy("value", "day"), 6).alias("avg_value"),
+        )
+    )
+
+
+SQL_LINEAR_TREND = """
+SELECT event_type,
+       regr_count(value, day) AS n_pts,
+       round(regr_slope(value, day), 6) AS slope,
+       round(regr_intercept(value, day), 6) AS intercept,
+       round(regr_r2(value, day), 6) AS r2,
+       round(regr_avgx(value, day), 6) AS avg_day,
+       round(regr_avgy(value, day), 6) AS avg_value
+FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day, value FROM events)
+GROUP BY event_type
+"""
+
+
 def q_bit_aggs(spark, sf_dir):
     """Bitwise aggregates over int columns."""
     part = load_table(spark, sf_dir, "part")
@@ -6984,6 +7026,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "regexp_extract": QuerySpec(q_regexp_extract, SQL_REGEXP_EXTRACT, ("relational", "text")),
     "agg_filtered": QuerySpec(q_agg_filtered, SQL_AGG_FILTERED, ("relational",)),
     "date_arith": QuerySpec(q_date_arith, SQL_DATE_ARITH, ("relational",)),
+    "linear_trend": QuerySpec(
+        q_linear_trend, SQL_LINEAR_TREND, ("relational", "pipeline")
+    ),
     "bit_aggs": QuerySpec(q_bit_aggs, SQL_BIT_AGGS, ("relational",)),
     # batch 5
     "dedup_embeddings": QuerySpec(q_dedup_embeddings, SQL_DEDUP_EMBEDDINGS, ("similarity", "dedup")),
@@ -7171,6 +7216,7 @@ _GATE_ORDER = [
     "top_terms_sketched",
     "split_divergence",
     "embedding_pca_scores",
+    "linear_trend",
     "gopher_rules",
     # — stale tier: NOT in CORRECTNESS_r10.json's 50-slot gate —
     # oldest-evidence-first approximation: prior rotation order
