@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "split_divergence",
     "embedding_pca_scores",
     "linear_trend",
+    "graph_triangles",
 ]
 
 

@@ -744,3 +744,17 @@ def test_bpe_train_merges_iterations_stay_on_vocab(spark):
     plan = plan_string(df, "simple")
     scans = plan.count("documents.parquet")
     assert scans <= 1, f"{scans} corpus scans; plan:\n{plan[:2000]}"
+
+
+def test_graph_triangles_is_intersection_form(spark):
+    """Triangle counting must evaluate via per-edge adjacency-array
+    intersection (array_intersect inside codegen over m edge rows),
+    never by exploding the O(m^1.5) wedge set through an exchange —
+    the wedge-join formulation shipped 3.5x slower at sf0.1 and its
+    shuffle volume grows with the wedge count, not the edge count."""
+    from kafkastreams_example_spark.queries import q_graph_triangles
+
+    plan = plan_string(q_graph_triangles(spark, SF_DIR), "simple")
+    assert "array_intersect" in plan, plan
+    # no generator/explode anywhere: wedges are never materialized
+    assert "Generate" not in plan, plan
