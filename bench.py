@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "embedding_pca_scores",
     "linear_trend",
     "graph_triangles",
+    "cdc_snapshot",
 ]
 
 

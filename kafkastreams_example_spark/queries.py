@@ -4400,6 +4400,62 @@ GROUP BY user_id
 """
 
 
+def q_cdc_snapshot(spark, sf_dir):
+    """CDC apply driven end-to-end: events reinterpreted as a change
+    stream (key = user_id, seq = event_id — the log offset, op = 'd'
+    on every 10th event id else upsert, payload = event_type), split
+    into THREE seq-ordered ranges (the ordered-batch contract a CDC
+    log guarantees), each merged into a streaming/cdc_table.py
+    CdcTable — then the committed snapshot must hash-match the oracle's
+    one-shot "latest change per key, drop deletes" window query. This
+    is the last-writer-wins state contract next to mat_view_counts'
+    additive one: argmax-by-seq per key instead of a sum, deletes
+    erase.
+
+    Plan character per batch: one max_by hash agg of the delta (map-
+    side partials — never a window sort over the batch), bucket-pruned
+    merge rewriting only delta-touched buckets. The seq-range split
+    derives from one bounded collect of max(event_id)."""
+    import tempfile
+
+    from .streaming.cdc_table import CdcTable
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        F.col("user_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 0, "d").otherwise("u").alias("op"),
+        F.col("event_type").alias("payload"),
+    )
+    hi = changes.agg(F.max("seq")).collect()[0][0] + 1
+    table = CdcTable(
+        tempfile.mkdtemp(prefix="cdc_snapshot_"),
+        key="user_id",
+        n_buckets=8,
+    )
+    for i in range(3):
+        table.apply_batch(
+            changes.filter(
+                (F.col("seq") >= i * hi / 3) & (F.col("seq") < (i + 1) * hi / 3)
+            ),
+            i,
+        )
+    return table.read(spark)
+
+
+SQL_CDC_SNAPSHOT = """
+WITH c AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+         event_type AS payload
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+  FROM c)
+SELECT user_id, seq, payload FROM r WHERE rn = 1 AND op <> 'd'
+"""
+
+
 def q_profile_events(spark, sf_dir):
     """Column profiling: per-column null counts, distinct counts, and
     numeric ranges in one pass — the stats stage before heavy pipeline
@@ -7275,6 +7331,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "mat_view_counts": QuerySpec(
         q_mat_view_counts, SQL_MAT_VIEW_COUNTS, ("streaming", "pipeline")
     ),
+    "cdc_snapshot": QuerySpec(
+        q_cdc_snapshot, SQL_CDC_SNAPSHOT, ("streaming", "pipeline")
+    ),
     "embedding_quantize": QuerySpec(
         q_embedding_quantize, SQL_EMBEDDING_QUANTIZE, ("similarity", "pipeline")
     ),
@@ -7349,6 +7408,7 @@ _GATE_ORDER = [
     "embedding_pca_scores",
     "linear_trend",
     "graph_triangles",
+    "cdc_snapshot",
     "gopher_rules",
     # — stale tier: NOT in CORRECTNESS_r10.json's 50-slot gate —
     # oldest-evidence-first approximation: prior rotation order

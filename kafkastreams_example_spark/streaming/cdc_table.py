@@ -1,0 +1,200 @@
+"""CDC snapshot table: apply an insert/update/delete change stream to
+a keyed table with last-writer-wins semantics — the OTHER half of the
+streaming-table story next to mat_view.py's additive aggregate.
+
+A materialized aggregate folds a commutative monoid, so merge order
+inside a batch never matters. A CDC apply (Debezium-style change
+events, Delta MERGE from a change feed) is NOT a monoid: the latest
+change per key wins outright and a delete REMOVES the key. That needs
+a total order on changes — here an explicit monotonically increasing
+``seq`` column (the CDC source's log offset / LSN; never wall-clock,
+which duplicates and reorders) — and a per-key argmax-by-seq reduction
+instead of a sum.
+
+Storage reuses the mat_view layout and commit protocol verbatim
+(hash-bucketed parquet under data/version=<batch_id>, JSON manifests,
+atomic _CURRENT pointer swap, idempotent per batch id, bucket-pruned
+merges, read-time manifest resolution, time travel via retained
+manifests): the difference is entirely in the merge step —
+
+  * batch delta: keep each key's max-seq change (``max_by`` over the
+    batch — map-side partial, one shuffle of distinct keys),
+  * merge with current bucket state: again max-seq per key between
+    state row and delta row,
+  * a winning DELETE drops the key from the rewritten bucket. No
+    tombstone retention is needed under the single-writer ordered-
+    batch contract: the key's bucket is rewritten by this merge, so
+    absence IS the tombstone, and any later re-insert carries a later
+    seq anyway.
+
+Correctness contract (oracle-checked end-to-end by the
+``cdc_snapshot`` registry entry in queries.py): for ANY batching of
+the change stream that respects seq order across batches per key, the
+final table equals the one-shot "latest change per key, drop deletes"
+query over the whole stream.
+
+No reference-repo counterpart (the reference app's sink only appends
+to a topic — kafkastreams-example KafkaStreamsApplication.java:92-114);
+this is SURVEY.md §2c extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CdcTable:
+    """Keyed snapshot maintained from (op, key, seq, payload) change
+    batches. ``op`` is 'u' (upsert) or 'd' (delete); ties on seq break
+    deterministically toward delete then larger payload (documented —
+    a real CDC source never ties because seq is a log offset)."""
+
+    def __init__(
+        self,
+        path: str,
+        key: str = "key",
+        seq_col: str = "seq",
+        op_col: str = "op",
+        payload_col: str = "payload",
+        n_buckets: int = 16,
+    ) -> None:
+        self.path = path
+        self.key = key
+        self.seq_col = seq_col
+        self.op_col = op_col
+        self.payload_col = payload_col
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # -- commit protocol (the mat_view protocol, verbatim) --------------
+    def _current_manifest(self) -> dict[str, str]:
+        ptr = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(ptr):
+            return {}
+        with open(ptr) as fh:
+            name = fh.read().strip()
+        with open(os.path.join(self.path, "manifests", name)) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict[str, str], batch_id: int) -> None:
+        name = f"manifest-{batch_id}.json"
+        mpath = os.path.join(self.path, "manifests", name)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        os.replace(tmp, mpath)
+        ptmp = os.path.join(self.path, "_CURRENT.tmp")
+        with open(ptmp, "w") as fh:
+            fh.write(name)
+        os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
+
+    def committed_batch(self) -> int | None:
+        ptr = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(fh.read().strip().rsplit("-", 1)[1].split(".")[0])
+
+    # -- merge ----------------------------------------------------------
+    def _latest_per_key(self, df: DataFrame) -> DataFrame:
+        """Argmax-by-(seq, op desc, payload) per key: one hash agg with
+        map-side partials (max_by), never a window sort."""
+        rank = F.struct(
+            F.col(self.seq_col).alias("s"),
+            (F.col(self.op_col) == "d").cast("int").alias("del_wins"),
+            F.col(self.payload_col).alias("p"),
+        )
+        row = F.struct(
+            F.col(self.seq_col), F.col(self.op_col), F.col(self.payload_col)
+        )
+        return (
+            df.groupBy("bucket", self.key)
+            .agg(F.max_by(row, rank).alias("r"))
+            .select(
+                "bucket",
+                self.key,
+                F.col(f"r.{self.seq_col}").alias(self.seq_col),
+                F.col(f"r.{self.op_col}").alias(self.op_col),
+                F.col(f"r.{self.payload_col}").alias(self.payload_col),
+            )
+        )
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Apply one change batch. Idempotent per batch_id."""
+        committed = self.committed_batch()
+        if committed is not None and batch_id <= committed:
+            return
+        spark = batch_df.sparkSession
+        delta = self._latest_per_key(
+            batch_df.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(self.key), F.lit(self.n_buckets)).cast("int"),
+            )
+        )
+        hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+        manifest = self._current_manifest()
+        if not hot:
+            self._commit(manifest, batch_id)
+            return
+        cur_paths = [manifest[str(b)] for b in hot if str(b) in manifest]
+        merged = delta
+        if cur_paths:
+            cur = (
+                spark.read.option("basePath", os.path.join(self.path, "data"))
+                .parquet(*cur_paths)
+                # state rows are live upserts by construction
+                .select(
+                    "bucket",
+                    self.key,
+                    self.seq_col,
+                    F.lit("u").alias(self.op_col),
+                    self.payload_col,
+                )
+            )
+            merged = self._latest_per_key(delta.unionByName(cur))
+        # a winning delete erases the key: absence in the rewritten
+        # bucket IS the tombstone (single-writer ordered batches)
+        merged = merged.filter(F.col(self.op_col) != "d").drop(self.op_col)
+        vdir = os.path.join(self.path, "data", f"version={batch_id}")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        # a hot bucket whose merged content is ENTIRELY deletions wrote
+        # no bucket dir — it must leave the manifest (the empty bucket),
+        # not dangle a path. Survivors come from the write's own output
+        # layout (at cluster scale: the commit's file listing), so the
+        # merged frame is never computed twice.
+        wrote = {
+            d.split("=", 1)[1]
+            for d in os.listdir(vdir)
+            if d.startswith("bucket=")
+        }
+        new_manifest = dict(manifest)
+        for b in hot:
+            if str(b) in wrote:
+                new_manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
+            else:
+                new_manifest.pop(str(b), None)
+        self._commit(new_manifest, batch_id)
+
+    def sink(self):
+        """foreachBatch function maintaining this table."""
+        return lambda batch_df, batch_id: self.apply_batch(batch_df, batch_id)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Live snapshot: one row per non-deleted key."""
+        manifest = self._current_manifest()
+        if not manifest:
+            return spark.createDataFrame(
+                [],
+                f"`{self.key}` BIGINT, `{self.seq_col}` BIGINT, "
+                f"`{self.payload_col}` STRING",
+            )
+        return (
+            spark.read.option("basePath", os.path.join(self.path, "data"))
+            .parquet(*sorted(set(manifest.values())))
+            .select(self.key, self.seq_col, self.payload_col)
+        )

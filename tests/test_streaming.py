@@ -1683,3 +1683,90 @@ def test_materialized_counts_compact_and_vacuum(spark, tmp_path):
     # replaying a committed compaction id is a no-op (idempotence)
     table.compact(spark, batch_id=3)
     assert state() == want
+
+
+def test_cdc_table_apply_semantics(spark, tmp_path):
+    """CDC snapshot table (streaming/cdc_table.py): last-writer-wins by
+    seq, deletes erase, newer-seq re-insert resurrects, replaying a
+    committed batch id is a no-op, and a bucket whose merged content is
+    entirely deletions leaves the manifest instead of dangling a path
+    (the bug sf0.001 caught: n_buckets > surviving keys)."""
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    table = CdcTable(str(tmp_path / "cdc"), key="k", n_buckets=8)
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "k BIGINT, seq BIGINT, op STRING, payload STRING"
+        )
+
+    def state():
+        return {
+            r["k"]: (r["seq"], r["payload"])
+            for r in table.read(spark).collect()
+        }
+
+    # batch 0: inserts; in-batch the max-seq change per key must win
+    table.apply_batch(
+        df([(1, 10, "u", "a"), (1, 12, "u", "b"), (2, 11, "u", "x")]), 0
+    )
+    assert state() == {1: (12, "b"), 2: (11, "x")}
+
+    # batch 1: delete key 1, update key 2
+    table.apply_batch(df([(1, 20, "d", None), (2, 21, "u", "y")]), 1)
+    assert state() == {2: (21, "y")}
+
+    # replay of committed batch 1 (at-least-once redelivery): no-op
+    table.apply_batch(df([(1, 99, "u", "ghost")]), 1)
+    assert state() == {2: (21, "y")}
+
+    # batch 2: newer-seq re-insert resurrects the deleted key; delete
+    # the ONLY key of its bucket so the erased bucket must drop out of
+    # the manifest cleanly (read() must not hit a dangling path)
+    table.apply_batch(df([(1, 30, "u", "c"), (2, 31, "d", None)]), 2)
+    assert state() == {1: (30, "c")}
+
+    # delete EVERYTHING: snapshot empties, reads still work
+    table.apply_batch(df([(1, 40, "d", None)]), 3)
+    assert state() == {}
+
+
+def test_cdc_table_streaming_batching_invariance(spark, tmp_path):
+    """Driving the table through writeStream.foreachBatch with
+    availableNow rounds: the final snapshot equals the one-shot
+    latest-per-key query over all changes regardless of how the
+    seq-ordered log was cut into micro-batches."""
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    table = CdcTable(str(tmp_path / "cdc2"), key="k", n_buckets=4)
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    batches = [
+        [{"k": 1, "seq": 1, "op": "u", "payload": "a"},
+         {"k": 2, "seq": 2, "op": "u", "payload": "b"}],
+        [{"k": 1, "seq": 3, "op": "d", "payload": None},
+         {"k": 3, "seq": 4, "op": "u", "payload": "c"}],
+        [{"k": 2, "seq": 5, "op": "u", "payload": "b2"}],
+    ]
+
+    def run_round():
+        stream = spark.readStream.schema(
+            "k BIGINT, seq BIGINT, op STRING, payload STRING"
+        ).json(str(src))
+        q = (
+            stream.writeStream.foreachBatch(table.sink())
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, rows in enumerate(batches):
+        _write_batch(src, f"c{i}.json", rows)
+        run_round()
+
+    got = {
+        r["k"]: (r["seq"], r["payload"]) for r in table.read(spark).collect()
+    }
+    assert got == {2: (5, "b2"), 3: (4, "c")}

@@ -220,6 +220,18 @@ ROUND11B_FAMILY = [
     "top_terms_sketched",
     "split_divergence",
     "embedding_pca_scores",
+    # linear_trend ~linear (one co-moment hash agg). graph_triangles:
+    # lineitem replicas share the 1x part-id space (l_partkey is NOT
+    # offset — the part dim table is symlinked, so offsetting would
+    # orphan part joins), which means the replicated fixture DENSIFIES
+    # the co-occurrence graph on fixed nodes instead of growing it:
+    # edges → complete-graph saturation, wedge work ~ Σ C(outdeg, 2)
+    # grows superlinearly BY THE GRAPH'S SHAPE, not the algorithm's.
+    # The probe is therefore a densification stress test of the
+    # O(m^1.5) contract; read its ratios against the recorded edge
+    # counts (BASELINE.md), not against F.
+    "linear_trend",
+    "graph_triangles",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
