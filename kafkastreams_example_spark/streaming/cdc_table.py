@@ -40,18 +40,21 @@ this is SURVEY.md §2c extension surface.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .table_commit import ManifestTable
 
-class CdcTable:
+
+class CdcTable(ManifestTable):
     """Keyed snapshot maintained from (op, key, seq, payload) change
     batches. ``op`` is 'u' (upsert) or 'd' (delete); ties on seq break
     deterministically toward delete then larger payload (documented —
-    a real CDC source never ties because seq is a log offset)."""
+    a real CDC source never ties because seq is a log offset).
+    Storage, commits, version history, time travel, and vacuum come
+    from ManifestTable; this class is only the argmax merge algebra."""
 
     def __init__(
         self,
@@ -62,43 +65,12 @@ class CdcTable:
         payload_col: str = "payload",
         n_buckets: int = 16,
     ) -> None:
-        self.path = path
+        super().__init__(path)
         self.key = key
         self.seq_col = seq_col
         self.op_col = op_col
         self.payload_col = payload_col
         self.n_buckets = n_buckets
-        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
-
-    # -- commit protocol (the mat_view protocol, verbatim) --------------
-    def _current_manifest(self) -> dict[str, str]:
-        ptr = os.path.join(self.path, "_CURRENT")
-        if not os.path.exists(ptr):
-            return {}
-        with open(ptr) as fh:
-            name = fh.read().strip()
-        with open(os.path.join(self.path, "manifests", name)) as fh:
-            return json.load(fh)
-
-    def _commit(self, manifest: dict[str, str], batch_id: int) -> None:
-        name = f"manifest-{batch_id}.json"
-        mpath = os.path.join(self.path, "manifests", name)
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, sort_keys=True)
-        os.replace(tmp, mpath)
-        ptmp = os.path.join(self.path, "_CURRENT.tmp")
-        with open(ptmp, "w") as fh:
-            fh.write(name)
-        os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
-
-    def committed_batch(self) -> int | None:
-        ptr = os.path.join(self.path, "_CURRENT")
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as fh:
-            return int(fh.read().strip().rsplit("-", 1)[1].split(".")[0])
 
     # -- merge ----------------------------------------------------------
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
@@ -145,8 +117,7 @@ class CdcTable:
         merged = delta
         if cur_paths:
             cur = (
-                spark.read.option("basePath", os.path.join(self.path, "data"))
-                .parquet(*cur_paths)
+                self._read_manifest_paths(spark, {str(i): p for i, p in enumerate(cur_paths)})
                 # state rows are live upserts by construction
                 .select(
                     "bucket",
@@ -184,17 +155,35 @@ class CdcTable:
         """foreachBatch function maintaining this table."""
         return lambda batch_df, batch_id: self.apply_batch(batch_df, batch_id)
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Live snapshot: one row per non-deleted key."""
+    def compact(self, spark: SparkSession, batch_id: int) -> None:
+        """Fold the committed snapshot into one version dir (the
+        mat_view compaction contract: same commit protocol, readers
+        never see a half-compacted table, idempotent per batch id)."""
+        committed = self.committed_batch()
+        if committed is not None and batch_id <= committed:
+            return
         manifest = self._current_manifest()
+        if not manifest:
+            return
+        cur = self._read_manifest_paths(spark, manifest).select(
+            "bucket", self.key, self.seq_col, self.payload_col
+        )
+        vdir = os.path.join(self.path, "data", f"version={batch_id}")
+        cur.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        new_manifest = {b: os.path.join(vdir, f"bucket={b}") for b in manifest}
+        self._commit(new_manifest, batch_id)
+
+    def read(self, spark: SparkSession, at_batch: int | None = None) -> DataFrame:
+        """Live snapshot: one row per non-deleted key. ``at_batch=N``
+        time-travels to the snapshot as of the latest commit ≤ N
+        (ManifestTable history; priced like a current read)."""
+        manifest = self._resolve_manifest(at_batch)
         if not manifest:
             return spark.createDataFrame(
                 [],
                 f"`{self.key}` BIGINT, `{self.seq_col}` BIGINT, "
                 f"`{self.payload_col}` STRING",
             )
-        return (
-            spark.read.option("basePath", os.path.join(self.path, "data"))
-            .parquet(*sorted(set(manifest.values())))
-            .select(self.key, self.seq_col, self.payload_col)
+        return self._read_manifest_paths(spark, manifest).select(
+            self.key, self.seq_col, self.payload_col
         )

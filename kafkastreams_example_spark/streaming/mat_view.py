@@ -32,12 +32,17 @@ first principles on plain parquet + JSON manifests:
 At cluster scale the manifest lives on the object store and the
 pointer swap becomes a conditional PUT / lock-service commit — same
 protocol, different primitive (this is exactly an Iceberg snapshot
-commit, minus the format spec).
+commit, minus the format spec). The protocol itself (commits, version
+history, time travel, vacuum) is shared with the last-writer-wins CDC
+table in streaming/table_commit.py::ManifestTable; this module adds
+only the additive merge algebra.
 
 Semantics: per-key COUNT and SUM(value) — the additive-aggregate
 class. Any commutative monoid merges the same way (min/max/HLL
 sketches); non-additive aggregates need the raw rows and are the
-watermarked-window operator's job, not an upsert table's.
+watermarked-window operator's job, not an upsert table's. For
+NON-monoid keyed state (latest-change-per-key with deletes), see
+cdc_table.CdcTable.
 
 Exactness: totals accumulate as DECIMAL(18,2), not double — an
 incremental table re-associates the sum across batches and merge
@@ -51,14 +56,15 @@ other domains.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .table_commit import ManifestTable
 
-class MaterializedCounts:
+
+class MaterializedCounts(ManifestTable):
     """Per-key streaming count/sum table with bucket-pruned merges.
 
     Use ``sink()`` as a foreachBatch function; ``read()`` returns the
@@ -72,62 +78,10 @@ class MaterializedCounts:
         value_col: str | None = "value",
         n_buckets: int = 16,
     ) -> None:
-        self.path = path
+        super().__init__(path)
         self.keys = list(keys)
         self.value_col = value_col
         self.n_buckets = n_buckets
-        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
-
-    # -- commit protocol ------------------------------------------------
-    def _current_manifest(self) -> dict[str, str]:
-        ptr = os.path.join(self.path, "_CURRENT")
-        if not os.path.exists(ptr):
-            return {}
-        with open(ptr) as fh:
-            name = fh.read().strip()
-        with open(os.path.join(self.path, "manifests", name)) as fh:
-            return json.load(fh)
-
-    def versions(self) -> list[int]:
-        """Committed batch ids, ascending — every one remains readable
-        (manifests are never deleted; a version file is only ever
-        superseded by a LATER manifest pointing elsewhere, so old
-        manifests keep resolving: snapshot isolation for free from the
-        immutable version=<id> layout)."""
-        mdir = os.path.join(self.path, "manifests")
-        out = []
-        for name in os.listdir(mdir):
-            if name.startswith("manifest-") and name.endswith(".json"):
-                out.append(int(name[len("manifest-") : -len(".json")]))
-        return sorted(out)
-
-    def _manifest_at(self, batch_id: int) -> dict[str, str]:
-        eligible = [v for v in self.versions() if v <= batch_id]
-        if not eligible:
-            return {}
-        name = f"manifest-{max(eligible)}.json"
-        with open(os.path.join(self.path, "manifests", name)) as fh:
-            return json.load(fh)
-
-    def _commit(self, manifest: dict[str, str], batch_id: int) -> None:
-        name = f"manifest-{batch_id}.json"
-        mpath = os.path.join(self.path, "manifests", name)
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, sort_keys=True)
-        os.replace(tmp, mpath)
-        ptmp = os.path.join(self.path, "_CURRENT.tmp")
-        with open(ptmp, "w") as fh:
-            fh.write(name)
-        os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
-
-    def committed_batch(self) -> int | None:
-        ptr = os.path.join(self.path, "_CURRENT")
-        if not os.path.exists(ptr):
-            return None
-        with open(ptr) as fh:
-            return int(fh.read().strip().rsplit("-", 1)[1].split(".")[0])
 
     # -- aggregation ----------------------------------------------------
     def _delta(self, batch_df: DataFrame) -> DataFrame:
@@ -214,10 +168,8 @@ class MaterializedCounts:
         manifest = self._current_manifest()
         if not manifest:
             return
-        cur = (
-            spark.read.option("basePath", os.path.join(self.path, "data"))
-            .parquet(*sorted(set(manifest.values())))
-            .select("bucket", *self.keys, "n", "total")
+        cur = self._read_manifest_paths(spark, manifest).select(
+            "bucket", *self.keys, "n", "total"
         )
         vdir = os.path.join(self.path, "data", f"version={batch_id}")
         cur.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
@@ -226,49 +178,6 @@ class MaterializedCounts:
         }
         self._commit(new_manifest, batch_id)
 
-    def vacuum(self, keep_last: int = 1) -> list[int]:
-        """Expire history: drop all but the newest `keep_last`
-        manifests, then delete every version dir no kept manifest
-        references — the expire_snapshots half. Time travel keeps
-        working for the kept manifests and stops for the expired ones
-        (that is the operation's point: reclaiming the storage old
-        snapshots pin). Returns the expired batch ids. keep_last >= 1
-        (the current state is never vacuumable)."""
-        import shutil
-
-        if keep_last < 1:
-            raise ValueError("keep_last must be >= 1")
-        versions = self.versions()
-        expire, keep = versions[:-keep_last], versions[-keep_last:]
-        if not expire:
-            return []
-        live_dirs: set[str] = set()
-        for v in keep:
-            with open(
-                os.path.join(self.path, "manifests", f"manifest-{v}.json")
-            ) as fh:
-                for p in json.load(fh).values():
-                    # bucket path -> its version dir
-                    live_dirs.add(os.path.dirname(p))
-        for v in expire:
-            os.remove(os.path.join(self.path, "manifests", f"manifest-{v}.json"))
-        # sweep ALL unreferenced version dirs, not just the ones named
-        # by this expiry round — an earlier vacuum may have removed a
-        # dir's manifest while a then-kept manifest still referenced
-        # the dir (carried-forward bucket); once that reference ages
-        # out the dir is orphaned and only a full sweep reclaims it
-        data = os.path.join(self.path, "data")
-        kept = {os.path.join(data, f"version={v}") for v in keep}
-        for name in os.listdir(data):
-            vdir = os.path.join(data, name)
-            if (
-                name.startswith("version=")
-                and vdir not in live_dirs
-                and vdir not in kept
-            ):
-                shutil.rmtree(vdir)
-        return expire
-
     def read(self, spark: SparkSession, at_batch: int | None = None) -> DataFrame:
         """Committed state: one row per key with (n, total).
 
@@ -276,18 +185,12 @@ class MaterializedCounts:
         commit ≤ N (the Iceberg/Delta snapshot-read pattern, priced the
         same way: a manifest is just a bucket→file map, so historical
         reads cost exactly a current read — no log replay)."""
-        manifest = (
-            self._current_manifest()
-            if at_batch is None
-            else self._manifest_at(at_batch)
-        )
+        manifest = self._resolve_manifest(at_batch)
         if not manifest:
             fields = ", ".join(f"`{k}` STRING" for k in self.keys)
             return spark.createDataFrame(
                 [], f"{fields}, n BIGINT, total DECIMAL(38,2)"
             )
-        return (
-            spark.read.option("basePath", os.path.join(self.path, "data"))
-            .parquet(*sorted(set(manifest.values())))
-            .select(*self.keys, "n", "total")
+        return self._read_manifest_paths(spark, manifest).select(
+            *self.keys, "n", "total"
         )

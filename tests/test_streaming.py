@@ -1770,3 +1770,40 @@ def test_cdc_table_streaming_batching_invariance(spark, tmp_path):
         r["k"]: (r["seq"], r["payload"]) for r in table.read(spark).collect()
     }
     assert got == {2: (5, "b2"), 3: (4, "c")}
+
+
+def test_cdc_table_compact_time_travel_vacuum(spark, tmp_path):
+    """The shared ManifestTable protocol surfaces on the CDC table:
+    snapshot time travel across delete/resurrect history, compaction
+    folding into one version, vacuum reclaiming unreferenced dirs."""
+    import os
+
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    table = CdcTable(str(tmp_path / "cdc3"), key="k", n_buckets=4)
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "k BIGINT, seq BIGINT, op STRING, payload STRING"
+        )
+
+    def snap(at=None):
+        return {
+            r["k"]: r["payload"]
+            for r in table.read(spark, at_batch=at).collect()
+        }
+
+    table.apply_batch(df([(1, 1, "u", "a"), (2, 2, "u", "b")]), 0)
+    table.apply_batch(df([(1, 3, "d", None)]), 1)
+    table.apply_batch(df([(1, 4, "u", "a2")]), 2)
+    assert snap(0) == {1: "a", 2: "b"}
+    assert snap(1) == {2: "b"}  # mid-history: key 1 deleted
+    assert snap(2) == snap() == {1: "a2", 2: "b"}
+
+    table.compact(spark, batch_id=3)
+    assert snap() == {1: "a2", 2: "b"}
+    assert all("version=3" in p for p in table._current_manifest().values())
+    expired = table.vacuum(keep_last=1)
+    assert expired == [0, 1, 2]
+    assert snap() == {1: "a2", 2: "b"}
+    assert not os.path.isdir(os.path.join(table.path, "data", "version=0"))
