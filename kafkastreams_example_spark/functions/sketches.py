@@ -126,7 +126,8 @@ class StreamingTopK:
 
     Usage: `.foreach_batch()` plugs into `writeStream.foreachBatch`;
     `.topk(n)` reads the current heavy hitters with their count bounds
-    and whether rank order down to n is certified exact."""
+    — d_total == 0 certifies them exact, and in general a hitter is
+    provably real whenever its lower bound exceeds d_total."""
 
     def __init__(self, k: int = 1024, term_col: str = "term"):
         if k < 1:
@@ -187,6 +188,8 @@ def top_terms_sketched(
     groupBy). d=0 everywhere (partition vocab ≤ k) degrades to exact
     per-partition counting, so small-data runs always certify.
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     summaries = mg_partition_summaries(terms, k, term_col=term_col)
     summaries = summaries.persist()
     try:

@@ -117,7 +117,7 @@ class CdcTable(ManifestTable):
         merged = delta
         if cur_paths:
             cur = (
-                self._read_manifest_paths(spark, {str(i): p for i, p in enumerate(cur_paths)})
+                self._read_paths(spark, cur_paths)
                 # state rows are live upserts by construction
                 .select(
                     "bucket",

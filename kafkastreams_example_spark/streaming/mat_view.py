@@ -120,14 +120,8 @@ class MaterializedCounts(ManifestTable):
         cur_paths = [manifest[str(b)] for b in hot if str(b) in manifest]
         merged = delta
         if cur_paths:
-            # basePath discovery recovers the bucket (and version)
-            # partition columns from the bucket=<b> directory paths
-            cur = (
-                spark.read.option(
-                    "basePath", os.path.join(self.path, "data")
-                )
-                .parquet(*cur_paths)
-                .select("bucket", *self.keys, "n", "total")
+            cur = self._read_paths(spark, cur_paths).select(
+                "bucket", *self.keys, "n", "total"
             )
             merged = (
                 delta.unionByName(cur)

@@ -132,9 +132,14 @@ class ManifestTable:
         return expire
 
     # -- shared read/compact plumbing ----------------------------------
+    def _read_paths(self, spark: SparkSession, paths) -> DataFrame:
+        """Read bucket data dirs with basePath discovery (recovers the
+        bucket/version partition columns from the dir layout)."""
+        return spark.read.option(
+            "basePath", os.path.join(self.path, "data")
+        ).parquet(*sorted(set(paths)))
+
     def _read_manifest_paths(
         self, spark: SparkSession, manifest: dict[str, str]
     ) -> DataFrame:
-        return spark.read.option(
-            "basePath", os.path.join(self.path, "data")
-        ).parquet(*sorted(set(manifest.values())))
+        return self._read_paths(spark, manifest.values())
