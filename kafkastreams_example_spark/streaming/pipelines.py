@@ -395,9 +395,13 @@ def attribution_join_pipeline(
     `within`. how='left_outer' also emits unattributed impressions with
     a null click time — but only once the watermark passes the
     impression's join interval, which is when Spark can prove no
-    matching click can still arrive. Both watermarks bound the join
-    state; click columns are prefixed c_ so the joined schema is
-    unambiguous."""
+    matching click can still arrive; how='full_outer' additionally
+    emits orphan clicks (click with no preceding impression — the
+    fraud/latency signal) under the same watermark-closure rule, with
+    a null impression time. Both watermarks bound the join state;
+    click columns are prefixed c_ so the joined schema is unambiguous,
+    and the output key coalesces across sides so orphan clicks carry
+    their key rather than a null."""
     l = imps.withWatermark(imp_ts, watermark)
     r = clicks.withWatermark(click_ts, watermark).select(
         F.col(key).alias(f"c_{key}"), F.col(click_ts)
@@ -407,7 +411,11 @@ def attribution_join_pipeline(
         & (F.col(click_ts) >= F.col(imp_ts))
         & (F.col(click_ts) <= F.col(imp_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, how).select(key, imp_ts, click_ts)
+    return l.join(r, cond, how).select(
+        F.coalesce(F.col(key), F.col(f"c_{key}")).alias(key),
+        imp_ts,
+        click_ts,
+    )
 
 
 def stream_dedup_recall_metrics(

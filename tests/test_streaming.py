@@ -1807,3 +1807,75 @@ def test_cdc_table_compact_time_travel_vacuum(spark, tmp_path):
     assert expired == [0, 1, 2]
     assert snap() == {1: "a2", 2: "b"}
     assert not os.path.isdir(os.path.join(table.path, "data", "version=0"))
+
+
+def test_attribution_join_full_outer_emits_orphan_clicks(spark, tmp_path):
+    """Stream-stream FULL OUTER interval join: beyond the left-outer
+    contract, an orphan click (no impression could have preceded it —
+    the click-fraud / lost-impression signal) emits with a null
+    impression time once the watermark closes its match interval, and
+    carries ITS key through the coalesced output key."""
+    from kafkastreams_example_spark.streaming.pipelines import (
+        attribution_join_pipeline,
+    )
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir()
+    clk_dir.mkdir()
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    T0 = 1_704_067_200_000
+
+    def run_round():
+        imps = (
+            spark.readStream.schema("ad_id BIGINT, ts_ms BIGINT")
+            .json(str(imp_dir))
+            .select("ad_id", F.timestamp_millis(F.col("ts_ms")).alias("imp_time"))
+        )
+        clicks = (
+            spark.readStream.schema("ad_id BIGINT, ts_ms BIGINT")
+            .json(str(clk_dir))
+            .select(
+                "ad_id", F.timestamp_millis(F.col("ts_ms")).alias("click_time")
+            )
+        )
+        joined = attribution_join_pipeline(imps, clicks, how="full_outer")
+        q = (
+            joined.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (imp_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [{"ad_id": 1, "ts_ms": T0}, {"ad_id": 2, "ts_ms": T0}]
+        )
+    )
+    (clk_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"ad_id": 1, "ts_ms": T0 + 5 * MIN},  # attributed
+                {"ad_id": 7, "ts_ms": T0 + 5 * MIN},  # orphan click
+            ]
+        )
+    )
+    run_round()
+    far = T0 + 120 * MIN
+    (imp_dir / "b2.json").write_text(json.dumps({"ad_id": 9, "ts_ms": far}))
+    (clk_dir / "b2.json").write_text(json.dumps({"ad_id": 9, "ts_ms": far}))
+    run_round()
+    df = spark.read.schema(
+        "ad_id BIGINT, imp_time STRING, click_time STRING"
+    ).json(str(out_dir))
+    got = {
+        (r["ad_id"], r["imp_time"] is not None, r["click_time"] is not None)
+        for r in df.collect()
+    }
+    assert (1, True, True) in got, got     # attributed pair
+    assert (2, True, False) in got, got    # unmatched impression
+    assert (7, False, True) in got, got    # orphan click, key preserved
