@@ -24,11 +24,16 @@ def write_partitioned(
     path: str,
     partition_cols: list[str],
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
-    """Write Hive-partitioned parquet. Choose partition columns with
-    bounded cardinality (date, category) — 10⁴⁺ tiny partitions hurt
-    more than they help; high-cardinality keys belong in bucketing."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    """Write a Hive-partitioned columnar dataset. Choose partition
+    columns with bounded cardinality (date, category) — 10⁴⁺ tiny
+    partitions hurt more than they help; high-cardinality keys belong
+    in bucketing. ``fmt`` is any columnar format Spark bundles —
+    'parquet' (default) or 'orc' (same pruning/pushdown machinery;
+    pick it when the downstream estate is Hive/ORC-native). Avro needs
+    the external spark-avro artifact and is intentionally not listed."""
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
 def write_bucketed(

@@ -68,3 +68,30 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_orc_roundtrip_prunes_and_pushes(spark, tmp_path):
+    """ORC sink tier: partition pruning and predicate pushdown work
+    through the same declarative layout as parquet (Spark bundles the
+    ORC datasource natively — no extra artifact), and the roundtrip is
+    value-exact. Pins fmt='orc' as a supported estate choice."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    path = str(tmp_path / "events_orc")
+    write_partitioned(ev, path, ["event_type"], fmt="orc")
+
+    back = spark.read.orc(path).filter(
+        (F.col("event_type") == "error") & (F.col("user_id") > 5)
+    )
+    plan = plan_string(back)
+    assert "PartitionFilters" in plan and "event_type" in plan
+    assert "PushedFilters" in plan and "user_id" in plan
+    want = sorted(
+        (r["event_id"], r["value"])
+        for r in ev.filter(
+            (F.col("event_type") == "error") & (F.col("user_id") > 5)
+        ).collect()
+    )
+    got = sorted((r["event_id"], r["value"]) for r in back.collect())
+    assert got == want and len(got) > 0
