@@ -38,7 +38,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -127,7 +127,19 @@ class StreamingTopK:
     Usage: `.foreach_batch()` plugs into `writeStream.foreachBatch`;
     `.topk(n)` reads the current heavy hitters with their count bounds
     — d_total == 0 certifies them exact, and in general a hitter is
-    provably real whenever its lower bound exceeds d_total."""
+    provably real whenever its lower bound exceeds d_total.
+
+    At-least-once replay: foreachBatch can redeliver a batch (failure
+    between batch completion and checkpoint commit, or restart replaying
+    the last un-committed batch). Folding the same batch twice would
+    overcount and break the `stored <= true` upper-bound side of the
+    certificate, so `apply_batch` tracks the last applied batch_id and
+    skips batch_id <= last — the same guard the manifest-table sinks
+    (MaterializedCounts/CdcTable.apply_batch) use. Driver-held sketch
+    state is NOT persisted: a query restart in a NEW process starts the
+    sketch empty and re-counts only from the stream's current offsets —
+    callers needing restart-spanning totals should snapshot
+    `.topk()`/`.d_total` externally."""
 
     def __init__(self, k: int = 1024, term_col: str = "term"):
         if k < 1:
@@ -136,8 +148,13 @@ class StreamingTopK:
         self.term_col = term_col
         self.counters: dict = {}
         self.d_total = 0
+        self.last_batch_id = -1
 
-    def apply_batch(self, batch_df: DataFrame) -> None:
+    def apply_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
+        if batch_id is not None:
+            if batch_id <= self.last_batch_id:
+                return  # foreachBatch redelivery — already folded in
+            self.last_batch_id = batch_id
         rows = mg_partition_summaries(
             batch_df, self.k, term_col=self.term_col
         ).collect()
@@ -156,7 +173,7 @@ class StreamingTopK:
 
     def foreach_batch(self):
         def fn(batch_df: DataFrame, batch_id: int) -> None:
-            self.apply_batch(batch_df)
+            self.apply_batch(batch_df, batch_id=batch_id)
 
         return fn
 
@@ -173,7 +190,6 @@ def top_terms_sketched(
     n: int,
     k: int = 2048,
     term_col: str = "term",
-    order_cols: tuple[Column, ...] | None = None,
 ) -> DataFrame:
     """Exact-or-error top-n terms by occurrence count WITHOUT a
     vocabulary-wide shuffle: MG candidate generation (≤ k rows per
@@ -202,7 +218,11 @@ def top_terms_sketched(
             .groupBy("term")
             .agg(F.count("*").alias("n"))
         )
-        order = order_cols or (F.col("n").desc(), F.col("term"))
+        # count-desc ordering is load-bearing: the certificate compares
+        # the n-th COUNT against the error budget, so any other primary
+        # ordering would certify/reject on the wrong boundary value.
+        # Term asc is a pure tie-break for determinism.
+        order = (F.col("n").desc(), F.col("term"))
         top = exact.orderBy(*order).limit(n).persist()
         try:
             rows = top.orderBy(*order).collect()

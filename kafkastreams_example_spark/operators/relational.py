@@ -195,7 +195,16 @@ def grouped_exact_percentile(
     structure over the value domain."""
     from pyspark.sql.window import Window
 
-    hist = df.groupBy(*keys, col).agg(F.count("*").alias("__cnt"))
+    # NULL values are ignored, matching the built-in percentile/median
+    # aggregate (and DuckDB's quantile_cont). Without this filter the
+    # histogram would gain a NULL-value row that inflates __n and —
+    # with Spark's NULLS FIRST ascending window order — shifts every
+    # cumulative rank, silently breaking the bit-equality contract.
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, col)
+        .agg(F.count("*").alias("__cnt"))
+    )
     w_run = Window.partitionBy(*keys).orderBy(col)
     w_all = Window.partitionBy(*keys)
     h = (

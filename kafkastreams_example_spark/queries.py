@@ -4367,7 +4367,12 @@ def q_mat_view_counts(spark, sf_dir):
     (untouched buckets carry forward by reference in the manifest) —
     merge cost O(hot buckets), not O(table), which is what makes a
     100 TB materialized view maintainable. The table lives under a
-    fresh temp dir per run (state, not fixture)."""
+    fresh temp dir per run (state, not fixture); because the returned
+    DataFrame reads it LAZILY, cleanup is deferred to process exit
+    (atexit) rather than an eager rmtree that would break a later
+    collect."""
+    import atexit
+    import shutil
     import tempfile
 
     from .streaming.mat_view import MaterializedCounts
@@ -4375,8 +4380,10 @@ def q_mat_view_counts(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
+    path = tempfile.mkdtemp(prefix="mat_view_counts_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     table = MaterializedCounts(
-        tempfile.mkdtemp(prefix="mat_view_counts_"),
+        path,
         keys=("user_id",),
         value_col="value",
         n_buckets=8,
@@ -4415,7 +4422,10 @@ def q_cdc_snapshot(spark, sf_dir):
     Plan character per batch: one max_by hash agg of the delta (map-
     side partials — never a window sort over the batch), bucket-pruned
     merge rewriting only delta-touched buckets. The seq-range split
-    derives from one bounded collect of max(event_id)."""
+    derives from one bounded collect of max(event_id). Temp-dir state
+    is atexit-cleaned (the returned frame reads it lazily)."""
+    import atexit
+    import shutil
     import tempfile
 
     from .streaming.cdc_table import CdcTable
@@ -4428,8 +4438,10 @@ def q_cdc_snapshot(spark, sf_dir):
         F.col("event_type").alias("payload"),
     )
     hi = changes.agg(F.max("seq")).collect()[0][0] + 1
+    path = tempfile.mkdtemp(prefix="cdc_snapshot_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     table = CdcTable(
-        tempfile.mkdtemp(prefix="cdc_snapshot_"),
+        path,
         key="user_id",
         n_buckets=8,
     )

@@ -64,6 +64,7 @@ class CdcTable(ManifestTable):
         op_col: str = "op",
         payload_col: str = "payload",
         n_buckets: int = 16,
+        col_types: dict[str, str] | None = None,
     ) -> None:
         super().__init__(path)
         self.key = key
@@ -71,6 +72,9 @@ class CdcTable(ManifestTable):
         self.op_col = op_col
         self.payload_col = payload_col
         self.n_buckets = n_buckets
+        # DDL type per column for reads BEFORE the first apply_batch;
+        # after the first apply the persisted _SCHEMA.json wins
+        self.col_types = dict(col_types or {})
 
     # -- merge ----------------------------------------------------------
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
@@ -107,6 +111,9 @@ class CdcTable(ManifestTable):
                 "bucket",
                 F.pmod(F.xxhash64(self.key), F.lit(self.n_buckets)).cast("int"),
             )
+        )
+        self._save_schema(
+            delta.select(self.key, self.seq_col, self.payload_col).schema
         )
         hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
         manifest = self._current_manifest()
@@ -179,10 +186,15 @@ class CdcTable(ManifestTable):
         (ManifestTable history; priced like a current read)."""
         manifest = self._resolve_manifest(at_batch)
         if not manifest:
+            saved = self._load_schema()
+            if saved is not None:
+                return spark.createDataFrame([], saved)
+            t = self.col_types
             return spark.createDataFrame(
                 [],
-                f"`{self.key}` BIGINT, `{self.seq_col}` BIGINT, "
-                f"`{self.payload_col}` STRING",
+                f"`{self.key}` {t.get(self.key, 'BIGINT')}, "
+                f"`{self.seq_col}` {t.get(self.seq_col, 'BIGINT')}, "
+                f"`{self.payload_col}` {t.get(self.payload_col, 'STRING')}",
             )
         return self._read_manifest_paths(spark, manifest).select(
             self.key, self.seq_col, self.payload_col

@@ -77,11 +77,16 @@ class MaterializedCounts(ManifestTable):
         keys: tuple[str, ...] = ("user_id",),
         value_col: str | None = "value",
         n_buckets: int = 16,
+        key_types: dict[str, str] | None = None,
     ) -> None:
         super().__init__(path)
         self.keys = list(keys)
         self.value_col = value_col
         self.n_buckets = n_buckets
+        # DDL type per key column for reads BEFORE the first apply_batch
+        # (after the first apply the persisted _SCHEMA.json wins, so the
+        # empty read matches the committed schema exactly)
+        self.key_types = dict(key_types or {})
 
     # -- aggregation ----------------------------------------------------
     def _delta(self, batch_df: DataFrame) -> DataFrame:
@@ -112,6 +117,7 @@ class MaterializedCounts(ManifestTable):
             return  # replay of an already-committed batch
         spark = batch_df.sparkSession
         delta = self._delta(batch_df)
+        self._save_schema(delta.select(*self.keys, "n", "total").schema)
         hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
         if not hot:
             self._commit(self._current_manifest(), batch_id)
@@ -181,7 +187,12 @@ class MaterializedCounts(ManifestTable):
         reads cost exactly a current read — no log replay)."""
         manifest = self._resolve_manifest(at_batch)
         if not manifest:
-            fields = ", ".join(f"`{k}` STRING" for k in self.keys)
+            saved = self._load_schema()
+            if saved is not None:
+                return spark.createDataFrame([], saved)
+            fields = ", ".join(
+                f"`{k}` {self.key_types.get(k, 'STRING')}" for k in self.keys
+            )
             return spark.createDataFrame(
                 [], f"{fields}, n BIGINT, total DECIMAL(38,2)"
             )

@@ -58,6 +58,30 @@ class ManifestTable:
             fh.write(name)
         os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
 
+    def _save_schema(self, schema) -> None:
+        """Persist the table's read-shape StructType next to the
+        manifests, once, on the first apply (a delta frame has a schema
+        even when it has zero rows). This is what makes a PRE-data read
+        return the same column types as a post-commit read — without it
+        the empty branch would have to guess types and a caller's
+        unionByName/join written against the committed schema breaks."""
+        spath = os.path.join(self.path, "_SCHEMA.json")
+        if os.path.exists(spath):
+            return
+        tmp = spath + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(schema.json())
+        os.replace(tmp, spath)
+
+    def _load_schema(self):
+        spath = os.path.join(self.path, "_SCHEMA.json")
+        if not os.path.exists(spath):
+            return None
+        from pyspark.sql.types import StructType
+
+        with open(spath) as fh:
+            return StructType.fromJson(json.load(fh))
+
     def committed_batch(self) -> int | None:
         ptr = os.path.join(self.path, "_CURRENT")
         if not os.path.exists(ptr):

@@ -1342,6 +1342,42 @@ def test_grouped_exact_median_matches_builtin(spark):
         assert got == want, p
 
 
+def test_grouped_exact_percentile_ignores_nulls(spark):
+    """Round-12 advice fix: NULLs in the value column must be ignored
+    (built-in percentile semantics). Before the fix the NULL histogram
+    row inflated __n and shifted every cumulative rank via the
+    NULLS FIRST ascending window order."""
+    from kafkastreams_example_spark.operators.relational import (
+        grouped_exact_median,
+        grouped_exact_percentile,
+    )
+
+    rows = [
+        ("a", None), ("a", 1.0), ("a", 3.0), ("a", None), ("a", 8.0),
+        ("b", None), ("b", 2.0), ("b", 4.0),
+        ("c", None),  # all-NULL group: built-in yields NULL / no value
+    ]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    for p in (0.5, 0.25, 0.9):
+        got = {
+            r["k"]: r["pct"]
+            for r in grouped_exact_percentile(df, ["k"], "v", p).collect()
+        }
+        want = {
+            r["k"]: r["pct"]
+            for r in df.groupBy("k")
+            .agg(F.percentile("v", p).alias("pct"))
+            .collect()
+            if r["pct"] is not None
+        }
+        assert got == want, p
+    # median front door too
+    got = {
+        r["k"]: r["med"] for r in grouped_exact_median(df, ["k"], "v").collect()
+    }
+    assert got == {"a": 3.0, "b": 3.0}
+
+
 def test_pagerank_empty_graph_returns_empty(spark):
     """Round-10 review fix: a filtered-to-nothing edge frame must yield
     an empty rank frame, not a driver-side ZeroDivisionError."""

@@ -1587,6 +1587,81 @@ def test_streaming_topk_tracker(spark, tmp_path):
             assert c <= small.d_total
 
 
+def test_streaming_topk_skips_replayed_batch(spark):
+    """Round-12 advice fix: foreachBatch at-least-once redelivery (same
+    batch_id seen twice after a failure between completion and
+    checkpoint commit) must NOT double-count — that would break the
+    stored <= true upper-bound invariant the exactness certificate
+    relies on. Mirrors the MaterializedCounts/CdcTable guard."""
+    from kafkastreams_example_spark.functions.sketches import StreamingTopK
+
+    tracker = StreamingTopK(k=16)
+    b0 = spark.createDataFrame([("a",)] * 3 + [("b",)], "term STRING")
+    b1 = spark.createDataFrame([("a",)] * 2 + [("c",)], "term STRING")
+    fn = tracker.foreach_batch()
+    fn(b0, 0)
+    fn(b0, 0)  # redelivery of batch 0 — must be a no-op
+    fn(b1, 1)
+    fn(b1, 1)  # redelivery of batch 1 — must be a no-op
+    assert tracker.d_total == 0
+    assert tracker.topk(3) == [("a", 5, 5), ("b", 1, 1), ("c", 1, 1)]
+    # un-id'd direct calls keep the legacy always-apply behavior
+    tracker.apply_batch(b1)
+    assert tracker.topk(1) == [("a", 7, 7)]
+
+
+def test_empty_table_read_schema_matches_committed(spark, tmp_path):
+    """Round-12 advice fix: a pre-first-commit read must carry the same
+    column TYPES as a post-commit read. Two mechanisms: explicit
+    key/col types at construction, and the _SCHEMA.json persisted on
+    the first apply_batch (even an all-empty one — a delta frame has a
+    schema at zero rows), which then wins."""
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    # explicit types, before any batch
+    mv = MaterializedCounts(
+        str(tmp_path / "mv"),
+        keys=("user_id",),
+        key_types={"user_id": "BIGINT"},
+        n_buckets=4,
+    )
+    empty = mv.read(spark)
+    assert dict(empty.dtypes)["user_id"] == "bigint"
+
+    # persisted schema: an EMPTY first batch commits no data but saves
+    # the shape, so the empty read matches the committed schema exactly
+    batch = spark.createDataFrame([], "user_id BIGINT, value DOUBLE")
+    mv.apply_batch(batch, 0)
+    assert mv.committed_batch() == 0
+    empty = mv.read(spark)
+    assert dict(empty.dtypes)["user_id"] == "bigint"
+    # and the empty frame unions cleanly against a committed-shape read
+    mv.apply_batch(
+        spark.createDataFrame([(7, 1.5)], "user_id BIGINT, value DOUBLE"), 1
+    )
+    live = mv.read(spark)
+    assert empty.unionByName(live).count() == 1
+
+    # CdcTable: STRING key declared up front, then schema persistence
+    cdc = CdcTable(
+        str(tmp_path / "cdc"),
+        key="doc",
+        n_buckets=4,
+        col_types={"doc": "STRING"},
+    )
+    assert dict(cdc.read(spark).dtypes)["doc"] == "string"
+    cdc.apply_batch(
+        spark.createDataFrame(
+            [], "doc STRING, seq BIGINT, op STRING, payload STRING"
+        ),
+        0,
+    )
+    assert dict(cdc.read(spark).dtypes)["doc"] == "string"
+
+
 def test_materialized_counts_time_travel(spark, tmp_path):
     """Snapshot reads: because version=<id> data dirs are immutable and
     manifests are never deleted, read(at_batch=N) reconstructs the
