@@ -3562,8 +3562,13 @@ def q_graph_triangles(spark, sf_dir):
     O(m^1.5) candidates total regardless of skew — a hub of degree d
     contributes C(d,2) wedges to the NAIVE count but only C(out,2),
     out ≤ O(√m), here. All-integer arithmetic until the final
-    coefficient (exact cross-engine); joins shuffle on node keys with
-    the O(#nodes) degree frame broadcast."""
+    coefficient (exact cross-engine). All joins — including the
+    degree-frame joins — shuffle on node keys with NO forced
+    broadcast: the degree frame is O(#nodes), i.e. it grows with the
+    graph, so a F.broadcast hint on it would be a driver/executor OOM
+    at 100× (the repo-wide rule: forced broadcasts only on BOUNDED
+    sides). AQE still picks a broadcast join at runtime while the
+    frame is actually small — the hint bought nothing but the OOM."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s")
     ).distinct()
@@ -3586,8 +3591,8 @@ def q_graph_triangles(spark, sf_dir):
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     o = (
-        e.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        e.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),

@@ -754,7 +754,18 @@ def test_graph_triangles_is_intersection_form(spark):
     shuffle volume grows with the wedge count, not the edge count."""
     from kafkastreams_example_spark.queries import q_graph_triangles
 
-    plan = plan_string(q_graph_triangles(spark, SF_DIR), "simple")
+    df = q_graph_triangles(spark, SF_DIR)
+    plan = plan_string(df, "simple")
     assert "array_intersect" in plan, plan
     # no generator/explode anywhere: wedges are never materialized
     assert "Generate" not in plan, plan
+    # round-12 guard: no FORCED broadcast anywhere in the query — every
+    # joined frame here (edges, degrees, neighbor arrays) is node- or
+    # edge-cardinality, i.e. grows with the graph, so a broadcast hint
+    # would be an OOM at scale. AQE may still broadcast at runtime when
+    # a side is actually small; the hint is what we forbid, and hints
+    # survive verbatim in the analyzed logical plan.
+    logical = plan_string(df, "extended")
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, (
+        logical[:2000]
+    )
