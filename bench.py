@@ -216,35 +216,22 @@ def main() -> None:
         record["loaded"] = True
     print(json.dumps(record))
     spark.stop()
-    _warn_untracked_artifacts()
+    _commit_round_artifacts()
 
 
-def _warn_untracked_artifacts() -> None:
-    """Round-evidence hygiene (a four-time verdict repeat): BENCH_r*/
-    CORRECTNESS_r* files sitting untracked at round end read as missing
-    evidence — remind whoever ran this to commit them immediately."""
-    import subprocess
-
+def _commit_round_artifacts() -> None:
+    """Round-evidence hygiene, structural since round 12 (the printed
+    reminder failed six rounds running): any loose BENCH_r*/
+    CORRECTNESS_r*/BENCH_STREAMING_r* artifact at the repo root is
+    auto-committed (just those paths) by tools/artifacts.py."""
     try:
-        out = subprocess.run(
-            ["git", "status", "--porcelain"],
-            capture_output=True, text=True, timeout=10,
-            cwd=str(Path(__file__).resolve().parent),
-        ).stdout
-    except Exception:
-        return
-    loose = [
-        ln.split()[-1]
-        for ln in out.splitlines()
-        if ln.startswith("??")
-        and ("BENCH_r" in ln or "CORRECTNESS_r" in ln or "BENCH_STREAMING_r" in ln)
-    ]
-    if loose:
-        print(
-            f"REMINDER: untracked round artifacts {loose} — "
-            f"`git add` and commit them with this run.",
-            file=sys.stderr,
-        )
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from tools.artifacts import commit_round_artifacts
+
+        commit_round_artifacts()
+    except Exception as exc:  # noqa: BLE001 — evidence hygiene never
+        # breaks the bench run itself
+        print(f"artifact auto-commit unavailable: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,12 @@ def main() -> int:
             print(f"{name}: ERROR {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
     print("FAILS:", fails if fails else "none")
     spark.stop()
+    try:
+        from tools.artifacts import commit_round_artifacts
+
+        commit_round_artifacts()
+    except Exception as exc:  # noqa: BLE001
+        print(f"artifact auto-commit unavailable: {exc}", file=sys.stderr)
     return 1 if fails else 0
 
 
