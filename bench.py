@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "linear_trend",
     "graph_triangles",
     "cdc_snapshot",
+    # round-12 additions
+    "embedding_pca_topr",
 ]
 
 

@@ -3090,62 +3090,22 @@ def q_embedding_pca_scores(spark, sf_dir):
     final projection (which fuses into a fresh scan). Engines diverge
     only by float-sum ordering inside each aggregate; 3 iterations
     amplify that ~linearly (≈1e-13 relative) and round(.,6) absorbs
-    it, the sim_topk/ngram_lm_score precedent."""
-    import math
+    it, the sim_topk/ngram_lm_score precedent. Since round 12 the
+    kernel lives in functions/pca.py (deflated top-r generalization);
+    r=1 runs the identical arithmetic (empty deflation sum, no
+    Rayleigh pass)."""
+    from .functions.pca import power_iteration_topr, project
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("dv")
     )
     emb = emb.persist()
     try:
-        dim = 64
-        mu_rows = (
-            emb.select(F.posexplode("dv").alias("pos", "val"))
-            .groupBy("pos")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
-            .collect()
-        )
-        mu = [0.0] * dim
-        for r in mu_rows:
-            mu[r["pos"]] = r["s"] / r["c"]
-
-        x = [0.125] * dim  # 1/sqrt(64): exact in binary, same literal in SQL
-        for _ in range(3):
-            xlit = F.array(*[F.lit(v) for v in x])
-            mux = sum(m * v for m, v in zip(mu, x))
-            dot = F.aggregate(
-                F.zip_with("dv", xlit, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            rows = (
-                emb.select("dv", (dot - F.lit(mux)).alias("y"))
-                .select(F.posexplode("dv").alias("pos", "val"), "y")
-                .groupBy("pos")
-                .agg(
-                    (F.sum(F.col("val") * F.col("y"))).alias("s"),
-                    F.sum("y").alias("ysum"),
-                )
-                .collect()
-            )
-            z = [0.0] * dim
-            for r in rows:
-                z[r["pos"]] = r["s"] - mu[r["pos"]] * r["ysum"]
-            nrm = math.sqrt(sum(v * v for v in z)) or 1.0
-            x = [v / nrm for v in z]
+        mu, accepted = power_iteration_topr(emb, dim=64, r=1, iters=3)
     finally:
         emb.unpersist()
-
-    xlit = F.array(*[F.lit(v) for v in x])
-    mux = sum(m * v for m, v in zip(mu, x))
-    dv = F.transform("embedding", lambda v: v.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(dv, xlit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.round(dot - F.lit(mux), 6).alias("pc1")
+    return project(
+        load_table(spark, sf_dir, "embeddings"), mu, [accepted[0][0]]
     )
 
 
@@ -3199,6 +3159,150 @@ SELECT vec_id,
              - (SELECT s FROM mux3), 6) AS pc1
 FROM e
 """
+
+
+def q_embedding_pca_topr(spark, sf_dir):
+    """Top-3 principal components by DEFLATED power iteration
+    (functions/pca.py; Hotelling deflation B = Cov − Σλ_j·x_jx_jᵀ) —
+    the multi-component extension of embedding_pca_scores that
+    whitening and SemDeDup-style embedding cleanup actually need.
+
+    Scale shape: identical per-component to the r=1 kernel — each
+    iteration is two corpus aggregates (y map fused into the scan, one
+    posexplode 64-group agg), never a d×d Gram; the deflation
+    correction is pure DRIVER arithmetic on 64-float vectors (λ_j and
+    x_j·x are scalars once the directions are driver-held), so r
+    components cost r·(iters+1) aggregate passes over the persisted
+    corpus and nothing more. The oracle replicates the full unrolled
+    recurrence — 3 components × 3 iterations plus two Rayleigh passes
+    — in generated SQL CTEs (SQL_EMBEDDING_PCA_TOPR below), so the
+    deflation algebra itself is under the value-hash gate. Accuracy vs
+    ground truth (numpy eigh, spiked covariance) pinned ≥0.99 per
+    component by test_pca_topr_recovers_spiked_components."""
+    from .functions.pca import power_iteration_topr, project
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("dv")
+    )
+    emb = emb.persist()
+    try:
+        mu, accepted = power_iteration_topr(emb, dim=64, r=3, iters=3)
+    finally:
+        emb.unpersist()
+    return project(
+        load_table(spark, sf_dir, "embeddings"), mu, [x for x, _ in accepted]
+    )
+
+
+def _sql_pca_topr(r: int = 3, iters: int = 3, dim: int = 64) -> str:
+    """Generate the unrolled DuckDB oracle for q_embedding_pca_topr:
+    the same recurrence (fixed start 1/√d, per-iteration Cov·x via
+    y/z CTEs, sequential Hotelling deflation, Rayleigh λ per accepted
+    non-final component), component by component. Generated rather
+    than hand-written because the CTE chain is mechanical: per
+    (component, iteration) a mux/y/z/zz[/d/zd]/n/x block, exactly the
+    shape the hand-written r=1 oracle (SQL_EMBEDDING_PCA_SCORES)
+    pins."""
+    start = 1.0 / (dim ** 0.5)
+    ctes = [
+        # MATERIALIZED: the corpus CTE is referenced by every y pass
+        # (r·(iters+1) of them) — without it DuckDB re-instantiates the
+        # parquet scan per reference and exhausts file handles
+        "e AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS dv\n     FROM embeddings)",
+        f"dims AS MATERIALIZED (SELECT unnest(range(1, {dim + 1})) AS pos)",
+        "mu AS MATERIALIZED (SELECT pos, SUM(dv[pos]) / COUNT(*) AS m\n"
+        "       FROM e CROSS JOIN dims GROUP BY pos)",
+        f"x0 AS MATERIALIZED (SELECT list(CAST({start!r} AS DOUBLE) ORDER BY pos) AS xv"
+        " FROM dims)",
+    ]
+
+    def cov_block(tag: str, prev: str) -> None:
+        """mux/y/z/zz CTEs computing zz = Cov·x for x in CTE `prev`."""
+        ctes.append(
+            f"{tag}_mux AS MATERIALIZED (SELECT SUM(mu.m * px.xv[mu.pos]) AS s\n"
+            f"       FROM mu CROSS JOIN {prev} px)"
+        )
+        ctes.append(
+            f"{tag}_y AS MATERIALIZED (SELECT dv, list_sum(list_transform("
+            f"list_zip(dv, (SELECT xv FROM {prev})), p -> p[1] * p[2]))\n"
+            f"       - (SELECT s FROM {tag}_mux) AS y FROM e)"
+        )
+        ctes.append(
+            f"{tag}_z AS MATERIALIZED (SELECT pos, SUM(dv[pos] * y) AS s, SUM(y) AS ysum\n"
+            f"       FROM {tag}_y CROSS JOIN dims GROUP BY pos)"
+        )
+        ctes.append(
+            f"{tag}_zz AS MATERIALIZED (SELECT z.pos, z.s - mu.m * z.ysum AS z\n"
+            f"       FROM {tag}_z z JOIN mu USING (pos))"
+        )
+
+    final_x: list[str] = []
+    for c in range(1, r + 1):
+        prev = "x0"
+        for i in range(1, iters + 1):
+            tag = f"c{c}i{i}"
+            cov_block(tag, prev)
+            zsrc = f"{tag}_zz"
+            if final_x:
+                # sequential deflation: z - t1 - t2 - ... (same
+                # left-to-right order as the driver loop)
+                terms = []
+                for j, xf in enumerate(final_x, start=1):
+                    ctes.append(
+                        f"{tag}_d{j} AS MATERIALIZED (SELECT list_sum(list_transform("
+                        f"list_zip(a.xv, b.xv), p -> p[1] * p[2])) AS d\n"
+                        f"       FROM {xf} a CROSS JOIN {prev} b)"
+                    )
+                    terms.append(
+                        f" - ((SELECT lam FROM c{j}_lam) * "
+                        f"(SELECT d FROM {tag}_d{j}) * "
+                        f"list_extract((SELECT xv FROM {xf}), zz.pos))"
+                    )
+                ctes.append(
+                    f"{tag}_zd AS MATERIALIZED (SELECT zz.pos, zz.z{''.join(terms)} AS z\n"
+                    f"       FROM {tag}_zz zz)"
+                )
+                zsrc = f"{tag}_zd"
+            ctes.append(
+                f"{tag}_n AS MATERIALIZED (SELECT CASE WHEN SUM(z * z) = 0 THEN 1 "
+                f"ELSE sqrt(SUM(z * z)) END AS nrm FROM {zsrc})"
+            )
+            ctes.append(
+                f"{tag}_x AS MATERIALIZED (SELECT list(z / nrm ORDER BY pos) AS xv\n"
+                f"       FROM {zsrc} CROSS JOIN {tag}_n)"
+            )
+            prev = f"{tag}_x"
+        if c < r:
+            # Rayleigh λ_c = x·(Cov·x) at the accepted direction
+            tag = f"c{c}r"
+            cov_block(tag, prev)
+            ctes.append(
+                f"c{c}_lam AS MATERIALIZED (SELECT SUM(zz.z * list_extract("
+                f"(SELECT xv FROM {prev}), zz.pos)) AS lam FROM {tag}_zz zz)"
+            )
+        final_x.append(prev)
+
+    # final projections: pc_c = round(dv·x_c − μ·x_c, 6)
+    projs = []
+    for c, xf in enumerate(final_x, start=1):
+        ctes.append(
+            f"p{c}_mux AS MATERIALIZED (SELECT SUM(mu.m * px.xv[mu.pos]) AS s\n"
+            f"       FROM mu CROSS JOIN {xf} px)"
+        )
+        projs.append(
+            f"round(list_sum(list_transform(list_zip(dv, "
+            f"(SELECT xv FROM {xf})), p -> p[1] * p[2]))"
+            f" - (SELECT s FROM p{c}_mux), 6) AS pc{c}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT vec_id,\n       "
+        + ",\n       ".join(projs) + "\nFROM e"
+    )
+
+
+SQL_EMBEDDING_PCA_TOPR = _sql_pca_topr(r=3, iters=3, dim=64)
 
 
 def q_sim_topk(spark, sf_dir):
@@ -7357,6 +7461,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_pca_scores": QuerySpec(
         q_embedding_pca_scores, SQL_EMBEDDING_PCA_SCORES, ("similarity", "pipeline")
     ),
+    "embedding_pca_topr": QuerySpec(
+        q_embedding_pca_topr, SQL_EMBEDDING_PCA_TOPR, ("similarity", "pipeline")
+    ),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
     "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),
@@ -7413,19 +7520,21 @@ REGISTRY: dict[str, QuerySpec] = {
 # CORRECTNESS_r0{1,2,3}.json latest-row ages as of round 4 — rotate
 # again next round.
 _GATE_ORDER = [
-    # — changed or new in round 11: must (re-)evidence first —
+    # — changed or new in round 12: must (re-)evidence first —
+    "embedding_pca_topr",      # new: deflated top-3 PCA
+    "embedding_pca_scores",    # refactored onto functions/pca.py
+    "graph_triangles",         # degree-broadcast hints dropped
+    "mad_outliers",            # percentile kernel now NULL-filtering
+    "mat_view_counts",         # schema persistence + atexit cleanup
+    "cdc_snapshot",            # schema persistence + atexit cleanup
+    "top_terms_sketched",      # order_cols hatch removed
+    # — round-11 tier (still recent) —
     "sql_q4_priority_count",
     "sql_q6_forecast_revenue",
     "sql_q8_market_share",
     "sql_q11_important_parts",
-    "mad_outliers",
-    "mat_view_counts",
-    "top_terms_sketched",
     "split_divergence",
-    "embedding_pca_scores",
     "linear_trend",
-    "graph_triangles",
-    "cdc_snapshot",
     "gopher_rules",
     # — stale tier: NOT in CORRECTNESS_r10.json's 50-slot gate —
     # oldest-evidence-first approximation: prior rotation order
