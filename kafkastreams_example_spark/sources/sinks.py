@@ -44,18 +44,22 @@ def write_bucketed(
     sort_col: str | None = None,
     mode: str = "overwrite",
     path: str | None = None,
+    fmt: str = "parquet",
 ) -> None:
     """Write a bucketed (and optionally sorted) table. Joins and
     aggregations on bucket_col between tables bucketed the same way
     skip the shuffle entirely; sorting within buckets additionally
     enables merge-join without a sort step. Pass `path` for an external
-    table (warehouse.dir is a static config and can't move per-job)."""
+    table (warehouse.dir is a static config and can't move per-job).
+    ``fmt``: 'parquet' (default) or 'orc' — bucketing metadata lives in
+    the catalog, so the shuffle-free join property is format-agnostic
+    (plan-asserted for both in tests/test_sinks.py)."""
     w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
     if path:
         w = w.option("path", path)
-    w.format("parquet").saveAsTable(table)
+    w.format(fmt).saveAsTable(table)
 
 
 def compact(
@@ -87,7 +91,10 @@ def _dataset_bytes(path: str) -> int:
     return sum(os.path.getsize(p) for p in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
 
 
-def read_partition_pruned(spark: SparkSession, path: str) -> DataFrame:
+def read_partition_pruned(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
     """Read a partitioned dataset; prune via ordinary filters on the
-    partition column (Catalyst emits PartitionFilters)."""
-    return spark.read.parquet(path)
+    partition column (Catalyst emits PartitionFilters). Same machinery
+    for 'parquet' and 'orc'."""
+    return spark.read.format(fmt).load(path)

@@ -95,3 +95,41 @@ def test_partitioned_orc_roundtrip_prunes_and_pushes(spark, tmp_path):
     )
     got = sorted((r["event_id"], r["value"]) for r in back.collect())
     assert got == want and len(got) > 0
+    # the read_partition_pruned front door reads ORC too
+    via_helper = read_partition_pruned(spark, path, fmt="orc").filter(
+        F.col("event_type") == "error"
+    )
+    assert "PartitionFilters" in plan_string(via_helper)
+
+
+def test_bucketed_orc_join_skips_shuffle(spark, tmp_path):
+    """Round-12 parity item: the ORC tier must carry the same
+    shuffle-free bucketed-join property as parquet — bucketing metadata
+    lives in the catalog, not the file format, so a same-key/same-count
+    ORC⋈ORC join compiles to SortMergeJoin with NO Exchange."""
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(
+        orders, "orders_ob", "o_orderkey", 8, sort_col="o_orderkey",
+        path=str(tmp_path / "orders_ob"), fmt="orc",
+    )
+    write_bucketed(
+        li, "lineitem_ob", "l_orderkey", 8, sort_col="l_orderkey",
+        path=str(tmp_path / "lineitem_ob"), fmt="orc",
+    )
+    try:
+        ob = spark.table("orders_ob")
+        lb = spark.table("lineitem_ob")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = plan_string(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed ORC join shuffles:\n{plan}"
+        assert (
+            joined.count()
+            == orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_ob")
+        spark.sql("DROP TABLE IF EXISTS lineitem_ob")

@@ -221,15 +221,14 @@ ROUND11B_FAMILY = [
     "split_divergence",
     "embedding_pca_scores",
     # linear_trend ~linear (one co-moment hash agg). graph_triangles:
-    # lineitem replicas share the 1x part-id space (l_partkey is NOT
-    # offset — the part dim table is symlinked, so offsetting would
-    # orphan part joins), which means the replicated fixture DENSIFIES
-    # the co-occurrence graph on fixed nodes instead of growing it:
-    # edges → complete-graph saturation, wedge work ~ Σ C(outdeg, 2)
-    # grows superlinearly BY THE GRAPH'S SHAPE, not the algorithm's.
-    # The probe is therefore a densification stress test of the
-    # O(m^1.5) contract; read its ratios against the recorded edge
-    # counts (BASELINE.md), not against F.
+    # since round 12 the part dim is REPLICATED with offset keys and
+    # l_partkey follows, so the co-occurrence graph GROWS ~F in nodes
+    # and edges (each replica contributes an isomorphic copy, no
+    # cross-replica edges — orders are replica-local) instead of
+    # densifying toward the complete graph; wall should now track the
+    # per-replica O(m^1.5) work linearly in F. (Through round 11 the
+    # fixture saturated at ~1.2M edges for both 10x and 30x — the
+    # BASELINE.md ROUND11B caveat this change retires.)
     "linear_trend",
     "graph_triangles",
 ]
@@ -419,6 +418,15 @@ def build() -> None:
     off_cust = max(_max("customer", "c_custkey"), _max("events", "user_id")) + 1
     off_ord = _max("orders", "o_orderkey") + 1
     off_ev = _max("events", "event_id") + 1
+    # round 12: part is REPLICATED with offset keys (it was a 1x
+    # symlink through round 11, which made the part co-occurrence
+    # graph DENSIFY toward the complete graph under replication —
+    # edges saturated at ~1.2M for both 10x and 30x — instead of
+    # growing; see the ROUND11B graph_triangles caveat in BASELINE.md).
+    # lineitem.l_partkey shares this offset, so part joins match
+    # exactly within a replica and never across, and the co-occurrence
+    # graph now grows in nodes AND edges ~F.
+    off_part = _max("part", "p_partkey") + 1
 
     def _cust_replica(cust, k, _off):
         return cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(k * off_cust))
@@ -429,7 +437,12 @@ def build() -> None:
         ).withColumn("o_custkey", F.col("o_custkey") + F.lit(k * off_cust))
 
     def _lineitem_replica(li, k, _off):
-        return li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * off_ord))
+        return li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * off_ord)
+        ).withColumn("l_partkey", F.col("l_partkey") + F.lit(k * off_part))
+
+    def _part_replica(part, k, _off):
+        return part.withColumn("p_partkey", F.col("p_partkey") + F.lit(k * off_part))
 
     def _events_replica(ev, k, _off):
         return ev.withColumn(
@@ -445,6 +458,7 @@ def build() -> None:
         "customer": ("c_custkey", _cust_replica),
         "orders": ("o_orderkey", _orders_replica),
         "lineitem": ("l_orderkey", _lineitem_replica),
+        "part": ("p_partkey", _part_replica),
         "events": ("event_id", _events_replica),
     }
     for factor in FACTORS:
