@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "cdc_snapshot",
     # round-12 additions
     "embedding_pca_topr",
+    "bloom_semi_join",
 ]
 
 

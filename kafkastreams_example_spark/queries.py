@@ -431,6 +431,64 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-prefiltered semi join (functions/bloom.py): lineitems of
+    top-decile-value orders (o_totalprice > 449k), pre-reduced by a
+    Bloom filter over the qualifying order keys INSIDE the lineitem
+    scan stage, then exactly semi-joined — per-returnflag revenue
+    profile of the high-value slice.
+
+    Why this is its own entry next to join_semi: at 100 TB the plain
+    semi join shuffles the ENTIRE fact table on the key even when a
+    sliver matches, and the dim key set (10⁷–10⁸ keys) is past raw
+    broadcast range. The Bloom filter is n_bits/8 bytes regardless of
+    key width (built by ONE bit_or aggregation whose shuffle is
+    ≤ n_bits/64 rows; probed as k getbit tests of an array literal
+    fused into the scan — no UDF, no extra join), so the fact shuffle
+    carries matches + ~1.6% false-positive residue which the exact
+    semi join then removes. The classic semi-join reduction (Bloom
+    1970; Bernstein & Chiu, JACM 1981). Results are EXACT — the bloom
+    only prices the plan — so the oracle is the plain IN-subquery.
+    Plan-guarded: getbit filter present below the fact-side exchange,
+    no false negatives by construction (property-tested)."""
+    from .functions.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(F.col("o_totalprice") > 449000.0).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    # explicit n_bits (16x the ~15k keys/SF0.1, rounded up to a power
+    # of two) skips the auto-sizing count pass; at sf0.1 the probe
+    # passes 68.5k of 600k lineitems (60.9k true + 1.4% fp residue) —
+    # an 8.8x shuffle reduction, recorded in BASELINE.md
+    matched = bloom_semi_join(li, keys, "l_orderkey", n_bits=1 << 18)
+    return matched.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(3,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 449000.0)
+GROUP BY l_returnflag
+"""
+
+
 def q_join_anti(spark, sf_dir):
     """Left-anti join: customers with no RECENT order (none since
     1999-01-01). Round-10 signal-audit fix: the original "no orders at
@@ -7241,6 +7299,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "join_customer_orders": QuerySpec(q_join_customer_orders, SQL_JOIN_CUSTOMER_ORDERS, ("relational",)),
     "join_multiway_region": QuerySpec(q_join_multiway_region, SQL_JOIN_MULTIWAY_REGION, ("relational",)),
     "join_semi": QuerySpec(q_join_semi, SQL_JOIN_SEMI, ("relational",)),
+    "bloom_semi_join": QuerySpec(
+        q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN, ("relational", "pipeline")
+    ),
     "join_anti": QuerySpec(q_join_anti, SQL_JOIN_ANTI, ("relational",)),
     "agg_distinct": QuerySpec(q_agg_distinct, SQL_AGG_DISTINCT, ("relational",)),
     "agg_rollup": QuerySpec(q_agg_rollup, SQL_AGG_ROLLUP, ("relational",)),
@@ -7546,7 +7607,8 @@ REGISTRY: dict[str, QuerySpec] = {
 # again next round.
 _GATE_ORDER = [
     # — changed or new in round 12: must (re-)evidence first —
-    "embedding_pca_topr",      # new: deflated top-3 PCA
+    "bloom_semi_join",         # new: Bloom semi-join reduction
+    "embedding_pca_topr",      # new: block subspace-iteration top-3 PCA
     "embedding_pca_scores",    # refactored onto functions/pca.py
     "graph_triangles",         # degree-broadcast hints dropped
     "mad_outliers",            # percentile kernel now NULL-filtering

@@ -1378,6 +1378,50 @@ def test_grouped_exact_percentile_ignores_nulls(spark):
     assert got == {"a": 3.0, "b": 3.0}
 
 
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """functions/bloom.py contract: every inserted key passes the
+    probe (no false negatives — correctness of the semi-join reduction
+    depends on it), non-members pass at roughly the designed (k·n/m)^k
+    rate, and the semi join's OUTPUT equals the plain semi join
+    exactly (the bloom only prices the plan)."""
+    from kafkastreams_example_spark.functions.bloom import (
+        bloom_probe,
+        bloom_semi_join,
+        build_bloom_bits,
+    )
+
+    dim = spark.createDataFrame(
+        [(i * 13 + 5,) for i in range(2000)], "k BIGINT"
+    )
+    n_bits = ((16 * 2000 + 63) // 64) * 64
+    words = build_bloom_bits(dim, "k", n_bits)
+    assert dim.filter(bloom_probe(F.col("k"), words)).count() == 2000
+    # fp rate on a disjoint domain: expect ~1/64, assert < 5/64
+    nm = spark.range(0, 50000).select((F.col("id") + 10**12).alias("k"))
+    fp = nm.filter(bloom_probe(F.col("k"), words)).count()
+    assert fp / 50000 < 5 / 64, fp
+    # end-to-end exactness vs the plain semi join
+    fact = spark.range(0, 30000).select(
+        F.pmod(F.col("id") * 7, F.lit(40000)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in bloom_semi_join(fact, dim, "k").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"])
+        for r in fact.join(dim.distinct(), "k", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_bloom_bits(dim, "k", 100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        build_bloom_bits(dim, "k", 1 << 30)  # over the literal cap
+
+
 def test_pca_topr_recovers_spiked_components(spark):
     """Deflated power iteration (functions/pca.py) must recover the
     top-3 eigenvectors of a spiked covariance: per-component |cos|

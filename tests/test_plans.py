@@ -746,6 +746,24 @@ def test_bpe_train_merges_iterations_stay_on_vocab(spark):
     assert scans <= 1, f"{scans} corpus scans; plan:\n{plan[:2000]}"
 
 
+def test_bloom_semi_join_filters_before_exchange(spark):
+    """The bloom probe must be a plain Filter (getbit over an array
+    literal) evaluated in the fact SCAN stage — i.e. BELOW the
+    fact-side exchange — so the shuffle carries matches + fp residue,
+    not the whole table. No UDF/python stage anywhere."""
+    from kafkastreams_example_spark.queries import q_bloom_semi_join
+
+    df = q_bloom_semi_join(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "getbit" in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # the getbit filter must appear deeper in the tree than the first
+    # exchange that feeds the semi join (plan text is printed root-
+    # first, so scan-stage operators appear AFTER their exchange)
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1 and plan.find("getbit") > first_exchange, plan
+
+
 def test_graph_triangles_is_intersection_form(spark):
     """Triangle counting must evaluate via per-edge adjacency-array
     intersection (array_intersect inside codegen over m edge rows),

@@ -233,6 +233,16 @@ ROUND11B_FAMILY = [
     "graph_triangles",
 ]
 
+# Round-12 additions. embedding_pca_topr: ~linear (4 corpus passes
+# regardless of r; driver state 3x64 floats at every scale).
+# bloom_semi_join: ~linear (bloom build shuffle bounded by n_bits/64
+# rows; probe is a scan-stage filter; the semi join sees only the
+# reduced row set — output rows fixed at 3 returnflag groups).
+ROUND12_FAMILY = [
+    "embedding_pca_topr",
+    "bloom_semi_join",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -572,6 +582,8 @@ if __name__ == "__main__":
             fam = ROUND11_FAMILY
         elif "r11b" in sys.argv[2:]:
             fam = ROUND11B_FAMILY
+        elif "r12" in sys.argv[2:]:
+            fam = ROUND12_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
