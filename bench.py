@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     # round-12 additions
     "embedding_pca_topr",
     "bloom_semi_join",
+    "fk_integrity",
 ]
 
 

@@ -489,6 +489,75 @@ GROUP BY l_returnflag
 """
 
 
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity validation in one declarative pass: for
+    every FK edge of the star schema (+ the events→customer edge),
+    count child rows, distinct child keys, and ORPHAN keys (child keys
+    with no parent) — the constraint check a pipeline runs before
+    training-data joins, where silent orphans become silently dropped
+    or duplicated rows downstream.
+
+    Scale shape: the orphan probe anti-joins DISTINCT child keys
+    (never raw child rows — the shuffle is keyspace-bound, and for the
+    big fact edges the distinct itself is the same map-side partial
+    dedup the joins already pay), parents are dimension tables AQE
+    broadcasts, and the per-edge scalars union into a 7-row frame.
+    NULL child keys are excluded per standard FK semantics. All counts
+    exact/integer — trivially hash-stable cross-engine."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    out = None
+    for name, ct, ck, pt, pk in edges:
+        child = load_table(spark, sf_dir, ct).filter(F.col(ck).isNotNull())
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pk).alias(ck))
+            .distinct()
+        )
+        dk = child.select(ck).distinct()
+        row = (
+            child.agg(F.count("*").alias("n_rows"))
+            .crossJoin(dk.agg(F.count("*").alias("n_keys")))
+            .crossJoin(
+                dk.join(parent, ck, "left_anti").agg(
+                    F.count("*").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk"), "n_rows", "n_keys", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _sql_fk_edge(name, ct, ck, pt, pk):
+    return f"""SELECT '{name}' AS fk,
+ (SELECT COUNT(*) FROM {ct} WHERE {ck} IS NOT NULL) AS n_rows,
+ (SELECT COUNT(DISTINCT {ck}) FROM {ct} WHERE {ck} IS NOT NULL) AS n_keys,
+ (SELECT COUNT(*) FROM (SELECT DISTINCT {ck} FROM {ct} WHERE {ck} IS NOT NULL) d
+   WHERE NOT EXISTS (SELECT 1 FROM {pt} WHERE {pk} = d.{ck})) AS n_orphans"""
+
+
+SQL_FK_INTEGRITY = "\nUNION ALL\n".join(
+    _sql_fk_edge(*e)
+    for e in [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+)
+
+
 def q_join_anti(spark, sf_dir):
     """Left-anti join: customers with no RECENT order (none since
     1999-01-01). Round-10 signal-audit fix: the original "no orders at
@@ -7302,6 +7371,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bloom_semi_join": QuerySpec(
         q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN, ("relational", "pipeline")
     ),
+    "fk_integrity": QuerySpec(
+        q_fk_integrity, SQL_FK_INTEGRITY, ("relational", "pipeline", "eval")
+    ),
     "join_anti": QuerySpec(q_join_anti, SQL_JOIN_ANTI, ("relational",)),
     "agg_distinct": QuerySpec(q_agg_distinct, SQL_AGG_DISTINCT, ("relational",)),
     "agg_rollup": QuerySpec(q_agg_rollup, SQL_AGG_ROLLUP, ("relational",)),
@@ -7608,6 +7680,7 @@ REGISTRY: dict[str, QuerySpec] = {
 _GATE_ORDER = [
     # — changed or new in round 12: must (re-)evidence first —
     "bloom_semi_join",         # new: Bloom semi-join reduction
+    "fk_integrity",            # new: referential-integrity validation
     "embedding_pca_topr",      # new: block subspace-iteration top-3 PCA
     "embedding_pca_scores",    # refactored onto functions/pca.py
     "graph_triangles",         # degree-broadcast hints dropped

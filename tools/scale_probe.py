@@ -241,6 +241,10 @@ ROUND11B_FAMILY = [
 ROUND12_FAMILY = [
     "embedding_pca_topr",
     "bloom_semi_join",
+    # fk_integrity: ~linear — per-edge distinct + anti-join shuffles
+    # are keyspace-bound and key spaces grow ~F in the replicated
+    # fixture; output fixed at 7 edge rows
+    "fk_integrity",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
