@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "embedding_pca_topr",
     "bloom_semi_join",
     "fk_integrity",
+    "semdedup",
 ]
 
 

@@ -3324,18 +3324,18 @@ def q_embedding_pca_topr(spark, sf_dir):
     )
 
 
-def _sql_pca_topr(r: int = 3, iters: int = 3, dim: int = 64) -> str:
-    """Generate the unrolled DuckDB oracle for q_embedding_pca_topr:
-    BLOCK subspace iteration, mirrored step-for-step from
-    functions/pca.py — per iteration one mux/y/z/zz block computing
-    Cov·X for all r columns (the single-corpus-pass shape), then a
-    classical Gram-Schmidt CTE chain (dots against the ORIGINAL zz
-    column, subtracted left-to-right, zero-norm guarded to 1) and a
-    re-assembled list block. Start block: column 0 the uniform 1/sqrt(d)
-    vector (bit-compatible with the r=1 oracle), column c>=1 the basis
-    vector e_{c-1}. Every CTE is MATERIALIZED — DuckDB's default CTE
-    inlining makes the nested chain exponential and hung even at 50
-    rows without it."""
+def _sql_pca_block_ctes(r: int, iters: int, dim: int) -> tuple[list, str]:
+    """Shared CTE prefix for the PCA-based oracles: block subspace
+    iteration mirrored step-for-step from functions/pca.py — per
+    iteration one mux/y/z/zz block computing Cov·X for all r columns
+    (the single-corpus-pass shape), then a classical Gram-Schmidt CTE
+    chain (dots against the ORIGINAL zz column, subtracted
+    left-to-right, zero-norm guarded to 1) and a re-assembled list
+    block. Start block: column 0 the uniform 1/sqrt(d) vector
+    (bit-compatible with the r=1 oracle), column c>=1 the basis vector
+    e_{c-1}. Every CTE is MATERIALIZED — DuckDB's default CTE inlining
+    makes the nested chain exponential and hung even at 50 rows
+    without it. Returns (ctes, final_block_name)."""
     startv = 1.0 / (dim ** 0.5)
     ctes = [
         "e AS MATERIALIZED (SELECT vec_id, "
@@ -3433,11 +3433,16 @@ def _sql_pca_topr(r: int = 3, iters: int = 3, dim: int = 64) -> str:
             )
             + ")"
         )
+    return ctes, f"xb{iters}"
 
-    # final projections: pc_{c+1} = round(dv·x_c - mu·x_c, 6)
-    fin = f"xb{iters}"
+
+def _sql_pca_projections(ctes: list, fin: str, r: int) -> list[str]:
+    """Append the per-component projection-mean CTEs and return the
+    rounded projection expressions pc1..pcr (round 6 — the float
+    firewall: everything DOWNSTREAM of these computes on bit-identical
+    operands in both engines)."""
     projs = []
-    for c in cols:
+    for c in range(r):
         ctes.append(
             f"p{c}_mux AS MATERIALIZED (SELECT "
             f"SUM(mu.m * list_extract(px.x{c}, mu.pos)) AS s\n"
@@ -3448,6 +3453,14 @@ def _sql_pca_topr(r: int = 3, iters: int = 3, dim: int = 64) -> str:
             f"(SELECT x{c} FROM {fin})), p -> p[1] * p[2]))"
             f" - (SELECT s FROM p{c}_mux), 6) AS pc{c + 1}"
         )
+    return projs
+
+
+def _sql_pca_topr(r: int = 3, iters: int = 3, dim: int = 64) -> str:
+    """Oracle for q_embedding_pca_topr: the shared block-iteration
+    prefix plus the rounded projections."""
+    ctes, fin = _sql_pca_block_ctes(r, iters, dim)
+    projs = _sql_pca_projections(ctes, fin, r)
     return (
         "WITH " + ",\n".join(ctes) + "\nSELECT vec_id,\n       "
         + ",\n       ".join(projs) + "\nFROM e"
@@ -3455,6 +3468,163 @@ def _sql_pca_topr(r: int = 3, iters: int = 3, dim: int = 64) -> str:
 
 
 SQL_EMBEDDING_PCA_TOPR = _sql_pca_topr(r=3, iters=3, dim=64)
+
+
+def _sql_semdedup(
+    r: int = 3, iters: int = 3, dim: int = 64, thr: float = 0.95
+) -> str:
+    """Oracle for q_semdedup: the PCA prefix, then the full SemDeDup
+    chain in SQL — rounded projections (the cross-engine float
+    firewall), deterministic first-C codebook with C = max(16, n/64),
+    nearest-centroid assignment with (dist, cid) tie-break, and the
+    within-cluster cosine-threshold dup marking. Every arithmetic
+    expression is written in the same operand order as the Spark side,
+    so downstream floats are bit-identical."""
+    ctes, fin = _sql_pca_block_ctes(r, iters, dim)
+    projs = _sql_pca_projections(ctes, fin, r)
+    ctes.append(
+        "red AS MATERIALIZED (SELECT vec_id, "
+        + ", ".join(projs)
+        + " FROM e)"
+    )
+    ctes.append(
+        "cnt AS MATERIALIZED (SELECT GREATEST(16, COUNT(*) // 64) AS c FROM e)"
+    )
+    ctes.append(
+        "cents AS MATERIALIZED (SELECT vec_id AS cid, "
+        + ", ".join(f"pc{c + 1} AS c{c + 1}" for c in range(r))
+        + " FROM red WHERE vec_id < (SELECT c FROM cnt))"
+    )
+    dist = " + ".join(
+        f"(r.pc{c + 1} - c.c{c + 1}) * (r.pc{c + 1} - c.c{c + 1})"
+        for c in range(r)
+    )
+    ctes.append(
+        "adist AS MATERIALIZED (SELECT r.vec_id, "
+        + ", ".join(f"r.pc{c + 1}" for c in range(r))
+        + f", c.cid, {dist} AS dist FROM red r CROSS JOIN cents c)"
+    )
+    ctes.append(
+        "assign AS MATERIALIZED (SELECT vec_id, "
+        + ", ".join(f"pc{c + 1}" for c in range(r))
+        + ", cid AS cluster FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM adist) "
+        "WHERE rn = 1)"
+    )
+    na = " + ".join(f"a.pc{c + 1} * a.pc{c + 1}" for c in range(r))
+    nb = " + ".join(f"b.pc{c + 1} * b.pc{c + 1}" for c in range(r))
+    dot = " + ".join(f"a.pc{c + 1} * b.pc{c + 1}" for c in range(r))
+    cos = (
+        f"CASE WHEN sqrt({na}) * sqrt({nb}) = 0 THEN 0 "
+        f"ELSE ({dot}) / (sqrt({na}) * sqrt({nb})) END"
+    )
+    ctes.append(
+        "dups AS MATERIALIZED (SELECT DISTINCT b.vec_id FROM assign a "
+        "JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        f"WHERE {cos} > {thr!r})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT a.vec_id, a.cluster, (d.vec_id IS NOT NULL) AS dup"
+        + "\nFROM assign a LEFT JOIN dups d USING (vec_id)"
+    )
+
+
+SQL_SEMDEDUP = _sql_semdedup(r=3, iters=3, dim=64, thr=0.999)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style embedding cleanup (Abbas et al. 2023,
+    arXiv:2303.09540 — semantic dedup by clustering embeddings and
+    dropping within-cluster near-duplicates), composed from this
+    repo's PCA + clustering pieces and kept FULLY under the value-hash
+    gate: project every embedding onto the top-3 principal components
+    (block subspace iteration, functions/pca.py — 4 corpus passes),
+    assign to the nearest of C = max(16, n/64) deterministic
+    first-C-ids centroids in the REDUCED space, and inside each
+    cluster mark every vector that has a smaller-id neighbor with
+    reduced-space cosine > 0.999 as a duplicate (keep-lowest-id, the
+    dedup_exact_docs convention). The threshold is calibrated to the
+    REDUCED space: 3-d projections crowd directions (the corpus-wide
+    99.9th-percentile reduced cosine is ~0.998 on this fixture, vs
+    zero full-space pairs above 0.95), so the paper's full-space 0.95
+    would flag 80% of the corpus here; 0.999 flags the genuine tail
+    (~6% at sf0.01).
+
+    Cross-engine exactness for an 11-stage float pipeline: the PCA
+    projections are ROUNDED to 6 dp first — the float firewall — so
+    assignment distances, tie-breaks, norms, and cosines downstream
+    compute on bit-identical operands in both engines (every
+    expression written in the same operand order; zero-norm cosine
+    guarded to 0). The oracle replicates the entire chain, PCA
+    included, in generated SQL.
+
+    Scale shape: C ∝ n keeps expected cluster size ~64, so the
+    within-cluster pair stage is expected-linear (Σ n_c² ≈ 64·n);
+    assignment is one C-row broadcast cross join reduced by a map-side
+    min_by hash agg (no window sort); the only corpus-keyed shuffles
+    are the cluster self-join and the dup anti-probe. Skewed clusters
+    are the honest failure mode, as in the paper (k-means there, fixed
+    codebook here); the two-level PQ in dedup_embeddings is the
+    adversarial-skew alternative."""
+    from .functions.pca import power_iteration_topr, project
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("dv")
+    )
+    emb = emb.persist()
+    try:
+        mu, accepted = power_iteration_topr(emb, dim=64, r=3, iters=3)
+        n = emb.count()
+    finally:
+        emb.unpersist()
+    red = project(
+        load_table(spark, sf_dir, "embeddings"), mu, [x for x, _ in accepted]
+    )
+    c_count = max(16, n // 64)
+    cents = red.filter(F.col("vec_id") < c_count).select(
+        F.col("vec_id").alias("cid"),
+        *[F.col(f"pc{i}").alias(f"c{i}") for i in (1, 2, 3)],
+    )
+    dist = sum(
+        (F.col(f"pc{i}") - F.col(f"c{i}")) * (F.col(f"pc{i}") - F.col(f"c{i}"))
+        for i in (1, 2, 3)
+    )
+    assign = (
+        red.crossJoin(F.broadcast(cents))
+        .select("vec_id", "pc1", "pc2", "pc3", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias("cluster"),
+            *[F.min(f"pc{i}").alias(f"pc{i}") for i in (1, 2, 3)],
+        )
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    na = sum(F.col(f"a.pc{i}") * F.col(f"a.pc{i}") for i in (1, 2, 3))
+    nb = sum(F.col(f"b.pc{i}") * F.col(f"b.pc{i}") for i in (1, 2, 3))
+    dot = sum(F.col(f"a.pc{i}") * F.col(f"b.pc{i}") for i in (1, 2, 3))
+    cos = F.when(F.sqrt(na) * F.sqrt(nb) == 0, F.lit(0.0)).otherwise(
+        dot / (F.sqrt(na) * F.sqrt(nb))
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > F.lit(0.999))
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dups.withColumn("__d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("__d").isNotNull().alias("dup"),
+        )
+    )
+
 
 
 def q_sim_topk(spark, sf_dir):
@@ -7622,6 +7792,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "embedding_pca_topr": QuerySpec(
         q_embedding_pca_topr, SQL_EMBEDDING_PCA_TOPR, ("similarity", "pipeline")
     ),
+    "semdedup": QuerySpec(
+        q_semdedup, SQL_SEMDEDUP, ("similarity", "dedup", "pipeline")
+    ),
     "udf_normalize": QuerySpec(q_udf_normalize, SQL_UDF_NORMALIZE, ("text", "udf")),
     "profile_events": QuerySpec(q_profile_events, SQL_PROFILE_EVENTS, ("relational", "pipeline")),
     "cosine_pairs": QuerySpec(q_cosine_pairs, SQL_COSINE_PAIRS, ("similarity",)),
@@ -7681,6 +7854,7 @@ _GATE_ORDER = [
     # — changed or new in round 12: must (re-)evidence first —
     "bloom_semi_join",         # new: Bloom semi-join reduction
     "fk_integrity",            # new: referential-integrity validation
+    "semdedup",                # new: PCA-space semantic dedup
     "embedding_pca_topr",      # new: block subspace-iteration top-3 PCA
     "embedding_pca_scores",    # refactored onto functions/pca.py
     "graph_triangles",         # degree-broadcast hints dropped

@@ -764,6 +764,20 @@ def test_bloom_semi_join_filters_before_exchange(spark):
     assert first_exchange != -1 and plan.find("getbit") > first_exchange, plan
 
 
+def test_semdedup_assignment_is_hash_agg(spark):
+    """semdedup's nearest-centroid assignment must compile to a
+    min_by hash aggregation with map-side partials — never a window
+    sort over the n·C cross-join — and the whole entry must stay
+    JVM-side (no Python stage) with no global sort."""
+    from kafkastreams_example_spark.queries import q_semdedup
+
+    plan = plan_string(q_semdedup(spark, SF_DIR), "simple")
+    assert "min_by" in plan, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
 def test_graph_triangles_is_intersection_form(spark):
     """Triangle counting must evaluate via per-edge adjacency-array
     intersection (array_intersect inside codegen over m edge rows),

@@ -245,6 +245,11 @@ ROUND12_FAMILY = [
     # are keyspace-bound and key spaces grow ~F in the replicated
     # fixture; output fixed at 7 edge rows
     "fk_integrity",
+    # semdedup: expected-linear — C ∝ n keeps mean cluster size ~64 so
+    # the within-cluster pair stage is Σ n_c² ≈ 64·n; PCA prefix is 4
+    # fixed passes. The sign-flip replica embeddings keep cross-replica
+    # reduced cosines ~uncorrelated, so dup structure stays per-replica.
+    "semdedup",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
