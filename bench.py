@@ -134,6 +134,10 @@ BENCH_QUERIES = [
     "bloom_semi_join",
     "fk_integrity",
     "semdedup",
+    "resample_ohlc",
+    "winsorize",
+    "skew_profile",
+    "snapshot_diff",
 ]
 
 

@@ -241,3 +241,59 @@ def grouped_exact_median(
     kernel (p = 0.5) — see grouped_exact_percentile for the scale
     argument and exactness contract."""
     return grouped_exact_percentile(df, keys, col, 0.5, out)
+
+
+def grouped_exact_percentiles(
+    df: DataFrame, keys: list[str], col: str, ps: dict[str, float]
+) -> DataFrame:
+    """Multi-percentile form of grouped_exact_percentile: computes ALL
+    requested percentiles (out_name → p) from ONE shared value
+    histogram and one rank pass — a caller needing p05+p95 (winsorize,
+    IQR fences) pays one corpus scan, not one per percentile. Same
+    bounded-state and two-sided-interpolation bit-equality contract as
+    the single-p kernel; identical per-p results (each p's straddling
+    ranks are picked with per-p guards over the union filter, so
+    adding a percentile never perturbs another's value)."""
+    from pyspark.sql.window import Window
+
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, col)
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w_run = Window.partitionBy(*keys).orderBy(col)
+    w_all = Window.partitionBy(*keys)
+    h = (
+        hist.withColumn("__hi", F.sum("__cnt").over(w_run))
+        .withColumn("__lo", F.col("__hi") - F.col("__cnt") + 1)
+        .withColumn("__n", F.sum("__cnt").over(w_all))
+    )
+    any_cover = F.lit(False)
+    aggs = []
+    for out, p in ps.items():
+        pos = (F.col("__n") - 1).cast("double") * F.lit(float(p))
+        k1 = F.floor(pos) + 1
+        k2 = F.ceil(pos) + 1
+        covers1 = (F.col("__lo") <= k1) & (k1 <= F.col("__hi"))
+        covers2 = (F.col("__lo") <= k2) & (k2 <= F.col("__hi"))
+        any_cover = any_cover | covers1 | covers2
+        aggs += [
+            F.min(F.when(covers1, F.col(col))).alias(f"__v1_{out}"),
+            F.min(F.when(covers2, F.col(col))).alias(f"__v2_{out}"),
+            F.min(pos).alias(f"__pos_{out}"),
+        ]
+    picked = h.filter(any_cover).groupBy(*keys).agg(*aggs)
+    sel: list = list(keys)
+    for out in ps:
+        pos_c = F.col(f"__pos_{out}")
+        lo_d = F.floor(pos_c).cast("double")
+        hi_d = F.ceil(pos_c).cast("double")
+        interp = (hi_d - pos_c) * F.col(f"__v1_{out}") + (
+            pos_c - lo_d
+        ) * F.col(f"__v2_{out}")
+        sel.append(
+            F.when(lo_d == hi_d, F.col(f"__v1_{out}"))
+            .otherwise(interp)
+            .alias(out)
+        )
+    return picked.select(*sel)

@@ -28,7 +28,12 @@ from .operators.dedup import (
     dedup_null_passthrough,
     dedup_refresh_batch,
 )
-from .operators.relational import broadcast_dim, davg, dsum
+from .operators.relational import (
+    broadcast_dim,
+    davg,
+    dsum,
+    grouped_exact_percentiles,
+)
 from .functions.text import (
     STOPWORDS,
     text_stats,
@@ -7519,6 +7524,275 @@ FROM spans GROUP BY 1
 """
 
 
+def q_resample_ohlc(spark, sf_dir):
+    """Time-series downsampling to per-hour OHLC bars (the classic
+    tick→bar resample of timeseries engines): per (event_type, hour)
+    emit the value of the earliest row (open), min/max (low/high), the
+    value of the latest row (close), and the row count.
+
+    Scale shape: the whole resample is ONE hash aggregation over the
+    scan — open/close come from min/max over struct(ts, event_id,
+    value), i.e. map-side-combinable min_by/max_by with a TOTAL
+    deterministic order (event_id breaks ts ties), never a window sort
+    over raw rows. The oracle has to use first_value/last_value windows
+    to express the same thing; the Spark plan deliberately does not.
+    Floats are selected, not computed, so cross-engine hashes are exact
+    bit-for-bit; a row whose value is NULL can still open/close a bar
+    (selection semantics), while high/low ignore NULLs like every SQL
+    min/max."""
+    ev = load_table(spark, sf_dir, "events")
+    sel = F.struct("ts", "event_id", "value")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.min(sel).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(sel).getField("value").alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            _ts_s("bucket").alias("bucket_s"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
+SQL_RESAMPLE_OHLC = """
+WITH e AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events),
+w AS (
+  SELECT event_type, bucket, value,
+         first_value(value) OVER
+           (PARTITION BY event_type, bucket ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS open,
+         last_value(value) OVER
+           (PARTITION BY event_type, bucket ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS close
+  FROM e)
+SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       any_value(open) AS open, max(value) AS high, min(value) AS low,
+       any_value(close) AS close, COUNT(*) AS n
+FROM w GROUP BY 1, 2
+"""
+
+
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorized statistics: clip events.value to the
+    group's exact [p05, p95] and report the bounds, clip counts, and
+    the winsorized mean — the standard outlier-robust feature scaling
+    step before training-data aggregation.
+
+    Scale shape: both percentiles come from ONE shared pass of the
+    bounded-state multi-percentile kernel (operators/relational.py::
+    grouped_exact_percentiles — histogram state ∝ distinct values,
+    never a per-group value buffer, bit-identical to DuckDB's
+    quantile_cont by the two-sided interpolation contract; the
+    fixed-precision-telemetry distinct-value bound argued for
+    q_mad_outliers applies unchanged), the per-group bounds frame is
+    #groups-bounded so it broadcasts back over the scan, and the
+    final stats are one hash aggregation. Mean is rounded to 6 dp on
+    both engines to absorb summation-order float jitter; bounds and
+    counts are exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = grouped_exact_percentiles(
+        ev, ["event_type"], "value", {"p_lo": 0.05, "p_hi": 0.95}
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "p_lo",
+        "p_hi",
+        F.greatest(F.least(F.col("value"), F.col("p_hi")), F.col("p_lo")).alias(
+            "w"
+        ),
+        (F.col("value") < F.col("p_lo")).cast("int").alias("is_lo"),
+        (F.col("value") > F.col("p_hi")).cast("int").alias("is_hi"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.first("p_lo").alias("p_lo"),
+        F.first("p_hi").alias("p_hi"),
+        F.count("*").alias("n"),
+        F.sum("is_lo").alias("n_clipped_lo"),
+        F.sum("is_hi").alias("n_clipped_hi"),
+        F.round(F.avg("w"), 6).alias("mean_winsorized"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p_lo,
+         quantile_cont(value, 0.95) AS p_hi
+  FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT e.event_type, any_value(b.p_lo) AS p_lo, any_value(b.p_hi) AS p_hi,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < b.p_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(SUM(CASE WHEN e.value > b.p_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       ROUND(AVG(GREATEST(LEAST(e.value, b.p_hi), b.p_lo)), 6)
+         AS mean_winsorized
+FROM events e JOIN b USING (event_type)
+WHERE e.value IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostics — the pre-flight check that decides
+    whether a join needs salting/AQE skew handling: per hot key of
+    lineitem.l_orderkey, its row count, its share of the table in ppm,
+    and its count as a multiple of the mean key count (×1000), for the
+    top 10 keys.
+
+    Scale shape: one partial-aggregated count-by-key shuffle (keyspace-
+    bound), totals folded in as a crossJoined 1-row scalar aggregate
+    over the SAME counts frame (no second scan of the fact table), and
+    the top-10 compiles to TakeOrderedAndProject — no global sort. All
+    derived columns use integer arithmetic (ppm / ×1000 ratios as
+    BIGINT), so cross-engine hashes are exact. Ties break on key
+    ascending for determinism."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") * F.lit(1000000) / F.col("total_rows"))
+            .cast("long")
+            .alias("share_ppm"),
+            (F.col("cnt") * F.col("n_keys") * F.lit(1000) / F.col("total_rows"))
+            .cast("long")
+            .alias("x_mean_1000"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+        .limit(10)
+    )
+
+
+SQL_SKEW_PROFILE = """
+WITH c AS (
+  SELECT l_orderkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+t AS (
+  SELECT SUM(cnt) AS total_rows, COUNT(*) AS n_keys FROM c)
+SELECT c.key, c.cnt,
+       CAST(TRUNC(c.cnt * 1000000 / t.total_rows) AS BIGINT) AS share_ppm,
+       CAST(TRUNC(c.cnt * t.n_keys * 1000 / t.total_rows) AS BIGINT)
+         AS x_mean_1000
+FROM c, t
+ORDER BY c.cnt DESC, c.key
+LIMIT 10
+"""
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Differential snapshot comparison: treating lineitem as a keyed
+    update stream (key = l_partkey, each shipped line is a state
+    update, version = the unique l_orderkey·10+l_linenumber row id),
+    classify every key's state at cutoff T2 against its state at the
+    earlier cutoff T1 as added (absent at T1) / changed (a newer
+    update arrived) / unchanged, and emit per-class key counts with an
+    exact key-sum checksum — the table-diff primitive behind
+    incremental retraining triggers and data-drift audits.
+
+    Scale shape: ONE conditional aggregation pass computes BOTH
+    snapshots — per key, max(struct(t, rid)) under t<=T2 and the same
+    under a when(t<=T1) guard — so the diff costs a single keyspace-
+    bound shuffle, never two scans plus a self-join. The cutoffs (3%
+    and 6% of the observed l_shipdate range — chosen so ~0.9 expected
+    updates per part land in each span, keeping all three classes
+    populated at EVERY scale factor since parts and lineitem grow in
+    the same ratio) come from a scalar min/max aggregate crossJoined
+    over the scan; integer epoch-ms arithmetic. All outputs
+    BIGINT-exact."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull() & F.col("l_shipdate").isNotNull())
+        .select(
+            F.col("l_partkey").alias("key"),
+            F.unix_millis("l_shipdate").alias("t"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        )
+    )
+    span = li.agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    tagged = li.crossJoin(F.broadcast(span)).select(
+        "key",
+        "t",
+        "rid",
+        (
+            F.col("t0") + ((F.col("t1") - F.col("t0")) * 3 / 100).cast("long")
+        ).alias("cut1"),
+        (
+            F.col("t0") + ((F.col("t1") - F.col("t0")) * 6 / 100).cast("long")
+        ).alias("cut2"),
+    )
+    st = F.struct("t", "rid")
+    states = (
+        tagged.filter(F.col("t") <= F.col("cut2"))
+        .groupBy("key")
+        .agg(
+            F.max(F.when(F.col("t") <= F.col("cut1"), st)).alias("s1"),
+            F.max(st).alias("s2"),
+        )
+    )
+    classified = states.select(
+        "key",
+        F.when(F.col("s1").isNull(), F.lit("added"))
+        .when(F.col("s1.rid") != F.col("s2.rid"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return classified.groupBy("status").agg(
+        F.count("*").alias("n_keys"), F.sum("key").alias("key_sum")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH e AS (
+  SELECT l_partkey AS key, epoch_ms(l_shipdate) AS t,
+         l_orderkey * 10 + l_linenumber AS rid
+  FROM lineitem
+  WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL),
+span AS (
+  SELECT MIN(t) AS t0, MAX(t) AS t1 FROM e),
+cuts AS (
+  SELECT t0 + CAST(TRUNC((t1 - t0) * 3 / 100) AS BIGINT) AS cut1,
+         t0 + CAST(TRUNC((t1 - t0) * 6 / 100) AS BIGINT) AS cut2
+  FROM span),
+s2 AS (
+  SELECT key, struct_extract(max(row(t, rid)), 2) AS r2
+  FROM e, cuts WHERE t <= cut2 GROUP BY key),
+s1 AS (
+  SELECT key, struct_extract(max(row(t, rid)), 2) AS r1
+  FROM e, cuts WHERE t <= cut1 GROUP BY key),
+c AS (
+  SELECT s2.key,
+         CASE WHEN s1.key IS NULL THEN 'added'
+              WHEN s1.r1 <> s2.r2 THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM s2 LEFT JOIN s1 ON s1.key = s2.key)
+SELECT status, COUNT(*) AS n_keys,
+       CAST(SUM(key) AS BIGINT) AS key_sum
+FROM c GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -7839,6 +8113,18 @@ REGISTRY: dict[str, QuerySpec] = {
     "interval_coverage": QuerySpec(
         q_interval_coverage, SQL_INTERVAL_COVERAGE, ("relational", "window")
     ),
+    "resample_ohlc": QuerySpec(
+        q_resample_ohlc, SQL_RESAMPLE_OHLC, ("relational", "timeseries")
+    ),
+    "winsorize": QuerySpec(
+        q_winsorize, SQL_WINSORIZE, ("relational", "pipeline")
+    ),
+    "skew_profile": QuerySpec(
+        q_skew_profile, SQL_SKEW_PROFILE, ("relational", "maintenance")
+    ),
+    "snapshot_diff": QuerySpec(
+        q_snapshot_diff, SQL_SNAPSHOT_DIFF, ("relational", "pipeline")
+    ),
 }
 
 
@@ -7852,6 +8138,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # again next round.
 _GATE_ORDER = [
     # — changed or new in round 12: must (re-)evidence first —
+    "resample_ohlc",           # new: time-bucket OHLC downsampling
+    "winsorize",               # new: exact-percentile winsorized stats
+    "skew_profile",            # new: join-key skew diagnostics
+    "snapshot_diff",           # new: one-pass as-of table diff
     "bloom_semi_join",         # new: Bloom semi-join reduction
     "fk_integrity",            # new: referential-integrity validation
     "semdedup",                # new: PCA-space semantic dedup

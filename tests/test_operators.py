@@ -1597,3 +1597,56 @@ def test_embedding_pca_recovers_spiked_direction(spark, tmp_path):
     corr = abs(np.corrcoef(proj, gotv)[0, 1])
     assert corr >= 0.99, corr
     assert w[-1] / w[-2] > 5  # the fixture really is spiked
+
+
+def test_grouped_exact_percentiles_multi_matches_single(spark):
+    """The shared-histogram multi-percentile kernel must return each
+    percentile BIT-identical to the single-p kernel (and hence to the
+    built-in F.percentile): adding a percentile to the request set
+    must never perturb another's straddling-rank pick."""
+    from kafkastreams_example_spark.operators.relational import (
+        grouped_exact_percentile,
+        grouped_exact_percentiles,
+    )
+
+    rows = [
+        ("a", 1.0), ("a", 2.5), ("a", 9.0),
+        ("b", 4.0), ("b", 4.0), ("b", 7.0), ("b", 8.0),
+        ("c", -3.0), ("c", 0.25), ("c", 0.75), ("c", 10.0),
+        ("d", 42.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    ps = {"p05": 0.05, "p50": 0.5, "p95": 0.95}
+    multi = {
+        r["k"]: (r["p05"], r["p50"], r["p95"])
+        for r in grouped_exact_percentiles(df, ["k"], "v", ps).collect()
+    }
+    for i, (out, p) in enumerate(ps.items()):
+        single = {
+            r["k"]: r["x"]
+            for r in grouped_exact_percentile(
+                df, ["k"], "v", p, out="x"
+            ).collect()
+        }
+        for k, vals in multi.items():
+            assert vals[i] == single[k], (out, k)
+
+    # and against the built-in on the real fixture column
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    multi = {
+        r["event_type"]: (r["p05"], r["p50"], r["p95"])
+        for r in grouped_exact_percentiles(
+            ev, ["event_type"], "value", ps
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["p05"], r["p50"], r["p95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.05).alias("p05"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    assert multi == want

@@ -801,3 +801,64 @@ def test_graph_triangles_is_intersection_form(spark):
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, (
         logical[:2000]
     )
+
+
+def test_resample_ohlc_is_single_hash_agg(spark):
+    """The OHLC resample must compile to ONE hash aggregation over the
+    scan — open/close via struct min/max (map-side-combinable min_by/
+    max_by), NEVER a first_value/last_value window sort over raw rows
+    (the oracle's formulation, and the shape that range-sorts 100 TB
+    of ticks)."""
+    from kafkastreams_example_spark.queries import q_resample_ohlc
+
+    df = q_resample_ohlc(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") == 1, plan  # one shuffle: the groupBy
+
+
+def test_skew_profile_topk_no_global_sort(spark):
+    """Key-skew diagnostics: the top-10 hot keys must compile to
+    TakeOrderedAndProject (partition-local heaps + driver merge), and
+    the totals fold-in must be a broadcast of the 1-row scalar frame,
+    never a second scan of the fact table."""
+    from kafkastreams_example_spark.queries import q_skew_profile
+
+    df = q_skew_profile(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # one scan only: counts frame is reused for totals, not recomputed
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_snapshot_diff_single_state_pass(spark):
+    """The as-of diff must compute BOTH snapshots in one conditional
+    aggregation (max(struct) + max(when(t<=cut1, struct))) — a single
+    keyspace-bound shuffle — never two per-cutoff scans joined back,
+    and never a window sort."""
+    from kafkastreams_example_spark.queries import q_snapshot_diff
+
+    df = q_snapshot_diff(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # no snapshot self-join
+    # scans: one for the ts-span scalars, one for the state agg
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_winsorize_shares_one_histogram(spark):
+    """winsorize's p05/p95 must come from the shared multi-percentile
+    kernel: the value histogram is built ONCE (one aggregation over
+    the scan feeding both rank picks), the bounds frame joins back by
+    broadcast, and no global sort appears anywhere."""
+    from kafkastreams_example_spark.queries import q_winsorize
+
+    df = q_winsorize(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # events scanned once for the histogram + once for the clip pass;
+    # a per-percentile kernel would add a third scan
+    assert plan.count("Scan parquet") == 2, plan

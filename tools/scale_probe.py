@@ -250,6 +250,18 @@ ROUND12_FAMILY = [
     # fixed passes. The sign-flip replica embeddings keep cross-replica
     # reduced cosines ~uncorrelated, so dup structure stays per-replica.
     "semdedup",
+    # resample_ohlc: ~linear — one hash agg; output rows bounded by
+    # #types x #hour-buckets (fixed time range => fixed output)
+    "resample_ohlc",
+    # winsorize: ~linear in distinct values — one histogram agg + one
+    # clip pass; both shuffles bounded by distinct-value cardinality
+    "winsorize",
+    # skew_profile: ~linear — count-by-key shuffle keyspace-bound,
+    # top-10 via partition-local heaps
+    "skew_profile",
+    # snapshot_diff: ~linear — span scalars + one keyspace-bound
+    # conditional agg; output fixed at <=3 class rows
+    "snapshot_diff",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
