@@ -138,6 +138,11 @@ BENCH_QUERIES = [
     "winsorize",
     "skew_profile",
     "snapshot_diff",
+    "bm25_topk",
+    "twap",
+    "markov_transitions",
+    "rolling_corr",
+    "ssjoin_prefix",
 ]
 
 

@@ -7793,6 +7793,323 @@ FROM c GROUP BY 1
 """
 
 
+_BM25_QUERY = ("scan", "merge", "customer")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (Robertson/Sparck Jones, the Lucene
+    `(1 + (N - df + 0.5)/(df + 0.5))` idf variant with k1=1.2, b=0.75):
+    top-10 documents for a fixed 3-term query, with the per-doc score
+    and the number of query terms matched.
+
+    Scale shape: the token list is materialized ONCE per doc and the
+    array is filtered to the query terms BEFORE the explode, so the
+    exploded relation carries at most |query| rows per doc (never the
+    full token stream) and doc length rides along as a column — no
+    doc_id self-join to reattach it. The df frame is bounded by |query|
+    (3 rows) and the corpus stats frame is 1 row, so both broadcast
+    legitimately at any corpus size; the only corpus-bound shuffle is
+    the (doc_id, term) tf aggregation. Top-10 compiles to
+    TakeOrderedAndProject (no global sort); the rank key is
+    round(score, 6) with doc_id tie-break so a 1-ulp libm ln/division
+    divergence can't flip membership across engines."""
+    from .functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokenize("text").alias("toks"))
+    stats = toked.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    matched = toked.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(
+            F.filter(F.col("toks"), lambda t: t.isin(*_BM25_QUERY))
+        ).alias("term"),
+    )
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * sat).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH d AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 avg(len(toks)) AS avgdl FROM d),
+m AS (SELECT doc_id, len(toks) AS dl,
+             unnest(list_filter(toks, t -> t IN ('scan','merge','customer')))
+               AS term
+      FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, any_value(dl) AS dl
+       FROM m GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+  FROM tf JOIN df USING (term) CROSS JOIN stats)
+SELECT doc_id, round(SUM(s), 6) AS score, COUNT(*) AS n_terms
+FROM scored GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_twap(spark, sf_dir):
+    """Time-weighted average (the TWAP of market-data engines): per
+    (event_type, day), weight each value by the µs it "held" — until
+    the next event of that type that day, or the end-of-day boundary
+    for the last one — and report Σ(value·w)/Σ(w).
+
+    Scale shape: ONE window pass (lead over the (event_type, day)
+    partition — the same shuffle the aggregation needs, so the whole
+    query is a single exchange) followed by a map-side-combinable hash
+    aggregation. Weights stay exact BIGINT µs; only the final weighted
+    mean is double, rounded to 6 dp on both engines to absorb
+    summation-order jitter. NULL values are filtered first (a NULL
+    observation cannot "hold" an interval); Σw > 0 by construction
+    because every event precedes its day's end boundary."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # materialize `day` as a named column BEFORE the window so the
+    # window partitioning and the downstream groupBy reference the SAME
+    # attribute — Catalyst then proves the agg's required distribution
+    # is already satisfied and elides the second exchange
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    t = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    day_end = F.unix_micros(F.col("day") + F.expr("INTERVAL 1 DAY"))
+    timed = base.select(
+        "event_type",
+        "day",
+        "value",
+        (F.coalesce(F.lead(t).over(w), day_end) - t).alias("w"),
+    )
+    # group on the window's own partition key (event_type, day) — the
+    # agg then reuses the window's exchange (ONE shuffle total); the
+    # display string is projected after the agg, never grouped on
+    return (
+        timed.groupBy("event_type", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("w")) / F.sum("w").cast("double"),
+                6,
+            ).alias("twap"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+            "twap",
+            "n",
+        )
+    )
+
+
+SQL_TWAP = """
+WITH e AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id, value,
+         epoch_us(ts) AS t
+  FROM events WHERE value IS NOT NULL),
+x AS (
+  SELECT event_type, day, value,
+         coalesce(lead(t) OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id),
+                  epoch_us(day + INTERVAL 1 DAY)) - t AS w
+  FROM e)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s,
+       round(SUM(value * w) / CAST(SUM(w) AS DOUBLE), 6) AS twap,
+       COUNT(*) AS n
+FROM x GROUP BY 1, 2
+"""
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (prev event_type → next event_type) pair, the
+    transition count and conditional probability P(next | prev) — the
+    standard sequence profile behind session modeling and synthetic-
+    sequence generation.
+
+    Scale shape: one window shuffle partitioned by user_id (sequences
+    are per-user, so partitions are user-bounded and skew-free), then
+    a hash aggregation whose key space is |event_type|² (bounded,
+    ~25 rows — map-side combine collapses each task's output to that),
+    and the P(next|prev) normalization is a window over the bounded
+    matrix frame, never over raw events. Ordering is total (ts,
+    event_id) so the pairing is deterministic on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("prev", "nxt").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev")
+    return counts.select(
+        "prev",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (SELECT prev, nxt, COUNT(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY 1, 2)
+SELECT prev, nxt, n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev), 6) AS p
+FROM c
+"""
+
+
+def q_rolling_corr(spark, sf_dir):
+    """Rolling Pearson correlation between value and time over each
+    user's trailing 64 observations of an event_type (a per-user
+    trend-strength signal: +1 = that user's values rising across the
+    window, −1 = falling) — the moving-window second-moment tier above
+    window_moving_avg's first moments.
+
+    Scale shape: one window exchange partitioned by (user_id,
+    event_type) with a BOUNDED trailing ROWS frame. Both bounds are
+    deliberate 100 TB choices: (a) the partition key includes user_id
+    because a per-event_type-only window caps parallelism at
+    |event_type| (5 sequential task streams on a 1000-executor
+    cluster), while user cardinality grows with the data; (b) the
+    frame is row-count bounded, not time-RANGE bounded — Spark's
+    sliding-frame aggregates replay the frame when the lower bound
+    moves (declarative aggregates have no retract), so a time-based
+    frame costs O(n · rows-per-24h), measured 17.4 s at sf0.1 and
+    growing with ingest DENSITY, while ROWS 63 PRECEDING is ≤64
+    updates per row, linear at any scale and density. The time
+    regressor is re-based to the epoch floor (2024-01-01): raw
+    epoch-µs magnitudes (~1.7e15) would burn 5 of double's 16 digits
+    on a constant offset and make the co-moment subtraction
+    cancellation-prone; corr is shift-invariant so the result is
+    unchanged. Ordering is total ((t, event_id) — replicated fixtures
+    can duplicate ts) so frame membership is deterministic on both
+    engines. NaN (single-row frame on Spark; zero variance) is
+    normalized to NULL to match DuckDB, and the value rounds to 6 dp
+    to absorb moment-accumulation order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts"))
+    base = F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy(t_us, "event_id")
+        .rowsBetween(-63, 0)
+    )
+    c = F.corr(F.col("value"), (t_us - base).cast("double")).over(w)
+    # the NOT NULL filter drops degenerate frames (n=1 → NaN on Spark,
+    # NULL on DuckDB) AND makes the row count depend on the corr value,
+    # so a count()-shaped consumer (bench) can't column-prune the
+    # Window away and time an empty scan
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.when(F.isnan(c), F.lit(None))
+            .otherwise(F.round(c, 6))
+            .alias("trend"),
+        )
+        .filter(F.col("trend").isNotNull())
+    )
+
+
+SQL_ROLLING_CORR = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t,
+         CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE) AS tr
+  FROM events),
+c AS (
+  SELECT event_id, event_type,
+         corr(value, tr) OVER (PARTITION BY user_id, event_type
+                               ORDER BY t, event_id
+                               ROWS BETWEEN 63 PRECEDING
+                               AND CURRENT ROW) AS c
+  FROM e)
+SELECT event_id, event_type,
+       CASE WHEN isnan(c) THEN NULL ELSE round(c, 6) END AS trend
+FROM c
+WHERE CASE WHEN isnan(c) THEN NULL ELSE round(c, 6) END IS NOT NULL
+"""
+
+
+def q_ssjoin_prefix(spark, sf_dir):
+    """Exact τ=0.5 shingle-Jaccard similarity join via prefix filtering
+    (functions/dedup_approx.py::ssjoin_prefix_pairs — SSJoin/PPJoin
+    prefix filter, distributed per Vernica et al. SIGMOD'10): every
+    doc pair with 5-gram Jaccard ≥ 0.5, candidates generated from the
+    rarest-first prefix of each doc's shingle set instead of every
+    shared shingle. The oracle is the brute-force ground truth over
+    ALL shared-shingle pairs, so the gate checks the prefix filter's
+    recall (a missed pair fails the row count) AND precision (a
+    sub-threshold survivor fails the hash)."""
+    from .functions.dedup_approx import ssjoin_prefix_pairs
+
+    return ssjoin_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+SQL_SSJOIN_PREFIX = f"""
+WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+sh AS (SELECT doc_id, list_distinct(
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+         AS shs
+       FROM t),
+s AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+           FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+FROM shared JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -8125,6 +8442,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "snapshot_diff": QuerySpec(
         q_snapshot_diff, SQL_SNAPSHOT_DIFF, ("relational", "pipeline")
     ),
+    "bm25_topk": QuerySpec(q_bm25_topk, SQL_BM25_TOPK, ("text", "search")),
+    "twap": QuerySpec(q_twap, SQL_TWAP, ("relational", "timeseries")),
+    "markov_transitions": QuerySpec(
+        q_markov_transitions, SQL_MARKOV_TRANSITIONS, ("relational", "window")
+    ),
+    "rolling_corr": QuerySpec(
+        q_rolling_corr, SQL_ROLLING_CORR, ("relational", "window", "timeseries")
+    ),
+    "ssjoin_prefix": QuerySpec(
+        q_ssjoin_prefix, SQL_SSJOIN_PREFIX, ("text", "dedup")
+    ),
 }
 
 
@@ -8138,6 +8466,11 @@ REGISTRY: dict[str, QuerySpec] = {
 # again next round.
 _GATE_ORDER = [
     # — changed or new in round 12: must (re-)evidence first —
+    "ssjoin_prefix",           # new: prefix-filtered exact Jaccard join
+    "bm25_topk",               # new: BM25 keyword retrieval top-10
+    "twap",                    # new: time-weighted average
+    "markov_transitions",      # new: event-sequence transition matrix
+    "rolling_corr",            # new: 24 h RANGE-frame rolling corr
     "resample_ohlc",           # new: time-bucket OHLC downsampling
     "winsorize",               # new: exact-percentile winsorized stats
     "skew_profile",            # new: join-key skew diagnostics

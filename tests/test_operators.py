@@ -1650,3 +1650,43 @@ def test_grouped_exact_percentiles_multi_matches_single(spark):
         .collect()
     }
     assert multi == want
+
+
+def test_ssjoin_prefix_matches_all_shared_shingle_ground_truth(spark):
+    """Prefix-filter recall/precision on a constructed corpus with
+    known structure: exact dup (J=1), one-token edit (high J), shared
+    tail (mid J), and an unrelated doc — the ssjoin output must equal
+    the brute-force all-shared-shingles join filtered at the same
+    threshold, pair for pair and value for value. Exercises the
+    prefix-length edge n_sh small (plen = n - ceil(t*n) + 1) and the
+    length filter."""
+    from kafkastreams_example_spark.functions.dedup_approx import (
+        shingle_jaccard_pairs,
+        ssjoin_prefix_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, base.replace("delta", "dXlta")),  # one-token edit
+            (4, "epsilon zeta eta theta iota kappa lam mu nu xi"),
+            (5, "one two three four five six seven eight nine ten"),
+            (6, "tiny doc under five tokens".replace(" tokens", "")),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["jaccard"])
+        for r in ssjoin_prefix_pairs(docs, threshold=0.5).collect()
+    }
+    # ground truth: every shared-shingle pair (df cap lifted), same tau
+    want = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["jaccard"])
+        for r in shingle_jaccard_pairs(
+            docs, threshold=0.5, max_df=10**9
+        ).collect()
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][1] == 1.0

@@ -862,3 +862,78 @@ def test_winsorize_shares_one_histogram(spark):
     # events scanned once for the histogram + once for the clip pass;
     # a per-percentile kernel would add a third scan
     assert plan.count("Scan parquet") == 2, plan
+
+
+def test_bm25_topk_bounded_broadcasts_and_heap_topk(spark):
+    """BM25: the df frame (bounded by |query| = 3) and the 1-row corpus
+    stats frame broadcast; the top-10 compiles to TakeOrderedAndProject
+    (partition-local heaps), never a global rangepartitioning sort; and
+    doc length rides the explode (no doc_id self-join to reattach it —
+    every join in the plan is a broadcast join)."""
+    from kafkastreams_example_spark.queries import q_bm25_topk
+
+    df = q_bm25_topk(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) == 2, plan
+
+
+def test_twap_single_exchange(spark):
+    """TWAP: the lead() window and the weighted-mean aggregation share
+    the (event_type, day) partitioning — the whole query is ONE
+    exchange, with the display-string projection after the agg (never
+    a second shuffle on a derived grouping key)."""
+    from kafkastreams_example_spark.queries import q_twap
+
+    df = q_twap(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_markov_transitions_bounded_normalization(spark):
+    """Markov transitions: the sequence window partitions by user_id
+    (the only corpus-bound shuffle); the count agg and the P(next|prev)
+    normalization window both operate on the |event_type|²-bounded
+    matrix frame — no global sort, no join."""
+    from kafkastreams_example_spark.queries import q_markov_transitions
+
+    df = q_markov_transitions(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_rolling_corr_single_window_exchange(spark):
+    """Rolling corr: one event_type-partitioned window exchange, the
+    RANGE frame slides over a declarative corr aggregate (no Python,
+    no join, no buffering operator), and the scan reads only the four
+    referenced columns."""
+    from kafkastreams_example_spark.queries import q_rolling_corr
+
+    df = q_rolling_corr(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_ssjoin_prefix_no_cartesian_and_staged_arrays(spark):
+    """The prefix-filtered similarity join must never fall back to a
+    cartesian/nested-loop product — candidates come from the equi-join
+    on prefix shingles — and the doc->sorted-shingle-array frame must
+    be staged (persisted) so the tokenize->df->sort pipeline is not
+    re-derived for the prefix explode and both verify sides."""
+    from kafkastreams_example_spark.queries import q_ssjoin_prefix
+
+    df = q_ssjoin_prefix(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -264,6 +264,32 @@ ROUND12_FAMILY = [
     "snapshot_diff",
 ]
 
+# round-12 second batch
+ROUND12B_FAMILY = [
+    # bm25_topk: ~linear — token filter before explode keeps the
+    # exploded relation ≤|query| rows/doc; df/stats frames bounded
+    "bm25_topk",
+    # twap: ~linear — one (event_type, day)-partitioned window + agg
+    # sharing the exchange; output rows fixed at types×days
+    "twap",
+    # markov_transitions: ~linear — user-partitioned lead window, then
+    # |event_type|²-bounded matrix aggregation; output fixed at 25 rows
+    "markov_transitions",
+    # rolling_corr: ~linear — (user, type)-partitioned trailing ROWS
+    # frame, ≤64 updates/row by construction; replicas offset user_id
+    # so partitions multiply rather than densify. (The rejected
+    # time-RANGE form was O(n·rows-per-24h) — Spark sliding frames
+    # replay on lower-bound moves — and THIS fixture, which replicates
+    # into the same 30-day span, would have inflated its w̄ by F; see
+    # the q_rolling_corr docstring for the design record.)
+    "rolling_corr",
+    # ssjoin_prefix: ~linear — suffix-salted replica vocabularies keep
+    # prefix shingles disjoint across replicas, so candidate pairs and
+    # true pairs both scale ~F; the df agg and rarity join are
+    # vocabulary-bound
+    "ssjoin_prefix",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -605,6 +631,8 @@ if __name__ == "__main__":
             fam = ROUND11B_FAMILY
         elif "r12" in sys.argv[2:]:
             fam = ROUND12_FAMILY
+        elif "r12b" in sys.argv[2:]:
+            fam = ROUND12B_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
