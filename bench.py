@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "markov_transitions",
     "rolling_corr",
     "ssjoin_prefix",
+    "bm25_incremental",
 ]
 
 

@@ -115,6 +115,16 @@ THRESHOLDS = {
     # (real table maintenance, not a projection); first recording
     # 76.6k rows/s at 50k-row batches — ~3x under-recording floor
     "cdc_apply": 25_000,
+    # incremental term index: every batch explodes ~15 term rows/doc
+    # and pays an additive merge + bucket-pruned parquet rewrite of the
+    # vocabulary table; first recordings 132.0k/151.6k rows/s at
+    # 50k-row batches — ~3x under-recording floor. (Smoke note: a
+    # StackOverflowError can appear on the stream-execution thread when
+    # stop() interrupts the post-measure batch — it reproduces
+    # identically on cdc_apply in the same standalone harness, is a
+    # stop-path artifact of this Spark build's error classification,
+    # and never affects measured batches or committed state.)
+    "term_index": 45_000,
 }
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
@@ -443,6 +453,34 @@ def main() -> None:
         results["cdc_apply"] = {
             **_run_query(
                 changes, "cdc_apply", ckpt_root, sink_fn=cdc.sink()
+            ),
+            "rows_per_batch": rows_dedup,
+        }
+
+        # incremental term index: every batch explodes ~15 distinct
+        # terms + 1 stats row per doc and upserts the vocabulary-keyed
+        # MaterializedCounts table (bucket-pruned parquet rewrite per
+        # batch — real index maintenance; serves q_bm25_incremental's
+        # ranking tier)
+        from kafkastreams_example_spark.streaming.mat_view import (
+            MaterializedCounts,
+        )
+        from kafkastreams_example_spark.streaming.pipelines import (
+            term_index_feed,
+        )
+
+        idx = MaterializedCounts(
+            os.path.join(ckpt_root, "term_index_data"),
+            keys=("term",),
+            value_col="value",
+            n_buckets=16,
+        )
+        results["term_index"] = {
+            **_run_query(
+                term_index_feed(_doc_stream(rows_dedup)),
+                "term_index",
+                ckpt_root,
+                sink_fn=idx.sink(),
             ),
             "rows_per_batch": rows_dedup,
         }

@@ -7796,6 +7796,36 @@ FROM c GROUP BY 1
 _BM25_QUERY = ("scan", "merge", "customer")
 
 
+def _bm25_rank(tf, df_, stats, k1=1.2, b=0.75, topk=10):
+    """Shared BM25 scoring tail: (doc_id, term, tf, dl) frame ×
+    |query|-bounded df frame × 1-row corpus stats frame → top-k docs.
+    Used by the one-shot ranker (q_bm25_topk) and the incremental-
+    index ranker (q_bm25_incremental) so both compute the identical
+    expression tree — the parity between them is then exactly the
+    parity of their df/N/avgdl inputs."""
+    k1, b = F.lit(k1), F.lit(b)
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * sat).alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(topk)
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 keyword retrieval (Robertson/Sparck Jones, the Lucene
     `(1 + (N - df + 0.5)/(df + 0.5))` idf variant with k1=1.2, b=0.75):
@@ -7832,27 +7862,7 @@ def q_bm25_topk(spark, sf_dir):
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    k1, b = F.lit(1.2), F.lit(0.75)
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    sat = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", (idf * sat).alias("s"))
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(F.sum("s"), 6).alias("score"),
-            F.count("*").alias("n_terms"),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
-    )
+    return _bm25_rank(tf, df_, stats)
 
 
 SQL_BM25_TOPK = f"""
@@ -7875,6 +7885,70 @@ SELECT doc_id, round(SUM(s), 6) AS score, COUNT(*) AS n_terms
 FROM scored GROUP BY 1
 ORDER BY score DESC, doc_id LIMIT 10
 """
+
+
+def q_bm25_incremental(spark, sf_dir):
+    """BM25 retrieval served from an INCREMENTALLY MAINTAINED term
+    index: documents arrive in three deterministic batches (doc_id %
+    3 — a stand-in for stream ingest), each batch upserting (a) one
+    df-count row per distinct (doc, term) and (b) one corpus-stats row
+    per doc under the reserved key '#corpus' (value = doc length, so
+    that key's n = N and total = Σdl) into a streaming/mat_view.py
+    MaterializedCounts table (bucket-pruned merges, manifest commits).
+    The ranker then scores the SAME expression tree as q_bm25_topk
+    (shared _bm25_rank) with df/N/avgdl read from the COMMITTED index
+    instead of recomputed — and the oracle is the one-shot BM25 SQL,
+    so the gate proves the incremental index serves bit-identical
+    retrieval no matter how the corpus was batched. avgdl stays exact:
+    doc lengths accumulate as decimal, and Σdl/N in double equals the
+    one-shot avg of integers.
+
+    Plan character: three micro-batch merges each rewriting only
+    delta-touched buckets (index maintenance is O(hot buckets) — at
+    100 TB the vocabulary table never rewrites wholesale), then a
+    query whose index inputs are a 3-row df frame and a 1-row stats
+    frame, both broadcast. Temp-dir state is atexit-cleaned (the
+    returned frame reads it lazily)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .functions.text import tokenize
+    from .streaming.mat_view import MaterializedCounts
+    from .streaming.pipelines import term_index_feed
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokenize("text").alias("toks"))
+    # index feed: per-doc distinct term rows + the reserved stats row
+    # (shared with the streaming bench pipeline — same transform)
+    feed = term_index_feed(docs)
+    path = tempfile.mkdtemp(prefix="bm25_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = MaterializedCounts(
+        path, keys=("term",), value_col="value", n_buckets=8
+    )
+    for i in range(3):
+        index.apply_batch(feed.filter(F.col("doc_id") % 3 == i), i)
+    state = index.read(spark)
+    df_ = (
+        state.filter(F.col("term").isin(*_BM25_QUERY))
+        .select("term", F.col("n").alias("df"))
+    )
+    stats = state.filter(F.col("term") == "#corpus").select(
+        F.col("n").cast("double").alias("n_docs"),
+        (F.col("total").cast("double") / F.col("n")).alias("avgdl"),
+    )
+    matched = toked.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(
+            F.filter(F.col("toks"), lambda t: t.isin(*_BM25_QUERY))
+        ).alias("term"),
+    )
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    return _bm25_rank(tf, df_, stats)
 
 
 def q_twap(spark, sf_dir):
@@ -8453,6 +8527,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "ssjoin_prefix": QuerySpec(
         q_ssjoin_prefix, SQL_SSJOIN_PREFIX, ("text", "dedup")
     ),
+    "bm25_incremental": QuerySpec(
+        q_bm25_incremental, SQL_BM25_TOPK, ("text", "search", "streaming")
+    ),
 }
 
 
@@ -8467,6 +8544,7 @@ REGISTRY: dict[str, QuerySpec] = {
 _GATE_ORDER = [
     # — changed or new in round 12: must (re-)evidence first —
     "ssjoin_prefix",           # new: prefix-filtered exact Jaccard join
+    "bm25_incremental",        # new: BM25 from the incremental index
     "bm25_topk",               # new: BM25 keyword retrieval top-10
     "twap",                    # new: time-weighted average
     "markov_transitions",      # new: event-sequence transition matrix

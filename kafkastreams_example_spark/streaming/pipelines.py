@@ -761,3 +761,38 @@ def embedding_dedup_pipeline(
         .agg(F.count("*").alias("n_won"))
     )
     return counts.filter(F.col("n_won") == n_eff)
+
+
+def term_index_feed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_key: str = "#corpus",
+) -> DataFrame:
+    """Transform a document stream into the incremental term-index
+    feed consumed by a MaterializedCounts(keys=("term",),
+    value_col="value") table: one row per distinct (doc, term) —
+    summing their counts across batches yields document frequency for
+    an append-only corpus — plus one reserved ``corpus_key`` row per
+    doc carrying the doc length, so that key's (n, total) materialize
+    (N, Σdl) and avgdl = total/n stays exact (decimal accumulation).
+
+    The reserved key cannot collide with real terms: the tokenizer
+    emits [a-z0-9]+ only. Pure DataFrame transform — the SAME code
+    feeds the batch-driven registry entry (q_bm25_incremental) and the
+    streaming bench pipeline, the TopologyTestDriver pattern the rest
+    of this module follows."""
+    from ..functions.text import tokenize
+
+    toked = docs.select(F.col(id_col), tokenize(text_col).alias("toks"))
+    term_rows = toked.select(
+        F.col(id_col),
+        F.explode(F.array_distinct("toks")).alias("term"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    stat_rows = toked.select(
+        F.col(id_col),
+        F.lit(corpus_key).alias("term"),
+        F.size("toks").cast("double").alias("value"),
+    )
+    return term_rows.unionByName(stat_rows)

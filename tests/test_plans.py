@@ -937,3 +937,22 @@ def test_ssjoin_prefix_no_cartesian_and_staged_arrays(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_bm25_incremental_index_reads_are_broadcast(spark):
+    """BM25-from-index: the committed index contributes a
+    |query|-bounded df frame and a 1-row stats frame, both broadcast;
+    ranking is TakeOrderedAndProject. The three micro-batch merges run
+    eagerly inside the builder (state maintenance, not the query), so
+    the RETURNED plan must contain no shuffle join and no global
+    sort."""
+    from kafkastreams_example_spark.queries import q_bm25_incremental
+
+    df = q_bm25_incremental(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) == 2, plan

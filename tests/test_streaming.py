@@ -1954,3 +1954,43 @@ def test_attribution_join_full_outer_emits_orphan_clicks(spark, tmp_path):
     assert (1, True, True) in got, got     # attributed pair
     assert (2, True, False) in got, got    # unmatched impression
     assert (7, False, True) in got, got    # orphan click, key preserved
+
+
+def test_term_index_feed_materializes_df_and_corpus_stats(spark, tmp_path):
+    """The term-index feed contract behind q_bm25_incremental and the
+    term_index bench pipeline: batching documents through
+    MaterializedCounts(keys=term) must materialize (a) n = document
+    frequency per term (one distinct row per (doc, term), summed
+    across batches — the append-only corpus invariant) and (b) the
+    reserved '#corpus' key with n = N docs and total = Σ doc length,
+    exact in decimal, regardless of how the docs were batched."""
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+    from kafkastreams_example_spark.streaming.pipelines import (
+        term_index_feed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),   # dl 4, terms {alpha,beta,gamma}
+            (2, "beta gamma gamma"),        # dl 3, terms {beta,gamma}
+            (3, "alpha"),                   # dl 1
+            (4, ""),                        # dl 0 — stats row only
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    table = MaterializedCounts(
+        str(tmp_path / "idx"), keys=("term",), value_col="value", n_buckets=4
+    )
+    feed = term_index_feed(docs)
+    for i in range(2):  # batch by doc parity
+        table.apply_batch(feed.filter(F.col("doc_id") % 2 == i), i)
+    got = {
+        r["term"]: (r["n"], float(r["total"]))
+        for r in table.read(spark).collect()
+    }
+    assert got["alpha"] == (2, 0.0)
+    assert got["beta"] == (2, 0.0)
+    assert got["gamma"] == (2, 0.0)
+    assert got["#corpus"] == (4, 8.0)  # N=4 docs, sum dl = 4+3+1+0

@@ -288,6 +288,10 @@ ROUND12B_FAMILY = [
     # true pairs both scale ~F; the df agg and rarity join are
     # vocabulary-bound
     "ssjoin_prefix",
+    # bm25_incremental: ~linear — three vocabulary-keyed index merges
+    # (vocab grows ~F under the salted fixture) + the broadcast-joined
+    # ranking; includes fresh temp-table state per run
+    "bm25_incremental",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
