@@ -144,6 +144,9 @@ BENCH_QUERIES = [
     "rolling_corr",
     "ssjoin_prefix",
     "bm25_incremental",
+    "ewma",
+    "k_anonymity",
+    "expectations_audit",
 ]
 
 

@@ -8184,6 +8184,154 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
 """
 
 
+def q_ewma(spark, sf_dir):
+    """Per-entity exponential smoothing (EWMA, α=0.3): the final
+    smoothed value of each (user, event_type) series — the
+    feature-store "current smoothed state per entity" pattern. EWMA is
+    a linear recurrence (s_i = α·x_i + (1−α)·s_{i−1}), which no
+    window frame expresses; the scalable form is a LEFT FOLD over the
+    entity's time-ordered values: collect the per-entity sequence
+    (bounded: events-per-user is retention-bounded by contract — the
+    testdata holds it ~66 at every SF while users grow with the data,
+    so state per group never scales with corpus size), seed with the
+    first observation, fold α·x + (1−α)·acc. Both engines execute the
+    IDENTICAL left fold over the identically-ordered list — same IEEE
+    ops in the same order — so the double is bit-identical
+    cross-engine with NO rounding shield (the repo rounds only where
+    accumulation order can differ; here it cannot). Plan: one
+    partial-aggregated collect per entity, fold fused into the
+    projection; total order (ts, event_id) pins the sequence."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    a = 0.3
+    seq = ev.groupBy("user_id", "event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("xs"),
+        F.count("*").alias("n"),
+    )
+    vals = F.transform("xs", lambda s: s.getField("value"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return seq.select("user_id", "event_type", "n", ewma.alias("ewma"))
+
+
+SQL_EWMA = """
+WITH s AS (
+  SELECT user_id, event_type,
+         list(value ORDER BY ts, event_id) AS vals,
+         COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2)
+SELECT user_id, event_type, n,
+       list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma
+FROM s
+"""
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity privacy audit over the customer
+    quasi-identifiers (nation, market segment) — the release-gate
+    check a training-data pipeline runs before publishing joined
+    records: every QI equivalence class with its size (k), the count
+    of distinct sensitive values in it (l; sensitive = account-balance
+    kilobucket), and an at-risk flag for k < 5.
+
+    Scale shape: ONE hash aggregation whose key space is the QI
+    domain (|nations|×|segments| — bounded, never row-bound), with
+    the l-diversity distinct folded into the same pass via Spark's
+    count_distinct expansion; integer arithmetic throughout."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct(band).alias("l_div"),
+        )
+        .select(
+            "nation",
+            "segment",
+            "k",
+            "l_div",
+            (F.col("k") < 5).alias("at_risk"),
+        )
+    )
+
+
+SQL_K_ANONYMITY = """
+SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       COUNT(*) AS k,
+       COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l_div,
+       COUNT(*) < 5 AS at_risk
+FROM customer GROUP BY 1, 2
+"""
+
+
+def q_expectations_audit(spark, sf_dir):
+    """Data-contract expectation audit (the great-expectations /
+    dbt-test pattern): five row-level rules over lineitem — quantity
+    ceiling, discount ceiling, tax ceiling, returnflag enum
+    membership, positive price — each reported as (rule, violation
+    count, ppm). ALL rules evaluate in ONE conditional-aggregation
+    pass over the scan (never a scan per rule — at 100 TB the audit
+    must cost one read no matter how many expectations the contract
+    holds), then the 1-row wide result unpivots to per-rule rows via
+    stack. ppm is integer `div` arithmetic — exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    wide = li.agg(
+        viol(F.col("l_quantity") > 45).alias("qty_ceiling"),
+        viol(F.col("l_discount") > 0.06).alias("disc_ceiling"),
+        viol(F.col("l_tax") > 0.07).alias("tax_ceiling"),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias("flag_enum"),
+        viol(F.col("l_extendedprice") <= 0).alias("price_pos"),
+        F.count("*").alias("n"),
+    )
+    rules = wide.selectExpr(
+        "stack(5, 'qty_ceiling', qty_ceiling, 'disc_ceiling', disc_ceiling,"
+        " 'tax_ceiling', tax_ceiling, 'flag_enum', flag_enum,"
+        " 'price_pos', price_pos) as (rule, n_violations)",
+        "n",
+    )
+    return rules.select(
+        "rule",
+        "n_violations",
+        F.expr("n_violations * 1000000 div n").alias("ppm"),
+    )
+
+
+SQL_EXPECTATIONS_AUDIT = """
+WITH a AS (
+  SELECT
+    SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS qty_ceiling,
+    SUM(CASE WHEN l_discount > 0.06 THEN 1 ELSE 0 END) AS disc_ceiling,
+    SUM(CASE WHEN l_tax > 0.07 THEN 1 ELSE 0 END) AS tax_ceiling,
+    SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)
+      AS flag_enum,
+    SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_pos,
+    COUNT(*) AS n
+  FROM lineitem),
+u AS (
+  SELECT 'qty_ceiling' AS rule, qty_ceiling AS v, n FROM a
+  UNION ALL SELECT 'disc_ceiling', disc_ceiling, n FROM a
+  UNION ALL SELECT 'tax_ceiling', tax_ceiling, n FROM a
+  UNION ALL SELECT 'flag_enum', flag_enum, n FROM a
+  UNION ALL SELECT 'price_pos', price_pos, n FROM a)
+SELECT rule, CAST(v AS BIGINT) AS n_violations,
+       CAST(v * 1000000 // n AS BIGINT) AS ppm
+FROM u
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -8530,6 +8678,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "bm25_incremental": QuerySpec(
         q_bm25_incremental, SQL_BM25_TOPK, ("text", "search", "streaming")
     ),
+    "ewma": QuerySpec(q_ewma, SQL_EWMA, ("relational", "timeseries")),
+    "k_anonymity": QuerySpec(
+        q_k_anonymity, SQL_K_ANONYMITY, ("relational", "privacy")
+    ),
+    "expectations_audit": QuerySpec(
+        q_expectations_audit, SQL_EXPECTATIONS_AUDIT, ("relational", "quality")
+    ),
 }
 
 
@@ -8545,6 +8700,9 @@ _GATE_ORDER = [
     # — changed or new in round 12: must (re-)evidence first —
     "ssjoin_prefix",           # new: prefix-filtered exact Jaccard join
     "bm25_incremental",        # new: BM25 from the incremental index
+    "ewma",                    # new: per-entity exponential smoothing
+    "k_anonymity",             # new: k-anonymity/l-diversity audit
+    "expectations_audit",      # new: one-pass data-contract audit
     "bm25_topk",               # new: BM25 keyword retrieval top-10
     "twap",                    # new: time-weighted average
     "markov_transitions",      # new: event-sequence transition matrix

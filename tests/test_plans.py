@@ -956,3 +956,41 @@ def test_bm25_incremental_index_reads_are_broadcast(spark):
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin"
     ) == 2, plan
+
+
+def test_ewma_single_exchange_no_window(spark):
+    """EWMA: the per-entity fold must be ONE hash-aggregated collect
+    (entity-keyed exchange) with the left fold fused into the
+    projection — no Window operator, no join, one scan."""
+    from kafkastreams_example_spark.queries import q_ewma
+
+    df = q_ewma(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_k_anonymity_bounded_two_phase_agg(spark):
+    """k-anonymity/l-diversity: one scan, the count-distinct two-phase
+    aggregation keyed by the bounded QI domain — no join, no window,
+    no global sort."""
+    from kafkastreams_example_spark.queries import q_k_anonymity
+
+    df = q_k_anonymity(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_expectations_audit_one_pass(spark):
+    """Expectation audit: ALL rules in one conditional-aggregation pass
+    over one scan (never a scan per rule), unpivoted via stack — a
+    single single-partition exchange, no join."""
+    from kafkastreams_example_spark.queries import q_expectations_audit
+
+    df = q_expectations_audit(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

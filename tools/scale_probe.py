@@ -292,6 +292,16 @@ ROUND12B_FAMILY = [
     # (vocab grows ~F under the salted fixture) + the broadcast-joined
     # ranking; includes fresh temp-table state per run
     "bm25_incremental",
+    # ewma: ~linear — entity-keyed collect with the fold fused into the
+    # projection; replicas offset user_id so entities multiply while
+    # per-entity history stays bounded (~66 events/user by contract)
+    "ewma",
+    # k_anonymity: ~linear — count-distinct two-phase agg over the
+    # bounded QI domain; customer replicates with offset keys
+    "k_anonymity",
+    # expectations_audit: ~linear — one conditional-agg pass, 5 output
+    # rows at any scale
+    "expectations_audit",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
