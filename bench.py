@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "ewma",
     "k_anonymity",
     "expectations_audit",
+    "minhash_incremental",
 ]
 
 

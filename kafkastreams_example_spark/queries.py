@@ -8184,6 +8184,62 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
 """
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """LSH dedup served from an INCREMENTALLY MAINTAINED band-bucket
+    index — the dedup counterpart to q_bm25_incremental's term index:
+    documents arrive in three deterministic batches (doc_id % 3), each
+    batch computing its MinHash band keys (functions/dedup_approx.py::
+    minhash_signatures + minhash_bands — the exact one-shot kernel)
+    and upserting (band, bh, doc_id) rows into a MaterializedCounts
+    table; the committed index is then bucket-capped (64, the same
+    guard as the one-shot) and self-joined into candidate pairs. The
+    oracle is the ONE-SHOT LSH SQL (SQL_MINHASH_LSH_PAIRS), so the
+    gate proves the maintained index yields the identical candidate
+    set no matter how the corpus was batched — the invariant that lets
+    a 100 TB dedup pipeline index new documents as they land (each
+    batch's merge touches only the buckets its bands hash to) instead
+    of recomputing signatures corpus-wide. Temp-dir state is
+    atexit-cleaned (the returned frame reads it lazily)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .functions.dedup_approx import minhash_bands, minhash_signatures
+    from .streaming.mat_view import MaterializedCounts
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="minhash_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = MaterializedCounts(
+        path, keys=("band", "bh", "doc_id"), value_col=None, n_buckets=8
+    )
+    for i in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == i)
+        index.apply_batch(minhash_bands(minhash_signatures(batch)), i)
+    from pyspark.sql import Window
+
+    state = index.read(spark).select("band", "bh", "doc_id")
+    bucket_n = F.count("*").over(Window.partitionBy("band", "bh"))
+    capped = (
+        state.withColumn("__n", bucket_n)
+        .filter(F.col("__n") <= 64)
+        .drop("__n")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def q_ewma(spark, sf_dir):
     """Per-entity exponential smoothing (EWMA, α=0.3): the final
     smoothed value of each (user, event_type) series — the
@@ -8678,6 +8734,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "bm25_incremental": QuerySpec(
         q_bm25_incremental, SQL_BM25_TOPK, ("text", "search", "streaming")
     ),
+    "minhash_incremental": QuerySpec(
+        q_minhash_incremental, SQL_MINHASH_LSH_PAIRS, ("text", "dedup", "streaming")
+    ),
     "ewma": QuerySpec(q_ewma, SQL_EWMA, ("relational", "timeseries")),
     "k_anonymity": QuerySpec(
         q_k_anonymity, SQL_K_ANONYMITY, ("relational", "privacy")
@@ -8700,6 +8759,7 @@ _GATE_ORDER = [
     # — changed or new in round 12: must (re-)evidence first —
     "ssjoin_prefix",           # new: prefix-filtered exact Jaccard join
     "bm25_incremental",        # new: BM25 from the incremental index
+    "minhash_incremental",     # new: LSH pairs from the incremental index
     "ewma",                    # new: per-entity exponential smoothing
     "k_anonymity",             # new: k-anonymity/l-diversity audit
     "expectations_audit",      # new: one-pass data-contract audit

@@ -994,3 +994,19 @@ def test_expectations_audit_one_pass(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_minhash_incremental_pairs_from_committed_index(spark):
+    """LSH-from-index: the returned query pairs committed (band, bh,
+    doc_id) rows — never recomputing signatures (no parquet scan of
+    documents in the plan, only the index table's files), bucket-capped
+    before the self-join, no cartesian fallback."""
+    from kafkastreams_example_spark.queries import q_minhash_incremental
+
+    df = q_minhash_incremental(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # the only scans are the index table's own version files
+    assert "documents.parquet" not in plan, plan

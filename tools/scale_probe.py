@@ -302,6 +302,11 @@ ROUND12B_FAMILY = [
     # expectations_audit: ~linear — one conditional-agg pass, 5 output
     # rows at any scale
     "expectations_audit",
+    # minhash_incremental: ~linear — three bucket-pruned LSH index
+    # merges + committed-bucket pairing; suffix-salted replica
+    # vocabularies keep band buckets disjoint across replicas so
+    # candidate pairs scale ~F
+    "minhash_incremental",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
