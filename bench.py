@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "k_anonymity",
     "expectations_audit",
     "minhash_incremental",
+    "table_checksum",
+    "decile_lift",
 ]
 
 

@@ -8184,6 +8184,147 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
 """
 
 
+def q_decile_lift(spark, sf_dir):
+    """Decile lift table — the model-eval report behind every ranking/
+    filtering deployment: bucket documents into GLOBAL score deciles
+    (score = n_chars), report each decile's size, positive count
+    (label: lang = 'en'), exact rate in ppm, and lift vs the base
+    rate.
+
+    Scale shape: global decile assignment WITHOUT a global sort — the
+    naive ntile(10) OVER (ORDER BY score) range-sorts the corpus; here
+    the 9 decile boundaries come from ONE pass of the shared
+    bounded-state multi-percentile kernel (operators/relational.py::
+    grouped_exact_percentiles with no grouping keys — histogram state
+    ∝ distinct score values, bit-identical to DuckDB's quantile_cont
+    by the established contract), the 1-row boundary frame broadcasts
+    over the scan, and bucket = count of boundaries below the score —
+    a pure projection. Rates are integer-div ppm (exact); lift is the
+    double ratio of two exact ppm ints, identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    ps = {f"b{i}": i / 10 for i in range(1, 10)}
+    bounds = grouped_exact_percentiles(docs, [], "n_chars", ps)
+    dec = docs.crossJoin(F.broadcast(bounds)).select(
+        sum(
+            [(F.col("n_chars") > F.col(f"b{i}")).cast("int") for i in range(1, 10)],
+            F.lit(0),
+        ).alias("decile"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("n_pos")
+    )
+    tot = per.agg(
+        F.expr("sum(n_pos) * 1000000 div sum(n)").alias("base_ppm")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.expr("n_pos * 1000000 div n").alias("rate_ppm"),
+            F.round(
+                F.expr("n_pos * 1000000 div n").cast("double")
+                / F.col("base_ppm"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_DECILE_LIFT = """
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.1) AS b1, quantile_cont(n_chars, 0.2) AS b2,
+         quantile_cont(n_chars, 0.3) AS b3, quantile_cont(n_chars, 0.4) AS b4,
+         quantile_cont(n_chars, 0.5) AS b5, quantile_cont(n_chars, 0.6) AS b6,
+         quantile_cont(n_chars, 0.7) AS b7, quantile_cont(n_chars, 0.8) AS b8,
+         quantile_cont(n_chars, 0.9) AS b9
+  FROM documents),
+d AS (
+  SELECT (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > b3 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > b4 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > b5 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > b6 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > b7 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > b8 THEN 1 ELSE 0 END
+        + CASE WHEN n_chars > b9 THEN 1 ELSE 0 END) AS decile,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents, b),
+per AS (SELECT decile, COUNT(*) AS n, SUM(pos) AS n_pos FROM d GROUP BY 1),
+t AS (SELECT SUM(n_pos) * 1000000 // SUM(n) AS base_ppm FROM per)
+SELECT decile, n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_pos * 1000000 // n AS BIGINT) AS rate_ppm,
+       round(CAST(n_pos * 1000000 // n AS DOUBLE) / base_ppm, 6) AS lift
+FROM per, t
+"""
+
+
+def q_table_checksum(spark, sf_dir):
+    """Order-independent table checksum, grouped by l_returnflag — the
+    anti-entropy / replication-verification primitive (compare source
+    and replica checksums per partition to locate divergence without
+    moving rows): each row canonicalizes to a '|'-joined string with
+    NULL → '\\N', hashes through md5 with the top 60 bits taken as a
+    BIGINT (the portable cross-engine hash this repo's simhash oracle
+    established), and the per-group checksum is the exact decimal SUM
+    of row hashes — commutative, so partition/arrival order is
+    irrelevant, and mergeable across shards by addition. Exact-typed
+    columns only (keys, ints, flags, a formatted date): float→text is
+    not portable across engines, so a production checksum would
+    canonicalize doubles first (documented exclusion, not an
+    oversight). One hash aggregation keyed by the bounded flag domain;
+    checksum emitted as a digit string (exact at any magnitude — never
+    a double)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def s(c):
+        return F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+
+    row = F.concat_ws(
+        "|",
+        s("l_orderkey"),
+        s("l_partkey"),
+        s("l_suppkey"),
+        s("l_linenumber"),
+        s("l_returnflag"),
+        s("l_linestatus"),
+        F.coalesce(F.date_format("l_shipdate", "yyyy-MM-dd"), F.lit("\\N")),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(h).cast("decimal(38,0)").alias("cs"),
+        )
+        .select(
+            "l_returnflag", "n_rows", F.col("cs").cast("string").alias("checksum")
+        )
+    )
+
+
+SQL_TABLE_CHECKSUM = r"""
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substring(md5(
+           COALESCE(CAST(l_orderkey AS VARCHAR), '\N') || '|' ||
+           COALESCE(CAST(l_partkey AS VARCHAR), '\N') || '|' ||
+           COALESCE(CAST(l_suppkey AS VARCHAR), '\N') || '|' ||
+           COALESCE(CAST(l_linenumber AS VARCHAR), '\N') || '|' ||
+           COALESCE(l_returnflag, '\N') || '|' ||
+           COALESCE(l_linestatus, '\N') || '|' ||
+           COALESCE(strftime(l_shipdate, '%Y-%m-%d'), '\N')
+         ), 1, 15)) AS BIGINT) AS h
+  FROM lineitem)
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM h GROUP BY 1
+"""
+
+
 def q_minhash_incremental(spark, sf_dir):
     """LSH dedup served from an INCREMENTALLY MAINTAINED band-bucket
     index — the dedup counterpart to q_bm25_incremental's term index:
@@ -8737,6 +8878,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_incremental": QuerySpec(
         q_minhash_incremental, SQL_MINHASH_LSH_PAIRS, ("text", "dedup", "streaming")
     ),
+    "table_checksum": QuerySpec(
+        q_table_checksum, SQL_TABLE_CHECKSUM, ("relational", "maintenance")
+    ),
+    "decile_lift": QuerySpec(
+        q_decile_lift, SQL_DECILE_LIFT, ("relational", "eval")
+    ),
     "ewma": QuerySpec(q_ewma, SQL_EWMA, ("relational", "timeseries")),
     "k_anonymity": QuerySpec(
         q_k_anonymity, SQL_K_ANONYMITY, ("relational", "privacy")
@@ -8760,6 +8907,8 @@ _GATE_ORDER = [
     "ssjoin_prefix",           # new: prefix-filtered exact Jaccard join
     "bm25_incremental",        # new: BM25 from the incremental index
     "minhash_incremental",     # new: LSH pairs from the incremental index
+    "table_checksum",          # new: order-independent table checksum
+    "decile_lift",             # new: sort-free global decile lift table
     "ewma",                    # new: per-entity exponential smoothing
     "k_anonymity",             # new: k-anonymity/l-diversity audit
     "expectations_audit",      # new: one-pass data-contract audit

@@ -1010,3 +1010,30 @@ def test_minhash_incremental_pairs_from_committed_index(spark):
     assert "rangepartitioning" not in plan, plan
     # the only scans are the index table's own version files
     assert "documents.parquet" not in plan, plan
+
+
+def test_table_checksum_single_agg(spark):
+    """Table checksum: one scan, one hash aggregation keyed by the
+    bounded flag domain, hashing fused into the projection — no join,
+    no window, no global sort."""
+    from kafkastreams_example_spark.queries import q_table_checksum
+
+    df = q_table_checksum(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_decile_lift_no_global_sort(spark):
+    """Global decile assignment must come from broadcast percentile
+    boundaries, NEVER an ntile/range-sort of the corpus: no
+    rangepartitioning anywhere, the boundary and base-rate frames join
+    by broadcast, bucket assignment is a projection."""
+    from kafkastreams_example_spark.queries import q_decile_lift
+
+    df = q_decile_lift(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row frames

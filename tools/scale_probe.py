@@ -307,6 +307,12 @@ ROUND12B_FAMILY = [
     # vocabularies keep band buckets disjoint across replicas so
     # candidate pairs scale ~F
     "minhash_incremental",
+    # table_checksum: ~linear — md5 fused into the scan projection,
+    # one flag-keyed agg, 3 output rows at any scale
+    "table_checksum",
+    # decile_lift: ~linear — one histogram boundary pass (state ∝
+    # distinct scores) + one broadcast-assignment pass; 10 output rows
+    "decile_lift",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
