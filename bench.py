@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "minhash_incremental",
     "table_checksum",
     "decile_lift",
+    "sequence_match",
 ]
 
 

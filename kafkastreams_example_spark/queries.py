@@ -8184,6 +8184,63 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
 """
 
 
+def q_sequence_match(spark, sf_dir):
+    """Row-sequence pattern matching (the MATCH_RECOGNIZE of stream
+    engines, restricted to per-entity regular patterns): each user's
+    event history folds to an ordered symbol string (the five event
+    types map to their distinct first letters), and regex patterns
+    count behavioral motifs per user — conversion journeys `v[ce]*p`
+    (a view, any clicks/errors, then a purchase), instant conversions
+    `vp`, and error bursts `ee+`. Matching is leftmost
+    non-overlapping on both engines (Java regex find-loop, RE2), and
+    the greedy character-class patterns used here have identical
+    semantics under both.
+
+    Scale shape: one user-keyed hash-aggregated collect (per-entity
+    history retention-bounded by contract, same argument as q_ewma),
+    symbol-fold + regex fused into the projection — one exchange, no
+    window, no join. This is the scalable MATCH_RECOGNIZE shape:
+    pattern state never crosses entities, so entities partition
+    freely."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("xs"),
+        F.count("*").alias("n_events"),
+    )
+    s = F.concat_ws(
+        "",
+        F.transform("xs", lambda r: F.substring(r.getField("event_type"), 1, 1)),
+    )
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(s, F.lit(pat), 0))
+
+    return seq.select(
+        "user_id",
+        "n_events",
+        n("v[ce]*p").alias("n_conversions"),
+        n("vp").alias("n_instant"),
+        n("ee+").alias("n_error_bursts"),
+    )
+
+
+SQL_SEQUENCE_MATCH = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       len(regexp_extract_all(seq, 'v[ce]*p')) AS n_conversions,
+       len(regexp_extract_all(seq, 'vp')) AS n_instant,
+       len(regexp_extract_all(seq, 'ee+')) AS n_error_bursts
+FROM s
+"""
+
+
 def q_decile_lift(spark, sf_dir):
     """Decile lift table — the model-eval report behind every ranking/
     filtering deployment: bucket documents into GLOBAL score deciles
@@ -8884,6 +8941,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "decile_lift": QuerySpec(
         q_decile_lift, SQL_DECILE_LIFT, ("relational", "eval")
     ),
+    "sequence_match": QuerySpec(
+        q_sequence_match, SQL_SEQUENCE_MATCH, ("relational", "window")
+    ),
     "ewma": QuerySpec(q_ewma, SQL_EWMA, ("relational", "timeseries")),
     "k_anonymity": QuerySpec(
         q_k_anonymity, SQL_K_ANONYMITY, ("relational", "privacy")
@@ -8909,6 +8969,7 @@ _GATE_ORDER = [
     "minhash_incremental",     # new: LSH pairs from the incremental index
     "table_checksum",          # new: order-independent table checksum
     "decile_lift",             # new: sort-free global decile lift table
+    "sequence_match",          # new: MATCH_RECOGNIZE-lite per entity
     "ewma",                    # new: per-entity exponential smoothing
     "k_anonymity",             # new: k-anonymity/l-diversity audit
     "expectations_audit",      # new: one-pass data-contract audit

@@ -1037,3 +1037,15 @@ def test_decile_lift_no_global_sort(spark):
     assert "rangepartitioning" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row frames
+
+
+def test_sequence_match_single_exchange(spark):
+    """MATCH_RECOGNIZE-lite: one user-keyed hash-aggregated collect,
+    symbol fold + regex fused into the projection — one exchange, no
+    window, no join."""
+    from kafkastreams_example_spark.queries import q_sequence_match
+
+    df = q_sequence_match(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan

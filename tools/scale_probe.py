@@ -313,6 +313,10 @@ ROUND12B_FAMILY = [
     # decile_lift: ~linear — one histogram boundary pass (state ∝
     # distinct scores) + one broadcast-assignment pass; 10 output rows
     "decile_lift",
+    # sequence_match: ~linear — user-keyed collect with bounded
+    # per-entity histories; replicas offset user_id so entities
+    # multiply and output rows scale ~F
+    "sequence_match",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
