@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "table_checksum",
     "decile_lift",
     "sequence_match",
+    "mutual_information",
+    "mmr_rerank",
 ]
 
 

@@ -8184,6 +8184,167 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
 """
 
 
+def q_mutual_information(spark, sf_dir):
+    """Pointwise mutual information profile between two categorical
+    features (event_type × weekday) — the association-mining /
+    feature-relevance primitive: per cell, the joint count and
+    pmi = ln(n_xy·N / (n_x·n_y)), positive where the pair co-occurs
+    more than independence predicts.
+
+    Scale shape: ONE hash aggregation whose key space is the bounded
+    feature-domain product (|types|×7 = 35 cells); marginals and N
+    fold in as window sums over that bounded frame — the corpus is
+    never re-scanned and nothing row-bound shuffles. Per-cell
+    arithmetic is exact-int inputs → one ln, rounded to 6 dp to absorb
+    libm ulps. Weekday aligns across engines as Spark dayofweek()−1 =
+    DuckDB dayofweek() (Sunday = 0)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("x"),
+        (F.dayofweek("ts") - 1).alias("y"),
+    ).agg(F.count("*").alias("n_xy"))
+    wx = Window.partitionBy("x")
+    wy = Window.partitionBy("y")
+    wall = Window.partitionBy()
+    return joint.select(
+        "x",
+        "y",
+        "n_xy",
+        F.round(
+            F.log(
+                F.col("n_xy").cast("double")
+                * F.sum("n_xy").over(wall)
+                / (F.sum("n_xy").over(wx) * F.sum("n_xy").over(wy))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH j AS (
+  SELECT event_type AS x, dayofweek(ts) AS y, COUNT(*) AS n_xy
+  FROM events GROUP BY 1, 2)
+SELECT x, y, n_xy,
+       round(ln(CAST(n_xy AS DOUBLE) * SUM(n_xy) OVER ()
+                / (SUM(n_xy) OVER (PARTITION BY x)
+                   * SUM(n_xy) OVER (PARTITION BY y))), 6) AS pmi
+FROM j
+"""
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """Diversity-aware retrieval: Maximal Marginal Relevance (MMR,
+    Carbonell & Goldstein SIGIR'98) reranking of the top-10 cosine
+    candidates for query vec 0 — greedily pick 3 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.7), the
+    standard redundancy-suppressing step between ANN retrieval and an
+    LLM context window.
+
+    Scale shape: the only corpus-bound work is the candidate stage —
+    pre-normalized vectors, broadcast query, top-10 via
+    TakeOrderedAndProject (no global sort). The greedy loop is k=3
+    UNROLLED DataFrame steps over the persisted 10-row candidate
+    frame: each step anti-conditions on picked ids, computes the
+    penalty as greatest(dot to each picked vector), and takes
+    limit(1) — pool- and k-bounded, never corpus-bound. Dot products
+    are sequential folds on both engines (bit-identical doubles, the
+    cosine-tier contract), so raw-score ordering with id tie-break is
+    deterministic cross-engine; scores round to 6 dp at output only.
+    Pick 1's penalty term is zero (max over the empty set), so every
+    reported score is uniformly λ·rel − (1−λ)·penalty."""
+    from .functions.similarity import _dot, _unit
+
+    lam = 0.7
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = emb.select("vec_id", _unit(F.col("embedding")).alias("uv"))
+    q = unit.filter(F.col("vec_id") == 0).select(F.col("uv").alias("qv"))
+    cand = (
+        unit.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "uv", _dot(F.col("qv"), F.col("uv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(10)
+        .persist()
+    )
+    picks = []  # (rank, 1-row frame with vec_id, uv, score)
+    prev = cand.select(
+        "vec_id", "uv", (F.lit(lam) * F.col("rel")).alias("score")
+    ).orderBy(F.col("score").desc(), "vec_id").limit(1)
+    picks.append(prev.select("vec_id", "score"))
+    picked_vecs = [prev.select(F.col("vec_id").alias("pid"), F.col("uv").alias("pv"))]
+    for _ in range(2):
+        rest = cand
+        pen = None
+        for i, p in enumerate(picked_vecs):
+            rest = rest.crossJoin(
+                F.broadcast(
+                    p.select(
+                        F.col("pid").alias(f"pid{i}"), F.col("pv").alias(f"pv{i}")
+                    )
+                )
+            )
+            d = _dot(F.col("uv"), F.col(f"pv{i}"))
+            pen = d if pen is None else F.greatest(pen, d)
+        for i in range(len(picked_vecs)):
+            rest = rest.filter(F.col("vec_id") != F.col(f"pid{i}"))
+        nxt = (
+            rest.select(
+                "vec_id",
+                "uv",
+                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * pen).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+        )
+        picks.append(nxt.select("vec_id", "score"))
+        picked_vecs.append(
+            nxt.select(F.col("vec_id").alias("pid"), F.col("uv").alias("pv"))
+        )
+    out = None
+    for r, p in enumerate(picks, start=1):
+        row = p.select(
+            F.lit(r).alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("score", 6).alias("score"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+SQL_MMR_RERANK = f"""
+WITH u AS ({_EMB_U}),
+q AS (SELECT uv AS qv FROM u WHERE vec_id = 0),
+cand AS (
+  SELECT b.vec_id AS id, b.uv,
+         list_sum(list_transform(list_zip(q.qv, b.uv), p -> p[1] * p[2]))
+           AS rel
+  FROM q, u b WHERE b.vec_id != 0
+  ORDER BY rel DESC, id LIMIT 10),
+p1 AS (SELECT id, uv, 0.7 * rel AS score FROM cand
+       ORDER BY rel DESC, id LIMIT 1),
+s2 AS (
+  SELECT c.id, c.uv, c.rel,
+         0.7 * c.rel - 0.3 * list_sum(list_transform(
+             list_zip(c.uv, p1.uv), p -> p[1] * p[2])) AS score
+  FROM cand c, p1 WHERE c.id != p1.id),
+p2 AS (SELECT id, uv, score FROM s2 ORDER BY score DESC, id LIMIT 1),
+s3 AS (
+  SELECT c.id, c.rel,
+         0.7 * c.rel - 0.3 * greatest(
+           list_sum(list_transform(list_zip(c.uv, p1.uv), p -> p[1] * p[2])),
+           list_sum(list_transform(list_zip(c.uv, p2.uv), p -> p[1] * p[2])))
+           AS score
+  FROM cand c, p1, p2 WHERE c.id != p1.id AND c.id != p2.id),
+p3 AS (SELECT id, score FROM s3 ORDER BY score DESC, id LIMIT 1)
+SELECT 1 AS rank, id AS neighbor_id, round(score, 6) AS score FROM p1
+UNION ALL SELECT 2, id, round(score, 6) FROM p2
+UNION ALL SELECT 3, id, round(score, 6) FROM p3
+"""
+
+
 def q_sequence_match(spark, sf_dir):
     """Row-sequence pattern matching (the MATCH_RECOGNIZE of stream
     engines, restricted to per-entity regular patterns): each user's
@@ -8944,6 +9105,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "sequence_match": QuerySpec(
         q_sequence_match, SQL_SEQUENCE_MATCH, ("relational", "window")
     ),
+    "mutual_information": QuerySpec(
+        q_mutual_information, SQL_MUTUAL_INFORMATION, ("relational", "eval")
+    ),
+    "mmr_rerank": QuerySpec(
+        q_mmr_rerank, SQL_MMR_RERANK, ("similarity", "search")
+    ),
     "ewma": QuerySpec(q_ewma, SQL_EWMA, ("relational", "timeseries")),
     "k_anonymity": QuerySpec(
         q_k_anonymity, SQL_K_ANONYMITY, ("relational", "privacy")
@@ -8970,6 +9137,8 @@ _GATE_ORDER = [
     "table_checksum",          # new: order-independent table checksum
     "decile_lift",             # new: sort-free global decile lift table
     "sequence_match",          # new: MATCH_RECOGNIZE-lite per entity
+    "mutual_information",      # new: PMI association profile
+    "mmr_rerank",              # new: MMR diversity-aware reranking
     "ewma",                    # new: per-entity exponential smoothing
     "k_anonymity",             # new: k-anonymity/l-diversity audit
     "expectations_audit",      # new: one-pass data-contract audit

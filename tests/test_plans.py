@@ -1049,3 +1049,30 @@ def test_sequence_match_single_exchange(spark):
     plan = plan_string(df, "simple")
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_mutual_information_bounded_frame(spark):
+    """PMI profile: one scan, one hash agg keyed by the bounded feature
+    product; marginals are window sums over the 35-cell frame — no
+    second scan, no join."""
+    from kafkastreams_example_spark.queries import q_mutual_information
+
+    df = q_mutual_information(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_mmr_rerank_candidates_via_topk_heap(spark):
+    """MMR: the only corpus-bound stage is the candidate top-10, which
+    must compile to TakeOrderedAndProject; the greedy steps operate on
+    the persisted pool frame (InMemoryTableScan) with broadcast-only
+    joins — no global sort, no shuffle join."""
+    from kafkastreams_example_spark.queries import q_mmr_rerank
+
+    df = q_mmr_rerank(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

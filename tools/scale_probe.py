@@ -317,6 +317,12 @@ ROUND12B_FAMILY = [
     # per-entity histories; replicas offset user_id so entities
     # multiply and output rows scale ~F
     "sequence_match",
+    # mutual_information: ~linear — one agg keyed by the bounded
+    # feature product; 35 output cells at any scale
+    "mutual_information",
+    # mmr_rerank: ~linear — corpus-bound work is only the top-10
+    # candidate heap; the greedy steps are pool-bounded (10 rows)
+    "mmr_rerank",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
