@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "sequence_match",
     "mutual_information",
     "mmr_rerank",
+    "zonemap_prune",
 ]
 
 

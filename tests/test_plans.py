@@ -1076,3 +1076,21 @@ def test_mmr_rerank_candidates_via_topk_heap(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_zonemap_prune_skips_most_buckets(spark):
+    """Zone-map pruning must demonstrate a real skip win on the
+    clustered layout: most of the 64 buckets skipped for the ~4%
+    box, scanned rows a small fraction of the table, and every join
+    in the plan broadcast (stats frames are bounded)."""
+    from kafkastreams_example_spark.queries import q_zonemap_prune
+
+    r = q_zonemap_prune(spark, SF_DIR).collect()[0]
+    assert r["n_buckets"] == 64
+    assert r["n_skipped"] >= 40, r
+    assert r["rows_scanned"] < r["rows_total"] // 4, r
+    assert r["rows_matched"] <= r["rows_scanned"], r
+    df = q_zonemap_prune(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -323,6 +323,9 @@ ROUND12B_FAMILY = [
     # mmr_rerank: ~linear — corpus-bound work is only the top-10
     # candidate heap; the greedy steps are pool-bounded (10 rows)
     "mmr_rerank",
+    # zonemap_prune: ~linear — narrow 2-column stats scans; skip logic
+    # on the fixed 64-bucket frame, 1 output row
+    "zonemap_prune",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
