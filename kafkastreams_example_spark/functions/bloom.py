@@ -60,9 +60,18 @@ def build_bloom_bits(
             "(a plan-embedded constant ships with every task); shrink the "
             "filter or pre-reduce the key domain"
         )
+    # xxhash64 is TYPE-sensitive (hash of 1 AS INT != 1 AS BIGINT), so
+    # a build/probe dtype mismatch would silently drop matching rows
+    # (false negatives the trailing semi join cannot restore). Both
+    # sides therefore hash the STRING rendering of the key — any two
+    # columns that compare equal under an equi-join of the same logical
+    # key render identically.
     hs = F.array(
         *[
-            F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(n_bits))
+            F.pmod(
+                F.xxhash64(F.col(key_col).cast("string"), F.lit(s)),
+                F.lit(n_bits),
+            )
             for s in range(n_hashes)
         ]
     )
@@ -88,12 +97,15 @@ def bloom_probe(
     """Membership-test expression against a built word array: true for
     every inserted key (no false negatives — all k bits were set),
     true for a non-member with probability ≈ (k·n/m)ᵏ. Pure codegen:
-    k getbit probes of an array literal, no join."""
+    k getbit probes of an array literal, no join. Hashes the STRING
+    rendering of the key to match build_bloom_bits — the type-blind
+    normalization that keeps an INT probe against a BIGINT build from
+    silently dropping every match."""
     n_bits = len(words) * 64
     lit_words = F.lit(words)
     cond = F.lit(True)
     for s in range(n_hashes):
-        h = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(n_bits))
+        h = F.pmod(F.xxhash64(key.cast("string"), F.lit(s)), F.lit(n_bits))
         word = (h / 64).cast("int")
         bit = (h % 64).cast("int")
         cond = cond & (

@@ -588,10 +588,23 @@ def ssjoin_prefix_pairs(
             "n_sh",
         )
     )
-    # arr feeds the prefix explode AND both verify sides; persist so the
-    # tokenize->shingle->df->sort pipeline runs once (a staged table at
-    # warehouse scale)
-    arr = arr.persist()
+    # arr feeds the prefix explode AND both verify sides; stage it to a
+    # temp parquet so the tokenize->shingle->df->sort pipeline runs once
+    # (literally a staged table, as it would be at warehouse scale).
+    # Parquet staging instead of persist(): the returned frame is lazy,
+    # so a persist could never be unpersisted by this function and each
+    # invocation would leak a corpus-sized cached frame into executor
+    # storage memory for the life of the session. The temp dir is
+    # atexit-cleaned (same deferred-cleanup contract as the manifest-
+    # table entries — the caller may collect long after we return).
+    import atexit
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="ssjoin_prefix_stage_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    arr.write.mode("overwrite").parquet(stage)
+    arr = docs.sparkSession.read.parquet(stage)
     t = F.lit(float(threshold))
     plen = F.col("n_sh") - F.ceil(t * F.col("n_sh")) + 1
     prefix = arr.select(

@@ -151,10 +151,8 @@ class StreamingTopK:
         self.last_batch_id = -1
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
-        if batch_id is not None:
-            if batch_id <= self.last_batch_id:
-                return  # foreachBatch redelivery — already folded in
-            self.last_batch_id = batch_id
+        if batch_id is not None and batch_id <= self.last_batch_id:
+            return  # foreachBatch redelivery — already folded in
         rows = mg_partition_summaries(
             batch_df, self.k, term_col=self.term_col
         ).collect()
@@ -170,6 +168,13 @@ class StreamingTopK:
                 batch_counts[r["term"]] = batch_counts.get(r["term"], 0) + r["cnt"]
         self.counters, d_merge = mg_reduce([self.counters, batch_counts], self.k)
         self.d_total += dp + d_merge
+        # commit AFTER the fold succeeds (same order as the manifest
+        # sinks): if the collect/fold above throws, a foreachBatch
+        # redelivery of this batch_id must NOT be skipped — recording
+        # the id first would permanently lose the batch's counts and
+        # break the stored + d_total >= true certificate side.
+        if batch_id is not None:
+            self.last_batch_id = batch_id
 
     def foreach_batch(self):
         def fn(batch_df: DataFrame, batch_id: int) -> None:

@@ -9270,7 +9270,7 @@ _GATE_ORDER = [
     "bm25_topk",               # new: BM25 keyword retrieval top-10
     "twap",                    # new: time-weighted average
     "markov_transitions",      # new: event-sequence transition matrix
-    "rolling_corr",            # new: 24 h RANGE-frame rolling corr
+    "rolling_corr",            # new: trailing 64-row ROWS-frame rolling corr
     "resample_ohlc",           # new: time-bucket OHLC downsampling
     "winsorize",               # new: exact-percentile winsorized stats
     "skew_profile",            # new: join-key skew diagnostics

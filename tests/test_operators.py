@@ -1421,6 +1421,20 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     with pytest.raises(ValueError):
         build_bloom_bits(dim, "k", 1 << 30)  # over the literal cap
 
+    # round-13 advice fix: xxhash64 is type-sensitive, so an INT fact
+    # key probed against a BIGINT-built filter used to false-negative
+    # on EVERY row (silently dropped despite the EXACT contract). Both
+    # sides now hash the string rendering — a mixed-type probe must
+    # keep all true members.
+    fact_int = spark.createDataFrame(
+        [(int(i * 13 + 5),) for i in range(2000)], "k INT"
+    )
+    assert fact_int.filter(bloom_probe(F.col("k"), words)).count() == 2000
+    got_mixed = sorted(
+        r["k"] for r in bloom_semi_join(fact_int, dim, "k").collect()
+    )
+    assert got_mixed == sorted(i * 13 + 5 for i in range(2000))
+
 
 def test_pca_topr_recovers_spiked_components(spark):
     """Deflated power iteration (functions/pca.py) must recover the

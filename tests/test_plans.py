@@ -927,15 +927,19 @@ def test_ssjoin_prefix_no_cartesian_and_staged_arrays(spark):
     """The prefix-filtered similarity join must never fall back to a
     cartesian/nested-loop product — candidates come from the equi-join
     on prefix shingles — and the doc->sorted-shingle-array frame must
-    be staged (persisted) so the tokenize->df->sort pipeline is not
-    re-derived for the prefix explode and both verify sides."""
+    be staged (written once to a temp parquet, scanned by the prefix
+    explode and both verify sides) so the tokenize->df->sort pipeline
+    is not re-derived three times. Parquet staging, not persist(): a
+    lazily-returned frame can never unpersist, so a cache here would
+    leak corpus-sized storage memory per invocation."""
     from kafkastreams_example_spark.queries import q_ssjoin_prefix
 
     df = q_ssjoin_prefix(spark, SF_DIR)
     plan = plan_string(df, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "InMemoryTableScan" in plan, plan
+    assert "InMemoryTableScan" not in plan, plan  # no cache leak
+    assert plan.count("ssjoin_prefix_stage_") >= 3, plan  # staged scan x3
     assert "rangepartitioning" not in plan, plan
 
 

@@ -1609,6 +1609,31 @@ def test_streaming_topk_skips_replayed_batch(spark):
     tracker.apply_batch(b1)
     assert tracker.topk(1) == [("a", 7, 7)]
 
+    # round-13 advice fix: a batch whose FOLD fails must stay
+    # retryable — batch_id commits only after the summaries fold
+    # (commit-after-write, like the manifest sinks). Recording the id
+    # up front would make the redelivery a no-op and lose the counts.
+    import kafkastreams_example_spark.functions.sketches as sk
+
+    t2 = StreamingTopK(k=16)
+    t2.apply_batch(b0, 0)
+    real = sk.mg_partition_summaries
+
+    def boom(*a, **kw):
+        raise RuntimeError("executor lost")
+
+    sk.mg_partition_summaries = boom
+    try:
+        import pytest
+
+        with pytest.raises(RuntimeError):
+            t2.apply_batch(b1, 1)  # fold fails mid-batch
+    finally:
+        sk.mg_partition_summaries = real
+    assert t2.last_batch_id == 0  # batch 1 was NOT committed
+    t2.apply_batch(b1, 1)  # redelivery after recovery must fold
+    assert t2.topk(3) == [("a", 5, 5), ("b", 1, 1), ("c", 1, 1)]
+
 
 def test_empty_table_read_schema_matches_committed(spark, tmp_path):
     """Round-12 advice fix: a pre-first-commit read must carry the same

@@ -4,8 +4,9 @@ Six rounds running, the per-round evidence files (``BENCH_r*.json``,
 ``CORRECTNESS_r*.json``, ``BENCH_STREAMING_r*.json``) sat untracked at
 round end — a printed reminder did not fix it, so the tools now commit
 the artifacts themselves: ``commit_round_artifacts`` finds every
-untracked-or-modified round artifact at the repo root and commits JUST
-those paths (``git commit -- <paths>`` ignores the index, so unrelated
+UNTRACKED round artifact at the repo root and commits JUST those paths
+(modified tracked artifacts are deliberately left alone — hand edits
+must not be swept into a generic commit by a tool run) (``git commit -- <paths>`` ignores the index, so unrelated
 staged work is never swept in). Called from ``bench.py`` and
 ``tools/oracle_check.py`` after they finish, and safe to invoke
 directly: ``python tools/artifacts.py``.
@@ -28,7 +29,11 @@ def _loose_artifacts() -> list[str]:
     ).stdout
     loose = []
     for ln in out.splitlines():
-        # "?? name" (untracked) or " M name" / "M  name" (modified)
+        # UNTRACKED ("??") entries only: auto-committing modified
+        # tracked artifacts would silently sweep hand edits into a
+        # generic-message commit as a side effect of any tool run.
+        if not ln.startswith("??"):
+            continue
         name = ln[3:].strip()
         if any(name.startswith(p) for p in _PREFIXES) and name.endswith(
             (".json", ".log")
