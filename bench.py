@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "mutual_information",
     "mmr_rerank",
     "zonemap_prune",
+    # round-13 additions
+    "rolling_corr_range",
 ]
 
 

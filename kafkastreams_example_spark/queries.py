@@ -8479,7 +8479,9 @@ def q_sequence_match(spark, sf_dir):
     semantics under both.
 
     Scale shape: one user-keyed hash-aggregated collect (per-entity
-    history retention-bounded by contract, same argument as q_ewma),
+    history retention-bounded by contract, same argument as q_ewma,
+    and equally ENFORCED via _history_cap_guard — an over-cap entity
+    raises a diagnosable error instead of OOMing the task),
     symbol-fold + regex fused into the projection — one exchange, no
     window, no join. This is the scalable MATCH_RECOGNIZE shape:
     pattern state never crosses entities, so entities partition
@@ -8491,9 +8493,19 @@ def q_sequence_match(spark, sf_dir):
         ).alias("xs"),
         F.count("*").alias("n_events"),
     )
-    s = F.concat_ws(
-        "",
-        F.transform("xs", lambda r: F.substring(r.getField("event_type"), 1, 1)),
+    from .functions.sliding import DEFAULT_HISTORY_CAP
+
+    s = _history_cap_guard(
+        F.concat_ws(
+            "",
+            F.transform(
+                "xs", lambda r: F.substring(r.getField("event_type"), 1, 1)
+            ),
+        ),
+        "n_events",
+        "user_id",
+        DEFAULT_HISTORY_CAP,
+        "q_sequence_match",
     )
 
     def n(pat):
@@ -8720,6 +8732,29 @@ def q_minhash_incremental(spark, sf_dir):
     )
 
 
+def _history_cap_guard(result, n_col, entity_col, cap, where):
+    """Wrap a per-entity computed column so a retention-contract
+    violation degrades into a DIAGNOSABLE runtime error instead of a
+    task OOM: entities whose collected history exceeds ``cap`` rows
+    raise with the entity id in the message; everything else passes
+    ``result`` through untouched. CaseWhen short-circuits per row, so
+    raise_error fires only on violating entities — contract-respecting
+    data is plan- and hash-identical to the unguarded form. Used by
+    the collect_list entries (q_ewma, q_sequence_match), whose task
+    memory is O(per-entity history) by design."""
+    msg = F.concat(
+        F.lit(
+            f"{where}: entity history exceeds the retention-contract "
+            f"cap of {cap} rows (task memory is O(history) here) — "
+            "entity "
+        ),
+        F.col(entity_col).cast("string"),
+        F.lit(", rows "),
+        F.col(n_col).cast("string"),
+    )
+    return F.when(F.col(n_col) > cap, F.raise_error(msg)).otherwise(result)
+
+
 def q_ewma(spark, sf_dir):
     """Per-entity exponential smoothing (EWMA, α=0.3): the final
     smoothed value of each (user, event_type) series — the
@@ -8729,7 +8764,9 @@ def q_ewma(spark, sf_dir):
     entity's time-ordered values: collect the per-entity sequence
     (bounded: events-per-user is retention-bounded by contract — the
     testdata holds it ~66 at every SF while users grow with the data,
-    so state per group never scales with corpus size), seed with the
+    so state per group never scales with corpus size; ENFORCED via
+    _history_cap_guard — an over-cap entity raises a diagnosable error
+    naming it instead of OOMing the task at scale), seed with the
     first observation, fold α·x + (1−α)·acc. Both engines execute the
     IDENTICAL left fold over the identically-ordered list — same IEEE
     ops in the same order — so the double is bit-identical
@@ -8751,7 +8788,12 @@ def q_ewma(spark, sf_dir):
         F.element_at(vals, 1),
         lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
     )
-    return seq.select("user_id", "event_type", "n", ewma.alias("ewma"))
+    from .functions.sliding import DEFAULT_HISTORY_CAP
+
+    guarded = _history_cap_guard(
+        ewma, "n", "user_id", DEFAULT_HISTORY_CAP, "q_ewma"
+    )
+    return seq.select("user_id", "event_type", "n", guarded.alias("ewma"))
 
 
 SQL_EWMA = """
@@ -8865,6 +8907,71 @@ u AS (
 SELECT rule, CAST(v AS BIGINT) AS n_violations,
        CAST(v * 1000000 // n AS BIGINT) AS ppm
 FROM u
+"""
+
+
+def q_rolling_corr_range(spark, sf_dir):
+    """Rolling Pearson correlation with TRUE time-RANGE semantics —
+    each event's trend over its entity's trailing 24 HOURS (all rows
+    with t ∈ [tᵢ−24h, tᵢ], ties included), not a row-count proxy.
+    This is the capability q_rolling_corr deliberately routed around:
+    Spark's declarative sliding frames have no retract, so the RANGE
+    form replays the frame per row — measured 17.4 s vs 0.83 s at
+    sf0.1 and O(n·rows-per-24h), growing with ingest DENSITY. Here the
+    frame is computed by the retract-capable incremental kernel
+    (functions/sliding.py::rolling_corr_range): per-entity Arrow-
+    batched applyInPandas, prefix-summed co-moments + two binary
+    searches per row — O(n log n) per entity at ANY density (probe:
+    tools/range_frame_probe.py).
+
+    Scale shape: ONE exchange on (user_id, event_type) — entity
+    cardinality grows with the data, so parallelism does too; task
+    memory is O(per-entity history), retention-bounded by contract and
+    ENFORCED by the kernel's history_cap (a pathological entity fails
+    with a diagnosable error, not a task OOM). Zero-variance frames
+    are excluded by EXACT integer tests, never FP residue; the 6 dp
+    round absorbs cross-engine accumulation-order differences (DuckDB
+    merges segment-tree co-moment states)."""
+    from .functions.sliding import rolling_corr_range
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = rolling_corr_range(
+        df,
+        entity_cols=["user_id", "event_type"],
+        t_us_col="t_us",
+        y_col="value",
+        window_us=86_400_000_000,
+        id_cols=["event_id", "event_type"],
+        out_col="trend",
+    )
+    return out.select(
+        "event_id", "event_type", F.round("trend", 6).alias("trend")
+    )
+
+
+SQL_ROLLING_CORR_RANGE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t
+  FROM events),
+c AS (
+  SELECT event_id, event_type,
+         corr(value, CAST(t AS DOUBLE) / 86400000000.0)
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY t
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+           AS c
+  FROM e)
+SELECT event_id, event_type,
+       CASE WHEN isnan(c) THEN NULL ELSE round(c, 6) END AS trend
+FROM c
+WHERE CASE WHEN isnan(c) THEN NULL ELSE round(c, 6) END IS NOT NULL
 """
 
 
@@ -9239,6 +9346,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "k_anonymity": QuerySpec(
         q_k_anonymity, SQL_K_ANONYMITY, ("relational", "privacy")
     ),
+    "rolling_corr_range": QuerySpec(
+        q_rolling_corr_range,
+        SQL_ROLLING_CORR_RANGE,
+        ("relational", "window", "timeseries"),
+    ),
     "expectations_audit": QuerySpec(
         q_expectations_audit, SQL_EXPECTATIONS_AUDIT, ("relational", "quality")
     ),
@@ -9254,17 +9366,20 @@ REGISTRY: dict[str, QuerySpec] = {
 # CORRECTNESS_r0{1,2,3}.json latest-row ages as of round 4 — rotate
 # again next round.
 _GATE_ORDER = [
-    # — changed or new in round 12: must (re-)evidence first —
-    "ssjoin_prefix",           # new: prefix-filtered exact Jaccard join
+    # — changed or new in round 13: must (re-)evidence first —
+    "rolling_corr_range",      # new: retract-capable 24 h time-RANGE corr
+    "bloom_semi_join",         # advice fix: type-blind key hashing
+    "ssjoin_prefix",           # advice fix: parquet staging, not persist
+    "ewma",                    # history-cap enforcement
+    "sequence_match",          # history-cap enforcement
+    # — round-12 tier (still recent) —
     "bm25_incremental",        # new: BM25 from the incremental index
     "minhash_incremental",     # new: LSH pairs from the incremental index
     "table_checksum",          # new: order-independent table checksum
     "decile_lift",             # new: sort-free global decile lift table
-    "sequence_match",          # new: MATCH_RECOGNIZE-lite per entity
     "mutual_information",      # new: PMI association profile
     "mmr_rerank",              # new: MMR diversity-aware reranking
     "zonemap_prune",           # new: zone-map skip-ratio report
-    "ewma",                    # new: per-entity exponential smoothing
     "k_anonymity",             # new: k-anonymity/l-diversity audit
     "expectations_audit",      # new: one-pass data-contract audit
     "bm25_topk",               # new: BM25 keyword retrieval top-10
@@ -9275,7 +9390,6 @@ _GATE_ORDER = [
     "winsorize",               # new: exact-percentile winsorized stats
     "skew_profile",            # new: join-key skew diagnostics
     "snapshot_diff",           # new: one-pass as-of table diff
-    "bloom_semi_join",         # new: Bloom semi-join reduction
     "fk_integrity",            # new: referential-integrity validation
     "semdedup",                # new: PCA-space semantic dedup
     "embedding_pca_topr",      # new: block subspace-iteration top-3 PCA

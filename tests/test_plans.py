@@ -1098,3 +1098,24 @@ def test_zonemap_prune_skips_most_buckets(spark):
     plan = plan_string(df, "simple")
     assert "SortMergeJoin" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_rolling_corr_range_single_exchange_no_window(spark):
+    """The retract-capable time-RANGE kernel must compile to ONE
+    exchange on the entity key feeding an Arrow-batched MapInPandas —
+    never a declarative Window (whose RANGE frame replays per row,
+    O(n·rows-per-24h)), never per-entity FlatMapGroupsInPandas
+    (measured 10.8 s of per-group Arrow overhead at sf0.1 vs ~1 s for
+    batch-vectorized MapInPandas), and never a global sort. The
+    within-partition Sort below the pandas op is the entity-clustering
+    sort, not a rangepartitioning."""
+    from kafkastreams_example_spark.queries import q_rolling_corr_range
+
+    df = q_rolling_corr_range(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -1,0 +1,287 @@
+#!/usr/bin/env python
+"""Mutation audit of the DuckDB oracle gate (round-13 verdict item 2).
+
+The oracle gate is the repo's hard correctness signal, but a gate is
+only as good as its sensitivity: a query and its oracle could encode
+the SAME mistake (shared fate), or a compare could be structurally
+unable to trip for a class of bugs. This tool measures sensitivity
+directly: for a sample of registry entries spanning operator families,
+it mechanically mutates the SPARK side of the query — swap a
+comparison operator, off-by-one an integer literal, perturb a float
+threshold — and asserts the gate (tools/oracle_check.compare_query,
+the SAME comparator the gate replica uses) FAILS for the mutant.
+
+A mutant that survives is either a real gate hole (fix it) or a
+semantically equivalent mutation on this data (record why). The audit
+log is the committed artifact GATE_SENSITIVITY_r{N}.json.
+
+Mutation mechanics: the query function's source is parsed to an AST;
+each mutant flips exactly ONE node:
+
+  * ast.Compare ops:  > <-> >=,  < <-> <=,  == -> !=
+  * ast.Constant int:  n -> n + max(1, n//24)   (frame bounds, ks,
+    caps, windows — scale-aware so a 24 h-in-µs constant moves ~1 h,
+    not a semantically-invisible 1 µs)
+  * ast.Constant float:  x -> x*1.1 + 0.01   (thresholds, alphas)
+  * ast.Constant short str (non-docstring): s -> s+"_x"  (predicate
+    values like 'error', aliases — alias mutations audit the SCHEMA
+    side of the gate; entries like filter_level delegate their
+    comparison to an operators/ helper, so the string literal is the
+    only mutable surface at the query level)
+
+Docstrings never contain Compare/numeric Constant nodes, so they are
+untouched; the mutated AST is unparsed and exec'd in the queries
+module's namespace, giving a callable the gate can run unmodified.
+Up to MUTANTS_PER_ENTRY mutants per entry, chosen deterministically
+(spread across the candidate list), so the audit is reproducible.
+
+Usage:
+    python tools/gate_sensitivity.py [sf_dir] [entry ...]
+"""
+
+from __future__ import annotations
+
+import ast
+import copy
+import inspect
+import json
+import sys
+import textwrap
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import kafkastreams_example_spark.queries as queries_mod  # noqa: E402
+from kafkastreams_example_spark.queries import REGISTRY  # noqa: E402
+from kafkastreams_example_spark.schema import TABLE_NAMES  # noqa: E402
+from kafkastreams_example_spark.session import get_spark  # noqa: E402
+from tools.oracle_check import compare_query  # noqa: E402
+
+MUTANTS_PER_ENTRY = 3
+
+# one entry per family: reference surface, TPC-H relational, windows,
+# joins, dedup/similarity, text/retrieval, timeseries, sketches,
+# manifest tables, quality/governance, the new RANGE kernel
+DEFAULT_ENTRIES = [
+    "filter_level",
+    "json_decode",
+    "agg_pricing_summary",
+    "sql_q6_forecast_revenue",
+    "join_customer_orders",
+    "window_rank",
+    "asof_join",
+    "dedup_refresh",
+    "minhash_lsh_pairs",
+    "sim_topk",
+    "top_terms_sketched",
+    "gopher_rules",
+    "ewma",
+    "twap",
+    "rolling_corr",
+    "rolling_corr_range",
+    "k_anonymity",
+    "decile_lift",
+    "bm25_topk",
+    "sequence_match",
+    "winsorize",
+    "mat_view_counts",
+]
+
+_CMP_SWAP = {
+    ast.Gt: ast.GtE,
+    ast.GtE: ast.Gt,
+    ast.Lt: ast.LtE,
+    ast.LtE: ast.Lt,
+    ast.Eq: ast.NotEq,
+    ast.NotEq: ast.Eq,
+}
+
+
+def _docstring_ids(tree: ast.AST) -> set[int]:
+    """id()s of docstring Constant nodes — excluded from mutation."""
+    out = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.Module, ast.ClassDef)):
+            body = getattr(node, "body", [])
+            if body and isinstance(body[0], ast.Expr) and isinstance(
+                body[0].value, ast.Constant
+            ):
+                out.add(id(body[0].value))
+    return out
+
+
+#: call targets whose string argument is a PREDICATE VALUE, not an
+#: identifier — mutating these is the highest-signal string class
+#: (wrong constant in a filter), vs alias/column strings whose
+#: mutation trips the schema gate or an AnalysisException trivially
+_SEMANTIC_STR_FNS = {
+    "lit", "filter_equals", "nullif", "when", "regexp_extract_all",
+    "rlike", "like", "contains", "startswith", "endswith", "substring",
+}
+
+
+def _candidates(tree: ast.AST):
+    """Enumerate mutation points: (kind, path-index, describe)."""
+    out = []
+    docs = _docstring_ids(tree)
+    parents: dict[int, ast.AST] = {}
+    for node in ast.walk(tree):
+        for child in ast.iter_child_nodes(node):
+            parents[id(child)] = node
+    for i, node in enumerate(ast.walk(tree)):
+        if isinstance(node, ast.Compare) and type(node.ops[0]) in _CMP_SWAP:
+            op = type(node.ops[0]).__name__
+            out.append(("cmp", i, f"L{node.lineno}: {op} -> "
+                        f"{_CMP_SWAP[type(node.ops[0])].__name__}"))
+        elif isinstance(node, ast.Constant) and type(node.value) is int:
+            # scale-aware delta: +1 on small ints (frame bounds, ks),
+            # ~+4% on large ones (a 24 h window in µs mutated by 1 µs
+            # is equivalent on any real data — a worthless mutant)
+            if abs(node.value) <= 10_000_000_000_000:
+                delta = max(1, abs(node.value) // 24)
+                out.append(
+                    ("int", i,
+                     f"L{node.lineno}: {node.value} -> "
+                     f"{node.value + delta}")
+                )
+        elif isinstance(node, ast.Constant) and type(node.value) is float:
+            out.append(
+                ("float", i,
+                 f"L{node.lineno}: {node.value} -> "
+                 f"{round(node.value * 1.1 + 0.01, 6)}")
+            )
+        elif (
+            isinstance(node, ast.Constant)
+            and type(node.value) is str
+            and 1 <= len(node.value) <= 24
+            and id(node) not in docs
+        ):
+            parent = parents.get(id(node))
+            kind = "str"
+            if isinstance(parent, ast.Compare):
+                kind = "semstr"
+            elif isinstance(parent, ast.Call):
+                f = parent.func
+                fname = f.attr if isinstance(f, ast.Attribute) else getattr(
+                    f, "id", ""
+                )
+                if fname in _SEMANTIC_STR_FNS:
+                    kind = "semstr"
+            out.append(
+                (kind, i, f"L{node.lineno}: {node.value!r} -> "
+                 f"{node.value + '_x'!r}")
+            )
+    return out
+
+
+def _mutate(tree: ast.AST, kind: str, target_idx: int) -> ast.AST:
+    tree = copy.deepcopy(tree)
+    for i, node in enumerate(ast.walk(tree)):
+        if i != target_idx:
+            continue
+        if kind == "cmp":
+            node.ops[0] = _CMP_SWAP[type(node.ops[0])]()
+        elif kind == "int":
+            node.value = node.value + max(1, abs(node.value) // 24)
+        elif kind == "float":
+            node.value = round(node.value * 1.1 + 0.01, 6)
+        elif kind in ("str", "semstr"):
+            node.value = node.value + "_x"
+        return tree
+    raise IndexError(f"node {target_idx} not found")
+
+
+def _spread(cands, k):
+    """Deterministic spread over the candidate list: comparisons first
+    (the highest-signal bug class), then numerics, then strings
+    (aliases/predicate values — often trivial schema kills), sampled
+    evenly within the combined order."""
+    rank = {"cmp": 0, "semstr": 1, "int": 2, "float": 2, "str": 3}
+    ordered = sorted(cands, key=lambda c: (rank[c[0]],))
+    if len(ordered) <= k:
+        return ordered
+    step = len(ordered) / k
+    return [ordered[int(i * step)] for i in range(k)]
+
+
+def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
+    spec = REGISTRY[name]
+    src = textwrap.dedent(inspect.getsource(spec.fn))
+    tree = ast.parse(src)
+    cands = _candidates(tree)
+    picks = _spread(cands, MUTANTS_PER_ENTRY)
+    # sanity: the unmutated entry must pass, or the audit means nothing
+    ok, detail = compare_query(spark, con, spec.fn, spec.oracle, sf_dir)
+    if not ok:
+        return {"baseline": f"FAIL {detail}", "mutants": [], "killed": 0,
+                "survived": 0}
+    results = []
+    for kind, idx, desc in picks:
+        mutated = ast.fix_missing_locations(_mutate(tree, kind, idx))
+        ns = dict(queries_mod.__dict__)
+        try:
+            code = compile(mutated, f"<mutant:{name}>", "exec")
+            exec(code, ns)  # noqa: S102 — audit tool, own source only
+            mfn = ns[spec.fn.__name__]
+            mok, mdetail = compare_query(spark, con, mfn, spec.oracle, sf_dir)
+            killed = not mok
+            how = "MISMATCH" if killed else "SURVIVED"
+        except Exception as exc:  # noqa: BLE001 — a throwing mutant is caught
+            killed, how = True, f"ERROR {type(exc).__name__}"
+            mdetail = str(exc).splitlines()[0][:120]
+        results.append(
+            {"mutation": f"{kind} {desc}", "killed": killed, "how": how}
+        )
+        print(json.dumps({name: results[-1]}), flush=True)
+    return {
+        "baseline": "ok",
+        "mutants": results,
+        "killed": sum(r["killed"] for r in results),
+        "survived": sum(not r["killed"] for r in results),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or DEFAULT_ENTRIES
+    spark = get_spark(app_name="gate-sensitivity", cpus="8",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    t0 = time.time()
+    report = {}
+    for name in names:
+        report[name] = audit_entry(spark, con, name, sf_dir)
+    total_m = sum(len(r["mutants"]) for r in report.values())
+    total_k = sum(r["killed"] for r in report.values())
+    summary = {
+        "sf_dir": sf_dir,
+        "entries": len(names),
+        "mutants": total_m,
+        "killed": total_k,
+        "kill_rate": round(total_k / total_m, 3) if total_m else None,
+        "elapsed_sec": round(time.time() - t0, 1),
+        "per_entry": report,
+    }
+    out = Path(__file__).resolve().parent.parent / "GATE_SENSITIVITY_r13.json"
+    out.write_text(json.dumps(summary, indent=1, default=str))
+    print(json.dumps({k: v for k, v in summary.items() if k != "per_entry"}))
+    survivors = {
+        n: [m["mutation"] for m in r["mutants"] if not m["killed"]]
+        for n, r in report.items()
+        if r["survived"]
+    }
+    if survivors:
+        print("SURVIVORS:", json.dumps(survivors))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

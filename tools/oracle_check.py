@@ -35,10 +35,14 @@ def norm(v):
     return v
 
 
-def _check_one(spark, con, name: str, sf_dir: str, fails: list[str]) -> None:
-    spec = REGISTRY[name]
-    t0 = time.perf_counter()
-    sdf = spec.fn(spark, sf_dir)
+def compare_query(spark, con, fn, oracle: str, sf_dir: str):
+    """Run a query callable against its DuckDB oracle and compare with
+    the driver's exact discipline (row count + column set + order-
+    insensitive normalized values). Returns (ok, detail). Shared by the
+    gate replica below and tools/gate_sensitivity.py (the mutation
+    audit must test the SAME comparator the gate uses, or it audits
+    nothing)."""
+    sdf = fn(spark, sf_dir)
     scols = sdf.columns
     # toPandas(), not collect(): the driver compares pandas frames on
     # BOTH sides, so nullable numeric columns become float64+NaN
@@ -46,14 +50,11 @@ def _check_one(spark, con, name: str, sf_dir: str, fails: list[str]) -> None:
     # oracle's NaN).
     spdf = sdf.toPandas()
     srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
-    if spec.oracle is None:
-        print(f"{name}: rows={len(srows)} (rows-only) [{time.perf_counter()-t0:.1f}s]")
-        return
     # Fetch through pandas, NOT fetchall(): the driver compares via a
     # pandas frame, where DuckDB HUGEINT/UBIGINT become float64 ("1.0"
     # vs Spark's 1). fetchall() keeps exact Python ints and can
     # green-light oracles the driver will hash-fail (agg_boolean, r3).
-    pdf = con.execute(spec.oracle).df()
+    pdf = con.execute(oracle).df()
     dcols = list(pdf.columns)
     drows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
     oi = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -62,12 +63,28 @@ def _check_one(spark, con, name: str, sf_dir: str, fails: list[str]) -> None:
     a = sorted([tuple(norm(r[i]) for i in oi) for r in srows], key=key)
     b = sorted([tuple(norm(r[i]) for i in di) for r in drows], key=key)
     ok = a == b and sorted(scols) == sorted(c.lower() for c in dcols)
+    if ok:
+        return True, f"rows={len(srows)}"
+    bad = [(x, y) for x, y in zip(a, b) if x != y][:2]
+    return False, f"rows={len(srows)}/{len(drows)} first={bad}"
+
+
+def _check_one(spark, con, name: str, sf_dir: str, fails: list[str]) -> None:
+    spec = REGISTRY[name]
+    t0 = time.perf_counter()
+    if spec.oracle is None:
+        srows = spec.fn(spark, sf_dir).toPandas()
+        print(
+            f"{name}: rows={len(srows)} (rows-only) "
+            f"[{time.perf_counter()-t0:.1f}s]"
+        )
+        return
+    ok, detail = compare_query(spark, con, spec.fn, spec.oracle, sf_dir)
     if not ok:
         fails.append(name)
-        bad = [(x, y) for x, y in zip(a, b) if x != y][:2]
-        print(f"{name}: MISMATCH rows={len(srows)}/{len(drows)} first={bad}")
+        print(f"{name}: MISMATCH {detail}")
     else:
-        print(f"{name}: ok rows={len(srows)} [{time.perf_counter()-t0:.1f}s]")
+        print(f"{name}: ok {detail} [{time.perf_counter()-t0:.1f}s]")
 
 
 def main() -> int:
