@@ -8366,73 +8366,23 @@ def q_mmr_rerank(spark, sf_dir):
 
     Scale shape: the only corpus-bound work is the candidate stage —
     pre-normalized vectors, broadcast query, top-10 via
-    TakeOrderedAndProject (no global sort). The greedy loop is k=3
-    UNROLLED DataFrame steps over the persisted 10-row candidate
-    frame: each step anti-conditions on picked ids, computes the
-    penalty as greatest(dot to each picked vector), and takes
-    limit(1) — pool- and k-bounded, never corpus-bound. Dot products
-    are sequential folds on both engines (bit-identical doubles, the
-    cosine-tier contract), so raw-score ordering with id tie-break is
-    deterministic cross-engine; scores round to 6 dp at output only.
-    Pick 1's penalty term is zero (max over the empty set), so every
-    reported score is uniformly λ·rel − (1−λ)·penalty."""
-    from .functions.similarity import _dot, _unit
+    TakeOrderedAndProject (no global sort). The greedy loop
+    (functions/similarity.py::mmr_rerank, parameterized over k since
+    round 13 — this entry pins k=3, pool=10) is k DataFrame steps over
+    the persisted pool-row candidate frame: each step anti-conditions
+    on picked ids, computes the penalty as greatest(dot to each picked
+    vector), and takes limit(1) — pool- and k-bounded, never
+    corpus-bound. Dot products are sequential folds on both engines
+    (bit-identical doubles, the cosine-tier contract), so raw-score
+    ordering with id tie-break is deterministic cross-engine; scores
+    round to 6 dp at output only. Pick 1's penalty term is zero (max
+    over the empty set), so every reported score is uniformly
+    λ·rel − (1−λ)·penalty."""
+    from .functions.similarity import mmr_rerank
 
-    lam = 0.7
     emb = load_table(spark, sf_dir, "embeddings")
-    unit = emb.select("vec_id", _unit(F.col("embedding")).alias("uv"))
-    q = unit.filter(F.col("vec_id") == 0).select(F.col("uv").alias("qv"))
-    cand = (
-        unit.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", "uv", _dot(F.col("qv"), F.col("uv")).alias("rel"))
-        .orderBy(F.col("rel").desc(), "vec_id")
-        .limit(10)
-        .persist()
-    )
-    picks = []  # (rank, 1-row frame with vec_id, uv, score)
-    prev = cand.select(
-        "vec_id", "uv", (F.lit(lam) * F.col("rel")).alias("score")
-    ).orderBy(F.col("score").desc(), "vec_id").limit(1)
-    picks.append(prev.select("vec_id", "score"))
-    picked_vecs = [prev.select(F.col("vec_id").alias("pid"), F.col("uv").alias("pv"))]
-    for _ in range(2):
-        rest = cand
-        pen = None
-        for i, p in enumerate(picked_vecs):
-            rest = rest.crossJoin(
-                F.broadcast(
-                    p.select(
-                        F.col("pid").alias(f"pid{i}"), F.col("pv").alias(f"pv{i}")
-                    )
-                )
-            )
-            d = _dot(F.col("uv"), F.col(f"pv{i}"))
-            pen = d if pen is None else F.greatest(pen, d)
-        for i in range(len(picked_vecs)):
-            rest = rest.filter(F.col("vec_id") != F.col(f"pid{i}"))
-        nxt = (
-            rest.select(
-                "vec_id",
-                "uv",
-                (F.lit(lam) * F.col("rel") - F.lit(1 - lam) * pen).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), "vec_id")
-            .limit(1)
-        )
-        picks.append(nxt.select("vec_id", "score"))
-        picked_vecs.append(
-            nxt.select(F.col("vec_id").alias("pid"), F.col("uv").alias("pv"))
-        )
-    out = None
-    for r, p in enumerate(picks, start=1):
-        row = p.select(
-            F.lit(r).alias("rank"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("score", 6).alias("score"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    out = mmr_rerank(emb, query_id=0, k=3, pool=10, lam=0.7)
+    return out.select("rank", "neighbor_id", F.round("score", 6).alias("score"))
 
 
 SQL_MMR_RERANK = f"""

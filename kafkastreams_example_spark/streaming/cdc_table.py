@@ -49,12 +49,21 @@ from .table_commit import ManifestTable
 
 
 class CdcTable(ManifestTable):
-    """Keyed snapshot maintained from (op, key, seq, payload) change
+    """Keyed snapshot maintained from (op, key, seq, *payloads) change
     batches. ``op`` is 'u' (upsert) or 'd' (delete); ties on seq break
-    deterministically toward delete then larger payload (documented —
+    deterministically toward delete then larger payloads (documented —
     a real CDC source never ties because seq is a log offset).
-    Storage, commits, version history, time travel, and vacuum come
-    from ManifestTable; this class is only the argmax merge algebra."""
+    Storage, commits, version history, time travel, schema versioning,
+    and vacuum come from ManifestTable; this class is only the argmax
+    merge algebra.
+
+    Additive schema evolution (round 13): reconstruct the table object
+    with a GROWN ``payload_cols`` and keep applying — the new column is
+    recorded as a schema version at that batch id, pre-evolution bucket
+    files NULL-fill it at read/merge time (no rewrite), and time travel
+    to pre-evolution snapshots reads their own narrower column set.
+    Dropping or retyping a committed column raises (a conscious
+    migration, not a merge)."""
 
     def __init__(
         self,
@@ -65,28 +74,34 @@ class CdcTable(ManifestTable):
         payload_col: str = "payload",
         n_buckets: int = 16,
         col_types: dict[str, str] | None = None,
+        payload_cols: tuple[str, ...] | None = None,
     ) -> None:
         super().__init__(path)
         self.key = key
         self.seq_col = seq_col
         self.op_col = op_col
-        self.payload_col = payload_col
+        # multi-payload form (round-13 schema evolution); payload_col
+        # stays as the single-column shorthand
+        self.payload_cols = tuple(payload_cols or (payload_col,))
+        self.payload_col = self.payload_cols[0]
         self.n_buckets = n_buckets
         # DDL type per column for reads BEFORE the first apply_batch;
-        # after the first apply the persisted _SCHEMA.json wins
+        # after the first apply the persisted schema versions win
         self.col_types = dict(col_types or {})
 
     # -- merge ----------------------------------------------------------
     def _latest_per_key(self, df: DataFrame) -> DataFrame:
-        """Argmax-by-(seq, op desc, payload) per key: one hash agg with
+        """Argmax-by-(seq, op desc, payloads) per key: one hash agg with
         map-side partials (max_by), never a window sort."""
         rank = F.struct(
             F.col(self.seq_col).alias("s"),
             (F.col(self.op_col) == "d").cast("int").alias("del_wins"),
-            F.col(self.payload_col).alias("p"),
+            *[F.col(c).alias(f"p{i}") for i, c in enumerate(self.payload_cols)],
         )
         row = F.struct(
-            F.col(self.seq_col), F.col(self.op_col), F.col(self.payload_col)
+            F.col(self.seq_col),
+            F.col(self.op_col),
+            *[F.col(c) for c in self.payload_cols],
         )
         return (
             df.groupBy("bucket", self.key)
@@ -96,7 +111,10 @@ class CdcTable(ManifestTable):
                 self.key,
                 F.col(f"r.{self.seq_col}").alias(self.seq_col),
                 F.col(f"r.{self.op_col}").alias(self.op_col),
-                F.col(f"r.{self.payload_col}").alias(self.payload_col),
+                *[
+                    F.col(f"r.{c}").alias(c)
+                    for c in self.payload_cols
+                ],
             )
         )
 
@@ -112,9 +130,13 @@ class CdcTable(ManifestTable):
                 F.pmod(F.xxhash64(self.key), F.lit(self.n_buckets)).cast("int"),
             )
         )
-        self._save_schema(
-            delta.select(self.key, self.seq_col, self.payload_col).schema
-        )
+        data_schema = delta.select(
+            self.key, self.seq_col, *self.payload_cols
+        ).schema
+        # versioned save: an ADDITIVE payload-column change records a
+        # new schema version at this batch id (no data rewrite); a
+        # non-additive change raises before anything is written
+        self._save_schema(data_schema, batch_id)
         hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
         manifest = self._current_manifest()
         if not hot:
@@ -124,14 +146,17 @@ class CdcTable(ManifestTable):
         merged = delta
         if cur_paths:
             cur = (
-                self._read_paths(spark, cur_paths)
+                # explicit current schema: bucket files written BEFORE
+                # an additive evolution NULL-fill the new columns here,
+                # so old state merges with new-schema deltas untouched
+                self._read_paths(spark, cur_paths, data_schema)
                 # state rows are live upserts by construction
                 .select(
                     "bucket",
                     self.key,
                     self.seq_col,
                     F.lit("u").alias(self.op_col),
-                    self.payload_col,
+                    *self.payload_cols,
                 )
             )
             merged = self._latest_per_key(delta.unionByName(cur))
@@ -172,8 +197,14 @@ class CdcTable(ManifestTable):
         manifest = self._current_manifest()
         if not manifest:
             return
-        cur = self._read_manifest_paths(spark, manifest).select(
-            "bucket", self.key, self.seq_col, self.payload_col
+        saved = self._schema_at(None)
+        cols = (
+            [f.name for f in saved.fields]
+            if saved is not None
+            else [self.key, self.seq_col, *self.payload_cols]
+        )
+        cur = self._read_manifest_paths(spark, manifest, saved).select(
+            "bucket", *cols
         )
         vdir = os.path.join(self.path, "data", f"version={batch_id}")
         cur.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
@@ -183,19 +214,27 @@ class CdcTable(ManifestTable):
     def read(self, spark: SparkSession, at_batch: int | None = None) -> DataFrame:
         """Live snapshot: one row per non-deleted key. ``at_batch=N``
         time-travels to the snapshot as of the latest commit ≤ N
-        (ManifestTable history; priced like a current read)."""
+        (ManifestTable history; priced like a current read). The
+        column set follows the SCHEMA VERSION as of the same batch:
+        a snapshot from before an additive evolution reads with its
+        own (narrower) columns; post-evolution snapshots NULL-fill the
+        new columns in any still-referenced pre-evolution bucket
+        files."""
         manifest = self._resolve_manifest(at_batch)
+        saved = self._schema_at(at_batch)
         if not manifest:
-            saved = self._load_schema()
             if saved is not None:
                 return spark.createDataFrame([], saved)
             t = self.col_types
-            return spark.createDataFrame(
-                [],
-                f"`{self.key}` {t.get(self.key, 'BIGINT')}, "
-                f"`{self.seq_col}` {t.get(self.seq_col, 'BIGINT')}, "
-                f"`{self.payload_col}` {t.get(self.payload_col, 'STRING')}",
+            fields = ", ".join(
+                [f"`{self.key}` {t.get(self.key, 'BIGINT')}",
+                 f"`{self.seq_col}` {t.get(self.seq_col, 'BIGINT')}"]
+                + [f"`{c}` {t.get(c, 'STRING')}" for c in self.payload_cols]
             )
-        return self._read_manifest_paths(spark, manifest).select(
-            self.key, self.seq_col, self.payload_col
+            return spark.createDataFrame([], fields)
+        cols = (
+            [f.name for f in saved.fields]
+            if saved is not None
+            else [self.key, self.seq_col, *self.payload_cols]
         )
+        return self._read_manifest_paths(spark, manifest, saved).select(*cols)

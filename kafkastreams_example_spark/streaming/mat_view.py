@@ -117,7 +117,9 @@ class MaterializedCounts(ManifestTable):
             return  # replay of an already-committed batch
         spark = batch_df.sparkSession
         delta = self._delta(batch_df)
-        self._save_schema(delta.select(*self.keys, "n", "total").schema)
+        self._save_schema(
+            delta.select(*self.keys, "n", "total").schema, batch_id
+        )
         hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
         if not hot:
             self._commit(self._current_manifest(), batch_id)
@@ -187,7 +189,7 @@ class MaterializedCounts(ManifestTable):
         reads cost exactly a current read — no log replay)."""
         manifest = self._resolve_manifest(at_batch)
         if not manifest:
-            saved = self._load_schema()
+            saved = self._schema_at(at_batch)
             if saved is not None:
                 return spark.createDataFrame([], saved)
             fields = ", ".join(

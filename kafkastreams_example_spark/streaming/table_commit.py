@@ -8,8 +8,9 @@ commit (see mat_view.py's module docstring for the full protocol
 rationale — crash safety, idempotent replay, O(hot-buckets) merges).
 What differs between them is only the MERGE ALGEBRA (additive monoid
 fold vs last-writer-wins argmax); everything about naming versions,
-committing, reading manifests, time travel, and snapshot expiry is
-protocol, so it lives here once.
+committing, reading manifests, time travel, SCHEMA versioning
+(additive column evolution without rewrite — see ``_save_schema``),
+and snapshot expiry is protocol, so it lives here once.
 
 ``vacuum`` must respect carried-forward references: after incremental
 merges the newest manifest routinely points into OLD version dirs for
@@ -58,29 +59,75 @@ class ManifestTable:
             fh.write(name)
         os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
 
-    def _save_schema(self, schema) -> None:
-        """Persist the table's read-shape StructType next to the
-        manifests, once, on the first apply (a delta frame has a schema
-        even when it has zero rows). This is what makes a PRE-data read
-        return the same column types as a post-commit read — without it
-        the empty branch would have to guess types and a caller's
-        unionByName/join written against the committed schema breaks."""
-        spath = os.path.join(self.path, "_SCHEMA.json")
-        if os.path.exists(spath):
-            return
+    def _save_schema(self, schema, batch_id: int = 0) -> None:
+        """Persist the table's read-shape StructType, VERSIONED like the
+        manifests (round-13 schema evolution): the first apply writes
+        ``_SCHEMA-<batch_id>.json``; a later apply whose delta ADDS
+        columns (existing names keep their exact types) writes a new
+        schema version — no data rewrite, old version files simply
+        NULL-fill the new columns at read time (parquet
+        read-by-explicit-schema semantics). Anything non-additive —
+        dropped column, type change — raises: that class of evolution
+        needs a rewrite and must be a conscious migration, not a drive-
+        by from one odd micro-batch. An identical schema writes
+        nothing. This is also what makes a PRE-data read return the
+        same column types as a post-commit read."""
+        latest = self._schema_at(None)
+        if latest is not None:
+            if latest.json() == schema.json():
+                return
+            have = {f.name: f.dataType for f in latest.fields}
+            new = {f.name: f.dataType for f in schema.fields}
+            non_additive = [
+                n for n, t in have.items() if n not in new or new[n] != t
+            ]
+            if non_additive:
+                raise ValueError(
+                    f"non-additive schema change for {non_additive}: "
+                    "committed columns may only be ADDED to (same name, "
+                    "same type); dropping or retyping needs an explicit "
+                    "table migration"
+                )
+        spath = os.path.join(self.path, f"_SCHEMA-{batch_id}.json")
         tmp = spath + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(schema.json())
         os.replace(tmp, spath)
 
-    def _load_schema(self):
-        spath = os.path.join(self.path, "_SCHEMA.json")
-        if not os.path.exists(spath):
-            return None
+    def _schema_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("_SCHEMA-") and name.endswith(".json"):
+                out.append(int(name[len("_SCHEMA-") : -len(".json")]))
+        return sorted(out)
+
+    def _schema_at(self, at_batch: int | None):
+        """Read-shape schema as of a batch id (None = latest): the
+        newest schema version ≤ at_batch, so TIME TRAVEL across an
+        evolution boundary reads old snapshots with their OWN column
+        set. Falls back to the legacy un-versioned _SCHEMA.json
+        (pre-evolution tables)."""
         from pyspark.sql.types import StructType
 
-        with open(spath) as fh:
-            return StructType.fromJson(json.load(fh))
+        versions = self._schema_versions()
+        eligible = (
+            versions if at_batch is None
+            else [v for v in versions if v <= at_batch]
+        )
+        if eligible:
+            spath = os.path.join(
+                self.path, f"_SCHEMA-{max(eligible)}.json"
+            )
+            with open(spath) as fh:
+                return StructType.fromJson(json.load(fh))
+        legacy = os.path.join(self.path, "_SCHEMA.json")
+        if os.path.exists(legacy):
+            with open(legacy) as fh:
+                return StructType.fromJson(json.load(fh))
+        return None
+
+    def _load_schema(self):
+        return self._schema_at(None)
 
     def committed_batch(self) -> int | None:
         ptr = os.path.join(self.path, "_CURRENT")
@@ -156,14 +203,23 @@ class ManifestTable:
         return expire
 
     # -- shared read/compact plumbing ----------------------------------
-    def _read_paths(self, spark: SparkSession, paths) -> DataFrame:
+    def _read_paths(self, spark: SparkSession, paths, schema=None) -> DataFrame:
         """Read bucket data dirs with basePath discovery (recovers the
-        bucket/version partition columns from the dir layout)."""
-        return spark.read.option(
+        bucket/version partition columns from the dir layout — Spark
+        appends partition columns to an explicit schema). Passing the
+        resolved table ``schema`` does double duty: files written
+        before an additive evolution NULL-fill the newer columns, and
+        the scan skips per-file footer schema inference entirely (at
+        warehouse scale, mergeSchema-style inference reads every
+        footer; the manifest-resolved schema is authoritative)."""
+        reader = spark.read.option(
             "basePath", os.path.join(self.path, "data")
-        ).parquet(*sorted(set(paths)))
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*sorted(set(paths)))
 
     def _read_manifest_paths(
-        self, spark: SparkSession, manifest: dict[str, str]
+        self, spark: SparkSession, manifest: dict[str, str], schema=None
     ) -> DataFrame:
-        return self._read_paths(spark, manifest.values())
+        return self._read_paths(spark, manifest.values(), schema)

@@ -1704,3 +1704,36 @@ def test_ssjoin_prefix_matches_all_shared_shingle_ground_truth(spark):
     }
     assert got == want
     assert (1, 2) in got and got[(1, 2)][1] == 1.0
+
+
+def test_mmr_rerank_parametric_k(spark):
+    """functions/similarity.mmr_rerank generalized over k (round 13):
+    k=5 yields 5 distinct picks with NON-INCREASING marginal scores
+    (penalties only grow as picks accumulate, so the greedy max is
+    monotone), the k=3 result is exactly its prefix (greedy prefix
+    property), and bad parameters raise."""
+    import pytest
+
+    from kafkastreams_example_spark.functions.similarity import mmr_rerank
+    from kafkastreams_example_spark.sources.tables import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    r5 = sorted(
+        ((r["rank"], r["neighbor_id"], r["score"])
+         for r in mmr_rerank(emb, k=5, pool=10).collect())
+    )
+    assert [r[0] for r in r5] == [1, 2, 3, 4, 5]
+    assert len({r[1] for r in r5}) == 5
+    scores = [r[2] for r in r5]
+    assert all(a >= b for a, b in zip(scores, scores[1:])), scores
+    r3 = sorted(
+        ((r["rank"], r["neighbor_id"], r["score"])
+         for r in mmr_rerank(emb, k=3, pool=10).collect())
+    )
+    assert r3 == r5[:3]
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(emb, k=11, pool=10)

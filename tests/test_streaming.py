@@ -2019,3 +2019,68 @@ def test_term_index_feed_materializes_df_and_corpus_stats(spark, tmp_path):
     assert got["beta"] == (2, 0.0)
     assert got["gamma"] == (2, 0.0)
     assert got["#corpus"] == (4, 8.0)  # N=4 docs, sum dl = 4+3+1+0
+
+
+def test_cdc_table_additive_schema_evolution(spark, tmp_path):
+    """Round-13 schema evolution: a payload column added MID-STREAM is
+    a schema version, not a rewrite — post-evolution reads NULL-fill
+    old bucket files, time travel to a pre-evolution snapshot reads
+    its own narrower column set, merges across the boundary work,
+    compaction and vacuum are unaffected, and a NON-additive change
+    (retyping a committed column) raises."""
+    import pytest
+
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    path = str(tmp_path / "cdc_evo")
+    t1 = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    df1 = spark.createDataFrame(
+        [(1, 10, "u", "a"), (2, 11, "u", "b")],
+        "k BIGINT, seq BIGINT, op STRING, payload STRING",
+    )
+    t1.apply_batch(df1, 0)
+
+    # evolve: add a 'score' column; key 2 untouched this batch (its
+    # bucket file stays pre-evolution on disk — NULL-fill territory)
+    t2 = CdcTable(path, key="k", n_buckets=4,
+                  payload_cols=("payload", "score"))
+    df2 = spark.createDataFrame(
+        [(1, 20, "u", "a2", 0.5), (3, 21, "u", "c", 0.9)],
+        "k BIGINT, seq BIGINT, op STRING, payload STRING, score DOUBLE",
+    )
+    t2.apply_batch(df2, 1)
+
+    now = {r["k"]: (r["payload"], r["score"])
+           for r in t2.read(spark).collect()}
+    assert now == {1: ("a2", 0.5), 2: ("b", None), 3: ("c", 0.9)}
+    assert t2.read(spark).columns == ["k", "seq", "payload", "score"]
+
+    # time travel ACROSS the boundary: the batch-0 snapshot reads with
+    # its own (pre-evolution) column set
+    old = t2.read(spark, at_batch=0)
+    assert old.columns == ["k", "seq", "payload"]
+    assert {r["k"]: r["payload"] for r in old.collect()} == {1: "a", 2: "b"}
+
+    # merge across the boundary AGAIN (old state + new-schema delta),
+    # then compact + vacuum; history before the vacuum horizon is gone,
+    # current state intact
+    df3 = spark.createDataFrame(
+        [(2, 30, "u", "b3", 0.1)],
+        "k BIGINT, seq BIGINT, op STRING, payload STRING, score DOUBLE",
+    )
+    t2.apply_batch(df3, 2)
+    t2.compact(spark, 3)
+    t2.vacuum(keep_last=1)
+    final = {r["k"]: (r["payload"], r["score"])
+             for r in t2.read(spark).collect()}
+    assert final == {1: ("a2", 0.5), 2: ("b3", 0.1), 3: ("c", 0.9)}
+
+    # non-additive evolution (retype payload) must raise, not merge
+    t_bad = CdcTable(path, key="k", n_buckets=4,
+                     payload_cols=("payload", "score"))
+    df_bad = spark.createDataFrame(
+        [(9, 40, "u", 7, 0.2)],
+        "k BIGINT, seq BIGINT, op STRING, payload BIGINT, score DOUBLE",
+    )
+    with pytest.raises(ValueError, match="non-additive"):
+        t_bad.apply_batch(df_bad, 4)

@@ -328,6 +328,17 @@ ROUND12B_FAMILY = [
     "zonemap_prune",
 ]
 
+# round-13 additions (the DENSITY axis of rolling_corr_range has its
+# own dedicated probe — tools/range_frame_probe.py; this entry pins the
+# VOLUME axis: replicas offset user_id, entities multiply, per-entity
+# frames stay at natural sparsity)
+ROUND13_FAMILY = [
+    # rolling_corr_range: ~linear — one entity-hash exchange feeding
+    # batch-vectorized mapInPandas; per-row work is two binary searches
+    # + O(1) prefix differencing regardless of frame size
+    "rolling_corr_range",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -671,6 +682,8 @@ if __name__ == "__main__":
             fam = ROUND12_FAMILY
         elif "r12b" in sys.argv[2:]:
             fam = ROUND12B_FAMILY
+        elif "r13" in sys.argv[2:]:
+            fam = ROUND13_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
