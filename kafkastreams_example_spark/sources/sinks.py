@@ -98,3 +98,140 @@ def read_partition_pruned(
     partition column (Catalyst emits PartitionFilters). Same machinery
     for 'parquet' and 'orc'."""
     return spark.read.format(fmt).load(path)
+
+
+def write_zoned(
+    df: DataFrame,
+    path: str,
+    zone_cols: tuple[str, str],
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by a Z-ORDER bucket of two numeric
+    columns, plus a ``_ZONEMAP.json`` sidecar holding each bucket's
+    min/max rectangle — the write half of zone-map data skipping
+    (q_zonemap_prune computes the skip WIN as a report; this makes the
+    win real at the read path — round-13 verdict item 8).
+
+    Layout: 16-bit min-max quantization of both dims, Morton bit
+    interleave, top bits → ``zbucket`` partition dir (the
+    q_zorder_layout arithmetic, integer-exact). The sidecar is the
+    per-file min/max stats a lakehouse keeps in its manifest: one
+    row per bucket, collected driver-side (bounded by n_buckets, never
+    row-bound). ``n_buckets`` must be a power of two ≤ 2³².
+    """
+    import json
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    bits = int(math.log2(n_buckets))
+    if 2**bits != n_buckets:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    cx, cy = zone_cols
+    ext = df.agg(
+        F.min(cx).alias("xmn"), F.max(cx).alias("xmx"),
+        F.min(cy).alias("ymn"), F.max(cy).alias("ymx"),
+    )
+    q = df.crossJoin(F.broadcast(ext)).withColumn(
+        "_xq",
+        F.expr(
+            f"(({cx} - xmn) * CAST(65535 AS BIGINT))"
+            " div greatest(xmx - xmn, CAST(1 AS BIGINT))"
+        ),
+    ).withColumn(
+        "_yq",
+        F.expr(
+            f"(({cy} - ymn) * CAST(65535 AS BIGINT))"
+            " div greatest(ymx - ymn, CAST(1 AS BIGINT))"
+        ),
+    )
+    interleave = " | ".join(
+        f"shiftleft(shiftright(_xq, {i}) & 1, {2 * i})"
+        f" | shiftleft(shiftright(_yq, {i}) & 1, {2 * i + 1})"
+        for i in range(16)
+    )
+    zoned = q.withColumn(
+        "zbucket",
+        F.expr(f"shiftright(({interleave}), {32 - bits})").cast("int"),
+    ).drop("_xq", "_yq", "xmn", "xmx", "ymn", "ymx")
+    zoned.write.mode(mode).partitionBy("zbucket").parquet(path)
+    stats = (
+        zoned.groupBy("zbucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(cx).alias("x_min"), F.max(cx).alias("x_max"),
+            F.min(cy).alias("y_min"), F.max(cy).alias("y_max"),
+        )
+        .collect()  # bounded: one row per bucket
+    )
+    zonemap = {
+        "zone_cols": [cx, cy],
+        "buckets": {
+            str(r["zbucket"]): {
+                "n_rows": r["n_rows"],
+                cx: [r["x_min"], r["x_max"]],
+                cy: [r["y_min"], r["y_max"]],
+            }
+            for r in stats
+        },
+    }
+    tmp = os.path.join(path, "_ZONEMAP.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(zonemap, fh, sort_keys=True, default=str)
+    os.replace(tmp, os.path.join(path, "_ZONEMAP.json"))
+
+
+def read_zone_pruned(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> DataFrame:
+    """Read a ``write_zoned`` dataset with FILE-LEVEL zone-map pruning:
+    the partition-dir list is cut to buckets whose min/max rectangle
+    intersects every requested ``col: (lo, hi)`` range BEFORE the scan
+    (the sidecar is a driver-side JSON bounded by bucket count — the
+    same stats-only planning a lakehouse manifest read does), then the
+    range predicates are applied as the residual row filter, so the
+    result EQUALS the full scan with the same filters (pruning is a
+    file-skip, never a semantics change; parity-tested in
+    tests/test_sinks.py). Either zone column may be constrained alone.
+    The plan's scan reads only surviving ``zbucket=`` dirs —
+    ``df.inputFiles()`` shows the reduced file list."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, "_ZONEMAP.json")) as fh:
+        zonemap = json.load(fh)
+    known = set(zonemap["zone_cols"])
+    unknown = set(ranges) - known
+    if unknown:
+        raise ValueError(
+            f"no zone stats for {sorted(unknown)}; zoned on "
+            f"{sorted(known)}"
+        )
+
+    def survives(stats) -> bool:
+        for col, (lo, hi) in ranges.items():
+            mn, mx = stats[col]
+            if mx < lo or mn > hi:
+                return False
+        return True
+
+    surviving = sorted(
+        int(b) for b, s in zonemap["buckets"].items() if survives(s)
+    )
+    residual = None
+    for col, (lo, hi) in ranges.items():
+        c = F.col(col).between(F.lit(lo), F.lit(hi))
+        residual = c if residual is None else residual & c
+    if not surviving:
+        schema = spark.read.parquet(path).schema
+        return spark.createDataFrame([], schema)
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, f"zbucket={b}") for b in surviving]
+    )
+    return df.filter(residual) if residual is not None else df

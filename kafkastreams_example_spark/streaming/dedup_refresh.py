@@ -298,3 +298,119 @@ def dedup_refresh_stream(
     )
     null_rows = keyed.filter(F.col("dedup_id").isNull()).select(*out_cols)
     return survivors.unionByName(null_rows)
+
+
+def make_coalesced_refresh_fn(
+    window_ms: int,
+    out_cols: tuple[str, ...],
+    clock: str = "event",
+    id_dtype_is_str: bool = True,
+):
+    """Key-COALESCED variant of the stateful dedup kernel (round-13
+    verdict item 6): one state key carries MANY logical dedup ids, so
+    the ~0.5 ms/key/batch applyInPandasWithState protocol round-trip
+    (round-7 profiling: a NO-OP stateful fn measures the same floor as
+    the real kernel at ~1.2 rows/key/batch) amortizes across the
+    packed ids instead of being paid per id.
+
+    State is the CSR flattening of {id -> remembered timestamps}
+    (parallel arrays ids / offsets / ts) because the state DDL needs
+    flat, fixed types. Per logical id, the decision algebra is the
+    SAME probe_and_remember kernel as the per-key tier — semantics
+    identical by construction, parity-asserted by
+    tools/coalesce_probe.py and tests/test_streaming.py."""
+    if clock not in ("event", "stream"):
+        raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
+    tiebreak = [c for c in out_cols if c != "ts_ms"]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        chunks = list(pdfs)
+        batch = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        )
+        batch = batch.sort_values(
+            ["dedup_id", "ts_ms", *tiebreak], kind="mergesort"
+        )
+        if state.exists:
+            ids, offs, flat = state.get
+            seen_map = {
+                i: list(flat[offs[j] : offs[j + 1]])
+                for j, i in enumerate(ids)
+            }
+        else:
+            seen_map = {}
+        keeps = []
+        for did, g in batch.groupby("dedup_id", sort=False):
+            keep, seen = probe_and_remember(
+                seen_map.get(did, []),
+                g["ts_ms"].to_numpy("int64"),
+                window_ms,
+                clock,
+            )
+            seen_map[did] = seen
+            keeps.extend(keep)
+        ids_out, offs_out, flat_out = [], [0], []
+        for did, seen in seen_map.items():
+            ids_out.append(did)
+            flat_out.extend(int(s) for s in seen)
+            offs_out.append(len(flat_out))
+        state.update((ids_out, offs_out, flat_out))
+        import numpy as np
+
+        mask = np.asarray(keeps, dtype=bool)
+        yield batch.loc[mask, list(out_cols)]
+
+    return fn
+
+
+def dedup_refresh_stream_coalesced(
+    decoded: DataFrame,
+    window_ms: int = DEFAULT_WINDOW_MS,
+    id_col: str = "dedup_id",
+    ts_col: str = "event_time",
+    payload_cols: tuple[str, ...] = ("row_id",),
+    clock: str = "event",
+    n_state_keys: int = 256,
+) -> DataFrame:
+    """dedup_refresh_stream with ids PACKED n-per-state-key: rows
+    shuffle by xxhash64(id) % n_state_keys instead of by id, so the
+    stateful operator pays its per-key protocol round-trip once per
+    PACK per batch instead of once per id. Semantics are unchanged
+    (same probe_and_remember per logical id; ids never interact —
+    hash collisions just co-locate their state).
+
+    Trade-offs vs the per-key tier, for the probe to price: (a) the
+    pack's whole state deserializes/reserializes every batch even if
+    one id was touched (state amplification ∝ pack size); (b)
+    parallelism caps at n_state_keys — size it ≥ cluster cores ×
+    a few; (c) no per-id eviction timers (timeout granularity is the
+    pack). Low-occupancy regimes (rows/key/batch ≈ 1) are where (a)
+    loses to the protocol win; tools/coalesce_probe.py measures the
+    crossover."""
+    from pyspark.sql import functions as F
+
+    keyed = decoded.select(
+        F.col(id_col).alias("dedup_id"),
+        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        *[F.col(c) for c in payload_cols],
+    )
+    out_cols = tuple(payload_cols) + ("ts_ms",)
+    dtypes = dict(keyed.dtypes)
+    out_ddl = ", ".join(f"`{c}` {dtypes[c]}" for c in out_cols)
+    id_ddl = dtypes["dedup_id"]
+    nonnull = keyed.filter(
+        F.col("dedup_id").isNotNull() & F.col("ts_ms").isNotNull()
+    ).withColumn(
+        "skey", F.pmod(F.xxhash64("dedup_id"), F.lit(n_state_keys)).cast("int")
+    )
+    survivors = nonnull.groupBy("skey").applyInPandasWithState(
+        make_coalesced_refresh_fn(window_ms, ("dedup_id",) + out_cols, clock),
+        outputStructType=f"`dedup_id` {id_ddl}, {out_ddl}",
+        stateStructType=(
+            f"ids ARRAY<{id_ddl}>, offsets ARRAY<INT>, ts ARRAY<BIGINT>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ).select(*out_cols)
+    null_rows = keyed.filter(F.col("dedup_id").isNull()).select(*out_cols)
+    return survivors.unionByName(null_rows)

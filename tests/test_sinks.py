@@ -133,3 +133,69 @@ def test_bucketed_orc_join_skips_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_ob")
         spark.sql("DROP TABLE IF EXISTS lineitem_ob")
+
+
+def test_zone_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    """Round-13 verdict item 8: the zone map must be a real file-skip
+    at the read path, not just a report. write_zoned lays orders out in
+    z-order buckets with a _ZONEMAP.json sidecar; read_zone_pruned on a
+    selective 2-D box must (a) read a strict subset of the files, all
+    from surviving zbucket dirs, (b) return EXACTLY the rows of the
+    full scan under the same predicates, (c) prune on a single
+    constrained dimension too, and (d) raise on a column without zone
+    stats. An impossible box returns empty without scanning."""
+    import pytest
+
+    from kafkastreams_example_spark.sources.sinks import (
+        read_zone_pruned,
+        write_zoned,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint").alias("y"),
+    )
+    path = str(tmp_path / "zoned")
+    write_zoned(orders, path, ("x", "y"), n_buckets=64)
+
+    full = spark.read.option("basePath", path).parquet(path)
+    n_files_full = len(full.inputFiles())
+    ext = orders.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).collect()[0]
+    x_lo = ext[0] + (ext[1] - ext[0]) * 10 // 100
+    x_hi = ext[0] + (ext[1] - ext[0]) * 25 // 100
+    y_lo = ext[2] + (ext[3] - ext[2]) * 30 // 100
+    y_hi = ext[2] + (ext[3] - ext[2]) * 55 // 100
+
+    pruned = read_zone_pruned(
+        spark, path, {"x": (x_lo, x_hi), "y": (y_lo, y_hi)}
+    )
+    files = pruned.inputFiles()
+    assert 0 < len(files) < n_files_full  # real skip
+    assert all("/zbucket=" in f for f in files)
+    want = sorted(
+        r["o_orderkey"]
+        for r in full.filter(
+            F.col("x").between(x_lo, x_hi) & F.col("y").between(y_lo, y_hi)
+        ).collect()
+    )
+    got = sorted(r["o_orderkey"] for r in pruned.collect())
+    assert got == want and len(got) > 0  # parity, non-degenerate
+
+    # single-dimension constraint prunes too
+    one = read_zone_pruned(spark, path, {"x": (x_lo, x_hi)})
+    assert 0 < len(one.inputFiles()) < n_files_full
+    assert one.count() == full.filter(F.col("x").between(x_lo, x_hi)).count()
+
+    # impossible box: no surviving buckets, empty result, same schema
+    empty = read_zone_pruned(spark, path, {"x": (ext[1] + 10, ext[1] + 20)})
+    assert empty.count() == 0
+    assert set(full.columns) == set(empty.columns)
+
+    with pytest.raises(ValueError, match="no zone stats"):
+        read_zone_pruned(spark, path, {"o_orderkey": (0, 1)})

@@ -2084,3 +2084,62 @@ def test_cdc_table_additive_schema_evolution(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-additive"):
         t_bad.apply_batch(df_bad, 4)
+
+
+def test_dedup_refresh_coalesced_parity(spark, tmp_path):
+    """Round-13 key coalescing: dedup_refresh_stream_coalesced (many
+    logical ids packed per state key, CSR state, same
+    probe_and_remember per id) must emit EXACTLY the per-key tier's
+    survivors on a multi-batch out-of-order fixture spanning several
+    ids — including cross-batch suppression, refresh-on-duplicate
+    window extension, and null-id bypass."""
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        dedup_refresh_stream,
+        dedup_refresh_stream_coalesced,
+    )
+
+    batches = [
+        # batch 1: ids A/B/C seed entries; a null id bypasses
+        [_event(0, 0, "A"), _event(1, 10_000, "B"),
+         _event(2, 20_000, "C"), _event(3, 5_000, None)],
+        # batch 2: duplicates inside the window (suppressed + refresh),
+        # and a far-future A (emitted, new entry)
+        [_event(4, 60_000, "A"), _event(5, 11_000, "B"),
+         _event(6, 11 * MIN, "A")],
+        # batch 3: out-of-order probes against remembered entries
+        [_event(7, 30_000, "C"), _event(8, 10 * MIN + 30_000, "A"),
+         _event(9, 25 * MIN, "B")],
+    ]
+
+    def run(fn, base):
+        src, ckpt, out_dir = base / "src", base / "ckpt", base / "out"
+        src.mkdir(parents=True)
+        stream = (
+            spark.readStream.schema(
+                "row_id BIGINT, ts_ms BIGINT, dedup_id STRING"
+            )
+            .json(str(src))
+            .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+        )
+        out = fn(stream)
+        for i, rows in enumerate(batches):
+            _write_batch(src, f"b{i}.json", rows)
+            q = (
+                out.writeStream.format("json")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        return _read_sink(spark, out_dir)
+
+    base = run(lambda s: dedup_refresh_stream(s), tmp_path / "pk")
+    for packs in (1, 4, 256):
+        coal = run(
+            lambda s: dedup_refresh_stream_coalesced(s, n_state_keys=packs),
+            tmp_path / f"c{packs}",
+        )
+        assert coal == base, (packs, sorted(coal), sorted(base))
+    assert 3 in base  # the null-id bypass row came through
