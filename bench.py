@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "zonemap_prune",
     # round-13 additions
     "rolling_corr_range",
+    "rolling_range_stats",
 ]
 
 

@@ -6,9 +6,14 @@ time-RANGE frame (``RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND
 CURRENT ROW``) over a dense stream costs O(n · rows-per-window) — the
 repo measured 17.4 s (RANGE) vs 0.83 s (bounded ROWS) for the same
 rolling correlation at sf0.1, and the RANGE cost grows with ingest
-DENSITY, not just volume (see q_rolling_corr's design record). Flink
-and KSQL ship incremental (add/retract) sliding aggregates natively;
-this module supplies the equivalent kernel for Spark.
+DENSITY, not just volume (see q_rolling_corr's design record; the
+dedicated probe tools/range_frame_probe.py measures the kernel here
+FLAT at 4x density where the declarative form pays exactly 4x, a 257x
+gap at 8640-row frames). Under Spark 4's default ANSI mode the
+declarative windowed corr additionally THROWS [DIVIDE_BY_ZERO] on
+zero-variance frames. Flink and KSQL ship incremental (add/retract)
+sliding aggregates natively; this module supplies the equivalent
+kernel for Spark.
 
 Physical shape — mapInPandas over entity-clustered data, NOT
 groupBy().applyInPandas: per-entity grouped-pandas pays Spark's
@@ -25,29 +30,28 @@ vectorized ACROSS entities:
      gap exceeds the window, so ONE global ``np.searchsorted`` per
      bound finds every row's frame without frames ever crossing an
      entity boundary;
-  3. frame moments (n, Σx, Σy, Σx², Σy², Σxy) come from global prefix
-     sums differenced at the frame bounds — the retract is the
-     subtraction. O(n log n) per batch at ANY density.
+  3. frame moments (n, Σy, Σy², and for corr Σx, Σx², Σxy) come from
+     global prefix sums differenced at the frame bounds — the retract
+     is the subtraction. O(n log n) per batch at ANY density.
 
 Numerical discipline (what makes prefix differencing safe here):
 
-  * x (time) is rescaled to DAYS and rebased to its entity's masked
-    mean (corr is shift- and scale-invariant; raw epoch-µs magnitudes
-    ~1.7e15 would burn half of double's mantissa on a constant
-    offset); y is rebased to its entity's masked mean; per-entity
-    means come from ``np.bincount`` — no Python per-group loop;
+  * second-moment inputs are rebased to their entity's masked mean
+    before the cumsum (the co-moment identity n·Σa²−(Σa)² cancels
+    catastrophically at large magnitudes; raw global cumsums
+    measurably lost low bits — corr −1.000006 vs the oracle's −1) and
+    the prefix itself is re-centered per entity so it returns to ~0 at
+    every entity boundary, with the exact (hi−lo)·μ correction added
+    back;
   * zero-variance frames are detected EXACTLY, never by floating-point
     residue: a frame is degenerate in a regressor iff the regressor
     has ZERO value-changes along the masked subsequence inside the
-    frame (prefix counts of integer/equality change flags). The
-    co-moment identity n·Σx²−(Σx)² cancels catastrophically exactly
-    when true variance ~0, so an FP-residual test would misclassify;
-    the change-count test cannot.
+    frame (prefix counts of integer/equality change flags).
 
-Cross-engine parity: DuckDB's windowed ``corr`` accumulates
-differently (segment-tree merged co-moment states), so results agree
-to rounding, not bit-for-bit — callers round (the registry entry uses
-6 dp, like the ROWS-frame sibling) and normalize NaN→NULL.
+Cross-engine parity: DuckDB's windowed aggregates accumulate
+differently (segment-tree merged states), so results agree to
+rounding, not bit-for-bit — callers round (the registry entries use
+6 dp) and normalize NaN→NULL.
 
 100 TB shape: one exchange on the entity key (partition count grows
 with entity cardinality, which grows with the data), task memory
@@ -76,6 +80,190 @@ US_PER_DAY = 86_400_000_000.0
 DEFAULT_HISTORY_CAP = 1_000_000
 
 
+class _FrameCtx:
+    """Everything a RANGE-frame aggregate needs for one batch of
+    complete entities, precomputed once: entity codes, frame bounds
+    (lo/hi), exact masked pair count n, and the entity-centered
+    ``frame_sum`` / exact ``degenerate`` primitives."""
+
+    def __init__(self, pdf, entity_cols, t_us_col, y_col, window_us, cap, where):
+        import numpy as np
+
+        self.np = np
+        self.pdf = pdf
+        n_rows = len(pdf)
+        chg_ent = np.zeros(n_rows, dtype=bool)
+        for c in entity_cols:
+            v = pdf[c].to_numpy()
+            chg_ent[1:] |= v[1:] != v[:-1]
+        self.codes = codes = np.cumsum(chg_ent)
+        counts = np.bincount(codes)
+        if counts.max() > cap:
+            bad = int(np.argmax(counts))
+            row = pdf.iloc[int(np.searchsorted(codes, bad))]
+            ent = {c: row[c] for c in entity_cols}
+            raise ValueError(
+                f"{where}: entity {ent} has {counts.max()} rows, over "
+                f"the history_cap of {cap} — the retention contract "
+                "this kernel sizes task memory by is violated; raise "
+                "the cap consciously or bound the entity's history "
+                "upstream"
+            )
+        self.t = t = pdf[t_us_col].to_numpy(np.int64)
+        self.y = y = pdf[y_col].to_numpy(np.float64)
+        self.m = m = ~np.isnan(y)
+        # entity-offset time axis: gaps exceed the window, so global
+        # searchsorted frames can never cross an entity boundary
+        self.t0 = t0 = t - t.min()
+        step = np.int64(int(t0.max()) + window_us + 2)
+        self.n_codes = n_codes = int(codes[-1]) + 1
+        if n_codes * int(step) >= 1 << 62:
+            raise OverflowError(
+                f"{where}: entity-offset time axis would overflow "
+                f"int64 ({n_codes} entities x {step} span-µs step) — "
+                "shrink the Arrow batch "
+                "(spark.sql.execution.arrow.maxRecordsPerBatch)"
+            )
+        t_adj = t0 + codes * step
+        self.lo = np.searchsorted(t_adj, t_adj - window_us, side="left")
+        self.hi = np.searchsorted(t_adj, t_adj, side="right")
+        self._span = (self.hi - self.lo).astype(np.float64)
+        self._ent_len = np.bincount(codes, minlength=n_codes).astype(
+            np.float64
+        )
+        # the pair count must stay EXACT (n>=1/2 gates): cumsum of 0/1
+        # doubles is integer-exact below 2^53, so difference it raw
+        pn = self.pref(m.astype(np.float64))
+        self.n = pn[self.hi] - pn[self.lo]
+        # per-entity masked mean of y, for mean-rebasing second moments
+        cm = codes[m]
+        cnt = np.bincount(cm, minlength=n_codes).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            self.mean_y_ent = (
+                np.bincount(cm, weights=y[m], minlength=n_codes) / cnt
+            )
+            self.mean_x_ent = (
+                np.bincount(
+                    cm,
+                    weights=(t0.astype(np.float64) / US_PER_DAY)[m],
+                    minlength=n_codes,
+                )
+                / cnt
+            )
+
+    def pref(self, a):
+        p = self.np.zeros(len(a) + 1)
+        self.np.cumsum(a, out=p[1:])
+        return p
+
+    def frame_sum(self, a):
+        """Frame sums by prefix differencing — but NOT over raw global
+        cumsums: those grow with the whole batch (~50k rows), and
+        differencing a small frame sum out of a large prefix loses the
+        low bits exactly where near-degenerate frames need them
+        (measured: corr = -1.000006 vs the oracle's -1). Each moment
+        array is centered by its ENTITY mean before the cumsum — the
+        prefix returns to ~0 at every entity boundary — and the exact
+        (hi−lo)·μ correction is added back."""
+        np = self.np
+        mu = (
+            np.bincount(self.codes, weights=a, minlength=self.n_codes)
+            / self._ent_len
+        )
+        p = self.pref(a - mu[self.codes])
+        return (p[self.hi] - p[self.lo]) + self._span * mu[self.codes]
+
+    def degenerate(self, values):
+        """EXACT zero-variance test over the masked subsequence (never
+        FP residue of the co-moment identity): a frame is degenerate
+        iff ``values`` has ZERO changes along the masked rows inside
+        it. A change flag at a masked position compares against the
+        PREVIOUS masked position; the first counted position is clo+1,
+        whose predecessor clo is inside the same entity's frame —
+        cross-entity boundary flags are never counted."""
+        np = self.np
+        idx = np.flatnonzero(self.m)
+        vc = values[idx]
+        chg = np.zeros(len(vc))
+        if len(vc) > 1:
+            chg[1:] = (vc[1:] != vc[:-1]).astype(np.float64)
+        pchg = self.pref(chg)
+        clo = np.searchsorted(idx, self.lo, side="left")
+        chi = np.searchsorted(idx, self.hi, side="left")
+        first_chg = np.minimum(clo + 1, chi)
+        return pchg[chi] - pchg[first_chg] == 0
+
+
+def _range_kernel(
+    df: DataFrame,
+    entity_cols: list[str],
+    t_us_col: str,
+    y_col: str,
+    window_us: int,
+    id_cols: list[str],
+    history_cap: int,
+    out_schema_suffix: str,
+    emit,
+    where: str,
+) -> DataFrame:
+    """Shared scaffold for time-RANGE sliding aggregates: entity-hash
+    repartition + (entity, t, tiebreak) within-partition sort feeding
+    mapInPandas, entity runs carried across Arrow-batch boundaries,
+    per-batch _FrameCtx handed to ``emit(ctx) -> output pdf``."""
+    import pandas as pd
+
+    w = int(window_us)
+    cap = int(history_cap)
+    in_cols = list(dict.fromkeys([*entity_cols, t_us_col, y_col, *id_cols]))
+    schema = ", ".join(
+        f"{c} {t}" for c, t in df.select(*id_cols).dtypes
+    ) + f", {out_schema_suffix}"
+
+    def process(pdf):
+        return emit(
+            _FrameCtx(pdf, entity_cols, t_us_col, y_col, w, cap, where)
+        )
+
+    def gen(batches):
+        import numpy as np
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing entity — it may continue in the
+            # next batch of this sorted partition
+            last = pdf.iloc[-1]
+            tail_mask = np.ones(len(pdf), dtype=bool)
+            for c in entity_cols:
+                tail_mask &= pdf[c].to_numpy() == last[c]
+            # tail rows are contiguous at the end (sorted by entity)
+            n_tail = int(tail_mask[::-1].cumprod().sum())
+            if n_tail > cap:
+                ent = {c: last[c] for c in entity_cols}
+                raise ValueError(
+                    f"{where}: entity {ent} exceeds the history_cap of "
+                    f"{cap} rows while buffering — the retention "
+                    "contract is violated"
+                )
+            head = pdf.iloc[: len(pdf) - n_tail]
+            carry = pdf.iloc[len(pdf) - n_tail :]
+            if len(head):
+                yield process(head)
+        if carry is not None and len(carry):
+            yield process(carry)
+
+    clustered = (
+        df.select(*in_cols)
+        .repartition(*[F.col(c) for c in entity_cols])
+        .sortWithinPartitions(*entity_cols, t_us_col, *id_cols)
+    )
+    return clustered.mapInPandas(gen, schema)
+
+
 def rolling_corr_range(
     df: DataFrame,
     entity_cols: list[str],
@@ -98,160 +286,102 @@ def rolling_corr_range(
     nothing to any frame but still get an output row when their frame
     has ≥2 pairs (pair-wise deletion, matching SQL corr).
     """
-    import numpy as np
-    import pandas as pd
 
-    w = int(window_us)
-    cap = int(history_cap)
-    in_cols = list(dict.fromkeys([*entity_cols, t_us_col, y_col, *id_cols]))
-    schema = ", ".join(
-        f"{c} {t}" for c, t in df.select(*id_cols).dtypes
-    ) + f", {out_col} double"
-
-    def process(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized frame corr over a batch of COMPLETE entities,
-        sorted by (entity, t, tiebreak)."""
-        # run-length entity codes over the sorted batch
-        n_rows = len(pdf)
-        chg_ent = np.zeros(n_rows, dtype=bool)
-        for c in entity_cols:
-            v = pdf[c].to_numpy()
-            chg_ent[1:] |= v[1:] != v[:-1]
-        codes = np.cumsum(chg_ent)
-        counts = np.bincount(codes)
-        if counts.max() > cap:
-            bad = int(np.argmax(counts))
-            row = pdf.iloc[int(np.searchsorted(codes, bad))]
-            ent = {c: row[c] for c in entity_cols}
-            raise ValueError(
-                f"rolling_corr_range: entity {ent} has {counts.max()} "
-                f"rows, over the history_cap of {cap} — the retention "
-                "contract this kernel sizes task memory by is violated; "
-                "raise the cap consciously or bound the entity's history "
-                "upstream"
-            )
-        t = pdf[t_us_col].to_numpy(np.int64)
-        y = pdf[y_col].to_numpy(np.float64)
-        m = ~np.isnan(y)
-        # entity-offset time axis: gaps exceed the window, so global
-        # searchsorted frames can never cross an entity boundary
-        t0 = t - t.min()
-        step = np.int64(int(t0.max()) + w + 2)
-        n_codes = int(codes[-1]) + 1
-        if (n_codes) * int(step) >= 1 << 62:
-            raise OverflowError(
-                "rolling_corr_range: entity-offset time axis would "
-                f"overflow int64 ({n_codes} entities x {step} span-µs "
-                "step) — shrink the Arrow batch "
-                "(spark.sql.execution.arrow.maxRecordsPerBatch)"
-            )
-        t_adj = t0 + codes * step
-        lo = np.searchsorted(t_adj, t_adj - w, side="left")
-        hi = np.searchsorted(t_adj, t_adj, side="right")
-        # per-entity masked means (bincount — no Python group loop);
+    def emit(ctx):
+        np = ctx.np
         # rebase both regressors: corr is shift-invariant and the
         # co-moment identity needs small magnitudes
-        x = t0.astype(np.float64) / US_PER_DAY
-        cm = codes[m]
-        cnt = np.bincount(cm, minlength=n_codes).astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean_x = np.bincount(cm, weights=x[m], minlength=n_codes) / cnt
-            mean_y = np.bincount(cm, weights=y[m], minlength=n_codes) / cnt
-        xr = np.where(m, x - mean_x[codes], 0.0)
-        yr = np.where(m, np.nan_to_num(y) - mean_y[codes], 0.0)
-
-        def pref(a):
-            p = np.zeros(len(a) + 1)
-            np.cumsum(a, out=p[1:])
-            return p
-
-        # Frame sums by prefix differencing — but NOT over raw global
-        # cumsums: those grow with the whole batch (~50k rows), and
-        # differencing a small frame sum out of a large prefix loses
-        # the low bits exactly where near-degenerate frames need them
-        # (measured: corr = -1.000006 vs the oracle's -1). Instead each
-        # moment array is centered by its ENTITY mean before the
-        # cumsum — the prefix returns to ~0 at every entity boundary,
-        # so its magnitude stays at within-entity excursions — and the
-        # exact correction (hi-lo)·μ_entity is added back.
-        ent_len = np.bincount(codes, minlength=n_codes).astype(np.float64)
-        span = (hi - lo).astype(np.float64)
-
-        def frame_sum(a):
-            mu = np.bincount(codes, weights=a, minlength=n_codes) / ent_len
-            p = pref(a - mu[codes])
-            return (p[hi] - p[lo]) + span * mu[codes]
-
-        # the pair count must stay EXACT (n>=2 gate): cumsum of 0/1
-        # doubles is integer-exact below 2^53, so difference it raw
-        pn = pref(m.astype(np.float64))
-        n = pn[hi] - pn[lo]
-        sx, sy = frame_sum(xr), frame_sum(yr)
-        sxx, syy = frame_sum(xr * xr), frame_sum(yr * yr)
-        sxy = frame_sum(xr * yr)
+        x = ctx.t0.astype(np.float64) / US_PER_DAY
+        xr = np.where(ctx.m, x - ctx.mean_x_ent[ctx.codes], 0.0)
+        yr = np.where(
+            ctx.m, np.nan_to_num(ctx.y) - ctx.mean_y_ent[ctx.codes], 0.0
+        )
+        n = ctx.n
+        sx, sy = ctx.frame_sum(xr), ctx.frame_sum(yr)
+        sxx, syy = ctx.frame_sum(xr * xr), ctx.frame_sum(yr * yr)
+        sxy = ctx.frame_sum(xr * yr)
         with np.errstate(invalid="ignore", divide="ignore"):
             corr = (n * sxy - sx * sy) / np.sqrt(
                 (n * sxx - sx * sx) * (n * syy - sy * sy)
             )
-        # EXACT degeneracy tests over the masked subsequence (see
-        # module docstring): zero changes in the frame ⇒ degenerate.
-        # A change flag at a masked position compares against the
-        # PREVIOUS masked position; the first counted position is
-        # clo+1, whose predecessor clo is inside the same entity's
-        # frame — cross-entity boundary flags are never counted.
-        idx = np.flatnonzero(m)
-        tc, yc = t[idx], y[idx]
-
-        def pref_changes(a):
-            chg = np.zeros(len(a))
-            if len(a) > 1:
-                chg[1:] = (a[1:] != a[:-1]).astype(np.float64)
-            return pref(chg)
-
-        ptchg, pychg = pref_changes(tc), pref_changes(yc)
-        clo = np.searchsorted(idx, lo, side="left")
-        chi = np.searchsorted(idx, hi, side="left")
-        first_chg = np.minimum(clo + 1, chi)
-        x_degenerate = ptchg[chi] - ptchg[first_chg] == 0
-        y_degenerate = pychg[chi] - pychg[first_chg] == 0
-        ok = (n >= 2) & ~x_degenerate & ~y_degenerate & np.isfinite(corr)
-        out = pdf[id_cols].copy()
+        ok = (
+            (n >= 2)
+            & ~ctx.degenerate(ctx.t)
+            & ~ctx.degenerate(ctx.y)
+            & np.isfinite(corr)
+        )
+        out = ctx.pdf[id_cols].copy()
         out[out_col] = corr
         return out[ok]
 
-    def gen(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if len(pdf) == 0:
-                continue
-            # hold back the trailing entity — it may continue in the
-            # next batch of this sorted partition
-            last = pdf.iloc[-1]
-            tail_mask = np.ones(len(pdf), dtype=bool)
-            for c in entity_cols:
-                tail_mask &= pdf[c].to_numpy() == last[c]
-            # tail rows are contiguous at the end (sorted by entity)
-            n_tail = int(tail_mask[::-1].cumprod().sum())
-            if n_tail > cap:
-                ent = {c: last[c] for c in entity_cols}
-                raise ValueError(
-                    f"rolling_corr_range: entity {ent} exceeds the "
-                    f"history_cap of {cap} rows while buffering — the "
-                    "retention contract is violated"
-                )
-            head = pdf.iloc[: len(pdf) - n_tail]
-            carry = pdf.iloc[len(pdf) - n_tail :]
-            if len(head):
-                yield process(head)
-        if carry is not None and len(carry):
-            yield process(carry)
-
-    clustered = (
-        df.select(*in_cols)
-        .repartition(*[F.col(c) for c in entity_cols])
-        .sortWithinPartitions(*entity_cols, t_us_col, *id_cols)
+    return _range_kernel(
+        df, entity_cols, t_us_col, y_col, window_us, id_cols,
+        history_cap, f"{out_col} double", emit, "rolling_corr_range",
     )
-    return clustered.mapInPandas(gen, schema)
+
+
+def rolling_range_stats(
+    df: DataFrame,
+    entity_cols: list[str],
+    t_us_col: str,
+    y_col: str,
+    window_us: int,
+    id_cols: list[str],
+    history_cap: int = DEFAULT_HISTORY_CAP,
+) -> DataFrame:
+    """Per-entity rolling (count, sum, mean, population std) of ``y``
+    over the same TRUE time-RANGE trailing frame as
+    ``rolling_corr_range`` — the standard-aggregate face of the
+    retract-capable kernel (one pass computes all four; the
+    declarative RANGE form replays the frame per row for each).
+
+    Output per input row: id_cols + n_frame (BIGINT, non-null count),
+    sum_v / mean_v / std_v (unrounded doubles, NULL when n_frame = 0;
+    std is exact 0 for a value-degenerate frame via the change-count
+    test, and NULL when n_frame = 0). Callers round.
+    """
+
+    def emit(ctx):
+        np = ctx.np
+        n = ctx.n
+        # sum/mean are NOT shift-invariant: compute on raw y (masked);
+        # magnitudes are data-scale, safe without rebasing at the
+        # callers' rounding. std IS shift-invariant: rebased moments.
+        y_raw = np.where(ctx.m, np.nan_to_num(ctx.y), 0.0)
+        s_raw = ctx.frame_sum(y_raw)
+        yr = np.where(
+            ctx.m, np.nan_to_num(ctx.y) - ctx.mean_y_ent[ctx.codes], 0.0
+        )
+        sy, syy = ctx.frame_sum(yr), ctx.frame_sum(yr * yr)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s_raw / n
+            var = np.maximum(syy / n - (sy / n) ** 2, 0.0)
+        std = np.sqrt(var)
+        # a value-degenerate frame has EXACTLY zero variance — pin it
+        # (the FP residue would round to 0 at 6 dp, but exact is exact)
+        std = np.where(ctx.degenerate(ctx.y), 0.0, std)
+        empty = n == 0
+        out = ctx.pdf[id_cols].copy()
+        out["n_frame"] = n.astype(np.int64)
+
+        def nullable(vals):
+            # pandas nullable Float64 → Spark NULL (a plain float64 NaN
+            # would arrive as NaN, which is NOT the SQL NULL the
+            # aggregates return over an empty frame)
+            import pandas as pd
+
+            a = pd.array(np.nan_to_num(vals), dtype="Float64")
+            a[empty] = pd.NA
+            return a
+
+        out["sum_v"] = nullable(s_raw)
+        out["mean_v"] = nullable(mean)
+        out["std_v"] = nullable(std)
+        return out
+
+    return _range_kernel(
+        df, entity_cols, t_us_col, y_col, window_us, id_cols,
+        history_cap,
+        "n_frame bigint, sum_v double, mean_v double, std_v double",
+        emit, "rolling_range_stats",
+    )

@@ -8925,6 +8925,65 @@ WHERE CASE WHEN isnan(c) THEN NULL ELSE round(c, 6) END IS NOT NULL
 """
 
 
+def q_rolling_range_stats(spark, sf_dir):
+    """Standard aggregates over the TRUE time-RANGE trailing frame —
+    the second face of the retract-capable kernel next to
+    q_rolling_corr_range: per event, the (count, sum, mean, population
+    std) of its entity's values over the trailing 24 hours, all four
+    from ONE kernel pass (functions/sliding.py::rolling_range_stats).
+    The declarative form replays the frame per row for EACH aggregate;
+    the kernel's prefix-differenced moments price the whole family at
+    two binary searches per row regardless of frame size or density.
+
+    Same plan shape and enforcement as the corr entry: one entity-hash
+    exchange, batch-vectorized mapInPandas, history cap. Exactness:
+    n_frame is integer-exact; sum/mean/std round to 6 dp (cross-engine
+    accumulation order); a value-degenerate frame's std is pinned to
+    exact 0 via the change-count test, never FP residue."""
+    from .functions.sliding import rolling_range_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = rolling_range_stats(
+        df,
+        entity_cols=["user_id", "event_type"],
+        t_us_col="t_us",
+        y_col="value",
+        window_us=86_400_000_000,
+        id_cols=["event_id", "event_type"],
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "n_frame",
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("std_v", 6).alias("std_v"),
+    )
+
+
+SQL_ROLLING_RANGE_STATS = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t
+  FROM events)
+SELECT event_id, event_type,
+       COUNT(value) OVER w AS n_frame,
+       round(SUM(value) OVER w, 6) AS sum_v,
+       round(AVG(value) OVER w, 6) AS mean_v,
+       round(STDDEV_POP(value) OVER w, 6) AS std_v
+FROM e
+WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY t
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     # reference surface
     "filter_level": QuerySpec(q_filter_level, SQL_FILTER_LEVEL, ("reference", "filter")),
@@ -9301,6 +9360,11 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_ROLLING_CORR_RANGE,
         ("relational", "window", "timeseries"),
     ),
+    "rolling_range_stats": QuerySpec(
+        q_rolling_range_stats,
+        SQL_ROLLING_RANGE_STATS,
+        ("relational", "window", "timeseries"),
+    ),
     "expectations_audit": QuerySpec(
         q_expectations_audit, SQL_EXPECTATIONS_AUDIT, ("relational", "quality")
     ),
@@ -9318,6 +9382,7 @@ REGISTRY: dict[str, QuerySpec] = {
 _GATE_ORDER = [
     # — changed or new in round 13: must (re-)evidence first —
     "rolling_corr_range",      # new: retract-capable 24 h time-RANGE corr
+    "rolling_range_stats",     # new: count/sum/mean/std over the same kernel
     "bloom_semi_join",         # advice fix: type-blind key hashing
     "ssjoin_prefix",           # advice fix: parquet staging, not persist
     "ewma",                    # history-cap enforcement

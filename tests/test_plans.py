@@ -1119,3 +1119,17 @@ def test_rolling_corr_range_single_exchange_no_window(spark):
     assert "hashpartitioning(user_id" in plan, plan
     assert "Window" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_rolling_range_stats_single_exchange_no_window(spark):
+    """The stats face of the RANGE kernel carries the identical plan
+    contract as the corr face: one entity-hash exchange into
+    MapInPandas, no declarative Window, no global sort."""
+    from kafkastreams_example_spark.queries import q_rolling_range_stats
+
+    df = q_rolling_range_stats(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

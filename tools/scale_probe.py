@@ -337,6 +337,9 @@ ROUND13_FAMILY = [
     # batch-vectorized mapInPandas; per-row work is two binary searches
     # + O(1) prefix differencing regardless of frame size
     "rolling_corr_range",
+    # rolling_range_stats: same kernel scaffold, y-moments only; output
+    # one row per input row (rows scale exactly xF)
+    "rolling_range_stats",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
