@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     # round-13 additions
     "rolling_corr_range",
     "rolling_range_stats",
+    "ann_recall",
 ]
 
 

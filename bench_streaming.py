@@ -78,6 +78,10 @@ THRESHOLDS = {
     "dedup_watermark": 100_000,
     "dedup_refresh": 20_000,
     "dedup_refresh_hot": 60_000,
+    # round-13 key-coalesced tier (64 ids/state-key, pack-vectorized
+    # decisions): probe read 99.7k rows/s at the hot shape — floor at
+    # the ~2-3x under-recording policy
+    "dedup_refresh_coalesced": 35_000,
     # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
     # headroom and a load-overlapped r8 run read 127k — 100k restores
     # the ~2-3x under-recording policy (same correction minhash got)
@@ -251,6 +255,28 @@ def main() -> None:
                     d, id_col="dedup_id", ts_col="event_time", payload_cols=("row_id",)
                 ),
                 "dedup_refresh_hot",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_filter,
+        }
+
+        # round-13 key-coalesced tier: same workload as dedup_refresh_hot,
+        # ids packed 64-per-state-key, decisions vectorized across the
+        # pack (probe: 1.19-1.21x over per-key; parity-tested)
+        from kafkastreams_example_spark.streaming.dedup_refresh import (
+            dedup_refresh_stream_coalesced,
+        )
+
+        d = _decoded(_rate_source(spark, rows_filter)).withColumn(
+            "dedup_id", F.col("event.exception.exception_class")
+        )
+        results["dedup_refresh_coalesced"] = {
+            **_run_query(
+                dedup_refresh_stream_coalesced(
+                    d, id_col="dedup_id", ts_col="event_time",
+                    payload_cols=("row_id",), n_state_keys=64,
+                ),
+                "dedup_refresh_coalesced",
                 ckpt_root,
             ),
             "rows_per_batch": rows_filter,

@@ -8212,7 +8212,11 @@ def q_rolling_corr(spark, sf_dir):
     moves (declarative aggregates have no retract), so a time-based
     frame costs O(n · rows-per-24h), measured 17.4 s at sf0.1 and
     growing with ingest DENSITY, while ROWS 63 PRECEDING is ≤64
-    updates per row, linear at any scale and density. The time
+    updates per row, linear at any scale and density. (Since round 13
+    the TRUE 24 h RANGE semantics are available at the same cost via
+    the retract-capable incremental kernel — q_rolling_corr_range /
+    functions/sliding.py; this entry remains the declarative ROWS
+    face.) The time
     regressor is re-based to the epoch floor (2024-01-01): raw
     epoch-µs magnitudes (~1.7e15) would burn 5 of double's 16 digits
     on a constant offset and make the co-moment subtraction
@@ -8925,6 +8929,57 @@ WHERE CASE WHEN isnan(c) THEN NULL ELSE round(c, 6) END IS NOT NULL
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality eval as a first-class operator: recall@5 of the
+    IVF-bucketed approximate top-k against the exact brute-force
+    top-k, per query — the acceptance gate every production ANN
+    deployment runs before (and periodically after) switching the
+    retrieval path from exact to approximate. Output: one row per
+    query (n_hits, recall_at_5).
+
+    Scale shape: both sides are existing registry operators (sim_topk
+    exact baseline, ivf_topk bucketed path) whose own plans are
+    corpus-bound only in their candidate stages (TakeOrderedAndProject
+    heaps, no global sort); the eval itself joins two |queries|·k-row
+    frames — broadcast territory. recall = n_hits / 5.0 is one IEEE
+    division of identical operands on both engines (bit-identical, no
+    rounding shield). Oracle: the two entries' own SQL oracles
+    composed as derived tables — the gate checks the eval arithmetic
+    AND re-checks both retrieval paths in one entry."""
+    from .functions.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, query_ids=qids, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(emb, query_ids=qids, k=5).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = exact.join(
+        F.broadcast(approx),
+        (exact.query_id == F.col("aq")) & (exact.neighbor_id == F.col("an")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count("an").alias("n_hits"),
+        (F.count("an") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+# the eval's oracle literally embeds the two retrieval oracles as
+# derived tables (DuckDB accepts WITH inside a parenthesized subquery)
+SQL_ANN_RECALL = f"""
+WITH ex AS ({SQL_SIM_TOPK}), ap AS ({SQL_IVF_TOPK})
+SELECT ex.query_id,
+       CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,
+       COUNT(ap.neighbor_id) / 5.0 AS recall_at_5
+FROM ex LEFT JOIN ap
+  ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.query_id
+"""
+
+
 def q_rolling_range_stats(spark, sf_dir):
     """Standard aggregates over the TRUE time-RANGE trailing frame —
     the second face of the retract-capable kernel next to
@@ -9365,6 +9420,9 @@ REGISTRY: dict[str, QuerySpec] = {
         SQL_ROLLING_RANGE_STATS,
         ("relational", "window", "timeseries"),
     ),
+    "ann_recall": QuerySpec(
+        q_ann_recall, SQL_ANN_RECALL, ("similarity", "eval")
+    ),
     "expectations_audit": QuerySpec(
         q_expectations_audit, SQL_EXPECTATIONS_AUDIT, ("relational", "quality")
     ),
@@ -9383,6 +9441,7 @@ _GATE_ORDER = [
     # — changed or new in round 13: must (re-)evidence first —
     "rolling_corr_range",      # new: retract-capable 24 h time-RANGE corr
     "rolling_range_stats",     # new: count/sum/mean/std over the same kernel
+    "ann_recall",              # new: recall@5 eval of IVF vs exact top-k
     "bloom_semi_join",         # advice fix: type-blind key hashing
     "ssjoin_prefix",           # advice fix: parquet staging, not persist
     "ewma",                    # history-cap enforcement

@@ -1133,3 +1133,20 @@ def test_rolling_range_stats_single_exchange_no_window(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_ann_recall_eval_join_is_broadcast(spark):
+    """The recall@5 eval joins two |queries|*k-row frames: the eval
+    join itself must be broadcast (the only SortMergeJoin allowed is
+    ivf_topk's internal corpus-side bucket equi-join — shuffle-
+    appropriate, it carries candidate rows), no cartesian product
+    anywhere, and nothing range-partitions (per-query ranking is
+    query-partitioned window work, never a global sort)."""
+    from kafkastreams_example_spark.queries import q_ann_recall
+
+    df = q_ann_recall(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("SortMergeJoin") <= 1, plan  # ivf bucket join only
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan

@@ -340,6 +340,9 @@ ROUND13_FAMILY = [
     # rolling_range_stats: same kernel scaffold, y-moments only; output
     # one row per input row (rows scale exactly xF)
     "rolling_range_stats",
+    # ann_recall: ~linear — two TakeOrderedAndProject candidate heaps
+    # over the corpus + a 25-row broadcast eval join; 5 output rows
+    "ann_recall",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
