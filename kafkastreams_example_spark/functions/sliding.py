@@ -173,6 +173,53 @@ class _FrameCtx:
         p = self.pref(a - mu[self.codes])
         return (p[self.hi] - p[self.lo]) + self._span * mu[self.codes]
 
+    def frame_minmax(self, fill_min=None, fill_max=None):
+        """EXACT per-frame min/max of y over the masked rows — prefix
+        sums can't express order statistics, so these come from a
+        SPARSE TABLE (Bender/Farach-Colton RMQ): L = ⌈log₂ n⌉ levels of
+        strided np.minimum/np.maximum, then every frame [lo, hi) is
+        answered by two overlapping power-of-two blocks — O(n log n)
+        build, O(1) per row, still no Python loop over rows. Masked-out
+        rows are filled with ±inf; a frame with zero masked rows
+        surfaces ±inf (callers NULL it via n == 0). Values are exact
+        selections — no rounding shield needed cross-engine."""
+        np = self.np
+        y = np.where(self.m, np.nan_to_num(self.y), np.inf)
+        y2 = np.where(self.m, np.nan_to_num(self.y), -np.inf)
+        lo, hi = self.lo, self.hi
+        lens = hi - lo
+        n = len(y)
+        levels_mn, levels_mx = [y], [y2]
+        size = 1
+        while size * 2 <= n:
+            prev_mn, prev_mx = levels_mn[-1], levels_mx[-1]
+            m_ = len(prev_mn) - size
+            levels_mn.append(np.minimum(prev_mn[:m_], prev_mn[size:]))
+            levels_mx.append(np.maximum(prev_mx[:m_], prev_mx[size:]))
+            size *= 2
+        k = np.zeros(len(lens), dtype=np.int64)
+        nz = lens > 0
+        k[nz] = np.floor(np.log2(lens[nz])).astype(np.int64)
+        # guard against float log rounding at exact powers of two
+        k = np.minimum(k, len(levels_mn) - 1)
+        too_big = (1 << k) > np.maximum(lens, 1)
+        k[too_big] -= 1
+        blk = 1 << k
+        out_mn = np.full(len(lens), np.inf)
+        out_mx = np.full(len(lens), -np.inf)
+        for kk in range(len(levels_mn)):
+            sel = nz & (k == kk)
+            if not sel.any():
+                continue
+            l_, r_ = lo[sel], hi[sel] - blk[sel]
+            out_mn[sel] = np.minimum(
+                levels_mn[kk][l_], levels_mn[kk][r_]
+            )
+            out_mx[sel] = np.maximum(
+                levels_mx[kk][l_], levels_mx[kk][r_]
+            )
+        return out_mn, out_mx
+
     def degenerate(self, values):
         """EXACT zero-variance test over the masked subsequence (never
         FP residue of the co-moment identity): a frame is degenerate
@@ -329,16 +376,20 @@ def rolling_range_stats(
     id_cols: list[str],
     history_cap: int = DEFAULT_HISTORY_CAP,
 ) -> DataFrame:
-    """Per-entity rolling (count, sum, mean, population std) of ``y``
-    over the same TRUE time-RANGE trailing frame as
+    """Per-entity rolling (count, sum, mean, population std, min, max)
+    of ``y`` over the same TRUE time-RANGE trailing frame as
     ``rolling_corr_range`` — the standard-aggregate face of the
-    retract-capable kernel (one pass computes all four; the
-    declarative RANGE form replays the frame per row for each).
+    retract-capable kernel (one pass computes all six; the declarative
+    RANGE form replays the frame per row for each). Moments come from
+    the prefix machinery; min/max — which prefix sums cannot express —
+    from a sparse-table RMQ (O(n log n) build, O(1) per row, see
+    _FrameCtx.frame_minmax).
 
     Output per input row: id_cols + n_frame (BIGINT, non-null count),
-    sum_v / mean_v / std_v (unrounded doubles, NULL when n_frame = 0;
-    std is exact 0 for a value-degenerate frame via the change-count
-    test, and NULL when n_frame = 0). Callers round.
+    sum_v / mean_v / std_v / min_v / max_v (unrounded doubles, NULL
+    when n_frame = 0; std is exact 0 for a value-degenerate frame via
+    the change-count test; min/max are exact selections). Callers
+    round the moments; min/max need no shield.
     """
 
     def emit(ctx):
@@ -377,11 +428,15 @@ def rolling_range_stats(
         out["sum_v"] = nullable(s_raw)
         out["mean_v"] = nullable(mean)
         out["std_v"] = nullable(std)
+        mn, mx = ctx.frame_minmax()
+        out["min_v"] = nullable(mn)
+        out["max_v"] = nullable(mx)
         return out
 
     return _range_kernel(
         df, entity_cols, t_us_col, y_col, window_us, id_cols,
         history_cap,
-        "n_frame bigint, sum_v double, mean_v double, std_v double",
+        "n_frame bigint, sum_v double, mean_v double, std_v double, "
+        "min_v double, max_v double",
         emit, "rolling_range_stats",
     )

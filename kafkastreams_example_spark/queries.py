@@ -9020,6 +9020,8 @@ def q_rolling_range_stats(spark, sf_dir):
         F.round("sum_v", 6).alias("sum_v"),
         F.round("mean_v", 6).alias("mean_v"),
         F.round("std_v", 6).alias("std_v"),
+        "min_v",
+        "max_v",
     )
 
 
@@ -9031,7 +9033,9 @@ SELECT event_id, event_type,
        COUNT(value) OVER w AS n_frame,
        round(SUM(value) OVER w, 6) AS sum_v,
        round(AVG(value) OVER w, 6) AS mean_v,
-       round(STDDEV_POP(value) OVER w, 6) AS std_v
+       round(STDDEV_POP(value) OVER w, 6) AS std_v,
+       MIN(value) OVER w AS min_v,
+       MAX(value) OVER w AS max_v
 FROM e
 WINDOW w AS (PARTITION BY user_id, event_type
              ORDER BY t

@@ -150,3 +150,57 @@ def test_registry_entry_matches_rows_frame_on_sparse_data(spark):
         if r["c"] is not None and not math.isnan(r["c"])
     }
     assert {r["eid"]: pytest.approx(r["c"], abs=1e-9) for r in got} == want
+
+
+def test_rolling_range_stats_matches_brute_force(spark):
+    """count/sum/mean/std/min/max over the RANGE frame vs a quadratic
+    reference — exercises the sparse-table RMQ at power-of-two frame
+    lengths, singleton frames, NULL rows inside frames, ties, and an
+    all-null entity."""
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_range_stats,
+    )
+
+    rows = [
+        (1, 1, 100, 5.0),
+        (1, 2, 150, 2.0),
+        (1, 3, 200, None),     # null inside others' frames
+        (1, 4, 900, 9.0),
+        (1, 5, 950, 9.0),      # tie value
+        (1, 6, 1000, 1.0),     # frame of exactly 4 non-null (pow-2)
+        (1, 7, 5000, 3.0),     # singleton frame
+        (2, 10, 100, None),    # entity with only nulls
+        (2, 11, 200, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "ent BIGINT, eid BIGINT, t_us BIGINT, value DOUBLE"
+    )
+    got = {
+        r["eid"]: r
+        for r in rolling_range_stats(
+            df, ["ent"], "t_us", "value", 1_000, ["eid"]
+        ).collect()
+    }
+    assert set(got) == {r[1] for r in rows}
+    for ent, eid, t, _ in rows:
+        frame = [
+            y for e2, _, t2, y in rows
+            if e2 == ent and t - 1_000 <= t2 <= t and y is not None
+        ]
+        g = got[eid]
+        assert g["n_frame"] == len(frame)
+        if not frame:
+            assert g["sum_v"] is None and g["min_v"] is None
+            assert g["max_v"] is None and g["std_v"] is None
+            continue
+        assert g["sum_v"] == pytest.approx(sum(frame), abs=1e-9)
+        assert g["mean_v"] == pytest.approx(
+            sum(frame) / len(frame), abs=1e-9
+        )
+        mu = sum(frame) / len(frame)
+        assert g["std_v"] == pytest.approx(
+            math.sqrt(sum((v - mu) ** 2 for v in frame) / len(frame)),
+            abs=1e-9,
+        )
+        assert g["min_v"] == min(frame)
+        assert g["max_v"] == max(frame)
