@@ -82,6 +82,8 @@ DEFAULT_ENTRIES = [
     "twap",
     "rolling_corr",
     "rolling_corr_range",
+    "rolling_range_stats",
+    "ann_recall",
     "k_anonymity",
     "decile_lift",
     "bm25_topk",
