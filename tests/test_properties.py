@@ -484,3 +484,90 @@ def test_mg_reduce_bounds(terms, k, cuts):
     for t, c in true.items():
         if t not in counters:
             assert c <= d_total
+
+
+def test_range_kernel_matches_brute_force_on_hostile_fixtures(spark):
+    """functions/sliding.py under adversarial inputs the deterministic
+    tests don't reach: random tie storms on t, near-total NULL columns,
+    single-value entities (degenerate frames), entities of size 0-12,
+    values drawn from a 3-element set (constant frames everywhere).
+    Both kernel faces must equal the quadratic reference row-for-row:
+    corr (with its exact degeneracy exclusion) and the six-aggregate
+    stats (count/sum/mean/std exact to 1e-9, min/max exactly)."""
+    import math
+
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_corr_range,
+        rolling_range_stats,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(1, 3),                      # entity
+                st.integers(0, 25),                     # t slot (ties!)
+                st.sampled_from([None, 1.5, 2.5, 7.0]),  # value
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        w=st.sampled_from([300, 1000]),
+    )
+    def check(rows, w):
+        data = [
+            (ent, i, t * 100, v) for i, (ent, t, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "ent BIGINT, eid BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        corr = {
+            r["eid"]: r["c"]
+            for r in rolling_corr_range(
+                df, ["ent"], "t_us", "value", w, ["eid"], out_col="c"
+            ).collect()
+        }
+        stats = {
+            r["eid"]: r
+            for r in rolling_range_stats(
+                df, ["ent"], "t_us", "value", w, ["eid"]
+            ).collect()
+        }
+        assert set(stats) == {eid for _, eid, _, _ in data}
+        for ent, eid, t, _ in data:
+            frame = [
+                (t2, v2)
+                for e2, _, t2, v2 in data
+                if e2 == ent and t - w <= t2 <= t and v2 is not None
+            ]
+            vals = [v for _, v in frame]
+            g = stats[eid]
+            assert g["n_frame"] == len(vals)
+            if not vals:
+                assert g["sum_v"] is None and g["min_v"] is None
+            else:
+                assert abs(g["sum_v"] - sum(vals)) < 1e-9
+                assert g["min_v"] == min(vals) and g["max_v"] == max(vals)
+                mu = sum(vals) / len(vals)
+                assert abs(
+                    g["std_v"]
+                    - math.sqrt(sum((v - mu) ** 2 for v in vals) / len(vals))
+                ) < 1e-9
+            # corr reference with exact degeneracy exclusion
+            n = len(frame)
+            if n < 2 or len({t2 for t2, _ in frame}) == 1 or len(set(vals)) == 1:
+                assert eid not in corr
+                continue
+            xs = [t2 for t2, _ in frame]
+            mx, my = sum(xs) / n, sum(vals) / n
+            vx = sum((x - mx) ** 2 for x in xs)
+            vy = sum((v - my) ** 2 for v in vals)
+            cov = sum((x - mx) * (v - my) for x, v in zip(xs, vals))
+            assert eid in corr
+            assert abs(corr[eid] - cov / math.sqrt(vx * vy)) < 1e-9
+
+    check()

@@ -19,7 +19,12 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-_PREFIXES = ("BENCH_r", "CORRECTNESS_r", "BENCH_STREAMING_r")
+_PREFIXES = (
+    "BENCH_r",
+    "CORRECTNESS_r",
+    "BENCH_STREAMING_r",
+    "GATE_SENSITIVITY_r",
+)
 
 
 def _loose_artifacts() -> list[str]:
