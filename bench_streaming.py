@@ -82,6 +82,12 @@ THRESHOLDS = {
     # decisions): probe read 99.7k rows/s at the hot shape — floor at
     # the ~2-3x under-recording policy
     "dedup_refresh_coalesced": 35_000,
+    # round-13 streaming OVER-aggregation (per-event trailing-window
+    # stats, the RANGE kernel's streaming face): merged-timeline
+    # searchsorted + prefix moments + shared RMQ per (entity, batch);
+    # first recording 33.1k rows/s at 50k-row batches — floor at the
+    # ~2-3x under-recording policy
+    "rolling_stats": 12_000,
     # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
     # headroom and a load-overlapped r8 run read 127k — 100k restores
     # the ~2-3x under-recording policy (same correction minhash got)
@@ -280,6 +286,34 @@ def main() -> None:
                 ckpt_root,
             ),
             "rows_per_batch": rows_filter,
+        }
+
+        # round-13 per-event trailing-window stats (streaming OVER
+        # aggregation — the RANGE kernel's streaming face); ~4k
+        # entities via the exception-class id, value synthesized from
+        # the rate value
+        from kafkastreams_example_spark.streaming.rolling_stats import (
+            rolling_stats_stream,
+        )
+
+        d = (
+            _decoded(_rate_source(spark, rows_dedup))
+            .withColumn("ent", F.col("event.exception.exception_class"))
+            .withColumn(
+                "value", (F.col("row_id") % 997).cast("double")
+            )
+        )
+        results["rolling_stats"] = {
+            **_run_query(
+                rolling_stats_stream(
+                    d, entity_cols=("ent",), ts_col="event_time",
+                    value_col="value", id_col="row_id",
+                    window_us=3_600_000_000,
+                ),
+                "rolling_stats",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_dedup,
         }
 
         # streaming windowed aggregation (tumbling 1 h per level, 10 min

@@ -80,6 +80,49 @@ US_PER_DAY = 86_400_000_000.0
 DEFAULT_HISTORY_CAP = 1_000_000
 
 
+def sparse_range_minmax(y_mn, y_mx, lo, hi):
+    """EXACT range min/max over arbitrary (possibly overlapping)
+    half-open ranges [lo, hi) — prefix sums can't express order
+    statistics, so this is a SPARSE TABLE (Bender/Farach-Colton RMQ):
+    L = ⌈log₂ n⌉ levels of strided np.minimum/np.maximum, every range
+    answered by two overlapping power-of-two blocks — O(n log n)
+    build, O(1) per range, no Python loop over rows. ``y_mn``/``y_mx``
+    are the value arrays with excluded positions pre-filled +inf/−inf;
+    empty ranges return (+inf, −inf). Shared by the batch kernel
+    (_FrameCtx.frame_minmax) and the streaming rolling-stats state
+    processor."""
+    import numpy as np
+
+    lens = hi - lo
+    n = len(y_mn)
+    levels_mn, levels_mx = [y_mn], [y_mx]
+    size = 1
+    while size * 2 <= n:
+        prev_mn, prev_mx = levels_mn[-1], levels_mx[-1]
+        m_ = len(prev_mn) - size
+        levels_mn.append(np.minimum(prev_mn[:m_], prev_mn[size:]))
+        levels_mx.append(np.maximum(prev_mx[:m_], prev_mx[size:]))
+        size *= 2
+    k = np.zeros(len(lens), dtype=np.int64)
+    nz = lens > 0
+    k[nz] = np.floor(np.log2(lens[nz])).astype(np.int64)
+    # guard against float log rounding at exact powers of two
+    k = np.minimum(k, len(levels_mn) - 1)
+    too_big = (1 << k) > np.maximum(lens, 1)
+    k[too_big] -= 1
+    blk = 1 << k
+    out_mn = np.full(len(lens), np.inf)
+    out_mx = np.full(len(lens), -np.inf)
+    for kk in range(len(levels_mn)):
+        sel = nz & (k == kk)
+        if not sel.any():
+            continue
+        l_, r_ = lo[sel], hi[sel] - blk[sel]
+        out_mn[sel] = np.minimum(levels_mn[kk][l_], levels_mn[kk][r_])
+        out_mx[sel] = np.maximum(levels_mx[kk][l_], levels_mx[kk][r_])
+    return out_mn, out_mx
+
+
 class _FrameCtx:
     """Everything a RANGE-frame aggregate needs for one batch of
     complete entities, precomputed once: entity codes, frame bounds
@@ -173,52 +216,15 @@ class _FrameCtx:
         p = self.pref(a - mu[self.codes])
         return (p[self.hi] - p[self.lo]) + self._span * mu[self.codes]
 
-    def frame_minmax(self, fill_min=None, fill_max=None):
-        """EXACT per-frame min/max of y over the masked rows — prefix
-        sums can't express order statistics, so these come from a
-        SPARSE TABLE (Bender/Farach-Colton RMQ): L = ⌈log₂ n⌉ levels of
-        strided np.minimum/np.maximum, then every frame [lo, hi) is
-        answered by two overlapping power-of-two blocks — O(n log n)
-        build, O(1) per row, still no Python loop over rows. Masked-out
-        rows are filled with ±inf; a frame with zero masked rows
-        surfaces ±inf (callers NULL it via n == 0). Values are exact
-        selections — no rounding shield needed cross-engine."""
+    def frame_minmax(self):
+        """EXACT per-frame min/max of y over the masked rows — see
+        sparse_range_minmax (the RMQ is shared with the streaming
+        face). Masked-out rows are filled with ±inf; a frame with zero
+        masked rows surfaces ±inf (callers NULL it via n == 0)."""
         np = self.np
-        y = np.where(self.m, np.nan_to_num(self.y), np.inf)
-        y2 = np.where(self.m, np.nan_to_num(self.y), -np.inf)
-        lo, hi = self.lo, self.hi
-        lens = hi - lo
-        n = len(y)
-        levels_mn, levels_mx = [y], [y2]
-        size = 1
-        while size * 2 <= n:
-            prev_mn, prev_mx = levels_mn[-1], levels_mx[-1]
-            m_ = len(prev_mn) - size
-            levels_mn.append(np.minimum(prev_mn[:m_], prev_mn[size:]))
-            levels_mx.append(np.maximum(prev_mx[:m_], prev_mx[size:]))
-            size *= 2
-        k = np.zeros(len(lens), dtype=np.int64)
-        nz = lens > 0
-        k[nz] = np.floor(np.log2(lens[nz])).astype(np.int64)
-        # guard against float log rounding at exact powers of two
-        k = np.minimum(k, len(levels_mn) - 1)
-        too_big = (1 << k) > np.maximum(lens, 1)
-        k[too_big] -= 1
-        blk = 1 << k
-        out_mn = np.full(len(lens), np.inf)
-        out_mx = np.full(len(lens), -np.inf)
-        for kk in range(len(levels_mn)):
-            sel = nz & (k == kk)
-            if not sel.any():
-                continue
-            l_, r_ = lo[sel], hi[sel] - blk[sel]
-            out_mn[sel] = np.minimum(
-                levels_mn[kk][l_], levels_mn[kk][r_]
-            )
-            out_mx[sel] = np.maximum(
-                levels_mx[kk][l_], levels_mx[kk][r_]
-            )
-        return out_mn, out_mx
+        y_mn = np.where(self.m, np.nan_to_num(self.y), np.inf)
+        y_mx = np.where(self.m, np.nan_to_num(self.y), -np.inf)
+        return sparse_range_minmax(y_mn, y_mx, self.lo, self.hi)
 
     def degenerate(self, values):
         """EXACT zero-variance test over the masked subsequence (never

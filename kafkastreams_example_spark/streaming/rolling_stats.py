@@ -1,0 +1,143 @@
+"""Streaming face of the retract-capable time-RANGE sliding aggregates
+(functions/sliding.py): per event, the (count, sum, mean, min, max) of
+its entity's trailing ``window_us`` of VALUES — continuously, over a
+micro-batch stream, via applyInPandasWithState.
+
+Structured Streaming cannot express this declaratively at all: its
+windowed aggregations emit PER-WINDOW rows (tumbling/sliding buckets),
+not per-EVENT trailing frames, and the batch Window API is unsupported
+on streams. Flink calls this an OVER aggregation; this module is the
+Spark equivalent, built on the same algebra as the batch kernel:
+
+  * state per entity = the (t, v) pairs inside the retention horizon
+    (per-key max seen t − window; the same per-key retention contract
+    as streaming/dedup_refresh.py, and the same bound the batch
+    kernel's history_cap enforces);
+  * per micro-batch and entity: merge state with the batch's rows
+    (sorted by event time), ONE searchsorted pair finds every incoming
+    row's frame over the merged timeline, prefix-differenced moments +
+    the shared sparse-table RMQ (sliding.sparse_range_minmax) price
+    all aggregates in O(b log(b+s)) — never O(rows · frame);
+  * frames include ALL in-window rows of the merged timeline (state
+    AND batch peers, even later-arriving ties) — chosen so that a
+    stream delivered in event-time order produces EXACTLY the batch
+    kernel's output (tests pin stream==batch row-for-row across batch
+    boundaries). Out-of-order rows probe the entity's state as-of
+    their batch (an earlier-time straggler sees in-window state rows
+    that arrived before it, exactly like the dedup tier's probe).
+
+100 TB shape: rows shuffle once on the entity key; state per key is
+O(rows inside one window), RocksDB-backed; the numpy work is per
+(entity, batch) with no Python row loop.
+
+No reference-repo counterpart (SURVEY.md §2c extension surface);
+public precedent: Flink OVER-window aggregations, KSQL's windowed
+aggregations; Hirzel et al. DEBS'17 (sliding-window aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.sliding import sparse_range_minmax
+
+DEFAULT_WINDOW_US = 86_400_000_000  # 24 h
+
+
+def make_rolling_stats_fn(window_us: int, id_col: str):
+    """Per-entity stateful function: state = (ts ARRAY<BIGINT>,
+    vs ARRAY<DOUBLE>) — the retention-pruned (t, value) timeline."""
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = list(pdfs)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        batch = batch.sort_values(["t_us", id_col], kind="mergesort")
+        bt = batch["t_us"].to_numpy(np.int64)
+        bv = batch["value"].to_numpy(np.float64)
+        if state.exists:
+            st_, sv = state.get
+            st_ = np.asarray(st_, dtype=np.int64)
+            sv = np.asarray(sv, dtype=np.float64)
+        else:
+            st_ = np.zeros(0, dtype=np.int64)
+            sv = np.zeros(0, dtype=np.float64)
+        # merged timeline, time-sorted (state is already sorted; the
+        # batch is sorted; one merge via argsort of the concatenation —
+        # stable, so state rows precede batch ties, which is irrelevant
+        # to the sums)
+        mt = np.concatenate([st_, bt])
+        mv = np.concatenate([sv, bv])
+        order = np.argsort(mt, kind="mergesort")
+        mt, mv = mt[order], mv[order]
+        lo = np.searchsorted(mt, bt - window_us, side="left")
+        hi = np.searchsorted(mt, bt, side="right")
+        pv = np.zeros(len(mv) + 1)
+        np.cumsum(mv, out=pv[1:])
+        n = (hi - lo).astype(np.int64)  # state never holds NULL values
+        s = pv[hi] - pv[lo]
+        mn, mx = sparse_range_minmax(mv, mv, lo, hi)
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "ts_ms": (bt // 1000).astype(np.int64),
+                "n_frame": n,
+                "sum_v": s,
+                "mean_v": s / n,  # frames include the row itself: n >= 1
+                "min_v": mn,
+                "max_v": mx,
+            }
+        )
+        # retention: keep the merged timeline behind the key's max t
+        keep = mt >= mt[-1] - window_us
+        state.update((mt[keep].tolist(), mv[keep].tolist()))
+        yield out
+
+    return fn
+
+
+def rolling_stats_stream(
+    events: DataFrame,
+    entity_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "event_time",
+    value_col: str = "value",
+    id_col: str = "row_id",
+    window_us: int = DEFAULT_WINDOW_US,
+) -> DataFrame:
+    """Wire the per-event trailing-window stats over a stream: rows
+    with NULL value or NULL event time are dead-lettered (dropped —
+    they can contribute nothing to any frame and SQL aggregates would
+    skip them anyway; the batch kernel instead reports them with their
+    frame, a difference documented here because streaming state must
+    not hold non-contributing rows). Output per surviving input row:
+    id_col, ts_ms, n_frame, sum_v, mean_v, min_v, max_v."""
+    keyed = events.select(
+        *entity_cols,
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull() & F.col("t_us").isNotNull())
+    id_ddl = dict(keyed.dtypes)[id_col]
+    return keyed.groupBy(*entity_cols).applyInPandasWithState(
+        make_rolling_stats_fn(window_us, id_col),
+        outputStructType=(
+            f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
+            "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE"
+        ),
+        stateStructType="ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

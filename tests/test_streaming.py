@@ -2190,3 +2190,86 @@ def test_probe_and_remember_many_matches_per_id_reference():
             assert [int(x) for x in new_flat[new_off[i] : new_off[i + 1]]] == [
                 int(x) for x in want_seen
             ]
+
+
+def test_rolling_stats_stream_equals_batch_kernel(spark, tmp_path):
+    """Streaming face of the RANGE kernel (streaming/rolling_stats.py):
+    driven in event-time order across THREE micro-batches, the per-
+    event trailing-window stats must equal the BATCH kernel's output
+    row-for-row (frames spanning batch boundaries come from state),
+    and null-value rows are dead-lettered (dropped) while still never
+    polluting any frame."""
+    import math
+
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_range_stats,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    w = 1_000  # µs
+    rows = [  # (ent, rid, t_us, value) — event-time ordered, no ties
+        (1, 1, 100, 5.0),
+        (1, 2, 150, 2.0),
+        (2, 3, 180, 4.0),
+        (1, 4, 600, None),    # dead-lettered on the stream
+        (1, 5, 900, 9.0),     # frame spans back into batch 1 (state)
+        (2, 6, 950, 6.0),
+        (1, 7, 1100, 1.0),    # drops rid=1 (t < 100)
+        (1, 8, 5000, 3.0),    # fresh frame after a gap
+    ]
+    batches = [rows[:3], rows[3:6], rows[6:]]
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_stats_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=w,
+    )
+    for i, chunk in enumerate(batches):
+        _write_batch(
+            src, f"b{i}.json",
+            [dict(zip(("ent", "row_id", "t_us", "value"), r)) for r in chunk],
+        )
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r["row_id"]: r
+        for r in spark.read.json(str(out_dir)).collect()
+    }
+    df = spark.createDataFrame(
+        rows, "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+    )
+    want = {
+        r["row_id"]: r
+        for r in rolling_range_stats(
+            df, ["ent"], "t_us", "value", w, ["row_id"]
+        ).collect()
+        # the stream dead-letters null-value rows; the batch kernel
+        # reports them — compare on the stream's surviving set
+        if r["row_id"] != 4
+    }
+    assert set(got) == set(want)
+    for rid, g in got.items():
+        b = want[rid]
+        assert g["n_frame"] == b["n_frame"], rid
+        assert math.isclose(g["sum_v"], b["sum_v"], abs_tol=1e-9)
+        assert math.isclose(g["mean_v"], b["mean_v"], abs_tol=1e-9)
+        assert g["min_v"] == b["min_v"] and g["max_v"] == b["max_v"]
+    # cross-boundary evidence: rid=5 (t=900, w=1000) reaches back into
+    # batch-1 state for rids 1 and 2 — frame {5.0, 2.0, 9.0}
+    assert got[5]["n_frame"] == 3 and got[5]["min_v"] == 2.0
