@@ -90,6 +90,24 @@ DEFAULT_ENTRIES = [
     "sequence_match",
     "winsorize",
     "mat_view_counts",
+    # round-13 second wave: double coverage across the remaining
+    # families (TPC-H shapes, set ops, sketches, text quality, graph,
+    # multimodal, governance, timeseries, embeddings)
+    "agg_rollup",
+    "setop_except_all",
+    "sql_q19_disjunct_revenue",
+    "sql_q22_dormant_customers",
+    "range_join",
+    "null_handling",
+    "approx_quantiles",
+    "contamination",
+    "lang_id",
+    "graph_triangles",
+    "image_header_meta",
+    "fk_integrity",
+    "snapshot_diff",
+    "resample_ohlc",
+    "semdedup",
 ]
 
 _CMP_SWAP = {
