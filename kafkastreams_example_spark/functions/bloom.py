@@ -44,14 +44,54 @@ from pyspark.sql import functions as F
 
 MAX_LITERAL_BITS = 1 << 24  # 2 MiB of plan-embedded constant
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_FLOATING = {"float", "double"}
+
+
+def _key_family(dtype: str) -> str:
+    """Type family under which the STRING rendering of equi-join-equal
+    values is identical: all integrals render alike ('1'), both
+    floating types render alike ('1.0'), each decimal SCALE renders
+    its own way ('1.00'), everything else is its own family."""
+    d = dtype.lower()
+    if d in _INTEGRAL:
+        return "integral"
+    if d in _FLOATING:
+        return "floating"
+    return d
+
+
+def _is_numeric_family(fam: str) -> bool:
+    return fam in ("integral", "floating") or fam.startswith("decimal")
+
+
+def _canon(col: Column, widen_numeric: bool) -> Column:
+    return (col.cast("double") if widen_numeric else col).cast("string")
+
 
 def build_bloom_bits(
-    keys: DataFrame, key_col: str, n_bits: int, n_hashes: int = 2
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int,
+    n_hashes: int = 2,
+    widen_numeric: bool = False,
 ) -> list[int]:
     """Aggregate a Bloom filter over the (deduplicated) key column.
     Returns the n_bits/64 word array — driver memory bounded by
     construction. One explode + one bit_or aggregation; the shuffle
-    carries at most n_bits/64 rows regardless of key count."""
+    carries at most n_bits/64 rows regardless of key count.
+
+    Build and probe keys must share a TYPE FAMILY (all integrals, both
+    floating types, or decimals of one scale): the hash input is the
+    key's string rendering, identical within a family but NOT across
+    (INT 1 -> '1' vs DOUBLE 1.0 -> '1.0' vs DECIMAL(_,2) -> '1.00'),
+    so a cross-family pair silently false-negatives (round-13 ADVICE).
+    For cross-family numeric pairs set ``widen_numeric=True`` on BOTH
+    sides — keys widen to DOUBLE first, so any two values equal under
+    the equi-join render identically; 2^53-adjacent longs may then
+    collide, which is a false POSITIVE only (the caller's trailing
+    exact join removes it). bloom_semi_join flips this automatically
+    from the two schemas."""
     if n_bits % 64 or n_bits <= 0:
         raise ValueError(f"n_bits must be a positive multiple of 64, got {n_bits}")
     if n_bits > MAX_LITERAL_BITS:
@@ -63,13 +103,13 @@ def build_bloom_bits(
     # xxhash64 is TYPE-sensitive (hash of 1 AS INT != 1 AS BIGINT), so
     # a build/probe dtype mismatch would silently drop matching rows
     # (false negatives the trailing semi join cannot restore). Both
-    # sides therefore hash the STRING rendering of the key — any two
-    # columns that compare equal under an equi-join of the same logical
-    # key render identically.
+    # sides therefore hash the STRING rendering of the key, identical
+    # within a type family; widen_numeric handles cross-family pairs
+    # (see docstring).
     hs = F.array(
         *[
             F.pmod(
-                F.xxhash64(F.col(key_col).cast("string"), F.lit(s)),
+                F.xxhash64(_canon(F.col(key_col), widen_numeric), F.lit(s)),
                 F.lit(n_bits),
             )
             for s in range(n_hashes)
@@ -92,20 +132,25 @@ def build_bloom_bits(
 
 
 def bloom_probe(
-    key: Column, words: list[int], n_hashes: int = 2
+    key: Column,
+    words: list[int],
+    n_hashes: int = 2,
+    widen_numeric: bool = False,
 ) -> Column:
     """Membership-test expression against a built word array: true for
     every inserted key (no false negatives — all k bits were set),
     true for a non-member with probability ≈ (k·n/m)ᵏ. Pure codegen:
     k getbit probes of an array literal, no join. Hashes the STRING
-    rendering of the key to match build_bloom_bits — the type-blind
-    normalization that keeps an INT probe against a BIGINT build from
-    silently dropping every match."""
+    rendering of the key to match build_bloom_bits; same type-family
+    contract and ``widen_numeric`` escape hatch as there — pass the
+    SAME widen_numeric the filter was built with."""
     n_bits = len(words) * 64
     lit_words = F.lit(words)
     cond = F.lit(True)
     for s in range(n_hashes):
-        h = F.pmod(F.xxhash64(key.cast("string"), F.lit(s)), F.lit(n_bits))
+        h = F.pmod(
+            F.xxhash64(_canon(key, widen_numeric), F.lit(s)), F.lit(n_bits)
+        )
         word = (h / 64).cast("int")
         bit = (h % 64).cast("int")
         cond = cond & (
@@ -125,11 +170,25 @@ def bloom_semi_join(
     by a Bloom filter over dim's distinct keys inside the scan stage,
     then the real left-semi join removes the false-positive residue.
     ``n_bits`` defaults to the next multiple of 64 above 16x the dim
-    key count (≈1.6% fp at k=2), capped at the literal bound."""
+    key count (≈1.6% fp at k=2), capped at the literal bound.
+
+    Sees BOTH schemas, so the build/probe type-family contract is
+    handled here: when the two key columns are numeric but of
+    different families (e.g. INT fact vs DOUBLE dim, whose string
+    renderings diverge), both sides widen to DOUBLE before hashing —
+    equi-join-equal values then render identically and the bloom stays
+    false-negative-free (round-13 ADVICE)."""
     keys = dim_keys.select(key_col).distinct()
+    fact_fam = _key_family(dict(fact.dtypes)[key_col])
+    dim_fam = _key_family(dict(keys.dtypes)[key_col])
+    widen = (
+        fact_fam != dim_fam
+        and _is_numeric_family(fact_fam)
+        and _is_numeric_family(dim_fam)
+    )
     if n_bits is None:
         n = keys.count()
         n_bits = min(MAX_LITERAL_BITS, max(64, ((16 * n + 63) // 64) * 64))
-    words = build_bloom_bits(keys, key_col, n_bits, n_hashes)
-    pre = fact.filter(bloom_probe(F.col(key_col), words, n_hashes))
+    words = build_bloom_bits(keys, key_col, n_bits, n_hashes, widen)
+    pre = fact.filter(bloom_probe(F.col(key_col), words, n_hashes, widen))
     return pre.join(keys, key_col, "left_semi")

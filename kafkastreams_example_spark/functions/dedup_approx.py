@@ -541,6 +541,7 @@ def ssjoin_prefix_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """EXACT set-similarity join via prefix filtering: all document
     pairs with n-gram-shingle Jaccard >= threshold, found without an
@@ -589,20 +590,23 @@ def ssjoin_prefix_pairs(
         )
     )
     # arr feeds the prefix explode AND both verify sides; stage it to a
-    # temp parquet so the tokenize->shingle->df->sort pipeline runs once
+    # parquet so the tokenize->shingle->df->sort pipeline runs once
     # (literally a staged table, as it would be at warehouse scale).
     # Parquet staging instead of persist(): the returned frame is lazy,
     # so a persist could never be unpersisted by this function and each
     # invocation would leak a corpus-sized cached frame into executor
-    # storage memory for the life of the session. The temp dir is
-    # atexit-cleaned (same deferred-cleanup contract as the manifest-
-    # table entries — the caller may collect long after we return).
-    import atexit
-    import shutil
-    import tempfile
+    # storage memory for the life of the session. The location must be
+    # EXECUTOR-visible (round-13 ADVICE: a driver-local tempdir is
+    # incomplete on a multi-node cluster) — resolve_staging prefers the
+    # caller's staging_dir, then the cluster-shared checkpoint dir, and
+    # falls back to a local tempdir only for local-mode runs; cleanup
+    # is atexit-deferred because the caller may collect long after we
+    # return.
+    from .staging import resolve_staging
 
-    stage = tempfile.mkdtemp(prefix="ssjoin_prefix_stage_")
-    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    stage = resolve_staging(
+        docs.sparkSession, "ssjoin_prefix_stage_", staging_dir
+    )
     arr.write.mode("overwrite").parquet(stage)
     arr = docs.sparkSession.read.parquet(stage)
     t = F.lit(float(threshold))

@@ -350,15 +350,26 @@ def make_coalesced_refresh_fn(
                 ids.append(did)
                 offs.append(offs[-1])
         codes = batch["dedup_id"].map(code_of).to_numpy(np.int64)
-        keep, new_off, new_flat = probe_and_remember_many(
+        ts_arr = batch["ts_ms"].to_numpy(np.int64)
+        # the kernel's precondition is rows sorted by (code, ts), and
+        # codes follow state-INSERTION order, not id-value order: an id
+        # first seen in a later batch gets a HIGHER code even if its
+        # value sorts before an existing state id, so the value-sorted
+        # batch is not code-sorted. Reorder by (code, ts) — lexsort is
+        # stable, so the value-sort's tiebreak order survives within
+        # equal (code, ts) — and scatter keep flags back afterwards.
+        order = np.lexsort((ts_arr, codes))
+        keep_sorted, new_off, new_flat = probe_and_remember_many(
             offs,
             flat,
-            codes,
-            batch["ts_ms"].to_numpy(np.int64),
+            codes[order],
+            ts_arr[order],
             len(ids),
             window_ms,
             clock,
         )
+        keep = np.empty(len(codes), dtype=bool)
+        keep[order] = np.asarray(keep_sorted, dtype=bool)
         # drop ids whose entries all aged out — the pack's id table
         # must not grow without bound
         counts = np.diff(new_off)

@@ -106,14 +106,26 @@ class ManifestTable:
         newest schema version ≤ at_batch, so TIME TRAVEL across an
         evolution boundary reads old snapshots with their OWN column
         set. Falls back to the legacy un-versioned _SCHEMA.json
-        (pre-evolution tables)."""
+        (pre-evolution tables).
+
+        Only schema versions at or below the RESOLVED COMMITTED
+        manifest's batch are honored: ``_save_schema`` runs before the
+        data write, so a crash between the schema write and ``_commit``
+        leaves an orphaned ``_SCHEMA-<id>.json`` for a batch that never
+        committed, and an uncapped read at/after that id would pair the
+        pre-evolution snapshot with the evolved (wider) column set
+        (round-13 ADVICE). The orphan stays invisible until its batch
+        id actually commits — the single-writer retry overwrites it
+        idempotently via os.replace."""
         from pyspark.sql.types import StructType
 
+        if at_batch is None:
+            cap = self.committed_batch()
+        else:
+            committed = [v for v in self.versions() if v <= at_batch]
+            cap = max(committed) if committed else None
         versions = self._schema_versions()
-        eligible = (
-            versions if at_batch is None
-            else [v for v in versions if v <= at_batch]
-        )
+        eligible = [] if cap is None else [v for v in versions if v <= cap]
         if eligible:
             spath = os.path.join(
                 self.path, f"_SCHEMA-{max(eligible)}.json"

@@ -1435,6 +1435,23 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     )
     assert got_mixed == sorted(i * 13 + 5 for i in range(2000))
 
+    # round-14 advice fix: CROSS-FAMILY numeric keys (INT fact vs
+    # DOUBLE dim) render differently as strings ('1' vs '1.0'), so the
+    # string-normalized hash still false-negatived; bloom_semi_join now
+    # widens both sides to DOUBLE when the families differ. Every
+    # fact row matches a dim key, so the exact semi join must keep all.
+    dim_dbl = dim.select(F.col("k").cast("double").alias("k"))
+    got_cross = sorted(
+        r["k"] for r in bloom_semi_join(fact_int, dim_dbl, "k").collect()
+    )
+    assert got_cross == sorted(i * 13 + 5 for i in range(2000))
+    # and a DECIMAL(12,2) dim vs INT fact (renders '5.00' vs '5')
+    dim_dec = dim.select(F.col("k").cast("decimal(12,2)").alias("k"))
+    got_dec = sorted(
+        int(r["k"]) for r in bloom_semi_join(fact_int, dim_dec, "k").collect()
+    )
+    assert got_dec == sorted(i * 13 + 5 for i in range(2000))
+
 
 def test_pca_topr_recovers_spiked_components(spark):
     """Deflated power iteration (functions/pca.py) must recover the

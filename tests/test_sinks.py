@@ -199,3 +199,112 @@ def test_zone_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no zone stats"):
         read_zone_pruned(spark, path, {"o_orderkey": (0, 1)})
+
+
+def test_zone_pruned_read_three_dims_with_double_column(spark, tmp_path):
+    """Round-14: write_zoned generalized to d dims, and the round-13
+    ADVICE fix — a DOUBLE zone column used to fail analysis under the
+    integral SQL ``div`` quantizer. Zone orders on (x BIGINT, y BIGINT,
+    price DOUBLE); a 3-D box must skip files while EQUALing the full
+    scan under the same predicates, and a box on the DOUBLE dim alone
+    must prune too."""
+    import pytest
+
+    from kafkastreams_example_spark.sources.sinks import (
+        read_zone_pruned,
+        write_zoned,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint").alias("y"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = str(tmp_path / "zoned3")
+    write_zoned(orders, path, ("x", "y", "price"), n_buckets=64)
+
+    full = spark.read.option("basePath", path).parquet(path)
+    n_files_full = len(full.inputFiles())
+    ext = orders.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+        F.min("price"), F.max("price"),
+    ).collect()[0]
+    box = {
+        "x": (ext[0] + (ext[1] - ext[0]) * 0.10, ext[0] + (ext[1] - ext[0]) * 0.35),
+        "y": (ext[2] + (ext[3] - ext[2]) * 0.20, ext[2] + (ext[3] - ext[2]) * 0.60),
+        "price": (ext[4] + (ext[5] - ext[4]) * 0.15, ext[4] + (ext[5] - ext[4]) * 0.50),
+    }
+    pruned = read_zone_pruned(spark, path, box)
+    files = pruned.inputFiles()
+    assert 0 < len(files) < n_files_full  # real skip at d=3
+    assert all("/zbucket=" in f for f in files)
+    pred = None
+    for c, (lo, hi) in box.items():
+        p = F.col(c).between(F.lit(lo), F.lit(hi))
+        pred = p if pred is None else pred & p
+    want = sorted(r["o_orderkey"] for r in full.filter(pred).collect())
+    got = sorted(r["o_orderkey"] for r in pruned.collect())
+    assert got == want and len(got) > 0
+
+    # the DOUBLE dimension alone prunes and matches the full scan
+    dbl = read_zone_pruned(spark, path, {"price": box["price"]})
+    assert 0 < len(dbl.inputFiles()) < n_files_full
+    lo, hi = box["price"]
+    assert dbl.count() == full.filter(F.col("price").between(lo, hi)).count()
+
+    # guard rails: <2 dims and over-wide bucket counts raise
+    with pytest.raises(ValueError, match="at least two"):
+        write_zoned(orders, path, ("x",), n_buckets=4)
+    with pytest.raises(ValueError, match="power of two"):
+        write_zoned(orders, path, ("x", "y"), n_buckets=48)
+
+
+def test_resolve_staging_prefers_checkpoint_dir(spark, tmp_path):
+    """Round-13 ADVICE (medium): staged intermediates must land on an
+    EXECUTOR-visible path — explicit staging_dir first, then the
+    cluster-shared SparkContext checkpoint dir, tempdir only as the
+    local-mode fallback. ssjoin_prefix_pairs must stage under the
+    caller's dir and still return exact pairs."""
+    from kafkastreams_example_spark.functions.dedup_approx import (
+        ssjoin_prefix_pairs,
+    )
+    from kafkastreams_example_spark.functions.staging import resolve_staging
+
+    explicit = str(tmp_path / "scratch")
+    p = resolve_staging(spark, "unit_", explicit)
+    assert p.startswith(explicit + "/unit_")
+    p2 = resolve_staging(spark, "unit_", explicit)
+    assert p2 != p  # fresh dir per staged table
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        auto = resolve_staging(spark, "unit_")
+        # Spark may render the checkpoint dir as a file: URI
+        assert "ckpt" in auto and "/unit_" in auto
+    finally:
+        # clear the session-scoped checkpoint dir (the scala setter's
+        # name contains '$', so plain attribute syntax can't spell it)
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.empty()
+        )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps"),
+         (3, "entirely unrelated text here")],
+        "doc_id BIGINT, text STRING",
+    )
+    import os
+
+    pairs = ssjoin_prefix_pairs(
+        docs, n=3, threshold=0.3, staging_dir=str(tmp_path / "jobstage")
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert any(
+        d.startswith("ssjoin_prefix_stage_")
+        for d in os.listdir(tmp_path / "jobstage")
+    )

@@ -2086,6 +2086,45 @@ def test_cdc_table_additive_schema_evolution(spark, tmp_path):
         t_bad.apply_batch(df_bad, 4)
 
 
+def test_orphaned_schema_version_invisible_until_commit(spark, tmp_path):
+    """Round-13 ADVICE (low): _save_schema runs before the data write,
+    so a crash between the schema write and _commit leaves a
+    _SCHEMA-<batch>.json for a batch that never committed. Reads at or
+    after that batch id must keep using the COMMITTED schema (else the
+    pre-evolution snapshot pairs with the evolved wider column set);
+    the single-writer retry then makes the orphan real."""
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    path = str(tmp_path / "cdc_orphan")
+    t1 = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    df1 = spark.createDataFrame(
+        [(1, 10, "u", "a")], "k BIGINT, seq BIGINT, op STRING, payload STRING"
+    )
+    t1.apply_batch(df1, 0)
+
+    # simulate the crash: evolved schema version 1 persisted, batch 1
+    # never committed (no data write, no manifest)
+    t2 = CdcTable(path, key="k", n_buckets=4,
+                  payload_cols=("payload", "score"))
+    df2 = spark.createDataFrame(
+        [(2, 20, "u", "b", 0.5)],
+        "k BIGINT, seq BIGINT, op STRING, payload STRING, score DOUBLE",
+    )
+    t2._save_schema(
+        df2.select("k", "seq", "payload", "score").schema, 1
+    )
+    # current read AND time travel at/after the orphan id resolve to
+    # the batch-0 manifest — both must read batch-0's column set
+    assert t2.read(spark).columns == ["k", "seq", "payload"]
+    assert t2.read(spark, at_batch=5).columns == ["k", "seq", "payload"]
+    assert t2._schema_at(None).fieldNames() == ["k", "seq", "payload"]
+
+    # retry commits batch 1: the orphan becomes the live schema
+    t2.apply_batch(df2, 1)
+    assert t2.read(spark).columns == ["k", "seq", "payload", "score"]
+    assert t2.read(spark, at_batch=0).columns == ["k", "seq", "payload"]
+
+
 def test_dedup_refresh_coalesced_parity(spark, tmp_path):
     """Round-13 key coalescing: dedup_refresh_stream_coalesced (many
     logical ids packed per state key, CSR state, same
@@ -2190,6 +2229,132 @@ def test_probe_and_remember_many_matches_per_id_reference():
             assert [int(x) for x in new_flat[new_off[i] : new_off[i + 1]]] == [
                 int(x) for x in want_seen
             ]
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: exists/get/update is all
+    make_coalesced_refresh_fn touches."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_coalesced_fn_new_id_sorting_before_state_id():
+    """Round-13 ADVICE (high): ids get codes in state-INSERTION order,
+    so an id first seen in a LATER batch can carry a higher code than a
+    state id its value sorts before — the value-sorted batch then
+    violates probe_and_remember_many's (code, ts)-sorted precondition
+    and the predecessor check fires across band boundaries. Advisory
+    repro: state = {"b": [0]}, batch = [a@500000 (new), b@500000],
+    window = 600000 — BOTH rows must be kept (a is new; b's remembered
+    entry at 0 is outside the ±300000 probe), where the unfixed code
+    dropped b."""
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        make_coalesced_refresh_fn,
+    )
+
+    for clock in ("event", "stream"):
+        fn = make_coalesced_refresh_fn(
+            600_000, ("dedup_id", "row_id", "ts_ms"), clock
+        )
+        state = _FakeGroupState()
+        b1 = pd.DataFrame(
+            [("b", 1, 0)], columns=["dedup_id", "row_id", "ts_ms"]
+        )
+        out1 = pd.concat(list(fn(("k",), iter([b1]), state)))
+        assert set(out1["row_id"]) == {1}
+        b2 = pd.DataFrame(
+            [("a", 2, 500_000), ("b", 3, 500_000)],
+            columns=["dedup_id", "row_id", "ts_ms"],
+        )
+        out2 = pd.concat(list(fn(("k",), iter([b2]), state)))
+        assert set(out2["row_id"]) == {2, 3}, clock
+        # state must remember each id's OWN timestamps, not clamp rows
+        # into the wrong id's band
+        ids, offs, flat = state.get
+        remembered = {
+            i: list(flat[offs[j] : offs[j + 1]]) for j, i in enumerate(ids)
+        }
+        # b's 0 entry survives retention (only 500000 < window behind
+        # its new max); the bug would have clamped rows into a's band
+        assert remembered == {"a": [500_000], "b": [0, 500_000]}, clock
+
+
+def test_coalesced_fn_multi_batch_matches_per_id_reference():
+    """Drive make_coalesced_refresh_fn across multiple batches where
+    new ids (with values sorting BEFORE existing state ids) keep
+    arriving, and check every batch's keep set and the carried state
+    against the sequential per-id probe_and_remember reference — the
+    coverage gap the round-13 advisory called out (the kernel property
+    test only generated monotone codes; the parity test seeded all ids
+    in batch 1)."""
+    import random
+
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        make_coalesced_refresh_fn,
+        probe_and_remember,
+    )
+
+    rng = random.Random(14)
+    w = 600_000
+    for _trial in range(40):
+        clock = rng.choice(["event", "stream"])
+        fn = make_coalesced_refresh_fn(
+            w, ("dedup_id", "row_id", "ts_ms"), clock
+        )
+        state = _FakeGroupState()
+        seen: dict[str, list[int]] = {}
+        # reversed-alphabet universe: later-arriving ids tend to sort
+        # BEFORE earlier ones, the exact order the bug needed
+        universe = [f"id{9 - j}" for j in range(6)]
+        rid = 0
+        for _b in range(4):
+            rows = []
+            for did in rng.sample(universe, rng.randint(1, 4)):
+                for _ in range(rng.randint(1, 3)):
+                    rid += 1
+                    rows.append((did, rid, rng.randrange(0, 2_000_000)))
+            pdf = pd.DataFrame(
+                rows, columns=["dedup_id", "row_id", "ts_ms"]
+            )
+            out = pd.concat(
+                list(fn(("k",), iter([pdf]), state)), ignore_index=True
+            )
+            want: set[int] = set()
+            for did in sorted(set(pdf["dedup_id"])):
+                sub = pdf[pdf["dedup_id"] == did].sort_values(
+                    ["ts_ms", "row_id"], kind="mergesort"
+                )
+                keep, seen[did] = probe_and_remember(
+                    seen.get(did, []), list(sub["ts_ms"]), w, clock
+                )
+                want |= {
+                    int(r) for r, k in zip(sub["row_id"], keep) if k
+                }
+            assert set(out["row_id"].astype(int)) == want, clock
+            ids, offs, flat = state.get
+            got_state = {
+                i: [int(x) for x in flat[offs[j] : offs[j + 1]]]
+                for j, i in enumerate(ids)
+            }
+            assert got_state == {
+                k: v for k, v in seen.items() if v
+            }, clock
 
 
 def test_rolling_stats_stream_equals_batch_kernel(spark, tmp_path):
