@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "rolling_corr_range",
     "rolling_range_stats",
     "ann_recall",
+    # round-14 additions
+    "ivf_incremental",
 ]
 
 

@@ -88,6 +88,11 @@ THRESHOLDS = {
     # first recording 33.1k rows/s at 50k-row batches — floor at the
     # ~2-3x under-recording policy
     "rolling_stats": 12_000,
+    # round-14 two-series (corr) face over the same state layout:
+    # adds 3 co-moment prefixes + 2 change-count degeneracy passes to
+    # the rolling_stats batch work; first recording 29.3k rows/s at
+    # 50k-row batches — floor at the ~2-3x under-recording policy
+    "rolling_corr": 11_000,
     # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
     # headroom and a load-overlapped r8 run read 127k — 100k restores
     # the ~2-3x under-recording policy (same correction minhash got)
@@ -311,6 +316,27 @@ def main() -> None:
                     window_us=3_600_000_000,
                 ),
                 "rolling_stats",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_dedup,
+        }
+
+        # round-14 two-series face of the same kernel: per-event
+        # trailing-window Pearson corr of value against time — same
+        # state layout, plus co-moment prefixes and exact
+        # change-count degeneracy per (entity, batch)
+        from kafkastreams_example_spark.streaming.rolling_corr import (
+            rolling_corr_stream,
+        )
+
+        results["rolling_corr"] = {
+            **_run_query(
+                rolling_corr_stream(
+                    d, entity_cols=("ent",), ts_col="event_time",
+                    value_col="value", id_col="row_id",
+                    window_us=3_600_000_000,
+                ),
+                "rolling_corr",
                 ckpt_root,
             ),
             "rows_per_batch": rows_dedup,

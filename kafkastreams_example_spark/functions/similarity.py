@@ -106,6 +106,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the 100 TB path for similarity
     search.
@@ -123,6 +124,11 @@ def ivf_topk(
     corpus instead of all of it. Output schema matches cosine_topk;
     results are approximate (a true neighbor outside probed buckets is
     missed).
+
+    ``assignments``: a pre-built (id_col, bucket) posting list — pass
+    the committed state of an incrementally maintained inverted file
+    (queries.q_ivf_incremental) to skip the in-query assignment pass;
+    it must have been assigned under the SAME centroids (ivf_assign).
     """
     from pyspark.sql import Window
 
@@ -145,7 +151,10 @@ def ivf_topk(
             .select(side_id, F.col("cent_id").alias(out))
         )
 
-    assigned = nearest(unit, id_col, 1, "bucket")  # each vector's home bucket
+    if assignments is None:
+        assigned = nearest(unit, id_col, 1, "bucket")  # home bucket
+    else:
+        assigned = assignments.select(id_col, "bucket")
     queries = unit.filter(F.col(id_col).isin(query_ids))
     probes = nearest(queries, id_col, n_probe, "bucket").withColumnRenamed(
         id_col, "query_id"
@@ -173,6 +182,41 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Home-bucket assignment of each vector under a FROZEN codebook:
+    (id_col, bucket) rows, bucket = the centroid with the highest
+    cosine (ties to the lowest cent_id — the exact tie-break of
+    ivf_topk's in-query assignment and the SQL oracle). O(n·C) with
+    broadcast centroids and a map-side max_by partial aggregate — the
+    corpus is never shuffled with its vectors attached; the shuffle
+    carries one best-so-far (id, bucket) row per vector per task.
+
+    This is the INGEST half of the incrementally maintained inverted
+    file (queries.q_ivf_incremental): each arriving batch is assigned
+    here and its postings upserted into the index table, O(hot
+    buckets) per batch, while the codebook stays fixed at its
+    train-time snapshot."""
+    unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
+    cents = centroids.select("cent_id", "cv")
+    return (
+        F.broadcast(cents)
+        .join(unit, how="cross")
+        .select(id_col, "cent_id", _dot(F.col("uv"), F.col("cv")).alias("cs"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc")),
+            ).alias("bucket")
+        )
     )
 
 

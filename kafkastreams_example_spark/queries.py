@@ -8686,6 +8686,62 @@ def q_minhash_incremental(spark, sf_dir):
     )
 
 
+def q_ivf_incremental(spark, sf_dir):
+    """ANN top-k served from an INCREMENTALLY MAINTAINED inverted
+    file — completing the index-as-you-land triple (q_bm25_incremental:
+    term index; q_minhash_incremental: band-bucket index; here: IVF
+    posting lists). The codebook is FROZEN at train time
+    (kmeans_centroids k=16, 2 Lloyd rounds — the exact
+    q_ivf_topk_trained trainer); vectors then arrive in three
+    deterministic batches (vec_id % 3), each assigned under the frozen
+    codebook (functions/similarity.py::ivf_assign — broadcast
+    centroids, map-side max_by, the corpus never shuffled with vectors
+    attached) and upserted as (bucket, vec_id) postings into a
+    MaterializedCounts table, so each batch's merge touches only the
+    buckets its vectors land in, never the whole index. The committed
+    posting list then serves ivf_topk through its ``assignments`` fast
+    path (no in-query assignment pass). The oracle is the ONE-SHOT
+    trained-IVF SQL (_sql_ivf_topk_trained), so the gate proves the
+    maintained index answers top-k IDENTICALLY to an index built in
+    one pass over the whole corpus, no matter how ingestion was
+    batched — the invariant that lets a 100 TB retrieval pipeline
+    index embeddings as they land instead of rebuilding the inverted
+    file corpus-wide. Temp-dir state is atexit-cleaned (the returned
+    frame reads it lazily)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .functions.similarity import ivf_assign, ivf_topk, kmeans_centroids
+    from .streaming.mat_view import MaterializedCounts
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=16, iters=2)  # frozen at train time
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    # the posting key is named ivf_bucket: "bucket" is the index
+    # table's own internal partitioning column
+    index = MaterializedCounts(
+        path, keys=("ivf_bucket", "vec_id"), value_col=None, n_buckets=8
+    )
+    for i in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == i)
+        index.apply_batch(
+            ivf_assign(batch, cents).withColumnRenamed("bucket", "ivf_bucket"),
+            i,
+        )
+    postings = index.read(spark).select(
+        "vec_id", F.col("ivf_bucket").alias("bucket")
+    )
+    return ivf_topk(
+        emb,
+        query_ids=[0, 1, 2, 3, 4],
+        k=5,
+        centroids=cents,
+        assignments=postings,
+    )
+
+
 def _history_cap_guard(result, n_col, entity_col, cap, where):
     """Wrap a per-entity computed column so a retention-contract
     violation degrades into a DIAGNOSABLE runtime error instead of a
@@ -9392,6 +9448,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "minhash_incremental": QuerySpec(
         q_minhash_incremental, SQL_MINHASH_LSH_PAIRS, ("text", "dedup", "streaming")
     ),
+    "ivf_incremental": QuerySpec(
+        q_ivf_incremental,
+        _sql_ivf_topk_trained(),
+        ("similarity", "iterative", "streaming"),
+    ),
     "table_checksum": QuerySpec(
         q_table_checksum, SQL_TABLE_CHECKSUM, ("relational", "maintenance")
     ),
@@ -9442,12 +9503,14 @@ REGISTRY: dict[str, QuerySpec] = {
 # CORRECTNESS_r0{1,2,3}.json latest-row ages as of round 4 — rotate
 # again next round.
 _GATE_ORDER = [
-    # — changed or new in round 13: must (re-)evidence first —
+    # — changed or new in round 14: must (re-)evidence first —
+    "ivf_incremental",         # new: IVF top-k from the incremental posting list
+    "bloom_semi_join",         # advice fix: cross-family key widening
+    "ssjoin_prefix",           # advice fix: executor-visible staging
+    # — round-13 tier (still recent) —
     "rolling_corr_range",      # new: retract-capable 24 h time-RANGE corr
     "rolling_range_stats",     # new: count/sum/mean/std over the same kernel
     "ann_recall",              # new: recall@5 eval of IVF vs exact top-k
-    "bloom_semi_join",         # advice fix: type-blind key hashing
-    "ssjoin_prefix",           # advice fix: parquet staging, not persist
     "ewma",                    # history-cap enforcement
     "sequence_match",          # history-cap enforcement
     # — round-12 tier (still recent) —

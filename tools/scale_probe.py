@@ -345,6 +345,17 @@ ROUND13_FAMILY = [
     "ann_recall",
 ]
 
+# round-14 additions
+ROUND14_FAMILY = [
+    # ivf_incremental: ~linear — codebook cost is k-fixed (O(n·C)
+    # assignment per batch, broadcast centroids); THREE posting-list
+    # merges each rewrite only the table buckets the batch's vectors
+    # land in (O(hot buckets), the minhash_incremental maintenance
+    # class); the served top-k is probe-bounded (~n_probe/C of the
+    # corpus scored)
+    "ivf_incremental",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -690,6 +701,8 @@ if __name__ == "__main__":
             fam = ROUND12B_FAMILY
         elif "r13" in sys.argv[2:]:
             fam = ROUND13_FAMILY
+        elif "r14" in sys.argv[2:]:
+            fam = ROUND14_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
