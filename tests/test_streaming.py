@@ -2600,3 +2600,78 @@ def test_rolling_stats_stream_out_of_order_semantics(spark, tmp_path):
     # rid5 (t=100) is older than the horizon (2400 - 1000): its
     # window-mates were pruned, so it emits over itself alone
     assert got[5]["n_frame"] == 1 and got[5]["sum_v"] == 1.0
+
+
+def test_rolling_corr_stream_out_of_order_semantics(spark, tmp_path):
+    """Same pinned emit-on-arrival contract for the corr face: a late
+    event emits over arrived rows at or before its event time; a
+    subsequent in-order row's frame INCLUDES the late row and equals
+    the batch kernel exactly."""
+    import math
+
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_corr_range,
+    )
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        rolling_corr_stream,
+    )
+
+    w = 1_000  # µs
+    batches = [
+        [(1, 1, 1000, 5.0), (1, 2, 2000, 7.0)],
+        [(1, 3, 1500, 4.0)],   # LATE: between rid1 and rid2
+        [(1, 4, 2400, 2.0)],   # in-order again
+    ]
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_corr_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=w,
+    )
+    for i, chunk in enumerate(batches):
+        _write_batch(
+            src, f"b{i}.json",
+            [dict(zip(("ent", "row_id", "t_us", "value"), r)) for r in chunk],
+        )
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        r["row_id"]: r for r in spark.read.json(str(out_dir)).collect()
+    }
+    # rid2 was emitted before the late rid3 existed: 2-pair frame
+    # (1000,5),(2000,7) -> corr = +1 exactly; never corrected
+    assert got[2]["n_frame"] == 2
+    assert math.isclose(got[2]["corr"], 1.0, abs_tol=1e-9)
+    # the late rid3 (t=1500) sees only rid1 + itself: (1000,5),(1500,4)
+    # -> corr = -1; the future rid2 is invisible to it
+    assert got[3]["n_frame"] == 2
+    assert math.isclose(got[3]["corr"], -1.0, abs_tol=1e-9)
+    # the next in-order rid4 includes the late row — frame [1400,2400]
+    # = (1500,4),(2000,7),(2400,2): equals the batch kernel exactly
+    full = spark.createDataFrame(
+        [r for c in batches for r in c],
+        "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE",
+    )
+    b = {
+        r["row_id"]: r
+        for r in rolling_corr_range(
+            full, ["ent"], "t_us", "value", w, ["row_id"]
+        ).collect()
+    }
+    assert got[4]["n_frame"] == 3
+    # (the batch kernel emits id_cols + corr only — no n_frame)
+    assert math.isclose(got[4]["corr"], b[4]["corr"], abs_tol=1e-9)

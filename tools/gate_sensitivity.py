@@ -245,6 +245,15 @@ def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
                 "survived": 0}
     results = []
     for kind, idx, desc in picks:
+        # drop temp views between runs: a mutant that renames only the
+        # CREATE side of a createOrReplaceTempView would otherwise read
+        # the baseline run's STALE view and survive as an artifact of
+        # audit session order, not of gate sensitivity (round-14: the
+        # grouping_sets / udtf_term_counts survivors were exactly this
+        # — both die honestly in a clean-view session)
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
         mutated = ast.fix_missing_locations(_mutate(tree, kind, idx))
         ns = dict(queries_mod.__dict__)
         try:
