@@ -93,6 +93,10 @@ THRESHOLDS = {
     # the rolling_stats batch work; first recording 29.3k rows/s at
     # 50k-row batches — floor at the ~2-3x under-recording policy
     "rolling_corr": 11_000,
+    # round-14 corrected-emission tier of rolling_stats (ids + rev in
+    # state; correction set empty on the in-order feed): first
+    # recording 33.1k rows/s — floor at the same policy
+    "rolling_stats_corrected": 11_000,
     # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
     # headroom and a load-overlapped r8 run read 127k — 100k restores
     # the ~2-3x under-recording policy (same correction minhash got)
@@ -316,6 +320,23 @@ def main() -> None:
                     window_us=3_600_000_000,
                 ),
                 "rolling_stats",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_dedup,
+        }
+
+        # round-14 corrected-emission tier: same kernel + row ids and
+        # a per-key rev sequence in state; on this in-order feed the
+        # correction set is empty, so the reading prices the tier's
+        # bookkeeping overhead (id array state amplification + rev)
+        results["rolling_stats_corrected"] = {
+            **_run_query(
+                rolling_stats_stream(
+                    d, entity_cols=("ent",), ts_col="event_time",
+                    value_col="value", id_col="row_id",
+                    window_us=3_600_000_000, emit_corrections=True,
+                ),
+                "rolling_stats_corrected",
                 ckpt_root,
             ),
             "rows_per_batch": rows_dedup,

@@ -26,6 +26,16 @@ Spark equivalent, built on the same algebra as the batch kernel:
     their batch (an earlier-time straggler sees in-window state rows
     that arrived before it, exactly like the dedup tier's probe).
 
+Two emission tiers (round 14): the default emits each arriving row
+once (emit-on-arrival; a late row's frame covers what has arrived —
+divergence from batch bounded to frames whose window-mates arrive
+later); ``emit_corrections=True`` additionally re-emits the rows a
+late event retro-affects, stamped with a per-key ``rev`` sequence, so
+max(rev)-per-id downstream CONVERGES to the batch kernel for every
+row whose window-mates all arrive within the retention horizon
+(pinned in tests; the upsert-over-append shape Flink uses for
+retracting OVER windows).
+
 100 TB shape: rows shuffle once on the entity key; state per key is
 O(rows inside one window), RocksDB-backed; the numpy work is per
 (entity, batch) with no Python row loop.
@@ -109,6 +119,104 @@ def make_rolling_stats_fn(window_us: int, id_col: str):
     return fn
 
 
+def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
+    """CORRECTED-EMISSION variant (round 14): same per-entity timeline
+    state plus row ids and a per-key emission sequence. A LATE event
+    doesn't just emit its own frame — it also RE-EMITS every state row
+    whose trailing frame the late event falls into (rows with
+    t ∈ [t_late, t_late + W]), recomputed over the merged timeline and
+    stamped with the new sequence number. Downstream keeps the row
+    with the max ``rev`` per id (upsert semantics over an append
+    sink — the same shape Flink gives retracting OVER windows on
+    append-only sinks).
+
+    Convergence contract (pinned in tests): once every event inside a
+    row's window has arrived WITHIN the retention horizon (W behind
+    the key's max event time), the row's latest emission equals the
+    batch kernel's output exactly. An event arriving later than the
+    horizon cannot correct rows already pruned — the correction window
+    IS the retention window, the same bound the state itself has."""
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = list(pdfs)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        batch = batch.sort_values(["t_us", id_col], kind="mergesort")
+        bt = batch["t_us"].to_numpy(np.int64)
+        bv = batch["value"].to_numpy(np.float64)
+        bi = batch[id_col].to_numpy(np.int64)
+        if state.exists:
+            st_, sv, sids, seq = state.get
+            st_ = np.asarray(st_, dtype=np.int64)
+            sv = np.asarray(sv, dtype=np.float64)
+            sids = np.asarray(sids, dtype=np.int64)
+            seq = int(seq)
+        else:
+            st_ = np.zeros(0, dtype=np.int64)
+            sv = np.zeros(0, dtype=np.float64)
+            sids = np.zeros(0, dtype=np.int64)
+            seq = -1
+        seq += 1
+        # a state row is AFFECTED iff some batch row lands inside its
+        # trailing frame, i.e. a batch t exists in [t_s - W, t_s]; on
+        # an in-order stream that is at most a same-timestamp tie, so
+        # the correction set is empty and this tier degenerates to the
+        # plain one (plus the rev column)
+        if st_.size and bt.size:
+            pos = np.searchsorted(bt, st_ - window_us, side="left")
+            affected = (pos < bt.size) & (
+                bt[np.minimum(pos, bt.size - 1)] <= st_
+            )
+        else:
+            affected = np.zeros(st_.size, dtype=bool)
+        mt = np.concatenate([st_, bt])
+        mv = np.concatenate([sv, bv])
+        mi = np.concatenate([sids, bi])
+        order = np.argsort(mt, kind="mergesort")
+        mt, mv, mi = mt[order], mv[order], mi[order]
+        # emission set: the batch's own rows + affected state rows
+        emit_t = np.concatenate([st_[affected], bt])
+        emit_i = np.concatenate([sids[affected], bi])
+        lo = np.searchsorted(mt, emit_t - window_us, side="left")
+        hi = np.searchsorted(mt, emit_t, side="right")
+        pv = np.zeros(len(mv) + 1)
+        np.cumsum(mv, out=pv[1:])
+        n = (hi - lo).astype(np.int64)
+        s = pv[hi] - pv[lo]
+        mn, mx = sparse_range_minmax(mv, mv, lo, hi)
+        out = pd.DataFrame(
+            {
+                id_col: emit_i,
+                "ts_ms": (emit_t // 1000).astype(np.int64),
+                "n_frame": n,
+                "sum_v": s,
+                "mean_v": s / n,
+                "min_v": mn,
+                "max_v": mx,
+                "rev": np.full(len(emit_i), seq, dtype=np.int64),
+            }
+        )
+        keep = mt >= mt[-1] - window_us
+        state.update(
+            (
+                mt[keep].tolist(),
+                mv[keep].tolist(),
+                mi[keep].tolist(),
+                seq,
+            )
+        )
+        yield out
+
+    return fn
+
+
 def rolling_stats_stream(
     events: DataFrame,
     entity_cols: tuple[str, ...] = ("user_id", "event_type"),
@@ -116,6 +224,7 @@ def rolling_stats_stream(
     value_col: str = "value",
     id_col: str = "row_id",
     window_us: int = DEFAULT_WINDOW_US,
+    emit_corrections: bool = False,
 ) -> DataFrame:
     """Wire the per-event trailing-window stats over a stream: rows
     with NULL value or NULL event time are dead-lettered (dropped —
@@ -123,7 +232,15 @@ def rolling_stats_stream(
     skip them anyway; the batch kernel instead reports them with their
     frame, a difference documented here because streaming state must
     not hold non-contributing rows). Output per surviving input row:
-    id_col, ts_ms, n_frame, sum_v, mean_v, min_v, max_v."""
+    id_col, ts_ms, n_frame, sum_v, mean_v, min_v, max_v.
+
+    ``emit_corrections=True`` selects the corrected-emission tier
+    (make_rolling_stats_corrected_fn): late events additionally
+    RE-EMIT the state rows they retro-affect, every row carries a
+    per-key ``rev`` sequence, and downstream keeps max(rev) per id —
+    eventual consistency with the batch kernel inside the retention
+    horizon. That tier requires an integral id column (ids live in
+    the state struct as ARRAY<BIGINT>)."""
     keyed = events.select(
         *entity_cols,
         F.col(id_col),
@@ -131,13 +248,33 @@ def rolling_stats_stream(
         F.col(value_col).cast("double").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("t_us").isNotNull())
     id_ddl = dict(keyed.dtypes)[id_col]
+    if not emit_corrections:
+        return keyed.groupBy(*entity_cols).applyInPandasWithState(
+            make_rolling_stats_fn(window_us, id_col),
+            outputStructType=(
+                f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
+                "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE"
+            ),
+            stateStructType="ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if id_ddl not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"emit_corrections requires an integral id column, got "
+            f"{id_col}: {id_ddl}"
+        )
     return keyed.groupBy(*entity_cols).applyInPandasWithState(
-        make_rolling_stats_fn(window_us, id_col),
+        make_rolling_stats_corrected_fn(window_us, id_col),
         outputStructType=(
-            f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
-            "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE"
+            f"`{id_col}` BIGINT, ts_ms BIGINT, n_frame BIGINT, "
+            "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE, "
+            "rev BIGINT"
         ),
-        stateStructType="ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>",
+        stateStructType=(
+            "ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>, ids ARRAY<BIGINT>, "
+            "seq BIGINT"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -2675,3 +2675,142 @@ def test_rolling_corr_stream_out_of_order_semantics(spark, tmp_path):
     assert got[4]["n_frame"] == 3
     # (the batch kernel emits id_cols + corr only — no n_frame)
     assert math.isclose(got[4]["corr"], b[4]["corr"], abs_tol=1e-9)
+
+
+def test_rolling_stats_corrected_emissions_converge_to_batch(spark, tmp_path):
+    """Round-14 corrected-emission tier: late events RE-EMIT the rows
+    they retro-affect with an incrementing per-key rev, and taking
+    max(rev) per row_id converges EXACTLY to the batch kernel once
+    every window-mate has arrived within the retention horizon. Also
+    pins the correction mechanics batch by batch: an in-order batch
+    corrects nothing; a late event corrects exactly the state rows
+    whose trailing frame it falls into."""
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_range_stats,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    w = 1_500  # µs
+    rows = {  # rid -> (t_us, value)
+        1: (1000, 5.0), 2: (2000, 7.0), 3: (1500, 4.0),
+        4: (2400, 2.0), 5: (1800, 6.0),
+    }
+    batches = [[1, 2], [3], [4], [5]]  # rids 3 and 5 arrive LATE
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_stats_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=w,
+        emit_corrections=True,
+    )
+    for i, rids in enumerate(batches):
+        _write_batch(
+            src, f"b{i}.json",
+            [{"ent": 1, "row_id": r, "t_us": rows[r][0],
+              "value": rows[r][1]} for r in rids],
+        )
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    emitted = spark.read.json(str(out_dir)).collect()
+    # correction mechanics: rid2 must have been emitted THREE times
+    # (original, corrected by late rid3, corrected by late rid5); the
+    # in-order rid4 batch corrects nothing beyond its own row
+    per_rid = {}
+    for r in emitted:
+        per_rid.setdefault(r["row_id"], []).append(r)
+    assert len(per_rid[2]) == 3
+    assert len(per_rid[1]) == 1  # never retro-affected
+    assert len(per_rid[4]) == 2  # original + corrected by rid5
+    # convergence: max(rev) per rid equals the batch kernel exactly
+    latest = {
+        rid: max(es, key=lambda r: r["rev"]) for rid, es in per_rid.items()
+    }
+    df = spark.createDataFrame(
+        [(1, rid, t, v) for rid, (t, v) in rows.items()],
+        "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE",
+    )
+    want = {
+        r["row_id"]: r
+        for r in rolling_range_stats(
+            df, ["ent"], "t_us", "value", w, ["row_id"]
+        ).collect()
+    }
+    assert set(latest) == set(want)
+    import math
+
+    for rid, g in latest.items():
+        b = want[rid]
+        assert g["n_frame"] == b["n_frame"], rid
+        assert math.isclose(g["sum_v"], b["sum_v"], abs_tol=1e-9), rid
+        assert g["min_v"] == b["min_v"] and g["max_v"] == b["max_v"], rid
+    # and the rev sequence is strictly increasing per key batch
+    assert max(r["rev"] for r in emitted) == 3
+
+
+def test_rolling_stats_corrected_tier_in_order_matches_default(spark, tmp_path):
+    """On an event-time-ordered stream the corrected tier must emit
+    every row exactly once with the same values as the default tier
+    (the correction set is empty in-order); a non-integral id raises."""
+    import pytest
+
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    rows = [(1, 1, 100, 5.0), (1, 2, 150, 2.0), (1, 3, 900, 9.0)]
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    _write_batch(
+        src, "b0.json",
+        [dict(zip(("ent", "row_id", "t_us", "value"), r)) for r in rows],
+    )
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_stats_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=1000,
+        emit_corrections=True,
+    )
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["row_id"], r["n_frame"], r["sum_v"], r["rev"])
+        for r in spark.read.json(str(out_dir)).collect()
+    )
+    assert got == [(1, 1, 5.0, 0), (2, 2, 7.0, 0), (3, 3, 16.0, 0)]
+
+    with pytest.raises(ValueError, match="integral id"):
+        rolling_stats_stream(
+            stream.withColumn("row_id", F.col("row_id").cast("string")),
+            entity_cols=("ent",), ts_col="event_time",
+            value_col="value", id_col="row_id", window_us=1000,
+            emit_corrections=True,
+        )
