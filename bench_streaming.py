@@ -144,6 +144,13 @@ THRESHOLDS = {
     # stop-path artifact of this Spark build's error classification,
     # and never affects measured batches or committed state.)
     "term_index": 45_000,
+    # round-14 streaming IVF ingest: codegen argmax projection + the
+    # same bucket-pruned parquet upsert class as term_index; every
+    # batch's posting set is NEW keys (monotone vec_id), so the merge
+    # is the hot-bucket worst case; first recording 47.1k rows/s at
+    # 50k-row batches — ~3x under-recording floor (floor kept at 10k
+    # for headroom against loaded runs)
+    "ivf_index": 10_000,
 }
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
@@ -588,6 +595,44 @@ def main() -> None:
                 "term_index",
                 ckpt_root,
                 sink_fn=idx.sink(),
+            ),
+            "rows_per_batch": rows_dedup,
+        }
+
+        # round-14 streaming IVF ingest: per row an O(C·dim) codegen
+        # argmax against a FROZEN 16-centroid dim-8 codebook (pure
+        # projection, no shuffle, no Python), then the bucket-pruned
+        # posting-list upsert — the third index-as-you-land pipeline
+        from kafkastreams_example_spark.streaming.pipelines import (
+            ivf_index_feed,
+        )
+
+        dim = 8
+        crows = [
+            (j, [1.0 if p == j % dim else 0.2 * ((j + p) % 3) for p in range(dim)])
+            for j in range(16)
+        ]
+        emb_stream = _rate_source(spark, rows_dedup).select(
+            F.col("value").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("value") * (p + 3)) % 17).cast("double")
+                    for p in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        ivf_idx = MaterializedCounts(
+            os.path.join(ckpt_root, "ivf_index_data"),
+            keys=("ivf_bucket", "vec_id"),
+            value_col=None,
+            n_buckets=16,
+        )
+        results["ivf_index"] = {
+            **_run_query(
+                ivf_index_feed(emb_stream, crows),
+                "ivf_index",
+                ckpt_root,
+                sink_fn=ivf_idx.sink(),
             ),
             "rows_per_batch": rows_dedup,
         }

@@ -796,3 +796,47 @@ def term_index_feed(
         F.size("toks").cast("double").alias("value"),
     )
     return term_rows.unionByName(stat_rows)
+
+
+def ivf_index_feed(
+    emb: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Transform an embedding stream into the incremental IVF
+    posting-list feed consumed by a MaterializedCounts(keys=
+    ("ivf_bucket", "vec_id"), value_col=None) table — the STREAMING
+    face of q_ivf_incremental's ingest (the third index-as-you-land
+    pipeline, after the bm25 term index and the minhash band feeds).
+
+    The codebook is FROZEN (a driver-side list of (cent_id, unit
+    centroid), e.g. kmeans_centroids(...).collect() at train time), so
+    the nearest-centroid argmax compiles to a PURE PROJECTION — an
+    array_max over per-centroid (cosine, -cent_id) structs, whose
+    struct ordering reproduces ivf_assign's exact tie-break (highest
+    cosine, then lowest cent_id) — and the feed stays legal on an
+    unaggregated stream in append mode (a groupBy/max_by formulation
+    would need a watermarked aggregation; a projection needs nothing).
+    Per row: O(C·dim) fused multiply-adds inside codegen, no shuffle,
+    no Python. Parity with the batch ivf_assign is pinned in
+    tests/test_streaming.py."""
+    from ..functions.similarity import _dot, _unit
+
+    uv = _unit(F.col(vec_col))
+    cands = F.array(
+        *[
+            F.struct(
+                _dot(uv, F.array(*[F.lit(float(x)) for x in cv])).alias(
+                    "cs"
+                ),
+                F.lit(-int(cid)).cast("bigint").alias("nc"),
+            )
+            for cid, cv in centroid_rows
+        ]
+    )
+    best = F.array_max(cands)
+    return emb.select(
+        (-best["nc"]).cast("int").alias("ivf_bucket"),
+        F.col(id_col).alias("vec_id"),
+    )

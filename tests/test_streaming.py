@@ -2814,3 +2814,81 @@ def test_rolling_stats_corrected_tier_in_order_matches_default(spark, tmp_path):
             value_col="value", id_col="row_id", window_us=1000,
             emit_corrections=True,
         )
+
+
+def test_ivf_index_feed_matches_batch_assign_and_maintains_index(spark, tmp_path):
+    """Round-14 streaming IVF ingest: ivf_index_feed's pure-projection
+    argmax must equal functions/similarity.ivf_assign row-for-row on
+    the same frozen codebook (same tie-break), and driving it through
+    a MaterializedCounts sink across THREE micro-batches must commit
+    the same posting set as one-shot assignment over the union —
+    the invariant q_ivf_incremental's oracle proves at the query
+    level, here pinned for the streaming face."""
+    from kafkastreams_example_spark.functions.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+    from kafkastreams_example_spark.sources.tables import load_table
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+    from kafkastreams_example_spark.streaming.pipelines import (
+        ivf_index_feed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=1)
+    crows = [
+        (r["cent_id"], list(r["cv"])) for r in cents.collect()
+    ]
+
+    # 1) batch parity: projection argmax == groupBy/max_by assign
+    got = sorted(
+        (r["vec_id"], r["ivf_bucket"])
+        for r in ivf_index_feed(emb, crows).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in ivf_assign(emb, cents).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # 2) streaming maintenance: three micro-batches through the
+    # MaterializedCounts sink == one-shot postings
+    import json as _json
+
+    rows = emb.select("vec_id", "embedding").collect()
+    batches = [rows[0::3], rows[1::3], rows[2::3]]
+    src, ckpt = tmp_path / "src", tmp_path / "ckpt"
+    src.mkdir()
+    idx = MaterializedCounts(
+        str(tmp_path / "ivf_idx"),
+        keys=("ivf_bucket", "vec_id"),
+        value_col=None,
+        n_buckets=4,
+    )
+    stream = spark.readStream.schema(
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).json(str(src))
+    feed = ivf_index_feed(stream, crows)
+    for i, chunk in enumerate(batches):
+        _write_batch(
+            src, f"b{i}.json",
+            [{"vec_id": r["vec_id"],
+              "embedding": [float(x) for x in r["embedding"]]}
+             for r in chunk],
+        )
+        q = (
+            feed.writeStream.foreachBatch(idx.sink())
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    committed = sorted(
+        (r["vec_id"], r["ivf_bucket"])
+        for r in idx.read(spark).select("vec_id", "ivf_bucket").collect()
+    )
+    assert committed == want
