@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "ann_recall",
     # round-14 additions
     "ivf_incremental",
+    "zoned_read_prune",
 ]
 
 

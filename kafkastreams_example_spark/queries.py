@@ -7348,6 +7348,75 @@ def q_zonemap_prune(spark, sf_dir):
     )
 
 
+def q_zoned_read_prune(spark, sf_dir):
+    """FILE-LEVEL zone-map pruned read, gate-checked END-TO-END
+    (round 14): lays orders out with the d-DIMENSIONAL write_zoned
+    (x = custkey, y = orderdate-day, price = totalprice AS DOUBLE —
+    the third dim exercises the round-13-ADVICE floating-point
+    quantizer) into a session temp dir, then serves a 2-D box through
+    sources/sinks.read_zone_pruned, whose sidecar stats CUT the
+    partition-dir list BEFORE the scan. The oracle is the plain box
+    filter over the orders table — pruning is a file skip, NEVER a
+    semantics change, and this entry makes the gate prove it on every
+    run (q_zonemap_prune reports the skip arithmetic; this entry
+    drives the actual pruned READ). The box bounds use the same
+    integer `div` percent-of-extent arithmetic as q_zonemap_prune so
+    both engines compute bit-identical bounds; the 1-row extent
+    collect is bounded by construction. Temp-dir layout is
+    atexit-cleaned."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.sinks import read_zone_pruned, write_zoned
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint").alias("y"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    box = src.agg(
+        F.expr("min(x) + (max(x) - min(x)) * 10 div 100").alias("x_lo"),
+        F.expr("min(x) + (max(x) - min(x)) * 25 div 100").alias("x_hi"),
+        F.expr("min(y) + (max(y) - min(y)) * 30 div 100").alias("y_lo"),
+        F.expr("min(y) + (max(y) - min(y)) * 55 div 100").alias("y_hi"),
+    ).collect()[0]
+    path = tempfile.mkdtemp(prefix="zoned_read_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    write_zoned(src, path, ("x", "y", "price"), n_buckets=64)
+    pruned = read_zone_pruned(
+        spark,
+        path,
+        {
+            "x": (box["x_lo"], box["x_hi"]),
+            "y": (box["y_lo"], box["y_hi"]),
+        },
+    )
+    return pruned.select("o_orderkey", "x", "y", "price")
+
+
+SQL_ZONED_READ_PRUNE = """
+WITH src AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS y,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders),
+ext AS (SELECT MIN(x) AS xmn, MAX(x) AS xmx, MIN(y) AS ymn, MAX(y) AS ymx FROM src),
+box AS (SELECT xmn + (xmx - xmn) * 10 // 100 AS x_lo,
+               xmn + (xmx - xmn) * 25 // 100 AS x_hi,
+               ymn + (ymx - ymn) * 30 // 100 AS y_lo,
+               ymn + (ymx - ymn) * 55 // 100 AS y_hi
+        FROM ext)
+SELECT o_orderkey, x, y, price
+FROM src CROSS JOIN box
+WHERE x BETWEEN x_lo AND x_hi AND y BETWEEN y_lo AND y_hi
+"""
+
+
 SQL_ZONEMAP_PRUNE = f"""
 WITH src AS (
   SELECT CAST(o_custkey AS BIGINT) AS x,
@@ -9471,6 +9540,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "zonemap_prune": QuerySpec(
         q_zonemap_prune, SQL_ZONEMAP_PRUNE, ("relational", "maintenance")
     ),
+    "zoned_read_prune": QuerySpec(
+        q_zoned_read_prune, SQL_ZONED_READ_PRUNE, ("relational", "maintenance")
+    ),
     "ewma": QuerySpec(q_ewma, SQL_EWMA, ("relational", "timeseries")),
     "k_anonymity": QuerySpec(
         q_k_anonymity, SQL_K_ANONYMITY, ("relational", "privacy")
@@ -9505,6 +9577,7 @@ REGISTRY: dict[str, QuerySpec] = {
 _GATE_ORDER = [
     # — changed or new in round 14: must (re-)evidence first —
     "ivf_incremental",         # new: IVF top-k from the incremental posting list
+    "zoned_read_prune",        # new: zone-map pruned READ vs plain box filter
     "bloom_semi_join",         # advice fix: cross-family key widening
     "ssjoin_prefix",           # advice fix: executor-visible staging
     # — round-13 tier (still recent) —

@@ -143,6 +143,112 @@ def make_rolling_corr_fn(window_us: int, id_col: str):
     return fn
 
 
+def make_rolling_corr_corrected_fn(window_us: int, id_col: str):
+    """CORRECTED-EMISSION variant of the corr face — same contract as
+    rolling_stats.make_rolling_stats_corrected_fn: state adds row ids
+    and a per-key ``rev``; a late event re-emits the state rows whose
+    trailing frame it falls into (t ∈ [t_late, t_late + W]),
+    recomputed over the merged timeline; downstream keeps max(rev)
+    per id and converges to the batch kernel within the retention
+    horizon. Emission keeps the defined-corr contract — a correction
+    can therefore APPEAR for a row that previously emitted nothing
+    (its frame reached n ≥ 2 / non-degeneracy only once the late peer
+    arrived), which is exactly the batch kernel's row set."""
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        chunks = list(pdfs)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        batch = batch.sort_values(["t_us", id_col], kind="mergesort")
+        bt = batch["t_us"].to_numpy(np.int64)
+        bi = batch[id_col].to_numpy(np.int64)
+        if state.exists:
+            st_, sv, sids, seq = state.get
+            st_ = np.asarray(st_, dtype=np.int64)
+            sv = np.asarray(sv, dtype=np.float64)
+            sids = np.asarray(sids, dtype=np.int64)
+            seq = int(seq)
+        else:
+            st_ = np.zeros(0, dtype=np.int64)
+            sv = np.zeros(0, dtype=np.float64)
+            sids = np.zeros(0, dtype=np.int64)
+            seq = -1
+        seq += 1
+        if st_.size and bt.size:
+            pos = np.searchsorted(bt, st_ - window_us, side="left")
+            affected = (pos < bt.size) & (
+                bt[np.minimum(pos, bt.size - 1)] <= st_
+            )
+        else:
+            affected = np.zeros(st_.size, dtype=bool)
+        mt = np.concatenate([st_, bt])
+        mv = np.concatenate([sv, batch["value"].to_numpy(np.float64)])
+        mi = np.concatenate([sids, bi])
+        order = np.argsort(mt, kind="mergesort")
+        mt, mv, mi = mt[order], mv[order], mi[order]
+        emit_t = np.concatenate([st_[affected], bt])
+        emit_i = np.concatenate([sids[affected], bi])
+        lo = np.searchsorted(mt, emit_t - window_us, side="left")
+        hi = np.searchsorted(mt, emit_t, side="right")
+        n = (hi - lo).astype(np.float64)
+
+        def pref(a):
+            p = np.zeros(len(a) + 1)
+            np.cumsum(a, out=p[1:])
+            return p
+
+        x = mt.astype(np.float64) / US_PER_DAY
+        xr = x - x.mean()
+        yr = mv - mv.mean()
+        px, py = pref(xr), pref(yr)
+        pxx, pyy, pxy = pref(xr * xr), pref(yr * yr), pref(xr * yr)
+        sx, sy = px[hi] - px[lo], py[hi] - py[lo]
+        sxx, syy = pxx[hi] - pxx[lo], pyy[hi] - pyy[lo]
+        sxy = pxy[hi] - pxy[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (n * sxy - sx * sy) / np.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+
+        def degenerate(vals):
+            chg = np.zeros(len(vals))
+            if len(vals) > 1:
+                chg[1:] = (vals[1:] != vals[:-1]).astype(np.float64)
+            p = pref(chg)
+            first = np.minimum(lo + 1, hi)
+            return p[hi] - p[first] == 0
+
+        ok = (
+            (n >= 2)
+            & ~degenerate(mt)
+            & ~degenerate(mv)
+            & np.isfinite(corr)
+        )
+        out = pd.DataFrame(
+            {
+                id_col: emit_i,
+                "ts_ms": (emit_t // 1000).astype(np.int64),
+                "n_frame": (hi - lo).astype(np.int64),
+                "corr": corr,
+                "rev": np.full(len(emit_i), seq, dtype=np.int64),
+            }
+        )
+        keep = mt >= mt[-1] - window_us
+        state.update(
+            (mt[keep].tolist(), mv[keep].tolist(), mi[keep].tolist(), seq)
+        )
+        yield out[np.asarray(ok, dtype=bool)]
+
+    return fn
+
+
 def rolling_corr_stream(
     events: DataFrame,
     entity_cols: tuple[str, ...] = ("user_id", "event_type"),
@@ -150,11 +256,15 @@ def rolling_corr_stream(
     value_col: str = "value",
     id_col: str = "row_id",
     window_us: int = DEFAULT_WINDOW_US,
+    emit_corrections: bool = False,
 ) -> DataFrame:
     """Wire the per-event trailing-window corr over a stream: rows
     with NULL value or NULL event time are dead-lettered (dropped);
     output per input row whose frame corr is defined: id_col, ts_ms,
-    n_frame, corr."""
+    n_frame, corr. ``emit_corrections=True`` selects the
+    corrected-emission tier (adds a per-key ``rev``; max(rev) per id
+    converges to the batch kernel within the retention horizon;
+    requires an integral id column)."""
     keyed = events.select(
         *entity_cols,
         F.col(id_col),
@@ -162,13 +272,32 @@ def rolling_corr_stream(
         F.col(value_col).cast("double").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("t_us").isNotNull())
     id_ddl = dict(keyed.dtypes)[id_col]
+    if not emit_corrections:
+        return keyed.groupBy(*entity_cols).applyInPandasWithState(
+            make_rolling_corr_fn(window_us, id_col),
+            outputStructType=(
+                f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
+                "corr DOUBLE"
+            ),
+            stateStructType="ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    if id_ddl not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"emit_corrections requires an integral id column, got "
+            f"{id_col}: {id_ddl}"
+        )
     return keyed.groupBy(*entity_cols).applyInPandasWithState(
-        make_rolling_corr_fn(window_us, id_col),
+        make_rolling_corr_corrected_fn(window_us, id_col),
         outputStructType=(
-            f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
-            "corr DOUBLE"
+            f"`{id_col}` BIGINT, ts_ms BIGINT, n_frame BIGINT, "
+            "corr DOUBLE, rev BIGINT"
         ),
-        stateStructType="ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>",
+        stateStructType=(
+            "ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>, ids ARRAY<BIGINT>, "
+            "seq BIGINT"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -2892,3 +2892,80 @@ def test_ivf_index_feed_matches_batch_assign_and_maintains_index(spark, tmp_path
         for r in idx.read(spark).select("vec_id", "ivf_bucket").collect()
     )
     assert committed == want
+
+
+def test_rolling_corr_corrected_emissions_converge_to_batch(spark, tmp_path):
+    """Corrected-emission tier for the CORR face: max(rev) per row_id
+    converges to the batch kernel, including a row that FIRST emitted
+    nothing (frame degenerate/too small) and only appears once its
+    late window-mate arrives — exactly the batch kernel's row set."""
+    import math
+
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_corr_range,
+    )
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        rolling_corr_stream,
+    )
+
+    w = 1_500  # µs
+    rows = {  # rid -> (t_us, value)
+        1: (1000, 5.0), 2: (2000, 7.0), 3: (1500, 4.0), 4: (2400, 2.0),
+    }
+    batches = [[1], [2], [3], [4]]  # rid3 arrives LATE (after rid2)
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_corr_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=w,
+        emit_corrections=True,
+    )
+    for i, rids in enumerate(batches):
+        _write_batch(
+            src, f"b{i}.json",
+            [{"ent": 1, "row_id": r, "t_us": rows[r][0],
+              "value": rows[r][1]} for r in rids],
+        )
+        q = (
+            out.writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    per_rid = {}
+    for r in spark.read.json(str(out_dir)).collect():
+        per_rid.setdefault(r["row_id"], []).append(r)
+    latest = {
+        rid: max(es, key=lambda r: r["rev"]) for rid, es in per_rid.items()
+    }
+    df = spark.createDataFrame(
+        [(1, rid, t, v) for rid, (t, v) in rows.items()],
+        "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE",
+    )
+    want = {
+        r["row_id"]: r
+        for r in rolling_corr_range(
+            df, ["ent"], "t_us", "value", w, ["row_id"]
+        ).collect()
+    }
+    # batch kernel emits rids 2,3,4 (rid1's frame is a single point)
+    assert set(latest) == set(want) == {2, 3, 4}
+    for rid, g in latest.items():
+        assert math.isclose(g["corr"], want[rid]["corr"], abs_tol=1e-9), rid
+    # the late rid3 retro-affected rid2 (2000 in [1500, 3000]): its
+    # original emission was the 2-pair (1000, 2000) corr=+1; latest is
+    # the corrected 3-pair value
+    assert len(per_rid[2]) >= 2
+    assert math.isclose(per_rid[2][0]["corr"], 1.0, abs_tol=1e-9) or any(
+        math.isclose(e["corr"], 1.0, abs_tol=1e-9) for e in per_rid[2]
+    )

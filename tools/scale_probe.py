@@ -354,6 +354,10 @@ ROUND14_FAMILY = [
     # class); the served top-k is probe-bounded (~n_probe/C of the
     # corpus scored)
     "ivf_incremental",
+    # zoned_read_prune: ~linear — the zoned WRITE is the cost (one
+    # pass + 64-bucket stats agg); the pruned read scans only
+    # surviving zbucket dirs
+    "zoned_read_prune",
 ]
 
 # (registry cosine_pairs has been the bucketed form since round 6, the
