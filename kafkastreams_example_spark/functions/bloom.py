@@ -50,19 +50,23 @@ _FLOATING = {"float", "double"}
 
 def _key_family(dtype: str) -> str:
     """Type family under which the STRING rendering of equi-join-equal
-    values is identical: all integrals render alike ('1'), both
-    floating types render alike ('1.0'), each decimal SCALE renders
-    its own way ('1.00'), everything else is its own family."""
+    values is identical: all integrals render alike ('1'); each
+    decimal SCALE renders its own way ('1.00'); FLOAT and DOUBLE are
+    SEPARATE families — a float's shortest-repr string ('1.1') differs
+    from its lossless double widening's ('1.1000000238418579') for
+    most non-dyadic values, so a FLOAT-vs-DOUBLE pair must widen
+    before hashing (round-14 review finding); everything else is its
+    own family."""
     d = dtype.lower()
     if d in _INTEGRAL:
         return "integral"
-    if d in _FLOATING:
-        return "floating"
     return d
 
 
 def _is_numeric_family(fam: str) -> bool:
-    return fam in ("integral", "floating") or fam.startswith("decimal")
+    return (
+        fam in ("integral",) or fam in _FLOATING or fam.startswith("decimal")
+    )
 
 
 def _canon(col: Column, widen_numeric: bool) -> Column:
@@ -81,10 +85,12 @@ def build_bloom_bits(
     construction. One explode + one bit_or aggregation; the shuffle
     carries at most n_bits/64 rows regardless of key count.
 
-    Build and probe keys must share a TYPE FAMILY (all integrals, both
-    floating types, or decimals of one scale): the hash input is the
-    key's string rendering, identical within a family but NOT across
-    (INT 1 -> '1' vs DOUBLE 1.0 -> '1.0' vs DECIMAL(_,2) -> '1.00'),
+    Build and probe keys must share a TYPE FAMILY (all integrals; or
+    the same floating type — FLOAT and DOUBLE render differently; or
+    decimals of one scale): the hash input is the key's string
+    rendering, identical within a family but NOT across (INT 1 -> '1'
+    vs DOUBLE 1.0 -> '1.0' vs FLOAT 1.1 -> '1.1' vs its double
+    widening '1.1000000238418579' vs DECIMAL(_,2) -> '1.00'),
     so a cross-family pair silently false-negatives (round-13 ADVICE).
     For cross-family numeric pairs set ``widen_numeric=True`` on BOTH
     sides — keys widen to DOUBLE first, so any two values equal under

@@ -8785,7 +8785,12 @@ def q_ivf_incremental(spark, sf_dir):
     from .streaming.mat_view import MaterializedCounts
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, k=16, iters=2)  # frozen at train time
+    # frozen MECHANICALLY, not just conceptually: kmeans_centroids
+    # localCheckpoints eagerly per Lloyd round, so cents is a
+    # materialized 16-row RDD — the three apply_batch actions and the
+    # final top-k REUSE it (~0.1 s per re-action, no embeddings scan
+    # in its executed plan) instead of re-training (verified round 14)
+    cents = kmeans_centroids(emb, k=16, iters=2)
     path = tempfile.mkdtemp(prefix="ivf_index_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     # the posting key is named ivf_bucket: "bucket" is the index

@@ -211,6 +211,13 @@ def write_zoned(
         )
         .collect()  # bounded: one row per bucket
     )
+    # NULL zone values: `least(NULL, scale)` skips the NULL, so such
+    # rows quantize deterministically into the TOP bucket (never a
+    # NULL partition dir); per-bucket min/max exclude NULLs, and a
+    # range predicate never matches a NULL — so pruned reads stay
+    # exactly filter-equivalent (NULL rows drop under both). A bucket
+    # whose column is ALL-NULL records [null, null] stats, which
+    # read_zone_pruned treats as unprunable (kept — always safe).
     zonemap = {
         "zone_cols": list(zone_cols),
         "buckets": {
@@ -267,6 +274,11 @@ def read_zone_pruned(
     def survives(stats) -> bool:
         for col, (lo, hi) in ranges.items():
             mn, mx = stats[col]
+            if mn is None or mx is None:
+                # all-NULL bucket for this column: no stats to prune
+                # on — keep it (always safe; the residual filter drops
+                # the NULL rows anyway)
+                continue
             if mx < lo or mn > hi:
                 return False
         return True

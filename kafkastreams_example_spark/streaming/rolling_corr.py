@@ -56,6 +56,57 @@ from ..functions.sliding import US_PER_DAY
 DEFAULT_WINDOW_US = 86_400_000_000  # 24 h
 
 
+def _corr_over_frames(mt, mv, lo, hi):
+    """Shared frame algebra of both emission tiers: given the merged
+    (time, value) timeline and each emission's frame slice [lo, hi),
+    return (corr, ok) — the rebased prefix-differenced Pearson corr
+    and the defined-corr mask (n >= 2, both regressors exactly
+    non-degenerate via change-count prefixes, finite)."""
+    import numpy as np
+
+    n = (hi - lo).astype(np.float64)
+
+    def pref(a):
+        p = np.zeros(len(a) + 1)
+        np.cumsum(a, out=p[1:])
+        return p
+
+    # rebase both regressors by the merged timeline's means: corr is
+    # shift-invariant and the co-moment identity loses exactly the low
+    # bits near-degenerate frames need at raw magnitudes
+    x = mt.astype(np.float64) / US_PER_DAY
+    xr = x - x.mean()
+    yr = mv - mv.mean()
+    px, py = pref(xr), pref(yr)
+    pxx, pyy, pxy = pref(xr * xr), pref(yr * yr), pref(xr * yr)
+    sx, sy = px[hi] - px[lo], py[hi] - py[lo]
+    sxx, syy = pxx[hi] - pxx[lo], pyy[hi] - pyy[lo]
+    sxy = pxy[hi] - pxy[lo]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    def degenerate(vals):
+        # EXACT zero-variance test: a frame is degenerate iff vals has
+        # ZERO changes inside it (change-count prefixes — never the FP
+        # residue of the co-moment identity)
+        chg = np.zeros(len(vals))
+        if len(vals) > 1:
+            chg[1:] = (vals[1:] != vals[:-1]).astype(np.float64)
+        p = pref(chg)
+        first = np.minimum(lo + 1, hi)
+        return p[hi] - p[first] == 0
+
+    ok = (
+        (n >= 2)
+        & ~degenerate(mt)
+        & ~degenerate(mv)
+        & np.isfinite(corr)
+    )
+    return corr, ok
+
+
 def make_rolling_corr_fn(window_us: int, id_col: str):
     """Per-entity stateful function: state = (ts ARRAY<BIGINT>,
     vs ARRAY<DOUBLE>) — the retention-pruned (t, value) timeline
@@ -88,46 +139,7 @@ def make_rolling_corr_fn(window_us: int, id_col: str):
         mt, mv = mt[order], mv[order]
         lo = np.searchsorted(mt, bt - window_us, side="left")
         hi = np.searchsorted(mt, bt, side="right")
-        n = (hi - lo).astype(np.float64)  # state never holds NULLs
-
-        def pref(a):
-            p = np.zeros(len(a) + 1)
-            np.cumsum(a, out=p[1:])
-            return p
-
-        # rebase both regressors by the merged timeline's means: corr
-        # is shift-invariant and the co-moment identity loses exactly
-        # the low bits near-degenerate frames need at raw magnitudes
-        x = mt.astype(np.float64) / US_PER_DAY
-        xr = x - x.mean()
-        yr = mv - mv.mean()
-        px, py = pref(xr), pref(yr)
-        pxx, pyy, pxy = pref(xr * xr), pref(yr * yr), pref(xr * yr)
-        sx, sy = px[hi] - px[lo], py[hi] - py[lo]
-        sxx, syy = pxx[hi] - pxx[lo], pyy[hi] - pyy[lo]
-        sxy = pxy[hi] - pxy[lo]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            corr = (n * sxy - sx * sy) / np.sqrt(
-                (n * sxx - sx * sx) * (n * syy - sy * sy)
-            )
-
-        def degenerate(vals):
-            # EXACT zero-variance test: a frame is degenerate iff vals
-            # has ZERO changes inside it (change-count prefixes, the
-            # batch kernel's discipline — never FP residue)
-            chg = np.zeros(len(vals))
-            if len(vals) > 1:
-                chg[1:] = (vals[1:] != vals[:-1]).astype(np.float64)
-            p = pref(chg)
-            first = np.minimum(lo + 1, hi)
-            return p[hi] - p[first] == 0
-
-        ok = (
-            (n >= 2)
-            & ~degenerate(mt)
-            & ~degenerate(mv)
-            & np.isfinite(corr)
-        )
+        corr, ok = _corr_over_frames(mt, mv, lo, hi)
         out = pd.DataFrame(
             {
                 id_col: batch[id_col].to_numpy(),
@@ -170,16 +182,18 @@ def make_rolling_corr_corrected_fn(window_us: int, id_col: str):
         bt = batch["t_us"].to_numpy(np.int64)
         bi = batch[id_col].to_numpy(np.int64)
         if state.exists:
-            st_, sv, sids, seq = state.get
+            st_, sv, sids, seq, floor = state.get
             st_ = np.asarray(st_, dtype=np.int64)
             sv = np.asarray(sv, dtype=np.float64)
             sids = np.asarray(sids, dtype=np.int64)
             seq = int(seq)
+            floor = int(floor)
         else:
             st_ = np.zeros(0, dtype=np.int64)
             sv = np.zeros(0, dtype=np.float64)
             sids = np.zeros(0, dtype=np.int64)
             seq = -1
+            floor = np.iinfo(np.int64).min
         seq += 1
         if st_.size and bt.size:
             pos = np.searchsorted(bt, st_ - window_us, side="left")
@@ -188,6 +202,10 @@ def make_rolling_corr_corrected_fn(window_us: int, id_col: str):
             )
         else:
             affected = np.zeros(st_.size, dtype=bool)
+        # suppress corrections whose frame reaches below the prune
+        # floor — a truncated recompute would outrank a better earlier
+        # emission (same rule as rolling_stats' corrected tier)
+        affected &= (st_ - window_us) >= floor
         mt = np.concatenate([st_, bt])
         mv = np.concatenate([sv, batch["value"].to_numpy(np.float64)])
         mi = np.concatenate([sids, bi])
@@ -197,40 +215,7 @@ def make_rolling_corr_corrected_fn(window_us: int, id_col: str):
         emit_i = np.concatenate([sids[affected], bi])
         lo = np.searchsorted(mt, emit_t - window_us, side="left")
         hi = np.searchsorted(mt, emit_t, side="right")
-        n = (hi - lo).astype(np.float64)
-
-        def pref(a):
-            p = np.zeros(len(a) + 1)
-            np.cumsum(a, out=p[1:])
-            return p
-
-        x = mt.astype(np.float64) / US_PER_DAY
-        xr = x - x.mean()
-        yr = mv - mv.mean()
-        px, py = pref(xr), pref(yr)
-        pxx, pyy, pxy = pref(xr * xr), pref(yr * yr), pref(xr * yr)
-        sx, sy = px[hi] - px[lo], py[hi] - py[lo]
-        sxx, syy = pxx[hi] - pxx[lo], pyy[hi] - pyy[lo]
-        sxy = pxy[hi] - pxy[lo]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            corr = (n * sxy - sx * sy) / np.sqrt(
-                (n * sxx - sx * sx) * (n * syy - sy * sy)
-            )
-
-        def degenerate(vals):
-            chg = np.zeros(len(vals))
-            if len(vals) > 1:
-                chg[1:] = (vals[1:] != vals[:-1]).astype(np.float64)
-            p = pref(chg)
-            first = np.minimum(lo + 1, hi)
-            return p[hi] - p[first] == 0
-
-        ok = (
-            (n >= 2)
-            & ~degenerate(mt)
-            & ~degenerate(mv)
-            & np.isfinite(corr)
-        )
+        corr, ok = _corr_over_frames(mt, mv, lo, hi)
         out = pd.DataFrame(
             {
                 id_col: emit_i,
@@ -240,9 +225,18 @@ def make_rolling_corr_corrected_fn(window_us: int, id_col: str):
                 "rev": np.full(len(emit_i), seq, dtype=np.int64),
             }
         )
-        keep = mt >= mt[-1] - window_us
+        # retain 2W so correctable rows keep complete frames (same
+        # review finding as rolling_stats)
+        new_floor = mt[-1] - 2 * window_us
+        keep = mt >= new_floor
         state.update(
-            (mt[keep].tolist(), mv[keep].tolist(), mi[keep].tolist(), seq)
+            (
+                mt[keep].tolist(),
+                mv[keep].tolist(),
+                mi[keep].tolist(),
+                seq,
+                int(max(floor, new_floor)),
+            )
         )
         yield out[np.asarray(ok, dtype=bool)]
 
@@ -296,7 +290,7 @@ def rolling_corr_stream(
         ),
         stateStructType=(
             "ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>, ids ARRAY<BIGINT>, "
-            "seq BIGINT"
+            "seq BIGINT, floor BIGINT"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

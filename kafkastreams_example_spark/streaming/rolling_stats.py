@@ -130,12 +130,21 @@ def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
     sink — the same shape Flink gives retracting OVER windows on
     append-only sinks).
 
-    Convergence contract (pinned in tests): once every event inside a
-    row's window has arrived WITHIN the retention horizon (W behind
-    the key's max event time), the row's latest emission equals the
-    batch kernel's output exactly. An event arriving later than the
-    horizon cannot correct rows already pruned — the correction window
-    IS the retention window, the same bound the state itself has."""
+    Retention and exactness: the corrected tier keeps 2W of timeline
+    (the plain tier keeps W) because a correctable row can sit up to W
+    behind the key's max and its OWN frame reaches another W back; it
+    also carries the highest prune floor ever applied, and a
+    correction is emitted ONLY when its frame provably contains every
+    arrived row (frame start >= floor) — a correction computed over a
+    truncated frame would carry the highest rev and OVERWRITE a better
+    earlier emission (round-14 review finding; pinned by test).
+
+    Convergence contract (pinned in tests): a row converges to the
+    batch kernel exactly once every event inside its window has
+    arrived no later than W behind the key's max event time at arrival
+    (the 2W retention then guarantees the correction frame is
+    complete). Stragglers beyond that bound leave the row at its best
+    exactly-computable emission — never a truncated overwrite."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -153,16 +162,18 @@ def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
         bv = batch["value"].to_numpy(np.float64)
         bi = batch[id_col].to_numpy(np.int64)
         if state.exists:
-            st_, sv, sids, seq = state.get
+            st_, sv, sids, seq, floor = state.get
             st_ = np.asarray(st_, dtype=np.int64)
             sv = np.asarray(sv, dtype=np.float64)
             sids = np.asarray(sids, dtype=np.int64)
             seq = int(seq)
+            floor = int(floor)
         else:
             st_ = np.zeros(0, dtype=np.int64)
             sv = np.zeros(0, dtype=np.float64)
             sids = np.zeros(0, dtype=np.int64)
             seq = -1
+            floor = np.iinfo(np.int64).min
         seq += 1
         # a state row is AFFECTED iff some batch row lands inside its
         # trailing frame, i.e. a batch t exists in [t_s - W, t_s]; on
@@ -176,6 +187,11 @@ def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
             )
         else:
             affected = np.zeros(st_.size, dtype=bool)
+        # a correction whose frame reaches below the prune floor would
+        # be computed over a TRUNCATED frame yet carry the highest rev
+        # — suppress it (the earlier emission stands); batch rows
+        # always emit (emit-on-arrival allows their truncation)
+        affected &= (st_ - window_us) >= floor
         mt = np.concatenate([st_, bt])
         mv = np.concatenate([sv, bv])
         mi = np.concatenate([sids, bi])
@@ -203,13 +219,18 @@ def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
                 "rev": np.full(len(emit_i), seq, dtype=np.int64),
             }
         )
-        keep = mt >= mt[-1] - window_us
+        # retain 2W: a correctable row sits up to W behind the key max
+        # and its frame reaches another W back — W retention would
+        # hand corrections truncated frames (review finding)
+        new_floor = mt[-1] - 2 * window_us
+        keep = mt >= new_floor
         state.update(
             (
                 mt[keep].tolist(),
                 mv[keep].tolist(),
                 mi[keep].tolist(),
                 seq,
+                int(max(floor, new_floor)),
             )
         )
         yield out
@@ -273,7 +294,7 @@ def rolling_stats_stream(
         ),
         stateStructType=(
             "ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>, ids ARRAY<BIGINT>, "
-            "seq BIGINT"
+            "seq BIGINT, floor BIGINT"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -108,24 +108,42 @@ class ManifestTable:
         set. Falls back to the legacy un-versioned _SCHEMA.json
         (pre-evolution tables).
 
-        Only schema versions at or below the RESOLVED COMMITTED
-        manifest's batch are honored: ``_save_schema`` runs before the
-        data write, so a crash between the schema write and ``_commit``
-        leaves an orphaned ``_SCHEMA-<id>.json`` for a batch that never
-        committed, and an uncapped read at/after that id would pair the
-        pre-evolution snapshot with the evolved (wider) column set
-        (round-13 ADVICE). The orphan stays invisible until its batch
-        id actually commits — the single-writer retry overwrites it
-        idempotently via os.replace."""
+        Only COMMITTED schema versions are honored: ``_save_schema``
+        runs before the data write, so a crash between the schema
+        write and ``_commit`` leaves an orphaned ``_SCHEMA-<id>.json``
+        for a batch that never committed, and an uncapped read
+        at/after that id would pair the pre-evolution snapshot with
+        the evolved (wider) column set (round-13 ADVICE). A version is
+        committed iff a manifest with ITS id exists — a bare
+        at-or-below-the-cap rule is not enough: a LATER batch
+        committing under the old schema would otherwise resurrect the
+        orphan, and the next ``_save_schema`` would judge the true
+        (narrower) schema "non-additive" against it and wedge the
+        writer (round-14 review finding). Versions older than the
+        OLDEST kept manifest are honored too (vacuum expires
+        manifests; in the single-writer model an orphan at id v is
+        overwritten by v's retry before any later id commits, so a
+        version below the kept-history floor was necessarily
+        committed)."""
         from pyspark.sql.types import StructType
 
+        committed = set(self.versions())
         if at_batch is None:
             cap = self.committed_batch()
         else:
-            committed = [v for v in self.versions() if v <= at_batch]
-            cap = max(committed) if committed else None
+            at_or_below = [v for v in committed if v <= at_batch]
+            cap = max(at_or_below) if at_or_below else None
+        hist_floor = min(committed) if committed else None
         versions = self._schema_versions()
-        eligible = [] if cap is None else [v for v in versions if v <= cap]
+        eligible = (
+            []
+            if cap is None
+            else [
+                v
+                for v in versions
+                if v <= cap and (v in committed or v < hist_floor)
+            ]
+        )
         if eligible:
             spath = os.path.join(
                 self.path, f"_SCHEMA-{max(eligible)}.json"
@@ -190,6 +208,16 @@ class ManifestTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self.versions()
+        # while FULL manifest history is still known, purge ORPHANED
+        # schema versions (no manifest ever committed their id): after
+        # expiry the kept-history floor rises and _schema_at's
+        # below-the-floor trust rule would start honoring them
+        # (round-14 review hardening; maintenance never runs
+        # concurrently with the single writer)
+        committed = set(versions)
+        for v in self._schema_versions():
+            if v not in committed:
+                os.remove(os.path.join(self.path, f"_SCHEMA-{v}.json"))
         expire, keep = versions[:-keep_last], versions[-keep_last:]
         if not expire:
             return []

@@ -1452,6 +1452,20 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     )
     assert got_dec == sorted(i * 13 + 5 for i in range(2000))
 
+    # round-14 review fix: FLOAT and DOUBLE are SEPARATE families — a
+    # float key like 1.1f renders '1.1' while its lossless double
+    # widening renders '1.1000000238418579', so a FLOAT-vs-DOUBLE pair
+    # must widen too (both sides end up hashing the double rendering).
+    # Keys i + 0.1 are non-dyadic, the exact failure shape.
+    fact_f = spark.createDataFrame(
+        [(float(i) + 0.1,) for i in range(500)], "k FLOAT"
+    )
+    dim_d = fact_f.select(F.col("k").cast("double").alias("k"))
+    got_fd = sorted(
+        round(r["k"], 1) for r in bloom_semi_join(fact_f, dim_d, "k").collect()
+    )
+    assert got_fd == sorted(round(i + 0.1, 1) for i in range(500))
+
 
 def test_pca_topr_recovers_spiked_components(spark):
     """Deflated power iteration (functions/pca.py) must recover the

@@ -308,3 +308,34 @@ def test_resolve_staging_prefers_checkpoint_dir(spark, tmp_path):
         d.startswith("ssjoin_prefix_stage_")
         for d in os.listdir(tmp_path / "jobstage")
     )
+
+
+def test_zone_pruned_read_with_null_zone_values(spark, tmp_path):
+    """NULL zone values must keep pruned reads FILTER-EQUIVALENT:
+    least() skips the NULL so such rows quantize into the top bucket
+    (never a NULL partition dir), per-bucket stats exclude NULLs, and
+    a range predicate never matches NULL — so the pruned read equals
+    the filtered full scan, which drops NULL rows under both. An
+    all-NULL bucket records [null, null] stats and is kept
+    (unprunable) rather than crashing the planner."""
+    from kafkastreams_example_spark.sources.sinks import (
+        read_zone_pruned,
+        write_zoned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, None, 7), (3, 30, 9), (4, 18, None),
+         (5, 22, 6), (6, None, None)],
+        "id BIGINT, x BIGINT, y BIGINT",
+    )
+    path = str(tmp_path / "z_null")
+    write_zoned(df, path, ("x", "y"), n_buckets=4)
+    pruned = read_zone_pruned(spark, path, {"x": (10, 25), "y": (5, 7)})
+    got = sorted(r["id"] for r in pruned.collect())
+    want = sorted(
+        r["id"]
+        for r in df.filter(
+            F.col("x").between(10, 25) & F.col("y").between(5, 7)
+        ).collect()
+    )
+    assert got == want == [1, 5]  # NULL rows dropped under BOTH

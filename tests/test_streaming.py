@@ -2969,3 +2969,146 @@ def test_rolling_corr_corrected_emissions_converge_to_batch(spark, tmp_path):
     assert math.isclose(per_rid[2][0]["corr"], 1.0, abs_tol=1e-9) or any(
         math.isclose(e["corr"], 1.0, abs_tol=1e-9) for e in per_rid[2]
     )
+
+
+def test_corrected_tier_prune_floor_never_truncates_corrections(spark, tmp_path):
+    """Round-14 review finding: with W retention, a late event could
+    trigger a correction for a row whose frame extends below the prune
+    floor — recomputed over a TRUNCATED frame yet carrying the highest
+    rev, overwriting a better earlier emission. Fixed two ways, both
+    pinned here: (a) the corrected tier retains 2W, so the reviewer's
+    exact repro now converges to the batch kernel; (b) corrections
+    whose frame reaches below the floor are SUPPRESSED (the earlier
+    emission stands) instead of emitting a truncated overwrite."""
+    import math
+
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_range_stats,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    w = 10  # µs
+
+    def drive(batches, out_name):
+        src = tmp_path / f"src_{out_name}"
+        ckpt = tmp_path / f"ckpt_{out_name}"
+        out_dir = tmp_path / f"out_{out_name}"
+        src.mkdir()
+        stream = (
+            spark.readStream.schema(
+                "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+            )
+            .json(str(src))
+            .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+        )
+        out = rolling_stats_stream(
+            stream, entity_cols=("ent",), ts_col="event_time",
+            value_col="value", id_col="row_id", window_us=w,
+            emit_corrections=True,
+        )
+        for i, chunk in enumerate(batches):
+            _write_batch(
+                src, f"b{i}.json",
+                [dict(zip(("ent", "row_id", "t_us", "value"), r))
+                 for r in chunk],
+            )
+            q = (
+                out.writeStream.format("json")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        per = {}
+        for r in spark.read.json(str(out_dir)).collect():
+            per.setdefault(r["row_id"], []).append(r)
+        return per
+
+    # (a) reviewer's repro: t=0,5 | t=14 | late t=4 — under 2W
+    # retention t=0 is still in state, so rid2's correction covers
+    # {0,4,5} and EVERY row converges to the batch kernel
+    rows_a = [(1, 1, 0, 1.0), (1, 2, 5, 2.0), (1, 3, 14, 3.0),
+              (1, 4, 4, 4.0)]
+    per = drive([rows_a[:2], [rows_a[2]], [rows_a[3]]], "a")
+    latest = {rid: max(es, key=lambda r: r["rev"]) for rid, es in per.items()}
+    want = {
+        r["row_id"]: r
+        for r in rolling_range_stats(
+            spark.createDataFrame(
+                rows_a, "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+            ),
+            ["ent"], "t_us", "value", w, ["row_id"],
+        ).collect()
+    }
+    for rid, g in latest.items():
+        assert g["n_frame"] == want[rid]["n_frame"], rid
+        assert math.isclose(g["sum_v"], want[rid]["sum_v"], abs_tol=1e-9), rid
+    assert latest[2]["n_frame"] == 3  # the corrected {0,4,5} frame
+
+    # (b) suppression: events 0,5,9 then 24 (2W floor prunes t=0),
+    # then late t=8 — rid3 (t=9) would be "affected" but its frame
+    # reaches below the floor: the correction must be SUPPRESSED, so
+    # rid3 keeps its single original (exact-at-the-time) emission
+    rows_b = [(1, 1, 0, 1.0), (1, 2, 5, 2.0), (1, 3, 9, 4.0),
+              (1, 4, 24, 8.0), (1, 5, 8, 16.0)]
+    per = drive([rows_b[:3], [rows_b[3]], [rows_b[4]]], "b")
+    assert len(per[3]) == 1  # no truncated overwrite
+    assert per[3][0]["n_frame"] == 3 and per[3][0]["sum_v"] == 7.0
+    # the late row itself still emits (emit-on-arrival allows its own
+    # truncation): frame [-2, 8] over retained rows = {5, 8}
+    assert per[5][-1]["n_frame"] == 2 and per[5][-1]["sum_v"] == 18.0
+
+
+def test_orphaned_schema_not_resurrected_by_later_commit(spark, tmp_path):
+    """Round-14 review finding: an orphaned _SCHEMA-<id>.json must stay
+    invisible even after a LATER batch commits under the old schema —
+    the bare at-or-below-the-committed-cap rule would resurrect it and
+    the next _save_schema would judge the true (narrower) schema
+    'non-additive' against the orphan and wedge the writer. Schema
+    versions are honored only when a manifest with THEIR id exists."""
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    path = str(tmp_path / "cdc_orphan2")
+    t1 = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    df0 = spark.createDataFrame(
+        [(1, 10, "u", "a")], "k BIGINT, seq BIGINT, op STRING, payload STRING"
+    )
+    t1.apply_batch(df0, 0)
+
+    # crash leaves an orphaned WIDER schema at id 1 (no commit)
+    t_wide = CdcTable(path, key="k", n_buckets=4,
+                      payload_cols=("payload", "score"))
+    df_wide = spark.createDataFrame(
+        [(2, 20, "u", "b", 0.5)],
+        "k BIGINT, seq BIGINT, op STRING, payload STRING, score DOUBLE",
+    )
+    t_wide._save_schema(
+        df_wide.select("k", "seq", "payload", "score").schema, 1
+    )
+
+    # the writer RESUMES under the ORIGINAL schema: batch 2 commits
+    # (schema unchanged -> no new version file) — this must NOT
+    # resurrect orphan 1, and further original-schema batches must
+    # not raise 'non-additive'
+    df2 = spark.createDataFrame(
+        [(3, 30, "u", "c")], "k BIGINT, seq BIGINT, op STRING, payload STRING"
+    )
+    t1.apply_batch(df2, 2)
+    assert t1.read(spark).columns == ["k", "seq", "payload"]
+    df3 = spark.createDataFrame(
+        [(4, 40, "u", "d")], "k BIGINT, seq BIGINT, op STRING, payload STRING"
+    )
+    t1.apply_batch(df3, 3)  # would raise ValueError before the fix
+    assert t1.read(spark).columns == ["k", "seq", "payload"]
+    assert {r["k"] for r in t1.read(spark).collect()} == {1, 3, 4}
+
+    # a REAL evolution still works afterwards (the orphan is simply
+    # overwritten by the honest wider write at its own committing id)
+    t_wide.apply_batch(df_wide, 4)
+    assert t_wide.read(spark).columns == ["k", "seq", "payload", "score"]
+    # and time travel before the evolution keeps the narrow shape
+    assert t_wide.read(spark, at_batch=3).columns == ["k", "seq", "payload"]

@@ -279,9 +279,14 @@ def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or DEFAULT_ENTRIES
-    if names == ["--all"]:
+    # accept --all anywhere (a bare `gate_sensitivity.py --all` used
+    # to swallow the flag as sf_dir and silently audit the default
+    # sample against a nonexistent dir — round-14 review finding)
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    all_flag = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:] or DEFAULT_ENTRIES
+    if all_flag:
         # full-registry audit (round-14 verdict item 1): every entry's
         # gate demonstrated to trip, not just a family sample
         names = list(REGISTRY)
