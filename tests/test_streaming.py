@@ -3112,3 +3112,85 @@ def test_orphaned_schema_not_resurrected_by_later_commit(spark, tmp_path):
     assert t_wide.read(spark).columns == ["k", "seq", "payload", "score"]
     # and time travel before the evolution keeps the narrow shape
     assert t_wide.read(spark, at_batch=3).columns == ["k", "seq", "payload"]
+
+
+def test_corrected_tier_fuzz_converges_on_eligible_rows():
+    """Randomized out-of-order fuzzer for the corrected-emission
+    contract, at the kernel level (FakeGroupState, no Spark overhead):
+    shuffle a random event set into random batches; afterwards, every
+    row ALL of whose window-mates (frame members, itself included)
+    arrived no later than W behind the key's running max at their
+    arrival must have its max(rev) emission equal the exact reference
+    computed over the full data — and NO row may ever end on an
+    emission claiming a LARGER frame than the truth (truncated
+    overwrites are the failure mode the 2W+floor design removed)."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        make_rolling_stats_corrected_fn,
+    )
+
+    rng = random.Random(14)
+    W = 100
+    for _trial in range(25):
+        n = rng.randint(5, 30)
+        rows = [
+            (i + 1, rng.randrange(0, 500),
+             round(rng.uniform(-5.0, 5.0), 3))
+            for i in range(n)
+        ]
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        batches, i = [], 0
+        while i < len(shuffled):
+            k = rng.randint(1, 4)
+            batches.append(shuffled[i:i + k])
+            i += k
+        fn = make_rolling_stats_corrected_fn(W, "row_id")
+        state = _FakeGroupState()
+        latest: dict[int, tuple] = {}
+        max_seen = None
+        arrival_ok: dict[int, bool] = {}
+        for chunk in batches:
+            pdf = pd.DataFrame(
+                chunk, columns=["row_id", "t_us", "value"]
+            )
+            out = pd.concat(
+                list(fn(("k",), iter([pdf]), state)), ignore_index=True
+            )
+            for rec in out.itertuples():
+                prev = latest.get(rec.row_id)
+                if prev is None or rec.rev >= prev[0]:
+                    latest[rec.row_id] = (
+                        rec.rev, rec.n_frame, rec.sum_v, rec.min_v,
+                        rec.max_v,
+                    )
+            batch_max = max(t for _, t, _ in chunk)
+            max_seen = batch_max if max_seen is None else max(
+                max_seen, batch_max
+            )
+            for rid, t, _ in chunk:
+                arrival_ok[rid] = t >= max_seen - W
+        by_rid = {rid: (t, v) for rid, t, v in rows}
+        for rid, (t_r, _v) in by_rid.items():
+            mates = [
+                (m_rid, t_m, v_m)
+                for m_rid, t_m, v_m in rows
+                if t_r - W <= t_m <= t_r
+            ]
+            vals = [v for _, _, v in mates]
+            rev, n_frame, sum_v, mn, mx = latest[rid]
+            # safety invariant on EVERY row: never a frame larger than
+            # the truth (a truncated overwrite would also break this
+            # from the other side — check both on eligible rows below)
+            assert n_frame <= len(mates), (rid, rows)
+            eligible = arrival_ok[rid] and all(
+                arrival_ok[m_rid] for m_rid, _, _ in mates
+            )
+            if eligible:
+                assert n_frame == len(mates), (rid, rows)
+                assert math.isclose(sum_v, sum(vals), abs_tol=1e-9)
+                assert mn == min(vals) and mx == max(vals), (rid, rows)
