@@ -155,7 +155,9 @@ def make_rolling_corr_fn(window_us: int, id_col: str):
     return fn
 
 
-def make_rolling_corr_corrected_fn(window_us: int, id_col: str):
+def make_rolling_corr_corrected_fn(
+    window_us: int, id_col: str, retention_windows: int = 2
+):
     """CORRECTED-EMISSION variant of the corr face — same contract as
     rolling_stats.make_rolling_stats_corrected_fn: state adds row ids
     and a per-key ``rev``; a late event re-emits the state rows whose
@@ -227,7 +229,7 @@ def make_rolling_corr_corrected_fn(window_us: int, id_col: str):
         )
         # retain 2W so correctable rows keep complete frames (same
         # review finding as rolling_stats)
-        new_floor = mt[-1] - 2 * window_us
+        new_floor = mt[-1] - retention_windows * window_us
         keep = mt >= new_floor
         state.update(
             (
@@ -251,6 +253,7 @@ def rolling_corr_stream(
     id_col: str = "row_id",
     window_us: int = DEFAULT_WINDOW_US,
     emit_corrections: bool = False,
+    retention_windows: int = 2,
 ) -> DataFrame:
     """Wire the per-event trailing-window corr over a stream: rows
     with NULL value or NULL event time are dead-lettered (dropped);
@@ -283,7 +286,7 @@ def rolling_corr_stream(
             f"{id_col}: {id_ddl}"
         )
     return keyed.groupBy(*entity_cols).applyInPandasWithState(
-        make_rolling_corr_corrected_fn(window_us, id_col),
+        make_rolling_corr_corrected_fn(window_us, id_col, retention_windows),
         outputStructType=(
             f"`{id_col}` BIGINT, ts_ms BIGINT, n_frame BIGINT, "
             "corr DOUBLE, rev BIGINT"

@@ -119,7 +119,9 @@ def make_rolling_stats_fn(window_us: int, id_col: str):
     return fn
 
 
-def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
+def make_rolling_stats_corrected_fn(
+    window_us: int, id_col: str, retention_windows: int = 2
+):
     """CORRECTED-EMISSION variant (round 14): same per-entity timeline
     state plus row ids and a per-key emission sequence. A LATE event
     doesn't just emit its own frame — it also RE-EMITS every state row
@@ -130,9 +132,11 @@ def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
     sink — the same shape Flink gives retracting OVER windows on
     append-only sinks).
 
-    Retention and exactness: the corrected tier keeps 2W of timeline
-    (the plain tier keeps W) because a correctable row can sit up to W
-    behind the key's max and its OWN frame reaches another W back; it
+    Retention and exactness: the corrected tier keeps
+    ``retention_windows``·W of timeline (default 2W; the plain tier
+    keeps W) because a correctable row can sit up to W behind the
+    key's max and its OWN frame reaches another W back — raise the
+    multiple to buy tolerance for later stragglers with state; it
     also carries the highest prune floor ever applied, and a
     correction is emitted ONLY when its frame provably contains every
     arrived row (frame start >= floor) — a correction computed over a
@@ -141,10 +145,11 @@ def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
 
     Convergence contract (pinned in tests): a row converges to the
     batch kernel exactly once every event inside its window has
-    arrived no later than W behind the key's max event time at arrival
-    (the 2W retention then guarantees the correction frame is
-    complete). Stragglers beyond that bound leave the row at its best
-    exactly-computable emission — never a truncated overwrite."""
+    arrived no later than (retention_windows−1)·W behind the key's
+    max event time at arrival (the retention then guarantees the
+    correction frame is complete). Stragglers beyond that bound leave
+    the row at its best exactly-computable emission — never a
+    truncated overwrite."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -222,7 +227,7 @@ def make_rolling_stats_corrected_fn(window_us: int, id_col: str):
         # retain 2W: a correctable row sits up to W behind the key max
         # and its frame reaches another W back — W retention would
         # hand corrections truncated frames (review finding)
-        new_floor = mt[-1] - 2 * window_us
+        new_floor = mt[-1] - retention_windows * window_us
         keep = mt >= new_floor
         state.update(
             (
@@ -246,6 +251,7 @@ def rolling_stats_stream(
     id_col: str = "row_id",
     window_us: int = DEFAULT_WINDOW_US,
     emit_corrections: bool = False,
+    retention_windows: int = 2,
 ) -> DataFrame:
     """Wire the per-event trailing-window stats over a stream: rows
     with NULL value or NULL event time are dead-lettered (dropped —
@@ -286,7 +292,7 @@ def rolling_stats_stream(
             f"{id_col}: {id_ddl}"
         )
     return keyed.groupBy(*entity_cols).applyInPandasWithState(
-        make_rolling_stats_corrected_fn(window_us, id_col),
+        make_rolling_stats_corrected_fn(window_us, id_col, retention_windows),
         outputStructType=(
             f"`{id_col}` BIGINT, ts_ms BIGINT, n_frame BIGINT, "
             "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE, "

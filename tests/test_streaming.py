@@ -3194,3 +3194,43 @@ def test_corrected_tier_fuzz_converges_on_eligible_rows():
                 assert n_frame == len(mates), (rid, rows)
                 assert math.isclose(sum_v, sum(vals), abs_tol=1e-9)
                 assert mn == min(vals) and mx == max(vals), (rid, rows)
+
+
+def test_corrected_tier_retention_windows_knob():
+    """``retention_windows`` trades state for straggler tolerance: the
+    suppression case from the prune-floor test (events 0,5,9 | 24 |
+    late 8 at W=10) stays suppressed at the default 2W but CONVERGES
+    at 3W — the extra window keeps t=0 in state, so t=9's correction
+    frame {0,5,8,9} is provably complete and is emitted."""
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        make_rolling_stats_corrected_fn,
+    )
+
+    W = 10
+    batches = (
+        [(1, 0, 1.0), (2, 5, 2.0), (3, 9, 4.0)],
+        [(4, 24, 8.0)],
+        [(5, 8, 16.0)],
+    )
+    for rw, expect_corrected in ((2, False), (3, True)):
+        fn = make_rolling_stats_corrected_fn(W, "row_id", rw)
+        state = _FakeGroupState()
+        per: dict[int, list] = {}
+        for chunk in batches:
+            pdf = pd.DataFrame(
+                chunk, columns=["row_id", "t_us", "value"]
+            )
+            out = pd.concat(
+                list(fn(("k",), iter([pdf]), state)), ignore_index=True
+            )
+            for r in out.itertuples():
+                per.setdefault(r.row_id, []).append(
+                    (r.rev, r.n_frame, r.sum_v)
+                )
+        latest = max(per[3])
+        if expect_corrected:
+            assert latest[1] == 4 and latest[2] == 23.0  # {0,5,8,9}
+        else:
+            assert len(per[3]) == 1 and latest[1] == 3  # suppressed
