@@ -3234,3 +3234,93 @@ def test_corrected_tier_retention_windows_knob():
             assert latest[1] == 4 and latest[2] == 23.0  # {0,5,8,9}
         else:
             assert len(per[3]) == 1 and latest[1] == 3  # suppressed
+
+
+def test_corrected_corr_fuzz_converges_on_eligible_rows():
+    """Corr-face twin of the corrected-emission fuzzer: on eligible
+    rows (all window-mates arrived no later than W behind the running
+    key max) the max(rev) emission must equal the exact Pearson corr
+    of (t, v) over the TRUE frame — computed here independently in
+    numpy — and rows whose true frame is defined must have emitted;
+    undefined frames (n < 2 or a degenerate regressor) never emit a
+    defined-corr row claiming otherwise."""
+    import math
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        make_rolling_corr_corrected_fn,
+    )
+
+    rng = random.Random(15)
+    W = 100
+    for _trial in range(25):
+        n = rng.randint(5, 25)
+        rows = [
+            (i + 1, rng.randrange(0, 400),
+             float(rng.randrange(-5, 6)))
+            for i in range(n)
+        ]
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        batches, i = [], 0
+        while i < len(shuffled):
+            k = rng.randint(1, 4)
+            batches.append(shuffled[i:i + k])
+            i += k
+        fn = make_rolling_corr_corrected_fn(W, "row_id")
+        state = _FakeGroupState()
+        latest: dict[int, tuple] = {}
+        max_seen = None
+        arrival_ok: dict[int, bool] = {}
+        for chunk in batches:
+            pdf = pd.DataFrame(
+                chunk, columns=["row_id", "t_us", "value"]
+            )
+            out = pd.concat(
+                list(fn(("k",), iter([pdf]), state)), ignore_index=True
+            )
+            for rec in out.itertuples():
+                prev = latest.get(rec.row_id)
+                if prev is None or rec.rev >= prev[0]:
+                    latest[rec.row_id] = (rec.rev, rec.n_frame, rec.corr)
+            batch_max = max(t for _, t, _ in chunk)
+            max_seen = batch_max if max_seen is None else max(
+                max_seen, batch_max
+            )
+            for rid, t, _ in chunk:
+                arrival_ok[rid] = t >= max_seen - W
+        for rid, t_r, _v in rows:
+            mates = [
+                (t_m, v_m) for _, t_m, v_m in rows if t_r - W <= t_m <= t_r
+            ]
+            ts = np.array([t for t, _ in mates], dtype=np.float64)
+            vs = np.array([v for _, v in mates], dtype=np.float64)
+            defined = (
+                len(mates) >= 2
+                and len(set(ts.tolist())) > 1
+                and len(set(vs.tolist())) > 1
+            )
+            want = (
+                float(np.corrcoef(ts, vs)[0, 1]) if defined else None
+            )
+            if want is not None and not math.isfinite(want):
+                defined, want = False, None
+            eligible = arrival_ok[rid] and all(
+                arrival_ok[m_rid]
+                for m_rid, t_m, _ in rows
+                if t_r - W <= t_m <= t_r
+            )
+            if eligible and defined:
+                assert rid in latest, (rid, rows)
+                rev, n_frame, corr = latest[rid]
+                assert n_frame == len(mates), (rid, rows)
+                assert math.isclose(corr, want, abs_tol=1e-9), (rid, rows)
+            if eligible and not defined:
+                # the latest emission (if any) must not claim the full
+                # frame with a defined corr — an undefined true frame
+                # has no defined-corr row at its final frame size
+                if rid in latest:
+                    assert latest[rid][1] < len(mates), (rid, rows)
