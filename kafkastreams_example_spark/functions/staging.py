@@ -67,6 +67,19 @@ def resolve_staging(
     import shutil
     import tempfile
 
+    master = spark.sparkContext.master or ""
+    if not master.startswith("local"):
+        # a driver-local tempdir on a real cluster reintroduces the
+        # incomplete-staged-table bug this module exists to prevent:
+        # each executor writes to ITS node-local disk (round-15 ADVICE
+        # — fail loudly instead of staging silently incomplete data)
+        raise RuntimeError(
+            f"resolve_staging: no staging_dir given and no checkpoint "
+            f"dir set, but master={master!r} is not local — a driver-"
+            f"local tempdir is not visible to remote executors. Pass "
+            f"staging_dir= (shared-FS scratch prefix) or call "
+            f"sc.setCheckpointDir() first."
+        )
     path = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path

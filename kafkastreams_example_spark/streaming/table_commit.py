@@ -208,15 +208,22 @@ class ManifestTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self.versions()
-        # while FULL manifest history is still known, purge ORPHANED
-        # schema versions (no manifest ever committed their id): after
-        # expiry the kept-history floor rises and _schema_at's
-        # below-the-floor trust rule would start honoring them
-        # (round-14 review hardening; maintenance never runs
-        # concurrently with the single writer)
+        # while manifest history is still known, purge ORPHANED schema
+        # versions (no manifest ever committed their id): after expiry
+        # the kept-history floor rises and _schema_at's below-the-floor
+        # trust rule would start honoring them (round-14 review
+        # hardening; maintenance never runs concurrently with the
+        # single writer). Only versions ABOVE the current floor are
+        # decidable: once a prior vacuum has expired manifests, a
+        # schema version below min(committed) has no manifest LEFT yet
+        # was necessarily committed (the same single-writer argument
+        # _schema_at's v < hist_floor rule rests on), so treating it
+        # as an orphan would delete live evolution history and silently
+        # drop the evolved columns from every read at/after its batch
+        # (round-15 ADVICE).
         committed = set(versions)
         for v in self._schema_versions():
-            if v not in committed:
+            if committed and v not in committed and v > min(committed):
                 os.remove(os.path.join(self.path, f"_SCHEMA-{v}.json"))
         expire, keep = versions[:-keep_last], versions[-keep_last:]
         if not expire:

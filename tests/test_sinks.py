@@ -293,6 +293,23 @@ def test_resolve_staging_prefers_checkpoint_dir(spark, tmp_path):
             spark._jvm.scala.Option.empty()
         )
 
+    # round-15 ADVICE (low): the tempdir fallback is ONLY legal under a
+    # local master — on a cluster it must fail loudly, not stage
+    # silently incomplete tables to the driver's node-local disk
+    import pytest
+
+    class _Ctx:
+        master = "spark://cluster:7077"
+
+        def getCheckpointDir(self):
+            raise Exception("no checkpoint dir")
+
+    class _FakeSpark:
+        sparkContext = _Ctx()
+
+    with pytest.raises(RuntimeError, match="not visible to remote"):
+        resolve_staging(_FakeSpark(), "unit_")
+
     docs = spark.createDataFrame(
         [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps"),
          (3, "entirely unrelated text here")],

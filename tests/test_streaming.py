@@ -2125,6 +2125,60 @@ def test_orphaned_schema_version_invisible_until_commit(spark, tmp_path):
     assert t2.read(spark, at_batch=0).columns == ["k", "seq", "payload"]
 
 
+def test_vacuum_twice_keeps_below_floor_schema_versions(spark, tmp_path):
+    """Round-15 ADVICE (high): after a prior vacuum expires manifests,
+    committed schema versions below the history floor have no manifest
+    left, yet _schema_at explicitly trusts them (v < hist_floor).
+    vacuum's orphan purge must NOT treat them as orphans — a second
+    vacuum deleting them would drop the evolved columns from every
+    subsequent read. A true orphan ABOVE the floor is still purged."""
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    path = str(tmp_path / "cdc_vac2")
+    t1 = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    t1.apply_batch(
+        spark.createDataFrame(
+            [(1, 10, "u", "a")],
+            "k BIGINT, seq BIGINT, op STRING, payload STRING",
+        ),
+        0,
+    )
+    # evolve at batch 1, then one more commit under the evolved schema
+    t2 = CdcTable(path, key="k", n_buckets=4,
+                  payload_cols=("payload", "score"))
+    wide = "k BIGINT, seq BIGINT, op STRING, payload STRING, score DOUBLE"
+    t2.apply_batch(
+        spark.createDataFrame([(2, 20, "u", "b", 0.5)], wide), 1
+    )
+    t2.apply_batch(
+        spark.createDataFrame([(3, 30, "u", "c", 0.9)], wide), 2
+    )
+
+    # first vacuum raises the history floor to batch 2
+    t2.vacuum(keep_last=1)
+    assert t2.versions() == [2]
+    # a crash leaves a true orphan above the floor; the SECOND vacuum
+    # must purge it while keeping the below-floor committed versions
+    import pyspark.sql.types as T
+
+    t2._save_schema(
+        T.StructType.fromJson(t2._schema_at(None).jsonValue()).add(
+            "extra", T.StringType()
+        ),
+        5,
+    )
+    t2.vacuum(keep_last=1)
+    have = t2._schema_versions()
+    assert 5 not in have, "above-floor orphan must be purged"
+    assert 1 in have, "below-floor committed evolution must survive"
+    assert t2._schema_at(None).fieldNames() == [
+        "k", "seq", "payload", "score"
+    ]
+    got = {r["k"]: (r["payload"], r["score"])
+           for r in t2.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", 0.5), 3: ("c", 0.9)}
+
+
 def test_dedup_refresh_coalesced_parity(spark, tmp_path):
     """Round-13 key coalescing: dedup_refresh_stream_coalesced (many
     logical ids packed per state key, CSR state, same

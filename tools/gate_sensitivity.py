@@ -285,6 +285,13 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--all"]
     all_flag = "--all" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if all_flag and args[1:]:
+        # round-15 ADVICE (low): --all used to silently discard the
+        # user-listed entries; the combination is ambiguous — reject it
+        raise SystemExit(
+            "gate_sensitivity: pass either --all or explicit entry "
+            f"names, not both (got --all plus {args[1:]})"
+        )
     names = args[1:] or DEFAULT_ENTRIES
     if all_flag:
         # full-registry audit (round-14 verdict item 1): every entry's
