@@ -305,6 +305,7 @@ def make_coalesced_refresh_fn(
     out_cols: tuple[str, ...],
     clock: str = "event",
     id_dtype_is_str: bool = True,
+    evict: bool = False,
 ):
     """Key-COALESCED variant of the stateful dedup kernel (round-13
     verdict item 6): one state key carries MANY logical dedup ids, so
@@ -321,7 +322,16 @@ def make_coalesced_refresh_fn(
     1.14x; the vectorized kernel is what makes the pack cheap) —
     property-tested equal to per-id probe_and_remember on randomized
     state/batch/clock fixtures, and parity-asserted end-to-end by
-    tools/coalesce_probe.py and tests/test_streaming.py."""
+    tools/coalesce_probe.py and tests/test_streaming.py.
+
+    evict=True arms a processing-time idle timeout at PACK granularity
+    (round-15 verdict item 3): per-id aging already prunes ids whose
+    entries aged out, but only when the pack is TOUCHED — a pack whose
+    ids ALL go quiet otherwise keeps its CSR arrays forever. On expiry
+    the whole pack is forgotten (its ids' remembered timestamps are by
+    then a full retention window stale, so forgetting matches the
+    per-key tier's eviction semantics id-for-id). Continuous triggers
+    only — same AvailableNow caveat as the per-key tier."""
     if clock not in ("event", "stream"):
         raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
     tiebreak = [c for c in out_cols if c != "ts_ms"]
@@ -329,6 +339,12 @@ def make_coalesced_refresh_fn(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if evict and state.hasTimedOut:
+            # every id in the pack unseen for a full retention window —
+            # forget the pack (the per-key tier's :135-141 semantics,
+            # paid once per pack instead of once per id)
+            state.remove()
+            return
         chunks = list(pdfs)
         batch = (
             chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
@@ -380,6 +396,8 @@ def make_coalesced_refresh_fn(
         state.update(
             (ids_out, [int(x) for x in offs_out], [int(x) for x in new_flat])
         )
+        if evict:
+            state.setTimeoutDuration(window_ms)
         yield batch.loc[np.asarray(keep, dtype=bool), list(out_cols)]
 
     return fn
@@ -393,6 +411,7 @@ def dedup_refresh_stream_coalesced(
     payload_cols: tuple[str, ...] = ("row_id",),
     clock: str = "event",
     n_state_keys: int = 256,
+    evict_state: bool = False,
 ) -> DataFrame:
     """dedup_refresh_stream with ids PACKED n-per-state-key: rows
     shuffle by xxhash64(id) % n_state_keys instead of by id, so the
@@ -406,7 +425,11 @@ def dedup_refresh_stream_coalesced(
     one id was touched (state amplification ∝ pack size); (b)
     parallelism caps at n_state_keys — size it ≥ cluster cores ×
     a few; (c) no per-id eviction timers (timeout granularity is the
-    pack). Low-occupancy regimes (rows/key/batch ≈ 1) are where (a)
+    pack: evict_state=True forgets a pack only once EVERY id in it
+    has been quiet a full window — touched packs instead prune aged
+    ids inline, so the leak evict_state closes is the all-quiet pack;
+    continuous triggers only, same AvailableNow caveat as the per-key
+    tier). Low-occupancy regimes (rows/key/batch ≈ 1) are where (a)
     loses to the protocol win; tools/coalesce_probe.py measures the
     crossover."""
     from pyspark.sql import functions as F
@@ -426,13 +449,19 @@ def dedup_refresh_stream_coalesced(
         "skey", F.pmod(F.xxhash64("dedup_id"), F.lit(n_state_keys)).cast("int")
     )
     survivors = nonnull.groupBy("skey").applyInPandasWithState(
-        make_coalesced_refresh_fn(window_ms, ("dedup_id",) + out_cols, clock),
+        make_coalesced_refresh_fn(
+            window_ms, ("dedup_id",) + out_cols, clock, evict=evict_state
+        ),
         outputStructType=f"`dedup_id` {id_ddl}, {out_ddl}",
         stateStructType=(
             f"ids ARRAY<{id_ddl}>, offsets ARRAY<INT>, ts ARRAY<BIGINT>"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict_state
+            else GroupStateTimeout.NoTimeout
+        ),
     ).select(*out_cols)
     null_rows = keyed.filter(F.col("dedup_id").isNull()).select(*out_cols)
     return survivors.unionByName(null_rows)

@@ -107,17 +107,28 @@ def _corr_over_frames(mt, mv, lo, hi):
     return corr, ok
 
 
-def make_rolling_corr_fn(window_us: int, id_col: str):
+def make_rolling_corr_fn(
+    window_us: int, id_col: str, evict_after_ms: int | None = None
+):
     """Per-entity stateful function: state = (ts ARRAY<BIGINT>,
     vs ARRAY<DOUBLE>) — the retention-pruned (t, value) timeline
-    (identical layout to rolling_stats_stream: the corr face reads the
-    same state shape, so the two could even share a checkpoint)."""
+    (identical layout to rolling_stats_stream's plain tier, pinned by
+    tests/test_streaming.py's checkpoint-share test: a checkpoint
+    written by one face restores under the other).
+
+    ``evict_after_ms``: idle-key eviction, same contract as
+    rolling_stats.make_rolling_stats_fn (round-15 verdict item 1) —
+    a key idle that long in processing time is dropped; a revived
+    entity restarts from an empty timeline per emit-on-arrival."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if evict_after_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         chunks = list(pdfs)
         batch = (
             chunks[0]
@@ -150,13 +161,18 @@ def make_rolling_corr_fn(window_us: int, id_col: str):
         )
         keep = mt >= mt[-1] - window_us  # per-key retention horizon
         state.update((mt[keep].tolist(), mv[keep].tolist()))
+        if evict_after_ms is not None:
+            state.setTimeoutDuration(evict_after_ms)
         yield out[np.asarray(ok, dtype=bool)]
 
     return fn
 
 
 def make_rolling_corr_corrected_fn(
-    window_us: int, id_col: str, retention_windows: int = 2
+    window_us: int,
+    id_col: str,
+    retention_windows: int = 2,
+    evict_after_ms: int | None = None,
 ):
     """CORRECTED-EMISSION variant of the corr face — same contract as
     rolling_stats.make_rolling_stats_corrected_fn: state adds row ids
@@ -167,13 +183,19 @@ def make_rolling_corr_corrected_fn(
     horizon. Emission keeps the defined-corr contract — a correction
     can therefore APPEAR for a row that previously emitted nothing
     (its frame reached n ≥ 2 / non-degeneracy only once the late peer
-    arrived), which is exactly the batch kernel's row set."""
+    arrived), which is exactly the batch kernel's row set.
+
+    ``evict_after_ms``: idle-key eviction, same contract and rev-reset
+    note as rolling_stats.make_rolling_stats_corrected_fn."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if evict_after_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         chunks = list(pdfs)
         batch = (
             chunks[0]
@@ -240,6 +262,8 @@ def make_rolling_corr_corrected_fn(
                 int(max(floor, new_floor)),
             )
         )
+        if evict_after_ms is not None:
+            state.setTimeoutDuration(evict_after_ms)
         yield out[np.asarray(ok, dtype=bool)]
 
     return fn
@@ -254,6 +278,7 @@ def rolling_corr_stream(
     window_us: int = DEFAULT_WINDOW_US,
     emit_corrections: bool = False,
     retention_windows: int = 2,
+    evict_after_ms: int | None = None,
 ) -> DataFrame:
     """Wire the per-event trailing-window corr over a stream: rows
     with NULL value or NULL event time are dead-lettered (dropped);
@@ -261,7 +286,10 @@ def rolling_corr_stream(
     n_frame, corr. ``emit_corrections=True`` selects the
     corrected-emission tier (adds a per-key ``rev``; max(rev) per id
     converges to the batch kernel within the retention horizon;
-    requires an integral id column)."""
+    requires an integral id column). ``evict_after_ms`` bounds state
+    on churning keyspaces — idle keys are dropped after that much
+    processing time; continuous triggers only (pending timers keep
+    AvailableNow queries alive — see rolling_stats_stream)."""
     keyed = events.select(
         *entity_cols,
         F.col(id_col),
@@ -269,16 +297,21 @@ def rolling_corr_stream(
         F.col(value_col).cast("double").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("t_us").isNotNull())
     id_ddl = dict(keyed.dtypes)[id_col]
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict_after_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     if not emit_corrections:
         return keyed.groupBy(*entity_cols).applyInPandasWithState(
-            make_rolling_corr_fn(window_us, id_col),
+            make_rolling_corr_fn(window_us, id_col, evict_after_ms),
             outputStructType=(
                 f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
                 "corr DOUBLE"
             ),
             stateStructType="ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout_conf,
         )
     if id_ddl not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
@@ -286,7 +319,9 @@ def rolling_corr_stream(
             f"{id_col}: {id_ddl}"
         )
     return keyed.groupBy(*entity_cols).applyInPandasWithState(
-        make_rolling_corr_corrected_fn(window_us, id_col, retention_windows),
+        make_rolling_corr_corrected_fn(
+            window_us, id_col, retention_windows, evict_after_ms
+        ),
         outputStructType=(
             f"`{id_col}` BIGINT, ts_ms BIGINT, n_frame BIGINT, "
             "corr DOUBLE, rev BIGINT"
@@ -296,5 +331,5 @@ def rolling_corr_stream(
             "seq BIGINT, floor BIGINT"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

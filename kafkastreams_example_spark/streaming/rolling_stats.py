@@ -60,15 +60,32 @@ from ..functions.sliding import sparse_range_minmax
 DEFAULT_WINDOW_US = 86_400_000_000  # 24 h
 
 
-def make_rolling_stats_fn(window_us: int, id_col: str):
+def make_rolling_stats_fn(
+    window_us: int, id_col: str, evict_after_ms: int | None = None
+):
     """Per-entity stateful function: state = (ts ARRAY<BIGINT>,
-    vs ARRAY<DOUBLE>) — the retention-pruned (t, value) timeline."""
+    vs ARRAY<DOUBLE>) — the retention-pruned (t, value) timeline.
+
+    ``evict_after_ms`` arms a processing-time idle timeout (round-15
+    verdict item 1): retention pruning runs only when a key receives a
+    batch, so an entity that permanently stops emitting would otherwise
+    keep its timeline arrays in the state store forever — an unbounded
+    leak on churning keyspaces. On expiry the key's state is dropped
+    and nothing is emitted; a revived entity restarts from an empty
+    timeline (its frames cover post-revival arrivals only — exactly
+    the emit-on-arrival contract, since pre-eviction rows are by
+    construction at least one idle period older). Same pattern as
+    dedup_refresh.py's evict tier."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if evict_after_ms is not None and state.hasTimedOut:
+            # idle for a full eviction period → forget the timeline
+            state.remove()
+            return
         chunks = list(pdfs)
         batch = (
             chunks[0]
@@ -114,13 +131,18 @@ def make_rolling_stats_fn(window_us: int, id_col: str):
         # retention: keep the merged timeline behind the key's max t
         keep = mt >= mt[-1] - window_us
         state.update((mt[keep].tolist(), mv[keep].tolist()))
+        if evict_after_ms is not None:
+            state.setTimeoutDuration(evict_after_ms)
         yield out
 
     return fn
 
 
 def make_rolling_stats_corrected_fn(
-    window_us: int, id_col: str, retention_windows: int = 2
+    window_us: int,
+    id_col: str,
+    retention_windows: int = 2,
+    evict_after_ms: int | None = None,
 ):
     """CORRECTED-EMISSION variant (round 14): same per-entity timeline
     state plus row ids and a per-key emission sequence. A LATE event
@@ -149,13 +171,25 @@ def make_rolling_stats_corrected_fn(
     max event time at arrival (the retention then guarantees the
     correction frame is complete). Stragglers beyond that bound leave
     the row at its best exactly-computable emission — never a
-    truncated overwrite."""
+    truncated overwrite.
+
+    ``evict_after_ms`` (round-15): idle-key eviction, as in the plain
+    tier. Eviction also resets the key's ``rev`` sequence and prune
+    floor, so a straggler with a PRE-eviction row id that arrives
+    after revival emits at a LOWER rev than its earlier emission and
+    loses the downstream max(rev) race — the earlier (complete at the
+    time) emission stands, which is the safe direction. Size the
+    timeout at least the wall-clock lateness you intend to correct
+    for (≥ retention_windows · the window's wall-time equivalent)."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        if evict_after_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         chunks = list(pdfs)
         batch = (
             chunks[0]
@@ -238,6 +272,8 @@ def make_rolling_stats_corrected_fn(
                 int(max(floor, new_floor)),
             )
         )
+        if evict_after_ms is not None:
+            state.setTimeoutDuration(evict_after_ms)
         yield out
 
     return fn
@@ -252,6 +288,7 @@ def rolling_stats_stream(
     window_us: int = DEFAULT_WINDOW_US,
     emit_corrections: bool = False,
     retention_windows: int = 2,
+    evict_after_ms: int | None = None,
 ) -> DataFrame:
     """Wire the per-event trailing-window stats over a stream: rows
     with NULL value or NULL event time are dead-lettered (dropped —
@@ -267,7 +304,17 @@ def rolling_stats_stream(
     per-key ``rev`` sequence, and downstream keeps max(rev) per id —
     eventual consistency with the batch kernel inside the retention
     horizon. That tier requires an integral id column (ids live in
-    the state struct as ARRAY<BIGINT>)."""
+    the state struct as ARRAY<BIGINT>).
+
+    ``evict_after_ms`` bounds state on CHURNING keyspaces: a key idle
+    for that many ms of processing time is dropped from the state
+    store (retention pruning otherwise runs only on touch, so a
+    permanently-quiet entity's timeline would live forever). Size it
+    at least the window's wall-clock equivalent (corrected tier:
+    retention_windows × that). Continuous triggers only — with
+    Trigger.AvailableNow, pending processing-time timers keep the
+    query alive indefinitely (same caveat as dedup_refresh_stream's
+    evict_state)."""
     keyed = events.select(
         *entity_cols,
         F.col(id_col),
@@ -275,16 +322,21 @@ def rolling_stats_stream(
         F.col(value_col).cast("double").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("t_us").isNotNull())
     id_ddl = dict(keyed.dtypes)[id_col]
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict_after_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     if not emit_corrections:
         return keyed.groupBy(*entity_cols).applyInPandasWithState(
-            make_rolling_stats_fn(window_us, id_col),
+            make_rolling_stats_fn(window_us, id_col, evict_after_ms),
             outputStructType=(
                 f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
                 "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE"
             ),
             stateStructType="ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>",
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout_conf,
         )
     if id_ddl not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
@@ -292,7 +344,9 @@ def rolling_stats_stream(
             f"{id_col}: {id_ddl}"
         )
     return keyed.groupBy(*entity_cols).applyInPandasWithState(
-        make_rolling_stats_corrected_fn(window_us, id_col, retention_windows),
+        make_rolling_stats_corrected_fn(
+            window_us, id_col, retention_windows, evict_after_ms
+        ),
         outputStructType=(
             f"`{id_col}` BIGINT, ts_ms BIGINT, n_frame BIGINT, "
             "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE, "
@@ -303,5 +357,5 @@ def rolling_stats_stream(
             "seq BIGINT, floor BIGINT"
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )

@@ -2286,11 +2286,14 @@ def test_probe_and_remember_many_matches_per_id_reference():
 
 
 class _FakeGroupState:
-    """Minimal stand-in for pyspark GroupState: exists/get/update is all
-    make_coalesced_refresh_fn touches."""
+    """Minimal stand-in for pyspark GroupState: exists/get/update plus
+    the processing-time-timeout surface (hasTimedOut / remove /
+    setTimeoutDuration) the evict tiers touch."""
 
     def __init__(self):
         self._v = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
 
     @property
     def exists(self):
@@ -2302,6 +2305,12 @@ class _FakeGroupState:
 
     def update(self, v):
         self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
 
 
 def test_coalesced_fn_new_id_sorting_before_state_id():
@@ -3378,3 +3387,301 @@ def test_corrected_corr_fuzz_converges_on_eligible_rows():
                 # has no defined-corr row at its final frame size
                 if rid in latest:
                     assert latest[rid][1] < len(mates), (rid, rows)
+
+
+def test_rolling_faces_idle_key_eviction_unit():
+    """Round-15 verdict item 1, kernel level: all four rolling tiers
+    armed with ``evict_after_ms`` must (a) set the idle timeout after
+    every touched batch, (b) drop the key's state and emit nothing on
+    expiry, and (c) serve a revived entity from an EMPTY timeline —
+    its output equal to a fresh kernel on the new rows alone (the
+    documented emit-on-arrival revival contract). The corrected tiers
+    additionally restart the rev sequence at 0."""
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        make_rolling_corr_corrected_fn,
+        make_rolling_corr_fn,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        make_rolling_stats_corrected_fn,
+        make_rolling_stats_fn,
+    )
+
+    W, EVICT = 1_000_000, 777
+    b1 = pd.DataFrame(
+        [(1, 100, 5.0), (2, 200, 2.0)], columns=["row_id", "t_us", "value"]
+    )
+    # within W of b1's rows: frames WOULD span the gap if state survived
+    b2 = pd.DataFrame(
+        [(3, 300, 7.0), (4, 400, 1.0)], columns=["row_id", "t_us", "value"]
+    )
+    factories = [
+        lambda e: make_rolling_stats_fn(W, "row_id", e),
+        lambda e: make_rolling_stats_corrected_fn(W, "row_id", 2, e),
+        lambda e: make_rolling_corr_fn(W, "row_id", e),
+        lambda e: make_rolling_corr_corrected_fn(W, "row_id", 2, e),
+    ]
+    for make in factories:
+        fn = make(EVICT)
+        state = _FakeGroupState()
+        list(fn(("k",), iter([b1]), state))
+        assert state.exists and state.timeout_ms == EVICT
+        # expiry: empty input, hasTimedOut — state dropped, no output
+        state.hasTimedOut = True
+        out = list(fn(("k",), iter([]), state))
+        assert out == [] and not state.exists
+        # revival == fresh kernel on b2 alone (no frame spans the gap)
+        state.hasTimedOut = False
+        revived = pd.concat(list(fn(("k",), iter([b2]), state)),
+                            ignore_index=True)
+        fresh = pd.concat(
+            list(make(None)(("k",), iter([b2]), _FakeGroupState())),
+            ignore_index=True,
+        )
+        rev_cols = [c for c in revived.columns if c != "rev"]
+        pd.testing.assert_frame_equal(
+            revived[rev_cols].reset_index(drop=True),
+            fresh[rev_cols].reset_index(drop=True),
+        )
+        if "rev" in revived.columns:
+            assert (revived["rev"] == 0).all()  # seq restarted
+        if "n_frame" in revived.columns and len(revived):
+            assert revived["n_frame"].max() <= len(b2)
+    # un-evicted control: without expiry the same b2 frames DO span back
+    fn = make_rolling_stats_fn(W, "row_id", None)
+    state = _FakeGroupState()
+    list(fn(("k",), iter([b1]), state))
+    assert state.timeout_ms is None  # NoTimeout tier never arms one
+    spanned = pd.concat(list(fn(("k",), iter([b2]), state)),
+                        ignore_index=True)
+    assert spanned["n_frame"].tolist() == [3, 4]
+
+
+def test_coalesced_dedup_pack_eviction_unit():
+    """Round-15 verdict item 3: the coalesced tier's pack-granularity
+    idle eviction — timeout armed per touched batch, an expired pack's
+    CSR state dropped wholesale, and post-revival decisions equal to a
+    FRESH pack fed the same batch (property-checked over randomized
+    batches against the per-id probe_and_remember reference)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        make_coalesced_refresh_fn,
+        probe_and_remember,
+    )
+
+    W = 600_000
+    cols = ("dedup_id", "row_id", "ts_ms")
+    fn = make_coalesced_refresh_fn(W, cols, "event", evict=True)
+    state = _FakeGroupState()
+    b1 = pd.DataFrame([("a", 1, 0), ("a", 2, 100)], columns=cols)
+    out1 = pd.concat(list(fn(("k",), iter([b1]), state)))
+    assert set(out1["row_id"]) == {1}  # dup suppressed
+    assert state.exists and state.timeout_ms == W
+    # all ids quiet a full window: pack forgotten, nothing emitted
+    state.hasTimedOut = True
+    assert list(fn(("k",), iter([]), state)) == [] and not state.exists
+    state.hasTimedOut = False
+    # the same timestamp emits again — the pack has no memory of id 'a'
+    b2 = pd.DataFrame([("a", 3, 100)], columns=cols)
+    out2 = pd.concat(list(fn(("k",), iter([b2]), state)))
+    assert set(out2["row_id"]) == {3}
+
+    # property: post-eviction replay == fresh pack == per-id reference
+    rng = random.Random(15)
+    for _ in range(20):
+        ids = [f"i{j}" for j in range(rng.randint(1, 4))]
+        batch = pd.DataFrame(
+            [
+                (rng.choice(ids), r, rng.randrange(0, 2 * W))
+                for r in range(rng.randint(1, 12))
+            ],
+            columns=cols,
+        ).sort_values(["dedup_id", "ts_ms", "row_id"], kind="mergesort")
+        st_evicted = _FakeGroupState()
+        warm = pd.DataFrame(
+            [(rng.choice(ids), 99, rng.randrange(0, W))], columns=cols
+        )
+        list(fn(("k",), iter([warm]), st_evicted))
+        st_evicted.hasTimedOut = True
+        list(fn(("k",), iter([]), st_evicted))
+        st_evicted.hasTimedOut = False
+        got = pd.concat(list(fn(("k",), iter([batch]), st_evicted)))
+        fresh = pd.concat(
+            list(
+                make_coalesced_refresh_fn(W, cols, "event")(
+                    ("k",), iter([batch]), _FakeGroupState()
+                )
+            )
+        )
+        assert got["row_id"].tolist() == fresh["row_id"].tolist()
+        # per-id reference on the same (id-grouped, time-ordered) rows
+        want = []
+        for did, grp in batch.groupby("dedup_id", sort=False):
+            keep, _ = probe_and_remember(
+                [], grp["ts_ms"].to_numpy(np.int64), W, "event"
+            )
+            want.extend(grp["row_id"].to_numpy()[np.asarray(keep, bool)])
+        assert sorted(got["row_id"]) == sorted(want)
+
+
+def test_rolling_stats_stream_eviction_end_to_end(spark, tmp_path):
+    """Round-15 verdict item 1, wired for real: rolling_stats_stream
+    with ``evict_after_ms`` under a continuous (processing-time)
+    trigger — the engine must keep running empty batches to service
+    the timers (FlatMapGroupsWithStateExec's shouldRunAnotherBatch),
+    evict the idle entity, and serve the revived entity from an empty
+    timeline: its post-revival frame must NOT span back into the
+    pre-eviction rows even though they are inside the event-time
+    window."""
+    import time
+
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt, out_dir = tmp_path / "ckpt", tmp_path / "out"
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    # window huge vs the event times: absent eviction, EVERY later row's
+    # frame would include the earlier rows
+    out = rolling_stats_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id",
+        window_us=1_000_000_000, evict_after_ms=1_500,
+    )
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def rows_seen():
+        try:
+            return {
+                r["row_id"]: r for r in spark.read.json(str(out_dir)).collect()
+            }
+        except Exception:
+            return {}
+
+    def wait_for(rids, deadline_s=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = rows_seen()
+            if rids <= set(got):
+                return got
+            time.sleep(0.3)
+        raise AssertionError(f"timed out waiting for {rids}; saw {rows_seen()}")
+
+    try:
+        _write_batch(src, "b0.json", [
+            {"ent": 1, "row_id": 1, "t_us": 100, "value": 5.0},
+            {"ent": 1, "row_id": 2, "t_us": 200, "value": 2.0},
+        ])
+        got = wait_for({1, 2})
+        assert got[2]["n_frame"] == 2  # same-batch frame spans
+        # idle past the eviction timeout (timers serviced by empty
+        # batches); then revive the entity
+        time.sleep(4.0)
+        _write_batch(src, "b1.json", [
+            {"ent": 1, "row_id": 3, "t_us": 300, "value": 9.0},
+        ])
+        got = wait_for({1, 2, 3})
+    finally:
+        q.stop()
+    # state was dropped: rid 3's frame covers only itself, though rids
+    # 1-2 are well inside its event-time window
+    assert got[3]["n_frame"] == 1 and got[3]["sum_v"] == 9.0
+
+
+def test_rolling_faces_share_checkpoint(spark, tmp_path):
+    """Pin the module-docstring claim (rolling_corr.py): the two plain
+    rolling faces keep IDENTICAL state layout (ts ARRAY<BIGINT>,
+    vs ARRAY<DOUBLE>) keyed the same way, so a checkpoint written by
+    the stats face restores under the corr face. Batch 1 runs through
+    rolling_stats_stream; batch 2 through rolling_corr_stream on the
+    SAME checkpoint — its frames must span back into the state the
+    stats face persisted (n_frame counts batch-1 rows)."""
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        rolling_corr_stream,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    kw = dict(entity_cols=("ent",), ts_col="event_time",
+              value_col="value", id_col="row_id", window_us=1_000_000)
+    _write_batch(src, "b0.json", [
+        {"ent": 1, "row_id": 1, "t_us": 100, "value": 1.0},
+        {"ent": 1, "row_id": 2, "t_us": 200, "value": 5.0},
+        {"ent": 1, "row_id": 3, "t_us": 300, "value": 3.0},
+    ])
+    q = (
+        rolling_stats_stream(stream, **kw)
+        .writeStream.format("json")
+        .option("path", str(tmp_path / "out_stats"))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    _write_batch(src, "b1.json", [
+        {"ent": 1, "row_id": 4, "t_us": 400, "value": 2.0},
+    ])
+    q = (
+        rolling_corr_stream(stream, **kw)
+        .writeStream.format("json")
+        .option("path", str(tmp_path / "out_corr"))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # read the part files directly: the resumed query's file-sink
+    # metadata starts at batch 1 in the fresh out dir, which trips the
+    # directory-level _spark_metadata reader (sink bookkeeping, not
+    # state restore — the thing under test here)
+    import glob
+    import json as _json
+
+    got = {}
+    for p in glob.glob(str(tmp_path / "out_corr" / "part-*.json")):
+        with open(p) as fh:
+            for line in fh:
+                if line.strip():
+                    r = _json.loads(line)
+                    got[r["row_id"]] = r
+    # rid 4's frame spans rids 1-3 FROM THE STATS FACE'S STATE — and
+    # the corr value is the batch kernel's over all four points
+    import numpy as np
+
+    assert set(got) == {4} and got[4]["n_frame"] == 4
+    want = float(np.corrcoef([100, 200, 300, 400], [1.0, 5.0, 3.0, 2.0])[0, 1])
+    assert abs(got[4]["corr"] - want) < 1e-9
