@@ -71,6 +71,9 @@ from kafkastreams_example_spark.streaming.pipelines import (  # noqa: E402
 
 WARMUP_BATCHES = 2
 MEASURE_BATCHES = 8
+# late fraction for the round-15 late-heavy corrected-emission tiers:
+# 1 row in LATE_EVERY arrives half a window late
+LATE_EVERY = 10
 
 # rows/s floors, machine-checked in main() — see module docstring
 THRESHOLDS = {
@@ -97,6 +100,14 @@ THRESHOLDS = {
     # state; correction set empty on the in-order feed): first
     # recording 33.1k rows/s — floor at the same policy
     "rolling_stats_corrected": 11_000,
+    # round-15 late-heavy feeds (1 in LATE_EVERY rows W/2 late, one
+    # batch ≈ one window): prices the corrected tiers' emit
+    # amplification — round-15 first recordings 34.2k / 31.1k rows/s
+    # at 50k-row batches, correction_ratio 1.05 both (each late row
+    # retro-affects ~half its entity's ~12 in-window state rows);
+    # floors at the ~2-3x under-recording policy
+    "rolling_stats_corrected_late": 12_000,
+    "rolling_corr_corrected_late": 11_000,
     # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
     # headroom and a load-overlapped r8 run read 127k — 100k restores
     # the ~2-3x under-recording policy (same correction minhash got)
@@ -369,6 +380,64 @@ def main() -> None:
             ),
             "rows_per_batch": rows_dedup,
         }
+
+        # round-15 LATE-HEAVY tier for both corrected faces: the
+        # in-order feeds above have an EMPTY correction set, so they
+        # price only the tiers' bookkeeping — the real cost is emit
+        # amplification under lateness. Here 1 row in LATE_EVERY
+        # arrives W/2 late, and event time is scaled so one batch
+        # spans ~one window (us_per_row = W / rows_per_batch): each
+        # late row then retro-affects ~half its entity's in-window
+        # state rows — a steady-state lateness regime, not a
+        # degenerate all-rows-in-one-window pileup. Output rows are
+        # counted in the sink: correction_ratio = emitted / input
+        # over the measured batches (stats face: > 1.0 means
+        # re-emissions; corr face: undefined-corr rows are dropped so
+        # the ratio also nets out the defined-frame contract).
+        W_us = 3_600_000_000
+        us_per_row = max(W_us // rows_dedup, 1)
+        base_t = F.col("row_id") * F.lit(us_per_row)
+        late_t = F.when(
+            F.col("row_id") % LATE_EVERY == 0, base_t - F.lit(W_us // 2)
+        ).otherwise(base_t)
+        d_late = (
+            _decoded(_rate_source(spark, rows_dedup))
+            .withColumn("ent", F.col("event.exception.exception_class"))
+            .withColumn("value", (F.col("row_id") % 997).cast("double"))
+            .withColumn("event_time", F.timestamp_micros(late_t))
+        )
+        for nm, builder in (
+            ("rolling_stats_corrected_late", rolling_stats_stream),
+            ("rolling_corr_corrected_late", rolling_corr_stream),
+        ):
+            out_counts: dict[int, int] = {}
+            res = _run_query(
+                builder(
+                    d_late, entity_cols=("ent",), ts_col="event_time",
+                    value_col="value", id_col="row_id", window_us=W_us,
+                    emit_corrections=True,
+                ),
+                nm,
+                ckpt_root,
+                sink_fn=lambda bdf, bid, c=out_counts: c.__setitem__(
+                    bid, bdf.count()
+                ),
+            )
+            measured_out = sum(
+                v
+                for k, v in out_counts.items()
+                if WARMUP_BATCHES <= k < WARMUP_BATCHES + MEASURE_BATCHES
+            )
+            measured_in = MEASURE_BATCHES * rows_dedup
+            results[nm] = {
+                **res,
+                "rows_per_batch": rows_dedup,
+                "correction_ratio": (
+                    round(measured_out / measured_in, 3)
+                    if measured_in
+                    else None
+                ),
+            }
 
         # streaming windowed aggregation (tumbling 1 h per level, 10 min
         # watermark): measures the partial-agg + state-store update path

@@ -8899,7 +8899,14 @@ def q_k_anonymity(spark, sf_dir):
     check a training-data pipeline runs before publishing joined
     records: every QI equivalence class with its size (k), the count
     of distinct sensitive values in it (l; sensitive = account-balance
-    kilobucket), and an at-risk flag for k < 5.
+    kilobucket), and an at-risk flag for classes of size ≤ 5 (k < 6 —
+    the conventional "release only classes you could hide 5 people
+    in" parameter; round-15 signal audit: the earlier k < 5 cut was
+    constant False at sf0.01, the gate SF, so the flag's branch was
+    never exercised where the gate runs — k < 6 has occupied classes
+    on BOTH sides at sf0.001 and sf0.01. At large SF every class of
+    this bounded QI domain saturates past any fixed k; that is
+    k-anonymity's semantics, not a dead predicate).
 
     Scale shape: ONE hash aggregation whose key space is the QI
     domain (|nations|×|segments| — bounded, never row-bound), with
@@ -8921,7 +8928,7 @@ def q_k_anonymity(spark, sf_dir):
             "segment",
             "k",
             "l_div",
-            (F.col("k") < 5).alias("at_risk"),
+            (F.col("k") < 6).alias("at_risk"),
         )
     )
 
@@ -8930,7 +8937,7 @@ SQL_K_ANONYMITY = """
 SELECT c_nationkey AS nation, c_mktsegment AS segment,
        COUNT(*) AS k,
        COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l_div,
-       COUNT(*) < 5 AS at_risk
+       COUNT(*) < 6 AS at_risk
 FROM customer GROUP BY 1, 2
 """
 

@@ -24,18 +24,76 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class ManifestTable:
     """Commit-protocol base: subclasses implement the merge algebra
-    and call ``_commit``/``_current_manifest`` around their writes."""
+    and call ``_commit``/``_current_manifest`` around their writes.
+
+    Writer FENCING (round-15): the whole protocol's crash-safety
+    argument assumes a single writer, but until now that was only
+    documented — two writers (the canonical hazard: a crashed job's
+    zombie retrying beside its replacement) could interleave
+    ``_save_schema``/``_commit`` and produce exactly the
+    orphan-resurrection skew classes the round-14 fixes handle only
+    for crash-then-resume. Each instance therefore claims an
+    epoch-fencing token on its FIRST write (``_FENCE.json``:
+    monotonically increasing epoch + instance id) and re-verifies it
+    before every subsequent schema write and commit: when a newer
+    writer has claimed, the stale instance raises instead of
+    publishing — the zombie loses, loudly. Claiming is
+    read-increment-replace, not a distributed lock: the deployment
+    still brings writers up one at a time (the single-writer model);
+    the fence turns a violated assumption into an error instead of
+    silent corruption, which is all a lock file on a non-locking
+    filesystem (S3, NFS) can honestly promise."""
 
     def __init__(self, path: str) -> None:
         self.path = path
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        self._writer_id = uuid.uuid4().hex
+        self._fence_epoch: int | None = None
+
+    # -- writer fencing -------------------------------------------------
+    def _read_fence(self) -> dict | None:
+        fpath = os.path.join(self.path, "_FENCE.json")
+        if not os.path.exists(fpath):
+            return None
+        with open(fpath) as fh:
+            return json.load(fh)
+
+    def _ensure_fence(self) -> None:
+        """First write of this instance: claim the fence (bump the
+        epoch under this instance's id). Every later write: verify the
+        claim still stands — a different id or epoch means another
+        writer took over after us, so this instance is a zombie and
+        must not publish."""
+        cur = self._read_fence()
+        if self._fence_epoch is None:
+            epoch = (int(cur["epoch"]) if cur else 0) + 1
+            fpath = os.path.join(self.path, "_FENCE.json")
+            tmp = fpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"epoch": epoch, "writer": self._writer_id}, fh)
+            os.replace(tmp, fpath)
+            self._fence_epoch = epoch
+            return
+        if (
+            cur is None
+            or cur.get("writer") != self._writer_id
+            or int(cur.get("epoch", -1)) != self._fence_epoch
+        ):
+            raise RuntimeError(
+                f"ManifestTable writer fenced out at {self.path}: this "
+                f"instance holds epoch {self._fence_epoch} but the "
+                f"current fence is {cur} — another writer has taken "
+                f"over (the table is single-writer; a superseded "
+                f"writer must not publish)"
+            )
 
     # -- commit protocol ------------------------------------------------
     def _current_manifest(self) -> dict[str, str]:
@@ -48,6 +106,7 @@ class ManifestTable:
             return json.load(fh)
 
     def _commit(self, manifest: dict[str, str], batch_id: int) -> None:
+        self._ensure_fence()
         name = f"manifest-{batch_id}.json"
         mpath = os.path.join(self.path, "manifests", name)
         tmp = mpath + ".tmp"
@@ -72,6 +131,7 @@ class ManifestTable:
         by from one odd micro-batch. An identical schema writes
         nothing. This is also what makes a PRE-data read return the
         same column types as a post-commit read."""
+        self._ensure_fence()
         latest = self._schema_at(None)
         if latest is not None:
             if latest.json() == schema.json():

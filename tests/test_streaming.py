@@ -3156,25 +3156,31 @@ def test_orphaned_schema_not_resurrected_by_later_commit(spark, tmp_path):
     # the writer RESUMES under the ORIGINAL schema: batch 2 commits
     # (schema unchanged -> no new version file) — this must NOT
     # resurrect orphan 1, and further original-schema batches must
-    # not raise 'non-additive'
+    # not raise 'non-additive'. Since round-15 fencing, a resumed
+    # writer is a FRESH instance (the crashed process is gone); it
+    # claims its own fence epoch — the old t1/t_wide instances are
+    # now zombies by construction.
+    t1b = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
     df2 = spark.createDataFrame(
         [(3, 30, "u", "c")], "k BIGINT, seq BIGINT, op STRING, payload STRING"
     )
-    t1.apply_batch(df2, 2)
-    assert t1.read(spark).columns == ["k", "seq", "payload"]
+    t1b.apply_batch(df2, 2)
+    assert t1b.read(spark).columns == ["k", "seq", "payload"]
     df3 = spark.createDataFrame(
         [(4, 40, "u", "d")], "k BIGINT, seq BIGINT, op STRING, payload STRING"
     )
-    t1.apply_batch(df3, 3)  # would raise ValueError before the fix
-    assert t1.read(spark).columns == ["k", "seq", "payload"]
-    assert {r["k"] for r in t1.read(spark).collect()} == {1, 3, 4}
+    t1b.apply_batch(df3, 3)  # would raise ValueError before the fix
+    assert t1b.read(spark).columns == ["k", "seq", "payload"]
+    assert {r["k"] for r in t1b.read(spark).collect()} == {1, 3, 4}
 
     # a REAL evolution still works afterwards (the orphan is simply
     # overwritten by the honest wider write at its own committing id)
-    t_wide.apply_batch(df_wide, 4)
-    assert t_wide.read(spark).columns == ["k", "seq", "payload", "score"]
+    t2 = CdcTable(path, key="k", n_buckets=4,
+                  payload_cols=("payload", "score"))
+    t2.apply_batch(df_wide, 4)
+    assert t2.read(spark).columns == ["k", "seq", "payload", "score"]
     # and time travel before the evolution keeps the narrow shape
-    assert t_wide.read(spark, at_batch=3).columns == ["k", "seq", "payload"]
+    assert t2.read(spark, at_batch=3).columns == ["k", "seq", "payload"]
 
 
 def test_corrected_tier_fuzz_converges_on_eligible_rows():
@@ -3685,3 +3691,35 @@ def test_rolling_faces_share_checkpoint(spark, tmp_path):
     assert set(got) == {4} and got[4]["n_frame"] == 4
     want = float(np.corrcoef([100, 200, 300, 400], [1.0, 5.0, 3.0, 2.0])[0, 1])
     assert abs(got[4]["corr"] - want) < 1e-9
+
+
+def test_manifest_table_writer_fencing(spark, tmp_path):
+    """Round-15 verdict item 5: the single-writer model is now
+    ENFORCED, not just documented. A second writer claiming the table
+    (the crash-replacement) bumps the fence epoch; the superseded
+    writer's next schema write or commit must fail loudly instead of
+    interleaving with the replacement's — and the replacement keeps
+    working."""
+    import pytest
+
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    path = str(tmp_path / "cdc_fence")
+    ddl = "k BIGINT, seq BIGINT, op STRING, payload STRING"
+    w1 = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    w1.apply_batch(spark.createDataFrame([(1, 10, "u", "a")], ddl), 0)
+
+    # the replacement takes over (its first write claims a new epoch)
+    w2 = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    w2.apply_batch(spark.createDataFrame([(2, 20, "u", "b")], ddl), 1)
+
+    # the zombie must not publish — loud failure, nothing committed
+    with pytest.raises(RuntimeError, match="fenced out"):
+        w1.apply_batch(spark.createDataFrame([(3, 30, "u", "z")], ddl), 2)
+    assert w2.versions() == [0, 1]
+    got = {r["k"]: r["payload"] for r in w2.read(spark).collect()}
+    assert got == {1: "a", 2: "b"}  # no zombie row
+
+    # the live writer continues unharmed
+    w2.apply_batch(spark.createDataFrame([(4, 40, "u", "c")], ddl), 2)
+    assert w2.versions() == [0, 1, 2]
