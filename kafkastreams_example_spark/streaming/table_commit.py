@@ -262,11 +262,20 @@ class ManifestTable:
         references — the expire_snapshots half of table maintenance.
         Time travel keeps working for kept manifests and stops for the
         expired ones (that is the point: reclaiming the storage old
-        snapshots pin). Returns the expired batch ids."""
+        snapshots pin). Returns the expired batch ids.
+
+        Maintenance is a WRITE (it deletes manifests, schema versions
+        and data dirs), so it runs under the same fence as commits: an
+        instance that vacuums either already holds the fence or claims
+        it — an ops process vacuuming a live table thereby TAKES
+        writership and the old writer fails loudly on its next
+        publish, which is the single-writer model made explicit
+        rather than a silent interleave."""
         import shutil
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        self._ensure_fence()
         versions = self.versions()
         # while manifest history is still known, purge ORPHANED schema
         # versions (no manifest ever committed their id): after expiry
