@@ -100,12 +100,13 @@ THRESHOLDS = {
     # state; correction set empty on the in-order feed): first
     # recording 33.1k rows/s — floor at the same policy
     "rolling_stats_corrected": 11_000,
-    # round-15 late-heavy feeds (1 in LATE_EVERY rows W/2 late, one
+    # round-15 late-heavy feeds (1 in LATE_EVERY rows W/2 late across
+    # the REAL entities — see the offset-3 note at the feed, one
     # batch ≈ one window): prices the corrected tiers' emit
-    # amplification — round-15 first recordings 34.2k / 31.1k rows/s
-    # at 50k-row batches, correction_ratio 1.05 both (each late row
-    # retro-affects ~half its entity's ~12 in-window state rows);
-    # floors at the ~2-3x under-recording policy
+    # amplification — round-15 recordings 38.7k / 36.0k rows/s at
+    # 50k-row batches, correction_ratio 1.098 both (~10% re-emission
+    # volume at this lateness); floors at the ~2-3x under-recording
+    # policy
     "rolling_stats_corrected_late": 12_000,
     "rolling_corr_corrected_late": 11_000,
     # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
@@ -394,11 +395,18 @@ def main() -> None:
         # over the measured batches (stats face: > 1.0 means
         # re-emissions; corr face: undefined-corr rows are dropped so
         # the ratio also nets out the defined-frame contract).
+        # The late predicate uses offset 3, NOT 0: _decoded nulls the
+        # exception class (= ent) when row_id % 5 == 0, and LATE_EVERY
+        # is a multiple of 5 — a % == 0 cut would concentrate EVERY
+        # late row on the single NULL-entity key and leave the ~4k
+        # real entities on the empty-correction in-order path
+        # (round-15 review finding); % == 3 is never ≡ 0 (mod 5), so
+        # late rows spread across the real entities.
         W_us = 3_600_000_000
         us_per_row = max(W_us // rows_dedup, 1)
         base_t = F.col("row_id") * F.lit(us_per_row)
         late_t = F.when(
-            F.col("row_id") % LATE_EVERY == 0, base_t - F.lit(W_us // 2)
+            F.col("row_id") % LATE_EVERY == 3, base_t - F.lit(W_us // 2)
         ).otherwise(base_t)
         d_late = (
             _decoded(_rate_source(spark, rows_dedup))

@@ -45,6 +45,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ._evict import arm, expired
+
 DEFAULT_WINDOW_MS = 10 * 60 * 1000  # KStreamDistinct.java:135-136
 
 
@@ -102,9 +104,8 @@ def make_refresh_dedup_fn(
     def dedup_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if evict and state.hasTimedOut:
-            # id unseen for a full retention window → forget it (:135-141)
-            state.remove()
+        if expired(state, window_ms if evict else None):
+            # id unseen for a full retention window → forgotten (:135-141)
             return
         import numpy as np
 
@@ -132,8 +133,7 @@ def make_refresh_dedup_fn(
         seen = list(state.get[0]) if state.exists else []
         keep, seen = probe_and_remember(seen, ts[order], window_ms, clock)
         state.update((seen,))
-        if evict:
-            state.setTimeoutDuration(window_ms)
+        arm(state, window_ms if evict else None)
         emit = order[np.asarray(keep, dtype=bool)]
         yield pd.DataFrame({c: cols[c][emit] for c in out_cols})
 
@@ -339,11 +339,10 @@ def make_coalesced_refresh_fn(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if evict and state.hasTimedOut:
+        if expired(state, window_ms if evict else None):
             # every id in the pack unseen for a full retention window —
-            # forget the pack (the per-key tier's :135-141 semantics,
+            # pack forgotten (the per-key tier's :135-141 semantics,
             # paid once per pack instead of once per id)
-            state.remove()
             return
         chunks = list(pdfs)
         batch = (
@@ -396,8 +395,7 @@ def make_coalesced_refresh_fn(
         state.update(
             (ids_out, [int(x) for x in offs_out], [int(x) for x in new_flat])
         )
-        if evict:
-            state.setTimeoutDuration(window_ms)
+        arm(state, window_ms if evict else None)
         yield batch.loc[np.asarray(keep, dtype=bool), list(out_cols)]
 
     return fn

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.sliding import US_PER_DAY
+from ._evict import arm, expired
 
 DEFAULT_WINDOW_US = 86_400_000_000  # 24 h
 
@@ -126,8 +127,7 @@ def make_rolling_corr_fn(
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if evict_after_ms is not None and state.hasTimedOut:
-            state.remove()
+        if expired(state, evict_after_ms):
             return
         chunks = list(pdfs)
         batch = (
@@ -161,8 +161,7 @@ def make_rolling_corr_fn(
         )
         keep = mt >= mt[-1] - window_us  # per-key retention horizon
         state.update((mt[keep].tolist(), mv[keep].tolist()))
-        if evict_after_ms is not None:
-            state.setTimeoutDuration(evict_after_ms)
+        arm(state, evict_after_ms)
         yield out[np.asarray(ok, dtype=bool)]
 
     return fn
@@ -186,15 +185,16 @@ def make_rolling_corr_corrected_fn(
     arrived), which is exactly the batch kernel's row set.
 
     ``evict_after_ms``: idle-key eviction, same contract and rev-reset
-    note as rolling_stats.make_rolling_stats_corrected_fn."""
+    caveat as rolling_stats.make_rolling_stats_corrected_fn — rev
+    values are comparable only within one eviction-free epoch; size
+    the timeout past the lateness AND redelivery horizons."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if evict_after_ms is not None and state.hasTimedOut:
-            state.remove()
+        if expired(state, evict_after_ms):
             return
         chunks = list(pdfs)
         batch = (
@@ -262,8 +262,7 @@ def make_rolling_corr_corrected_fn(
                 int(max(floor, new_floor)),
             )
         )
-        if evict_after_ms is not None:
-            state.setTimeoutDuration(evict_after_ms)
+        arm(state, evict_after_ms)
         yield out[np.asarray(ok, dtype=bool)]
 
     return fn

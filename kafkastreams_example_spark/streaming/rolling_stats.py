@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.sliding import sparse_range_minmax
+from ._evict import arm, expired
 
 DEFAULT_WINDOW_US = 86_400_000_000  # 24 h
 
@@ -82,9 +83,8 @@ def make_rolling_stats_fn(
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if evict_after_ms is not None and state.hasTimedOut:
-            # idle for a full eviction period → forget the timeline
-            state.remove()
+        if expired(state, evict_after_ms):
+            # idle for a full eviction period → timeline forgotten
             return
         chunks = list(pdfs)
         batch = (
@@ -131,8 +131,7 @@ def make_rolling_stats_fn(
         # retention: keep the merged timeline behind the key's max t
         keep = mt >= mt[-1] - window_us
         state.update((mt[keep].tolist(), mv[keep].tolist()))
-        if evict_after_ms is not None:
-            state.setTimeoutDuration(evict_after_ms)
+        arm(state, evict_after_ms)
         yield out
 
     return fn
@@ -175,20 +174,25 @@ def make_rolling_stats_corrected_fn(
 
     ``evict_after_ms`` (round-15): idle-key eviction, as in the plain
     tier. Eviction also resets the key's ``rev`` sequence and prune
-    floor, so a straggler with a PRE-eviction row id that arrives
-    after revival emits at a LOWER rev than its earlier emission and
-    loses the downstream max(rev) race — the earlier (complete at the
-    time) emission stands, which is the safe direction. Size the
-    timeout at least the wall-clock lateness you intend to correct
-    for (≥ retention_windows · the window's wall-time equivalent)."""
+    floor, so rev values are only COMPARABLE within one eviction-free
+    epoch: a pre-eviction row id that reappears after revival (an
+    at-least-once redelivery, or a straggler past the idle horizon)
+    emits over the post-revival timeline at a restarted rev that may
+    tie or — after enough revived batches — exceed its pre-eviction
+    rev, and downstream max(rev) may then keep the truncated
+    emission. The operating rule is therefore the same one Spark's
+    own dropDuplicatesWithinWatermark state expiry imposes: size the
+    timeout past BOTH the lateness you correct for
+    (≥ retention_windows · the window's wall-time equivalent) AND the
+    source's redelivery horizon, so no pre-eviction id can legally
+    reappear after its key was dropped."""
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if evict_after_ms is not None and state.hasTimedOut:
-            state.remove()
+        if expired(state, evict_after_ms):
             return
         chunks = list(pdfs)
         batch = (
@@ -272,8 +276,7 @@ def make_rolling_stats_corrected_fn(
                 int(max(floor, new_floor)),
             )
         )
-        if evict_after_ms is not None:
-            state.setTimeoutDuration(evict_after_ms)
+        arm(state, evict_after_ms)
         yield out
 
     return fn

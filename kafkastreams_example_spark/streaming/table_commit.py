@@ -76,7 +76,14 @@ class ManifestTable:
         if self._fence_epoch is None:
             epoch = (int(cur["epoch"]) if cur else 0) + 1
             fpath = os.path.join(self.path, "_FENCE.json")
-            tmp = fpath + ".tmp"
+            # writer-unique tmp name: two simultaneous first-claims
+            # must not interleave writes through a SHARED .tmp (one
+            # truncating the other mid-write would publish torn JSON
+            # and every later _read_fence would crash instead of
+            # fencing — round-15 review finding); with unique tmps the
+            # two atomic replaces serialize and one coherent claim
+            # wins, which the loser's next _ensure_fence detects
+            tmp = f"{fpath}.{self._writer_id}.tmp"
             with open(tmp, "w") as fh:
                 json.dump({"epoch": epoch, "writer": self._writer_id}, fh)
             os.replace(tmp, fpath)
@@ -268,9 +275,16 @@ class ManifestTable:
         and data dirs), so it runs under the same fence as commits: an
         instance that vacuums either already holds the fence or claims
         it — an ops process vacuuming a live table thereby TAKES
-        writership and the old writer fails loudly on its next
-        publish, which is the single-writer model made explicit
-        rather than a silent interleave."""
+        writership and the old writer fails loudly on its NEXT
+        fence-checked write. The check is check-then-act, not a lock:
+        a vacuum landing inside the narrow window between a writer's
+        fence check and its file writes can still interleave with
+        that one in-flight commit (deleting a just-written schema
+        version or version dir before its manifest lands). The fence
+        converts SUSTAINED concurrent writing into loud failure;
+        point-in-time overlap remains operationally excluded, exactly
+        as before — run maintenance from the writer's own schedule or
+        while it is down."""
         import shutil
 
         if keep_last < 1:

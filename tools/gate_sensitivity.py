@@ -285,6 +285,16 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--all"]
     all_flag = "--all" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if not Path(sf_dir).is_dir():
+        # catches `--all <entry>` with no sf_dir: the entry name would
+        # be silently consumed as sf_dir and the guard below skipped
+        # (round-15 review finding — same silently-wrong-arg class as
+        # the round-14 --all fix)
+        raise SystemExit(
+            f"gate_sensitivity: sf_dir {sf_dir!r} is not a directory "
+            "(usage: gate_sensitivity.py [sf_dir] [entry ...] | "
+            "gate_sensitivity.py [sf_dir] --all)"
+        )
     if all_flag and args[1:]:
         # round-15 ADVICE (low): --all used to silently discard the
         # user-listed entries; the combination is ambiguous — reject it
@@ -320,10 +330,16 @@ def main() -> int:
     }
     import os
 
-    rnd = os.environ.get("GATE_ROUND", "r14")
+    # round-15 review finding: the hard-coded "r14" default meant any
+    # ad-hoc single-entry run silently OVERWROTE the committed round
+    # evidence artifact (it destroyed the round-14 full-registry audit
+    # until git restored it). Round-named artifacts are only written
+    # when GATE_ROUND is set explicitly; unnamed runs go to the
+    # _adhoc file, which is never round evidence.
+    rnd = os.environ.get("GATE_ROUND")
     out = (
         Path(__file__).resolve().parent.parent
-        / f"GATE_SENSITIVITY_{rnd}.json"
+        / f"GATE_SENSITIVITY_{rnd if rnd else '_adhoc'}.json"
     )
     out.write_text(json.dumps(summary, indent=1, default=str))
     print(json.dumps({k: v for k, v in summary.items() if k != "per_entry"}))
