@@ -107,18 +107,26 @@ def test_knn_exact_ground_truth_matches_its_oracle(spark):
 
 
 def test_no_zero_signal_oracles():
-    """Degeneracy gate (round 10): every oracle's sf0.001 output must
-    be able to distinguish a working operator from a broken one — no
-    zero-row results, no all-NULL columns, no constant boolean columns
-    (beyond the documented ACCEPTED ledger). A hash compare of a
-    degenerate output is not evidence; this is how asof_join stayed
-    'green' for eight rounds while its match column was NULL at every
-    scale. Reuses tools/signal_audit.py's audit() verbatim so the CI
-    gate and the operator tool cannot drift. DuckDB-only."""
+    """Degeneracy gate (round 10): every oracle's output must be able
+    to distinguish a working operator from a broken one — no zero-row
+    results, no all-NULL columns, no constant boolean columns (beyond
+    the documented ACCEPTED ledger). A hash compare of a degenerate
+    output is not evidence; this is how asof_join stayed 'green' for
+    eight rounds while its match column was NULL at every scale.
+    Reuses tools/signal_audit.py's audit() verbatim so the CI gate and
+    the operator tool cannot drift. DuckDB-only.
+
+    Swept at BOTH the fast SF and the driver's gate SF since round 15:
+    signal at sf0.001 does not imply signal at sf0.01 — k_anonymity's
+    k < 5 cut varied at sf0.001 yet was constant False at sf0.01 (no
+    class that small exists there), so the flag's branch went
+    unexercised exactly where the driver compares; only the manual
+    sf0.01 tool run caught it."""
     import duckdb
 
     from tools.signal_audit import audit, register_views
 
-    con = duckdb.connect()
-    register_views(con, SF_DIR)
-    assert audit(con) == []
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        register_views(con, sf_dir)
+        assert audit(con) == [], sf_dir
