@@ -61,6 +61,59 @@ from ._evict import arm, expired
 DEFAULT_WINDOW_US = 86_400_000_000  # 24 h
 
 
+def stats_kernel(st_, sv, batch: pd.DataFrame, id_col: str, window_us: int):
+    """The per-(entity, batch) kernel of the plain tier, state-backend-
+    agnostic — shared by the applyInPandasWithState wrapper below and
+    the transformWithStateInPandas processor (rolling_stats_tws.py),
+    the same split dedup_refresh gives probe_and_remember.
+
+    Input: the key's retained timeline as two arrays (sorted int64
+    microseconds + float64 values; empty arrays for a fresh key) and
+    the batch rows (t_us, value, id_col). Returns (out, kept_ts,
+    kept_vs): the per-row trailing-frame stats frame and the merged
+    timeline pruned to the retention horizon (per-key max t − W).
+
+    Algebra (module docstring): one stable merge, ONE searchsorted
+    pair for every row's frame, prefix-differenced sums + the shared
+    sparse-table RMQ — O(b log(b+s)), never O(rows · frame)."""
+    import numpy as np
+
+    batch = batch.sort_values(["t_us", id_col], kind="mergesort")
+    bt = batch["t_us"].to_numpy(np.int64)
+    bv = batch["value"].to_numpy(np.float64)
+    st_ = np.asarray(st_, dtype=np.int64)
+    sv = np.asarray(sv, dtype=np.float64)
+    # merged timeline, time-sorted (state is already sorted; the
+    # batch is sorted; one merge via argsort of the concatenation —
+    # stable, so state rows precede batch ties, which is irrelevant
+    # to the sums)
+    mt = np.concatenate([st_, bt])
+    mv = np.concatenate([sv, bv])
+    order = np.argsort(mt, kind="mergesort")
+    mt, mv = mt[order], mv[order]
+    lo = np.searchsorted(mt, bt - window_us, side="left")
+    hi = np.searchsorted(mt, bt, side="right")
+    pv = np.zeros(len(mv) + 1)
+    np.cumsum(mv, out=pv[1:])
+    n = (hi - lo).astype(np.int64)  # state never holds NULL values
+    s = pv[hi] - pv[lo]
+    mn, mx = sparse_range_minmax(mv, mv, lo, hi)
+    out = pd.DataFrame(
+        {
+            id_col: batch[id_col].to_numpy(),
+            "ts_ms": (bt // 1000).astype(np.int64),
+            "n_frame": n,
+            "sum_v": s,
+            "mean_v": s / n,  # frames include the row itself: n >= 1
+            "min_v": mn,
+            "max_v": mx,
+        }
+    )
+    # retention: keep the merged timeline behind the key's max t
+    keep = mt >= mt[-1] - window_us
+    return out, mt[keep], mv[keep]
+
+
 def make_rolling_stats_fn(
     window_us: int, id_col: str, evict_after_ms: int | None = None
 ):
@@ -81,8 +134,6 @@ def make_rolling_stats_fn(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         if expired(state, evict_after_ms):
             # idle for a full eviction period → timeline forgotten
             return
@@ -92,45 +143,9 @@ def make_rolling_stats_fn(
             if len(chunks) == 1
             else pd.concat(chunks, ignore_index=True)
         )
-        batch = batch.sort_values(["t_us", id_col], kind="mergesort")
-        bt = batch["t_us"].to_numpy(np.int64)
-        bv = batch["value"].to_numpy(np.float64)
-        if state.exists:
-            st_, sv = state.get
-            st_ = np.asarray(st_, dtype=np.int64)
-            sv = np.asarray(sv, dtype=np.float64)
-        else:
-            st_ = np.zeros(0, dtype=np.int64)
-            sv = np.zeros(0, dtype=np.float64)
-        # merged timeline, time-sorted (state is already sorted; the
-        # batch is sorted; one merge via argsort of the concatenation —
-        # stable, so state rows precede batch ties, which is irrelevant
-        # to the sums)
-        mt = np.concatenate([st_, bt])
-        mv = np.concatenate([sv, bv])
-        order = np.argsort(mt, kind="mergesort")
-        mt, mv = mt[order], mv[order]
-        lo = np.searchsorted(mt, bt - window_us, side="left")
-        hi = np.searchsorted(mt, bt, side="right")
-        pv = np.zeros(len(mv) + 1)
-        np.cumsum(mv, out=pv[1:])
-        n = (hi - lo).astype(np.int64)  # state never holds NULL values
-        s = pv[hi] - pv[lo]
-        mn, mx = sparse_range_minmax(mv, mv, lo, hi)
-        out = pd.DataFrame(
-            {
-                id_col: batch[id_col].to_numpy(),
-                "ts_ms": (bt // 1000).astype(np.int64),
-                "n_frame": n,
-                "sum_v": s,
-                "mean_v": s / n,  # frames include the row itself: n >= 1
-                "min_v": mn,
-                "max_v": mx,
-            }
-        )
-        # retention: keep the merged timeline behind the key's max t
-        keep = mt >= mt[-1] - window_us
-        state.update((mt[keep].tolist(), mv[keep].tolist()))
+        st_, sv = state.get if state.exists else ((), ())
+        out, kt, kv = stats_kernel(st_, sv, batch, id_col, window_us)
+        state.update((kt.tolist(), kv.tolist()))
         arm(state, evict_after_ms)
         yield out
 

@@ -3723,3 +3723,134 @@ def test_manifest_table_writer_fencing(spark, tmp_path):
     # the live writer continues unharmed
     w2.apply_batch(spark.createDataFrame([(4, 40, "u", "c")], ddl), 2)
     assert w2.versions() == [0, 1, 2]
+
+
+def test_rolling_stats_tws_processor_matches_apws_tier():
+    """Round-15: the TWS face of the rolling-stats kernel
+    (streaming/rolling_stats_tws.py), unit-tested with mock handles
+    (no protobuf here — the processor logic is plain Python over the
+    SHARED stats_kernel): driven over the same three micro-batches,
+    its outputs must equal the applyInPandasWithState tier's
+    row-for-row, including frames that span batch boundaries through
+    state; and the evict timer must follow the delete-then-register
+    discipline (exactly one live timer per hot key), with expiry
+    clearing the timeline and a revived key served as fresh."""
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        make_rolling_stats_fn,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats_tws import (
+        make_rolling_stats_processor,
+    )
+
+    W, EVICT = 1_000, 5_000
+    batches = [
+        pd.DataFrame([(1, 100, 5.0), (2, 150, 2.0)],
+                     columns=["row_id", "t_us", "value"]),
+        pd.DataFrame([(5, 900, 9.0)],
+                     columns=["row_id", "t_us", "value"]),
+        pd.DataFrame([(7, 1100, 1.0), (8, 5000, 3.0)],
+                     columns=["row_id", "t_us", "value"]),
+    ]
+    proc = make_rolling_stats_processor(W, "row_id", EVICT)
+    handle = _MockHandle()
+    proc.init(handle)
+    ref_fn = make_rolling_stats_fn(W, "row_id")
+    ref_state = _FakeGroupState()
+    for i, b in enumerate(batches):
+        got = pd.concat(
+            list(proc.handleInputRows(("k",), [b], _MockTimerValues(i * 1000))),
+            ignore_index=True,
+        )
+        want = pd.concat(
+            list(ref_fn(("k",), iter([b.copy()]), ref_state)),
+            ignore_index=True,
+        )
+        pd.testing.assert_frame_equal(got, want)
+        # delete-then-register: exactly ONE live timer, re-based
+        assert handle.timers == {i * 1000 + EVICT}, i
+    # state carries the same retained timeline as the APWS tier
+    tl = handle.states["tl"].get()
+    assert list(tl[0]) == list(ref_state.get[0])
+    assert list(tl[1]) == list(ref_state.get[1])
+
+    # expiry: timeline forgotten, nothing yielded; revival == fresh
+    handle.timers.clear()
+    assert list(proc.handleExpiredTimer(("k",), _MockTimerValues(10**9), None)) == []
+    assert handle.states["tl"].get() is None
+    assert handle.states["tmr"].get() is None
+    revive = pd.DataFrame([(9, 5100, 4.0)], columns=["row_id", "t_us", "value"])
+    got = pd.concat(
+        list(proc.handleInputRows(("k",), [revive], _MockTimerValues(10**9))),
+        ignore_index=True,
+    )
+    # rid 8 (t=5000) would be in rid 9's frame had state survived
+    assert got["n_frame"].tolist() == [1] and got["sum_v"].tolist() == [4.0]
+    assert handle.timers == {10**9 + EVICT}
+
+
+def test_rolling_stats_tws_stream_end_to_end(spark, tmp_path):
+    """Full TWS streaming run of the rolling-stats face — executes
+    only where protobuf exists (skipped in this sandbox); semantics
+    must match the applyInPandasWithState tier on the same input."""
+    import pytest
+
+    from kafkastreams_example_spark.streaming.rolling_stats_tws import (
+        tws_available,
+    )
+
+    ok, reason = tws_available()
+    if not ok:
+        pytest.skip(f"transformWithState unavailable: {reason}")
+
+    import math
+
+    from kafkastreams_example_spark.functions.sliding import (
+        rolling_range_stats,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats_tws import (
+        rolling_stats_stream_tws,
+    )
+
+    rows = [
+        (1, 1, 100, 5.0), (1, 2, 150, 2.0), (2, 3, 180, 4.0),
+        (1, 5, 900, 9.0), (2, 6, 950, 6.0), (1, 7, 1100, 1.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b0.json", [
+        dict(zip(("ent", "row_id", "t_us", "value"), r)) for r in rows
+    ])
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_stats_stream_tws(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=1_000,
+    )
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["row_id"]: r
+           for r in spark.read.json(str(tmp_path / "out")).collect()}
+    df = spark.createDataFrame(
+        rows, "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+    )
+    want = {r["row_id"]: r for r in rolling_range_stats(
+        df, ["ent"], "t_us", "value", 1_000, ["row_id"]
+    ).collect()}
+    assert set(got) == set(want)
+    for rid, g in got.items():
+        assert g["n_frame"] == want[rid]["n_frame"], rid
+        assert math.isclose(g["sum_v"], want[rid]["sum_v"], abs_tol=1e-9)
