@@ -3612,6 +3612,14 @@ def test_rolling_stats_stream_eviction_end_to_end(spark, tmp_path):
     # state was dropped: rid 3's frame covers only itself, though rids
     # 1-2 are well inside its event-time window
     assert got[3]["n_frame"] == 1 and got[3]["sum_v"] == 9.0
+    # offline state audit (state data source): after eviction +
+    # revival the store holds EXACTLY the revived key's single-row
+    # timeline — the evicted timeline is gone from the store itself,
+    # not merely invisible to the query
+    st = spark.read.format("statestore").load(str(ckpt)).collect()
+    assert [
+        (r["key"]["ent"], list(r["value"]["groupState"]["ts"])) for r in st
+    ] == [(1, [300])]
 
 
 def test_rolling_faces_share_checkpoint(spark, tmp_path):
@@ -3854,3 +3862,51 @@ def test_rolling_stats_tws_stream_end_to_end(spark, tmp_path):
     for rid, g in got.items():
         assert g["n_frame"] == want[rid]["n_frame"], rid
         assert math.isclose(g["sum_v"], want[rid]["sum_v"], abs_tol=1e-9)
+
+
+def test_state_source_inspects_rolling_state(spark, tmp_path):
+    """Ops story pin (round 15): Spark's state data source
+    (format 'statestore') reads the rolling face's checkpoint offline
+    — the tool an operator uses to AUDIT state size and retention
+    without touching the running query. The retained timeline it
+    shows must be exactly the retention contract's: the merged
+    timeline behind the key's max event time minus one window."""
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(src, "b0.json", [
+        {"ent": 1, "row_id": 1, "t_us": 100, "value": 5.0},
+        {"ent": 1, "row_id": 2, "t_us": 200, "value": 2.0},
+        {"ent": 1, "row_id": 3, "t_us": 1150, "value": 9.0},  # prunes 100
+    ])
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+    out = rolling_stats_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id", window_us=1_000,
+    )
+    ckpt = tmp_path / "ckpt"
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    st = spark.read.format("statestore").load(str(ckpt)).collect()
+    assert len(st) == 1
+    row = st[0]
+    assert row["key"]["ent"] == 1
+    # retention horizon = max t (1150) − W (1000) = 150: t=100 pruned
+    assert list(row["value"]["groupState"]["ts"]) == [200, 1150]
+    assert list(row["value"]["groupState"]["vs"]) == [2.0, 9.0]
