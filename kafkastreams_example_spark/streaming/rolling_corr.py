@@ -108,6 +108,43 @@ def _corr_over_frames(mt, mv, lo, hi):
     return corr, ok
 
 
+def corr_kernel(st_, sv, batch: pd.DataFrame, id_col: str, window_us: int):
+    """The per-(entity, batch) kernel of the plain corr tier, state-
+    backend-agnostic — shared by the applyInPandasWithState wrapper
+    below and the transformWithStateInPandas processor
+    (rolling_corr_tws.py), the same split rolling_stats.stats_kernel
+    and dedup_refresh.probe_and_remember give their faces.
+
+    Input: the key's retained timeline arrays (empty for a fresh key)
+    and the batch rows (t_us, value, id_col). Returns (out, kept_ts,
+    kept_vs) — ``out`` already filtered to defined-corr rows (n ≥ 2,
+    both regressors exactly non-degenerate, finite), the emission
+    contract of the batch kernel."""
+    import numpy as np
+
+    batch = batch.sort_values(["t_us", id_col], kind="mergesort")
+    bt = batch["t_us"].to_numpy(np.int64)
+    st_ = np.asarray(st_, dtype=np.int64)
+    sv = np.asarray(sv, dtype=np.float64)
+    mt = np.concatenate([st_, bt])
+    mv = np.concatenate([sv, batch["value"].to_numpy(np.float64)])
+    order = np.argsort(mt, kind="mergesort")
+    mt, mv = mt[order], mv[order]
+    lo = np.searchsorted(mt, bt - window_us, side="left")
+    hi = np.searchsorted(mt, bt, side="right")
+    corr, ok = _corr_over_frames(mt, mv, lo, hi)
+    out = pd.DataFrame(
+        {
+            id_col: batch[id_col].to_numpy(),
+            "ts_ms": (bt // 1000).astype(np.int64),
+            "n_frame": (hi - lo).astype(np.int64),
+            "corr": corr,
+        }
+    )[np.asarray(ok, dtype=bool)]
+    keep = mt >= mt[-1] - window_us  # per-key retention horizon
+    return out, mt[keep], mv[keep]
+
+
 def make_rolling_corr_fn(
     window_us: int, id_col: str, evict_after_ms: int | None = None
 ):
@@ -125,8 +162,6 @@ def make_rolling_corr_fn(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         if expired(state, evict_after_ms):
             return
         chunks = list(pdfs)
@@ -135,34 +170,11 @@ def make_rolling_corr_fn(
             if len(chunks) == 1
             else pd.concat(chunks, ignore_index=True)
         )
-        batch = batch.sort_values(["t_us", id_col], kind="mergesort")
-        bt = batch["t_us"].to_numpy(np.int64)
-        if state.exists:
-            st_, sv = state.get
-            st_ = np.asarray(st_, dtype=np.int64)
-            sv = np.asarray(sv, dtype=np.float64)
-        else:
-            st_ = np.zeros(0, dtype=np.int64)
-            sv = np.zeros(0, dtype=np.float64)
-        mt = np.concatenate([st_, bt])
-        mv = np.concatenate([sv, batch["value"].to_numpy(np.float64)])
-        order = np.argsort(mt, kind="mergesort")
-        mt, mv = mt[order], mv[order]
-        lo = np.searchsorted(mt, bt - window_us, side="left")
-        hi = np.searchsorted(mt, bt, side="right")
-        corr, ok = _corr_over_frames(mt, mv, lo, hi)
-        out = pd.DataFrame(
-            {
-                id_col: batch[id_col].to_numpy(),
-                "ts_ms": (bt // 1000).astype(np.int64),
-                "n_frame": (hi - lo).astype(np.int64),
-                "corr": corr,
-            }
-        )
-        keep = mt >= mt[-1] - window_us  # per-key retention horizon
-        state.update((mt[keep].tolist(), mv[keep].tolist()))
+        st_, sv = state.get if state.exists else ((), ())
+        out, kt, kv = corr_kernel(st_, sv, batch, id_col, window_us)
+        state.update((kt.tolist(), kv.tolist()))
         arm(state, evict_after_ms)
-        yield out[np.asarray(ok, dtype=bool)]
+        yield out
 
     return fn
 

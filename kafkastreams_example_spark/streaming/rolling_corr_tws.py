@@ -1,0 +1,140 @@
+"""transformWithState tier of the streaming rolling-CORR face —
+completing the TWS symmetry: both rolling faces (stats + corr) now
+run under either stateful API with the SAME kernel behind each
+(rolling_corr.corr_kernel here; see rolling_stats_tws.py for the
+rationale, availability gating, and the delete-then-register timer
+discipline — everything written there holds verbatim for this module,
+including the protobuf execution gate and the mock-handle test
+strategy).
+
+Because both plain tiers keep byte-identical state DDL under the same
+grouping (the pinned checkpoint-share contract), the TWS faces do
+too: `tl` is (ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>) in both processors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .dedup_refresh_tws import tws_available
+from .rolling_corr import DEFAULT_WINDOW_US, corr_kernel
+
+__all__ = [
+    "tws_available",
+    "make_rolling_corr_processor",
+    "rolling_corr_stream_tws",
+]
+
+
+def make_rolling_corr_processor(
+    window_us: int,
+    id_col: str = "row_id",
+    evict_after_ms: int | None = None,
+):
+    """Build the StatefulProcessor for the plain rolling-corr tier —
+    mirrors rolling_stats_tws.make_rolling_stats_processor with
+    corr_kernel as the math; see that factory's docstring for the
+    build-vs-execute dependency split."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError as exc:
+        raise RuntimeError(
+            f"StatefulProcessor API unavailable ({exc}); use "
+            "rolling_corr.rolling_corr_stream (applyInPandasWithState) "
+            "instead"
+        ) from exc
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RollingCorrProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tl = handle.getValueState(
+                "tl", "ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>"
+            )
+            self._tmr = handle.getValueState("tmr", "expiry BIGINT")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timer_values):
+            chunks = list(rows)
+            batch = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            got = self._tl.get()
+            st_, sv = (got[0], got[1]) if got is not None else ((), ())
+            out, kt, kv = corr_kernel(st_, sv, batch, id_col, window_us)
+            self._tl.update((list(kt), list(kv)))
+            if evict_after_ms is not None:
+                prev = self._tmr.get()
+                if prev is not None:
+                    self._handle.deleteTimer(int(prev[0]))
+                expiry = (
+                    timer_values.getCurrentProcessingTimeInMs()
+                    + evict_after_ms
+                )
+                self._handle.registerTimer(expiry)
+                self._tmr.update((expiry,))
+            yield out
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            self._tl.clear()
+            self._tmr.clear()
+            return
+            yield  # unreachable — keeps this a generator yielding nothing
+
+        def close(self) -> None:
+            pass
+
+    return RollingCorrProcessor()
+
+
+def rolling_corr_stream_tws(
+    events: DataFrame,
+    entity_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "event_time",
+    value_col: str = "value",
+    id_col: str = "row_id",
+    window_us: int = DEFAULT_WINDOW_US,
+    evict_after_ms: int | None = None,
+) -> DataFrame:
+    """transformWithStateInPandas wiring of the rolling-corr face —
+    same contract as rolling_corr.rolling_corr_stream's plain tier
+    (defined-corr emission, NULL rows dead-lettered). Raises
+    RuntimeError with the blocking reason when the runtime can't
+    execute TWS."""
+    from pyspark.sql import functions as F
+
+    ok, reason = tws_available()
+    if not ok:
+        raise RuntimeError(
+            f"transformWithStateInPandas unavailable: {reason}; use "
+            "rolling_corr.rolling_corr_stream (applyInPandasWithState) "
+            "instead"
+        )
+    keyed = events.select(
+        *entity_cols,
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull() & F.col("t_us").isNotNull())
+    id_ddl = dict(keyed.dtypes)[id_col]
+    return keyed.groupBy(*entity_cols).transformWithStateInPandas(
+        statefulProcessor=make_rolling_corr_processor(
+            window_us, id_col, evict_after_ms
+        ),
+        outputStructType=(
+            f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
+            "corr DOUBLE"
+        ),
+        outputMode="append",
+        timeMode=(
+            "processingTime" if evict_after_ms is not None else "none"
+        ),
+    )

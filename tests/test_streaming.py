@@ -3910,3 +3910,62 @@ def test_state_source_inspects_rolling_state(spark, tmp_path):
     # retention horizon = max t (1150) − W (1000) = 150: t=100 pruned
     assert list(row["value"]["groupState"]["ts"]) == [200, 1150]
     assert list(row["value"]["groupState"]["vs"]) == [2.0, 9.0]
+
+
+def test_rolling_corr_tws_processor_matches_apws_tier():
+    """TWS symmetry for the corr face (rolling_corr_tws.py): same
+    mock-handle protocol test as the stats face — batch-for-batch
+    output equality against the applyInPandasWithState tier over the
+    shared corr_kernel, one live timer per hot key, expiry clears the
+    timeline, revival served fresh. Covers the defined-corr contract
+    too (batch 1 emits nothing until a second in-window point
+    exists... here rid 2's frame reaches rid 1, so it emits)."""
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        make_rolling_corr_fn,
+    )
+    from kafkastreams_example_spark.streaming.rolling_corr_tws import (
+        make_rolling_corr_processor,
+    )
+
+    W, EVICT = 1_000, 5_000
+    batches = [
+        pd.DataFrame([(1, 100, 5.0), (2, 150, 2.0)],
+                     columns=["row_id", "t_us", "value"]),
+        pd.DataFrame([(5, 900, 9.0)],
+                     columns=["row_id", "t_us", "value"]),
+        pd.DataFrame([(7, 1100, 1.0), (8, 5000, 3.0)],
+                     columns=["row_id", "t_us", "value"]),
+    ]
+    proc = make_rolling_corr_processor(W, "row_id", EVICT)
+    handle = _MockHandle()
+    proc.init(handle)
+    ref_fn = make_rolling_corr_fn(W, "row_id")
+    ref_state = _FakeGroupState()
+    for i, b in enumerate(batches):
+        got = pd.concat(
+            list(proc.handleInputRows(("k",), [b], _MockTimerValues(i * 1000))),
+            ignore_index=True,
+        )
+        want = pd.concat(
+            list(ref_fn(("k",), iter([b.copy()]), ref_state)),
+            ignore_index=True,
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert handle.timers == {i * 1000 + EVICT}, i
+    tl = handle.states["tl"].get()
+    assert list(tl[0]) == list(ref_state.get[0])
+    assert list(tl[1]) == list(ref_state.get[1])
+    # expiry + revival: fresh key, single point → undefined corr, no rows
+    handle.timers.clear()
+    assert list(proc.handleExpiredTimer(("k",), _MockTimerValues(10**9), None)) == []
+    assert handle.states["tl"].get() is None
+    revive = pd.DataFrame([(9, 5100, 4.0)], columns=["row_id", "t_us", "value"])
+    got = pd.concat(
+        list(proc.handleInputRows(("k",), [revive], _MockTimerValues(10**9))),
+        ignore_index=True,
+    )
+    assert len(got) == 0  # n=1 frame: corr undefined — not emitted
+    # but the revived timeline IS retained for the next batch
+    assert list(handle.states["tl"].get()[0]) == [5100]
