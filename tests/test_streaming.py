@@ -3969,3 +3969,30 @@ def test_rolling_corr_tws_processor_matches_apws_tier():
     assert len(got) == 0  # n=1 frame: corr undefined — not emitted
     # but the revived timeline IS retained for the next batch
     assert list(handle.states["tl"].get()[0]) == [5100]
+
+
+def test_vacuum_takes_writership_under_fencing(spark, tmp_path):
+    """vacuum() is a write and claims the fence (round-15): an ops
+    instance vacuuming a live table TAKES writership — the vacuum
+    itself succeeds, and the old writer's next publish fails loudly
+    instead of interleaving with post-maintenance state."""
+    import pytest
+
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    path = str(tmp_path / "cdc_vac_fence")
+    ddl = "k BIGINT, seq BIGINT, op STRING, payload STRING"
+    writer = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    writer.apply_batch(spark.createDataFrame([(1, 10, "u", "a")], ddl), 0)
+    writer.apply_batch(spark.createDataFrame([(2, 20, "u", "b")], ddl), 1)
+
+    ops = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    assert ops.vacuum(keep_last=1) == [0]  # claims the fence, expires 0
+
+    with pytest.raises(RuntimeError, match="fenced out"):
+        writer.apply_batch(
+            spark.createDataFrame([(3, 30, "u", "z")], ddl), 2
+        )
+    # the table is intact under the new writership
+    got = {r["k"]: r["payload"] for r in ops.read(spark).collect()}
+    assert got == {1: "a", 2: "b"}
