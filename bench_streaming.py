@@ -230,11 +230,21 @@ def _run_query(df, name: str, ckpt_root: str, sink_fn=None) -> dict:
     durs = sorted(p["durationMs"]["triggerExecution"] for p in progresses)
     rows = sum(p["numInputRows"] for p in progresses)
     total_ms = sum(durs)
+    # state-size observability (round 15): the final measured batch's
+    # state-store row count, so round-over-round artifacts expose
+    # state GROWTH regressions (the leak class the eviction tiers
+    # close) — None for stateless pipelines
+    state_rows = None
+    if progresses:
+        ops = progresses[-1].get("stateOperators") or []
+        if ops:
+            state_rows = sum(op.get("numRowsTotal", 0) for op in ops)
     return {
         "rows_per_sec": round(rows / (total_ms / 1000.0), 1) if total_ms else None,
         "batch_ms_p50": durs[len(durs) // 2] if durs else None,
         "batch_ms_max": durs[-1] if durs else None,
         "batches": len(durs),
+        "state_rows_final": state_rows,
     }
 
 
