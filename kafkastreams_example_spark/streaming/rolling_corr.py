@@ -204,8 +204,6 @@ def make_rolling_corr_corrected_fn(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         if expired(state, evict_after_ms):
             return
         chunks = list(pdfs)
@@ -214,70 +212,92 @@ def make_rolling_corr_corrected_fn(
             if len(chunks) == 1
             else pd.concat(chunks, ignore_index=True)
         )
-        batch = batch.sort_values(["t_us", id_col], kind="mergesort")
-        bt = batch["t_us"].to_numpy(np.int64)
-        bi = batch[id_col].to_numpy(np.int64)
-        if state.exists:
-            st_, sv, sids, seq, floor = state.get
-            st_ = np.asarray(st_, dtype=np.int64)
-            sv = np.asarray(sv, dtype=np.float64)
-            sids = np.asarray(sids, dtype=np.int64)
-            seq = int(seq)
-            floor = int(floor)
-        else:
-            st_ = np.zeros(0, dtype=np.int64)
-            sv = np.zeros(0, dtype=np.float64)
-            sids = np.zeros(0, dtype=np.int64)
-            seq = -1
-            floor = np.iinfo(np.int64).min
-        seq += 1
-        if st_.size and bt.size:
-            pos = np.searchsorted(bt, st_ - window_us, side="left")
-            affected = (pos < bt.size) & (
-                bt[np.minimum(pos, bt.size - 1)] <= st_
-            )
-        else:
-            affected = np.zeros(st_.size, dtype=bool)
-        # suppress corrections whose frame reaches below the prune
-        # floor — a truncated recompute would outrank a better earlier
-        # emission (same rule as rolling_stats' corrected tier)
-        affected &= (st_ - window_us) >= floor
-        mt = np.concatenate([st_, bt])
-        mv = np.concatenate([sv, batch["value"].to_numpy(np.float64)])
-        mi = np.concatenate([sids, bi])
-        order = np.argsort(mt, kind="mergesort")
-        mt, mv, mi = mt[order], mv[order], mi[order]
-        emit_t = np.concatenate([st_[affected], bt])
-        emit_i = np.concatenate([sids[affected], bi])
-        lo = np.searchsorted(mt, emit_t - window_us, side="left")
-        hi = np.searchsorted(mt, emit_t, side="right")
-        corr, ok = _corr_over_frames(mt, mv, lo, hi)
-        out = pd.DataFrame(
-            {
-                id_col: emit_i,
-                "ts_ms": (emit_t // 1000).astype(np.int64),
-                "n_frame": (hi - lo).astype(np.int64),
-                "corr": corr,
-                "rev": np.full(len(emit_i), seq, dtype=np.int64),
-            }
+        st5 = state.get if state.exists else None
+        out, new_state = corrected_corr_kernel(
+            st5, batch, id_col, window_us, retention_windows
         )
-        # retain 2W so correctable rows keep complete frames (same
-        # review finding as rolling_stats)
-        new_floor = mt[-1] - retention_windows * window_us
-        keep = mt >= new_floor
-        state.update(
-            (
-                mt[keep].tolist(),
-                mv[keep].tolist(),
-                mi[keep].tolist(),
-                seq,
-                int(max(floor, new_floor)),
-            )
-        )
+        state.update(new_state)
         arm(state, evict_after_ms)
-        yield out[np.asarray(ok, dtype=bool)]
+        yield out
 
     return fn
+
+
+def corrected_corr_kernel(
+    st5,
+    batch: pd.DataFrame,
+    id_col: str,
+    window_us: int,
+    retention_windows: int = 2,
+):
+    """The per-(entity, batch) kernel of the CORRECTED corr tier,
+    state-backend-agnostic — shared by the applyInPandasWithState
+    wrapper above and the transformWithStateInPandas processor
+    (rolling_corr_tws.py); the corr analogue of
+    rolling_stats.corrected_stats_kernel. ``st5`` = (ts, vs, ids,
+    seq, floor) or None. Returns (out, new_st5) with ``out`` already
+    filtered to defined-corr rows."""
+    import numpy as np
+
+    batch = batch.sort_values(["t_us", id_col], kind="mergesort")
+    bt = batch["t_us"].to_numpy(np.int64)
+    bi = batch[id_col].to_numpy(np.int64)
+    if st5 is not None:
+        st_, sv, sids, seq, floor = st5
+        st_ = np.asarray(st_, dtype=np.int64)
+        sv = np.asarray(sv, dtype=np.float64)
+        sids = np.asarray(sids, dtype=np.int64)
+        seq = int(seq)
+        floor = int(floor)
+    else:
+        st_ = np.zeros(0, dtype=np.int64)
+        sv = np.zeros(0, dtype=np.float64)
+        sids = np.zeros(0, dtype=np.int64)
+        seq = -1
+        floor = np.iinfo(np.int64).min
+    seq += 1
+    if st_.size and bt.size:
+        pos = np.searchsorted(bt, st_ - window_us, side="left")
+        affected = (pos < bt.size) & (
+            bt[np.minimum(pos, bt.size - 1)] <= st_
+        )
+    else:
+        affected = np.zeros(st_.size, dtype=bool)
+    # suppress corrections whose frame reaches below the prune
+    # floor — a truncated recompute would outrank a better earlier
+    # emission (same rule as rolling_stats' corrected tier)
+    affected &= (st_ - window_us) >= floor
+    mt = np.concatenate([st_, bt])
+    mv = np.concatenate([sv, batch["value"].to_numpy(np.float64)])
+    mi = np.concatenate([sids, bi])
+    order = np.argsort(mt, kind="mergesort")
+    mt, mv, mi = mt[order], mv[order], mi[order]
+    emit_t = np.concatenate([st_[affected], bt])
+    emit_i = np.concatenate([sids[affected], bi])
+    lo = np.searchsorted(mt, emit_t - window_us, side="left")
+    hi = np.searchsorted(mt, emit_t, side="right")
+    corr, ok = _corr_over_frames(mt, mv, lo, hi)
+    out = pd.DataFrame(
+        {
+            id_col: emit_i,
+            "ts_ms": (emit_t // 1000).astype(np.int64),
+            "n_frame": (hi - lo).astype(np.int64),
+            "corr": corr,
+            "rev": np.full(len(emit_i), seq, dtype=np.int64),
+        }
+    )[np.asarray(ok, dtype=bool)]
+    # retain 2W so correctable rows keep complete frames (same
+    # review finding as rolling_stats)
+    new_floor = mt[-1] - retention_windows * window_us
+    keep = mt >= new_floor
+    new_state = (
+        mt[keep].tolist(),
+        mv[keep].tolist(),
+        mi[keep].tolist(),
+        seq,
+        int(max(floor, new_floor)),
+    )
+    return out, new_state
 
 
 def rolling_corr_stream(

@@ -205,8 +205,6 @@ def make_rolling_stats_corrected_fn(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         if expired(state, evict_after_ms):
             return
         chunks = list(pdfs)
@@ -215,86 +213,113 @@ def make_rolling_stats_corrected_fn(
             if len(chunks) == 1
             else pd.concat(chunks, ignore_index=True)
         )
-        batch = batch.sort_values(["t_us", id_col], kind="mergesort")
-        bt = batch["t_us"].to_numpy(np.int64)
-        bv = batch["value"].to_numpy(np.float64)
-        bi = batch[id_col].to_numpy(np.int64)
-        if state.exists:
-            st_, sv, sids, seq, floor = state.get
-            st_ = np.asarray(st_, dtype=np.int64)
-            sv = np.asarray(sv, dtype=np.float64)
-            sids = np.asarray(sids, dtype=np.int64)
-            seq = int(seq)
-            floor = int(floor)
-        else:
-            st_ = np.zeros(0, dtype=np.int64)
-            sv = np.zeros(0, dtype=np.float64)
-            sids = np.zeros(0, dtype=np.int64)
-            seq = -1
-            floor = np.iinfo(np.int64).min
-        seq += 1
-        # a state row is AFFECTED iff some batch row lands inside its
-        # trailing frame, i.e. a batch t exists in [t_s - W, t_s]; on
-        # an in-order stream that is at most a same-timestamp tie, so
-        # the correction set is empty and this tier degenerates to the
-        # plain one (plus the rev column)
-        if st_.size and bt.size:
-            pos = np.searchsorted(bt, st_ - window_us, side="left")
-            affected = (pos < bt.size) & (
-                bt[np.minimum(pos, bt.size - 1)] <= st_
-            )
-        else:
-            affected = np.zeros(st_.size, dtype=bool)
-        # a correction whose frame reaches below the prune floor would
-        # be computed over a TRUNCATED frame yet carry the highest rev
-        # — suppress it (the earlier emission stands); batch rows
-        # always emit (emit-on-arrival allows their truncation)
-        affected &= (st_ - window_us) >= floor
-        mt = np.concatenate([st_, bt])
-        mv = np.concatenate([sv, bv])
-        mi = np.concatenate([sids, bi])
-        order = np.argsort(mt, kind="mergesort")
-        mt, mv, mi = mt[order], mv[order], mi[order]
-        # emission set: the batch's own rows + affected state rows
-        emit_t = np.concatenate([st_[affected], bt])
-        emit_i = np.concatenate([sids[affected], bi])
-        lo = np.searchsorted(mt, emit_t - window_us, side="left")
-        hi = np.searchsorted(mt, emit_t, side="right")
-        pv = np.zeros(len(mv) + 1)
-        np.cumsum(mv, out=pv[1:])
-        n = (hi - lo).astype(np.int64)
-        s = pv[hi] - pv[lo]
-        mn, mx = sparse_range_minmax(mv, mv, lo, hi)
-        out = pd.DataFrame(
-            {
-                id_col: emit_i,
-                "ts_ms": (emit_t // 1000).astype(np.int64),
-                "n_frame": n,
-                "sum_v": s,
-                "mean_v": s / n,
-                "min_v": mn,
-                "max_v": mx,
-                "rev": np.full(len(emit_i), seq, dtype=np.int64),
-            }
+        st5 = state.get if state.exists else None
+        out, new_state = corrected_stats_kernel(
+            st5, batch, id_col, window_us, retention_windows
         )
-        # retain 2W: a correctable row sits up to W behind the key max
-        # and its frame reaches another W back — W retention would
-        # hand corrections truncated frames (review finding)
-        new_floor = mt[-1] - retention_windows * window_us
-        keep = mt >= new_floor
-        state.update(
-            (
-                mt[keep].tolist(),
-                mv[keep].tolist(),
-                mi[keep].tolist(),
-                seq,
-                int(max(floor, new_floor)),
-            )
-        )
+        state.update(new_state)
         arm(state, evict_after_ms)
         yield out
 
     return fn
+
+
+def corrected_stats_kernel(
+    st5,
+    batch: pd.DataFrame,
+    id_col: str,
+    window_us: int,
+    retention_windows: int = 2,
+):
+    """The per-(entity, batch) kernel of the CORRECTED stats tier,
+    state-backend-agnostic — shared by the applyInPandasWithState
+    wrapper above and the transformWithStateInPandas processor
+    (rolling_stats_tws.py).
+
+    ``st5`` is the 5-field state tuple (ts, vs, ids, seq, floor) or
+    None for a fresh key. Returns (out, new_st5): the emission frame
+    (batch rows + provably-complete corrections, all stamped with the
+    new rev) and the updated state tuple in storable form (lists +
+    ints). All semantics — affected-set probe, prune-floor
+    suppression, 2W retention — are the round-14 contract; see
+    make_rolling_stats_corrected_fn's docstring."""
+    import numpy as np
+
+    batch = batch.sort_values(["t_us", id_col], kind="mergesort")
+    bt = batch["t_us"].to_numpy(np.int64)
+    bv = batch["value"].to_numpy(np.float64)
+    bi = batch[id_col].to_numpy(np.int64)
+    if st5 is not None:
+        st_, sv, sids, seq, floor = st5
+        st_ = np.asarray(st_, dtype=np.int64)
+        sv = np.asarray(sv, dtype=np.float64)
+        sids = np.asarray(sids, dtype=np.int64)
+        seq = int(seq)
+        floor = int(floor)
+    else:
+        st_ = np.zeros(0, dtype=np.int64)
+        sv = np.zeros(0, dtype=np.float64)
+        sids = np.zeros(0, dtype=np.int64)
+        seq = -1
+        floor = np.iinfo(np.int64).min
+    seq += 1
+    # a state row is AFFECTED iff some batch row lands inside its
+    # trailing frame, i.e. a batch t exists in [t_s - W, t_s]; on
+    # an in-order stream that is at most a same-timestamp tie, so
+    # the correction set is empty and this tier degenerates to the
+    # plain one (plus the rev column)
+    if st_.size and bt.size:
+        pos = np.searchsorted(bt, st_ - window_us, side="left")
+        affected = (pos < bt.size) & (
+            bt[np.minimum(pos, bt.size - 1)] <= st_
+        )
+    else:
+        affected = np.zeros(st_.size, dtype=bool)
+    # a correction whose frame reaches below the prune floor would
+    # be computed over a TRUNCATED frame yet carry the highest rev
+    # — suppress it (the earlier emission stands); batch rows
+    # always emit (emit-on-arrival allows their truncation)
+    affected &= (st_ - window_us) >= floor
+    mt = np.concatenate([st_, bt])
+    mv = np.concatenate([sv, bv])
+    mi = np.concatenate([sids, bi])
+    order = np.argsort(mt, kind="mergesort")
+    mt, mv, mi = mt[order], mv[order], mi[order]
+    # emission set: the batch's own rows + affected state rows
+    emit_t = np.concatenate([st_[affected], bt])
+    emit_i = np.concatenate([sids[affected], bi])
+    lo = np.searchsorted(mt, emit_t - window_us, side="left")
+    hi = np.searchsorted(mt, emit_t, side="right")
+    pv = np.zeros(len(mv) + 1)
+    np.cumsum(mv, out=pv[1:])
+    n = (hi - lo).astype(np.int64)
+    s = pv[hi] - pv[lo]
+    mn, mx = sparse_range_minmax(mv, mv, lo, hi)
+    out = pd.DataFrame(
+        {
+            id_col: emit_i,
+            "ts_ms": (emit_t // 1000).astype(np.int64),
+            "n_frame": n,
+            "sum_v": s,
+            "mean_v": s / n,
+            "min_v": mn,
+            "max_v": mx,
+            "rev": np.full(len(emit_i), seq, dtype=np.int64),
+        }
+    )
+    # retain 2W: a correctable row sits up to W behind the key max
+    # and its frame reaches another W back — W retention would
+    # hand corrections truncated frames (review finding)
+    new_floor = mt[-1] - retention_windows * window_us
+    keep = mt >= new_floor
+    new_state = (
+        mt[keep].tolist(),
+        mv[keep].tolist(),
+        mi[keep].tolist(),
+        seq,
+        int(max(floor, new_floor)),
+    )
+    return out, new_state
 
 
 def rolling_stats_stream(

@@ -38,11 +38,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from .dedup_refresh_tws import tws_available
-from .rolling_stats import DEFAULT_WINDOW_US, stats_kernel
+from .rolling_stats import (
+    DEFAULT_WINDOW_US,
+    corrected_stats_kernel,
+    stats_kernel,
+)
 
 __all__ = [
     "tws_available",
     "make_rolling_stats_processor",
+    "make_rolling_stats_corrected_processor",
     "rolling_stats_stream_tws",
 ]
 
@@ -127,6 +132,82 @@ def make_rolling_stats_processor(
     return RollingStatsProcessor()
 
 
+def make_rolling_stats_corrected_processor(
+    window_us: int,
+    id_col: str = "row_id",
+    retention_windows: int = 2,
+    evict_after_ms: int | None = None,
+):
+    """StatefulProcessor for the CORRECTED-emission stats tier over
+    the shared corrected_stats_kernel — 5-field value state (ts, vs,
+    ids, seq, floor), the exact state tuple the
+    applyInPandasWithState tier keeps, so semantics (affected-set
+    probe, prune-floor suppression, 2W retention, per-key rev) are
+    the round-14 contract verbatim. Timer discipline as in the plain
+    processor."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError as exc:
+        raise RuntimeError(
+            f"StatefulProcessor API unavailable ({exc}); use "
+            "rolling_stats.rolling_stats_stream (applyInPandasWithState) "
+            "instead"
+        ) from exc
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RollingStatsCorrectedProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tl = handle.getValueState(
+                "tl",
+                "ts ARRAY<BIGINT>, vs ARRAY<DOUBLE>, ids ARRAY<BIGINT>, "
+                "seq BIGINT, floor BIGINT",
+            )
+            self._tmr = handle.getValueState("tmr", "expiry BIGINT")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timer_values):
+            chunks = list(rows)
+            batch = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            st5 = self._tl.get()
+            out, new_state = corrected_stats_kernel(
+                st5, batch, id_col, window_us, retention_windows
+            )
+            self._tl.update(new_state)
+            if evict_after_ms is not None:
+                prev = self._tmr.get()
+                if prev is not None:
+                    self._handle.deleteTimer(int(prev[0]))
+                expiry = (
+                    timer_values.getCurrentProcessingTimeInMs()
+                    + evict_after_ms
+                )
+                self._handle.registerTimer(expiry)
+                self._tmr.update((expiry,))
+            yield out
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            self._tl.clear()
+            self._tmr.clear()
+            return
+            yield  # unreachable — keeps this a generator yielding nothing
+
+        def close(self) -> None:
+            pass
+
+    return RollingStatsCorrectedProcessor()
+
+
 def rolling_stats_stream_tws(
     events: DataFrame,
     entity_cols: tuple[str, ...] = ("user_id", "event_type"),
@@ -134,15 +215,18 @@ def rolling_stats_stream_tws(
     value_col: str = "value",
     id_col: str = "row_id",
     window_us: int = DEFAULT_WINDOW_US,
+    emit_corrections: bool = False,
+    retention_windows: int = 2,
     evict_after_ms: int | None = None,
 ) -> DataFrame:
     """transformWithStateInPandas wiring of the rolling-stats face —
-    same contract as rolling_stats.rolling_stats_stream's plain tier
-    (NULL value / NULL event-time rows dead-lettered; output per
-    surviving row: id_col, ts_ms, n_frame, sum_v, mean_v, min_v,
-    max_v). Raises RuntimeError with the blocking reason when the
-    runtime can't execute TWS — callers catch and fall back to the
-    applyInPandasWithState tier."""
+    same contract as rolling_stats.rolling_stats_stream (NULL value /
+    NULL event-time rows dead-lettered; output per surviving row:
+    id_col, ts_ms, n_frame, sum_v, mean_v, min_v, max_v;
+    ``emit_corrections=True`` adds the per-key ``rev`` and requires an
+    integral id column). Raises RuntimeError with the blocking reason
+    when the runtime can't execute TWS — callers catch and fall back
+    to the applyInPandasWithState tier."""
     from pyspark.sql import functions as F
 
     ok, reason = tws_available()
@@ -159,16 +243,33 @@ def rolling_stats_stream_tws(
         F.col(value_col).cast("double").alias("value"),
     ).filter(F.col("value").isNotNull() & F.col("t_us").isNotNull())
     id_ddl = dict(keyed.dtypes)[id_col]
+    time_mode = "processingTime" if evict_after_ms is not None else "none"
+    if not emit_corrections:
+        return keyed.groupBy(*entity_cols).transformWithStateInPandas(
+            statefulProcessor=make_rolling_stats_processor(
+                window_us, id_col, evict_after_ms
+            ),
+            outputStructType=(
+                f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
+                "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE"
+            ),
+            outputMode="append",
+            timeMode=time_mode,
+        )
+    if id_ddl not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"emit_corrections requires an integral id column, got "
+            f"{id_col}: {id_ddl}"
+        )
     return keyed.groupBy(*entity_cols).transformWithStateInPandas(
-        statefulProcessor=make_rolling_stats_processor(
-            window_us, id_col, evict_after_ms
+        statefulProcessor=make_rolling_stats_corrected_processor(
+            window_us, id_col, retention_windows, evict_after_ms
         ),
         outputStructType=(
-            f"`{id_col}` {id_ddl}, ts_ms BIGINT, n_frame BIGINT, "
-            "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE"
+            f"`{id_col}` BIGINT, ts_ms BIGINT, n_frame BIGINT, "
+            "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE, "
+            "rev BIGINT"
         ),
         outputMode="append",
-        timeMode=(
-            "processingTime" if evict_after_ms is not None else "none"
-        ),
+        timeMode=time_mode,
     )

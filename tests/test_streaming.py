@@ -3996,3 +3996,80 @@ def test_vacuum_takes_writership_under_fencing(spark, tmp_path):
     # the table is intact under the new writership
     got = {r["k"]: r["payload"] for r in ops.read(spark).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_rolling_corrected_tws_processors_match_apws_tiers():
+    """TWS faces of the CORRECTED emission tiers (both kernels):
+    driven with mock handles over RANDOMIZED out-of-order batch splits,
+    each processor's per-batch output must equal the
+    applyInPandasWithState corrected tier's row-for-row — corrections,
+    rev stamps, prune-floor suppression and all (both delegate to the
+    same corrected_*_kernel, so this pins the protocol glue: state
+    tuple round-trip through the value-state handle, fresh-key None
+    handling, timer lifecycle)."""
+    import random
+
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        make_rolling_corr_corrected_fn,
+    )
+    from kafkastreams_example_spark.streaming.rolling_corr_tws import (
+        make_rolling_corr_corrected_processor,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        make_rolling_stats_corrected_fn,
+    )
+    from kafkastreams_example_spark.streaming.rolling_stats_tws import (
+        make_rolling_stats_corrected_processor,
+    )
+
+    rng = random.Random(151)
+    W, EVICT = 100, 7_000
+    pairs = [
+        (make_rolling_stats_corrected_fn, make_rolling_stats_corrected_processor),
+        (make_rolling_corr_corrected_fn, make_rolling_corr_corrected_processor),
+    ]
+    for make_fn, make_proc in pairs:
+        for _trial in range(8):
+            n = rng.randint(5, 25)
+            rows = [
+                (i + 1, rng.randrange(0, 400),
+                 round(rng.uniform(-5.0, 5.0), 3))
+                for i in range(n)
+            ]
+            rng.shuffle(rows)
+            batches, i = [], 0
+            while i < len(rows):
+                k = rng.randint(1, 4)
+                batches.append(pd.DataFrame(
+                    rows[i:i + k], columns=["row_id", "t_us", "value"]
+                ))
+                i += k
+            fn = make_fn(W, "row_id", 2, EVICT)
+            ref_state = _FakeGroupState()
+            proc = make_proc(W, "row_id", 2, EVICT)
+            handle = _MockHandle()
+            proc.init(handle)
+            for j, b in enumerate(batches):
+                want = pd.concat(
+                    list(fn(("k",), iter([b.copy()]), ref_state)),
+                    ignore_index=True,
+                )
+                got = pd.concat(
+                    list(proc.handleInputRows(
+                        ("k",), [b.copy()], _MockTimerValues(j * 1000)
+                    )),
+                    ignore_index=True,
+                )
+                pd.testing.assert_frame_equal(
+                    got.reset_index(drop=True),
+                    want.reset_index(drop=True),
+                )
+                assert handle.timers == {j * 1000 + EVICT}
+            # the state tuples agree field-for-field
+            tws_state = handle.states["tl"].get()
+            for a, b_ in zip(tws_state, ref_state.get):
+                assert (list(a) if isinstance(a, list) else a) == (
+                    list(b_) if isinstance(b_, list) else b_
+                ), (make_fn.__name__,)
