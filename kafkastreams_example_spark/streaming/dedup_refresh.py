@@ -337,8 +337,6 @@ def make_coalesced_refresh_fn(
     tiebreak = [c for c in out_cols if c != "ts_ms"]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         if expired(state, window_ms if evict else None):
             # every id in the pack unseen for a full retention window —
             # pack forgotten (the per-key tier's :135-141 semantics,
@@ -348,57 +346,86 @@ def make_coalesced_refresh_fn(
         batch = (
             chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         )
-        batch = batch.sort_values(
-            ["dedup_id", "ts_ms", *tiebreak], kind="mergesort"
+        st3 = state.get if state.exists else None
+        out, new_state = coalesced_kernel(
+            st3, batch, out_cols, window_ms, clock
         )
-        if state.exists:
-            ids, offs, flat = state.get
-            ids, offs, flat = list(ids), list(offs), list(flat)
-        else:
-            ids, offs, flat = [], [0], []
-        # combined id table: state ids keep their codes (and CSR
-        # slices); batch-new ids append with empty slices
-        code_of = {i: j for j, i in enumerate(ids)}
-        for did in pd.unique(batch["dedup_id"]):
-            if did not in code_of:
-                code_of[did] = len(code_of)
-                ids.append(did)
-                offs.append(offs[-1])
-        codes = batch["dedup_id"].map(code_of).to_numpy(np.int64)
-        ts_arr = batch["ts_ms"].to_numpy(np.int64)
-        # the kernel's precondition is rows sorted by (code, ts), and
-        # codes follow state-INSERTION order, not id-value order: an id
-        # first seen in a later batch gets a HIGHER code even if its
-        # value sorts before an existing state id, so the value-sorted
-        # batch is not code-sorted. Reorder by (code, ts) — lexsort is
-        # stable, so the value-sort's tiebreak order survives within
-        # equal (code, ts) — and scatter keep flags back afterwards.
-        order = np.lexsort((ts_arr, codes))
-        keep_sorted, new_off, new_flat = probe_and_remember_many(
-            offs,
-            flat,
-            codes[order],
-            ts_arr[order],
-            len(ids),
-            window_ms,
-            clock,
-        )
-        keep = np.empty(len(codes), dtype=bool)
-        keep[order] = np.asarray(keep_sorted, dtype=bool)
-        # drop ids whose entries all aged out — the pack's id table
-        # must not grow without bound
-        counts = np.diff(new_off)
-        live = counts > 0
-        ids_out = [i for i, ok in zip(ids, live) if ok]
-        offs_out = np.zeros(len(ids_out) + 1, dtype=np.int64)
-        np.cumsum(counts[live], out=offs_out[1:])
-        state.update(
-            (ids_out, [int(x) for x in offs_out], [int(x) for x in new_flat])
-        )
+        state.update(new_state)
         arm(state, window_ms if evict else None)
-        yield batch.loc[np.asarray(keep, dtype=bool), list(out_cols)]
+        yield out
 
     return fn
+
+
+def coalesced_kernel(
+    st3,
+    batch: pd.DataFrame,
+    out_cols: tuple[str, ...],
+    window_ms: int,
+    clock: str = "event",
+):
+    """The per-(pack, batch) kernel of the coalesced dedup tier,
+    state-backend-agnostic — shared by the applyInPandasWithState
+    wrapper above and the transformWithStateInPandas processor
+    (dedup_refresh_tws.py), the same split every other stateful op in
+    this package now has. ``st3`` is the CSR state tuple
+    (ids, offsets, flat_ts) or None for a fresh pack. Returns
+    (out, new_st3) — survivors in the batch's deterministic
+    (id, ts, tiebreak) order and the pruned CSR state in storable
+    form."""
+    import numpy as np
+
+    tiebreak = [c for c in out_cols if c not in ("ts_ms", "dedup_id")]
+    batch = batch.sort_values(
+        ["dedup_id", "ts_ms", *tiebreak], kind="mergesort"
+    )
+    if st3 is not None:
+        ids, offs, flat = st3
+        ids, offs, flat = list(ids), list(offs), list(flat)
+    else:
+        ids, offs, flat = [], [0], []
+    # combined id table: state ids keep their codes (and CSR
+    # slices); batch-new ids append with empty slices
+    code_of = {i: j for j, i in enumerate(ids)}
+    for did in pd.unique(batch["dedup_id"]):
+        if did not in code_of:
+            code_of[did] = len(code_of)
+            ids.append(did)
+            offs.append(offs[-1])
+    codes = batch["dedup_id"].map(code_of).to_numpy(np.int64)
+    ts_arr = batch["ts_ms"].to_numpy(np.int64)
+    # the kernel's precondition is rows sorted by (code, ts), and
+    # codes follow state-INSERTION order, not id-value order: an id
+    # first seen in a later batch gets a HIGHER code even if its
+    # value sorts before an existing state id, so the value-sorted
+    # batch is not code-sorted. Reorder by (code, ts) — lexsort is
+    # stable, so the value-sort's tiebreak order survives within
+    # equal (code, ts) — and scatter keep flags back afterwards.
+    order = np.lexsort((ts_arr, codes))
+    keep_sorted, new_off, new_flat = probe_and_remember_many(
+        offs,
+        flat,
+        codes[order],
+        ts_arr[order],
+        len(ids),
+        window_ms,
+        clock,
+    )
+    keep = np.empty(len(codes), dtype=bool)
+    keep[order] = np.asarray(keep_sorted, dtype=bool)
+    # drop ids whose entries all aged out — the pack's id table
+    # must not grow without bound
+    counts = np.diff(new_off)
+    live = counts > 0
+    ids_out = [i for i, ok in zip(ids, live) if ok]
+    offs_out = np.zeros(len(ids_out) + 1, dtype=np.int64)
+    np.cumsum(counts[live], out=offs_out[1:])
+    new_state = (
+        ids_out,
+        [int(x) for x in offs_out],
+        [int(x) for x in new_flat],
+    )
+    return batch.loc[np.asarray(keep, dtype=bool), list(out_cols)], new_state
 
 
 def dedup_refresh_stream_coalesced(

@@ -28,7 +28,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from .dedup_refresh import DEFAULT_WINDOW_MS, probe_and_remember
+from .dedup_refresh import (
+    DEFAULT_WINDOW_MS,
+    coalesced_kernel,
+    probe_and_remember,
+)
 
 
 def tws_available() -> tuple[bool, str]:
@@ -204,5 +208,135 @@ def dedup_refresh_stream_tws(
         outputMode="append",
         timeMode="processingTime" if evict_state else "none",
     )
+    null_rows = keyed.filter(F.col("dedup_id").isNull()).select(*out_cols)
+    return survivors.unionByName(null_rows)
+
+
+def make_coalesced_refresh_processor(
+    window_ms: int = DEFAULT_WINDOW_MS,
+    out_cols: tuple[str, ...] = ("dedup_id", "row_id", "ts_ms"),
+    clock: str = "event",
+    id_ddl: str = "STRING",
+    evict: bool = False,
+):
+    """StatefulProcessor for the key-COALESCED dedup tier over the
+    shared coalesced_kernel (the CSR pack state: ids/offsets/flat ts)
+    — completing the both-APIs symmetry for the last stateful op in
+    the package. Pack-granularity eviction maps to one TWS timer per
+    pack under the delete-then-register discipline; ``id_ddl`` names
+    the dedup-id element type for the state schema (the
+    applyInPandasWithState tier derives it the same way)."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError as exc:
+        raise RuntimeError(
+            f"StatefulProcessor API unavailable ({exc}); use "
+            "dedup_refresh.dedup_refresh_stream_coalesced "
+            "(applyInPandasWithState) instead"
+        ) from exc
+    if clock not in ("event", "stream"):
+        raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CoalescedRefreshProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._csr = handle.getValueState(
+                "csr",
+                f"ids ARRAY<{id_ddl}>, offsets ARRAY<INT>, ts ARRAY<BIGINT>",
+            )
+            self._tmr = handle.getValueState("tmr", "expiry BIGINT")
+            self._handle = handle
+
+        def handleInputRows(self, key, rows, timer_values):
+            chunks = list(rows)
+            batch = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            st3 = self._csr.get()
+            out, new_state = coalesced_kernel(
+                st3, batch, out_cols, window_ms, clock
+            )
+            self._csr.update(new_state)
+            if evict:
+                prev = self._tmr.get()
+                if prev is not None:
+                    self._handle.deleteTimer(int(prev[0]))
+                expiry = timer_values.getCurrentProcessingTimeInMs() + window_ms
+                self._handle.registerTimer(expiry)
+                self._tmr.update((expiry,))
+            yield out
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            # every id in the pack idle a full retention window
+            self._csr.clear()
+            self._tmr.clear()
+            return
+            yield  # unreachable — keeps this a generator yielding nothing
+
+        def close(self) -> None:
+            pass
+
+    return CoalescedRefreshProcessor()
+
+
+def dedup_refresh_stream_coalesced_tws(
+    decoded: DataFrame,
+    window_ms: int = DEFAULT_WINDOW_MS,
+    id_col: str = "dedup_id",
+    ts_col: str = "event_time",
+    payload_cols: tuple[str, ...] = ("row_id",),
+    clock: str = "event",
+    n_state_keys: int = 256,
+    evict_state: bool = False,
+) -> DataFrame:
+    """transformWithStateInPandas wiring of the coalesced dedup tier —
+    same contract as dedup_refresh.dedup_refresh_stream_coalesced
+    (ids packed xxhash64 % n_state_keys per state key, null ids
+    bypass). Raises RuntimeError with the blocking reason when the
+    runtime can't execute TWS."""
+    from pyspark.sql import functions as F
+
+    ok, reason = tws_available()
+    if not ok:
+        raise RuntimeError(
+            f"transformWithStateInPandas unavailable: {reason}; use "
+            "dedup_refresh.dedup_refresh_stream_coalesced "
+            "(applyInPandasWithState) instead"
+        )
+    keyed = decoded.select(
+        F.col(id_col).alias("dedup_id"),
+        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        *[F.col(c) for c in payload_cols],
+    )
+    out_cols = tuple(payload_cols) + ("ts_ms",)
+    dtypes = dict(keyed.dtypes)
+    out_ddl = ", ".join(f"`{c}` {dtypes[c]}" for c in out_cols)
+    id_ddl = dtypes["dedup_id"]
+    nonnull = keyed.filter(
+        F.col("dedup_id").isNotNull() & F.col("ts_ms").isNotNull()
+    ).withColumn(
+        "skey", F.pmod(F.xxhash64("dedup_id"), F.lit(n_state_keys)).cast("int")
+    )
+    survivors = nonnull.groupBy("skey").transformWithStateInPandas(
+        statefulProcessor=make_coalesced_refresh_processor(
+            window_ms,
+            ("dedup_id",) + out_cols,
+            clock,
+            id_ddl=id_ddl,
+            evict=evict_state,
+        ),
+        outputStructType=f"`dedup_id` {id_ddl}, {out_ddl}",
+        outputMode="append",
+        timeMode="processingTime" if evict_state else "none",
+    ).select(*out_cols)
     null_rows = keyed.filter(F.col("dedup_id").isNull()).select(*out_cols)
     return survivors.unionByName(null_rows)

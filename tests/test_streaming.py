@@ -4073,3 +4073,68 @@ def test_rolling_corrected_tws_processors_match_apws_tiers():
                 assert (list(a) if isinstance(a, list) else a) == (
                     list(b_) if isinstance(b_, list) else b_
                 ), (make_fn.__name__,)
+
+
+def test_coalesced_tws_processor_matches_apws_tier():
+    """TWS face of the key-coalesced dedup tier (the last stateful op
+    to gain both-APIs symmetry): mock-handle parity against
+    make_coalesced_refresh_fn over randomized multi-batch feeds with
+    late-arriving new ids (the round-13 advisory's hard case), plus
+    the pack-eviction timer lifecycle."""
+    import random
+
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        make_coalesced_refresh_fn,
+    )
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        make_coalesced_refresh_processor,
+    )
+
+    rng = random.Random(152)
+    W = 600_000
+    cols = ("dedup_id", "row_id", "ts_ms")
+    for _trial in range(8):
+        ids = [f"i{j}" for j in range(rng.randint(1, 5))]
+        batches = []
+        rid = 0
+        for _ in range(rng.randint(2, 5)):
+            rows = []
+            for _ in range(rng.randint(1, 8)):
+                rid += 1
+                rows.append(
+                    (rng.choice(ids), rid, rng.randrange(0, 3 * W))
+                )
+            batches.append(pd.DataFrame(rows, columns=cols))
+        fn = make_coalesced_refresh_fn(W, cols, "event", evict=True)
+        ref_state = _FakeGroupState()
+        proc = make_coalesced_refresh_processor(
+            W, cols, "event", evict=True
+        )
+        handle = _MockHandle()
+        proc.init(handle)
+        for j, b in enumerate(batches):
+            want = pd.concat(
+                list(fn(("k",), iter([b.copy()]), ref_state)),
+                ignore_index=True,
+            )
+            got = pd.concat(
+                list(proc.handleInputRows(
+                    ("k",), [b.copy()], _MockTimerValues(j * 1000)
+                )),
+                ignore_index=True,
+            )
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True), want.reset_index(drop=True)
+            )
+            assert handle.timers == {j * 1000 + W}
+        # CSR state agrees field-for-field
+        for a, b_ in zip(handle.states["csr"].get(), ref_state.get):
+            assert list(a) == list(b_)
+        # pack expiry: forgotten wholesale; revival decides fresh
+        handle.timers.clear()
+        assert list(
+            proc.handleExpiredTimer(("k",), _MockTimerValues(10**9), None)
+        ) == []
+        assert handle.states["csr"].get() is None
