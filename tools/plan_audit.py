@@ -64,8 +64,19 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out_md = sys.argv[2] if len(sys.argv) > 2 else "PLANS.md"
+    if not os.path.isdir(sf_dir):
+        # same silently-wrong-arg class gate_sensitivity closed in
+        # round 15: a flag or typo consumed as sf_dir must not start a
+        # full EXECUTING registry run (this tool also OVERWRITES
+        # PLANS.md mid-run)
+        raise SystemExit(
+            f"plan_audit: sf_dir {sf_dir!r} is not a directory "
+            "(usage: plan_audit.py [sf_dir] [out_md])"
+        )
     if "sf0.001" not in sf_dir:
         print(
             f"WARNING: plan audit EXECUTES every registry entry and collects "
