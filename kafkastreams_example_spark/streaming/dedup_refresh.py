@@ -334,7 +334,6 @@ def make_coalesced_refresh_fn(
     only — same AvailableNow caveat as the per-key tier."""
     if clock not in ("event", "stream"):
         raise ValueError(f"clock must be 'event' or 'stream', got {clock!r}")
-    tiebreak = [c for c in out_cols if c != "ts_ms"]
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if expired(state, window_ms if evict else None):

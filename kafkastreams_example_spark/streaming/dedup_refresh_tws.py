@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ._evict import forget_tws, rearm_tws
 from .dedup_refresh import (
     DEFAULT_WINDOW_MS,
     coalesced_kernel,
@@ -131,18 +132,10 @@ def make_refresh_dedup_processor(
             seen = [int(s) for s in got[0]] if got is not None else []
             keep, seen = probe_and_remember(seen, ts[order], window_ms, clock)
             self._seen.update((list(seen),))
-            if evict:
-                # refresh the idle-key eviction TTL: delete-then-register
-                # keeps exactly one live timer per key (the semantics of
-                # applyInPandasWithState's setTimeoutDuration), so it
-                # fires only after one full retention window of
-                # processing-time silence (KStreamDistinct.java:135-141)
-                prev = self._tmr.get()
-                if prev is not None:
-                    self._handle.deleteTimer(int(prev[0]))
-                expiry = timer_values.getCurrentProcessingTimeInMs() + window_ms
-                self._handle.registerTimer(expiry)
-                self._tmr.update((expiry,))
+            # idle-key eviction TTL (KStreamDistinct.java:135-141) —
+            # delete-then-register via the shared helper
+            rearm_tws(self._handle, self._tmr, timer_values,
+                      window_ms if evict else None)
             emit = order[np.asarray(keep, dtype=bool)]
             yield pd.DataFrame({c: cols[c][emit] for c in out_cols})
 
@@ -151,8 +144,7 @@ def make_refresh_dedup_processor(
             # a key idle a full window — forget it entirely. An eviction
             # emits no rows (the previous empty all-object-dtype frame
             # could fail Arrow conversion against the BIGINT schema).
-            self._seen.clear()
-            self._tmr.clear()
+            forget_tws(self._seen, self._tmr)
             return
             yield  # unreachable — keeps this a generator yielding nothing
 
@@ -266,19 +258,13 @@ def make_coalesced_refresh_processor(
                 st3, batch, out_cols, window_ms, clock
             )
             self._csr.update(new_state)
-            if evict:
-                prev = self._tmr.get()
-                if prev is not None:
-                    self._handle.deleteTimer(int(prev[0]))
-                expiry = timer_values.getCurrentProcessingTimeInMs() + window_ms
-                self._handle.registerTimer(expiry)
-                self._tmr.update((expiry,))
+            rearm_tws(self._handle, self._tmr, timer_values,
+                      window_ms if evict else None)
             yield out
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
             # every id in the pack idle a full retention window
-            self._csr.clear()
-            self._tmr.clear()
+            forget_tws(self._csr, self._tmr)
             return
             yield  # unreachable — keeps this a generator yielding nothing
 

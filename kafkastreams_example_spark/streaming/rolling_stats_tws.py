@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ._evict import forget_tws, rearm_tws
 from .dedup_refresh_tws import tws_available
 from .rolling_stats import (
     DEFAULT_WINDOW_US,
@@ -104,16 +105,7 @@ def make_rolling_stats_processor(
             st_, sv = (got[0], got[1]) if got is not None else ((), ())
             out, kt, kv = stats_kernel(st_, sv, batch, id_col, window_us)
             self._tl.update((list(kt), list(kv)))
-            if evict_after_ms is not None:
-                prev = self._tmr.get()
-                if prev is not None:
-                    self._handle.deleteTimer(int(prev[0]))
-                expiry = (
-                    timer_values.getCurrentProcessingTimeInMs()
-                    + evict_after_ms
-                )
-                self._handle.registerTimer(expiry)
-                self._tmr.update((expiry,))
+            rearm_tws(self._handle, self._tmr, timer_values, evict_after_ms)
             yield out
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
@@ -121,8 +113,7 @@ def make_rolling_stats_processor(
             # idle a full eviction period — timeline forgotten, nothing
             # emitted (same contract as _evict.expired on the
             # applyInPandasWithState tier)
-            self._tl.clear()
-            self._tmr.clear()
+            forget_tws(self._tl, self._tmr)
             return
             yield  # unreachable — keeps this a generator yielding nothing
 
@@ -184,21 +175,11 @@ def make_rolling_stats_corrected_processor(
                 st5, batch, id_col, window_us, retention_windows
             )
             self._tl.update(new_state)
-            if evict_after_ms is not None:
-                prev = self._tmr.get()
-                if prev is not None:
-                    self._handle.deleteTimer(int(prev[0]))
-                expiry = (
-                    timer_values.getCurrentProcessingTimeInMs()
-                    + evict_after_ms
-                )
-                self._handle.registerTimer(expiry)
-                self._tmr.update((expiry,))
+            rearm_tws(self._handle, self._tmr, timer_values, evict_after_ms)
             yield out
 
         def handleExpiredTimer(self, key, timer_values, expired_timer_info):
-            self._tl.clear()
-            self._tmr.clear()
+            forget_tws(self._tl, self._tmr)
             return
             yield  # unreachable — keeps this a generator yielding nothing
 
