@@ -7,8 +7,10 @@ source and prints ONE JSON line:
 
   {"metric": "streaming_throughput", "pipelines": {name: {
       "rows_per_sec": N, "batch_ms_p50": N, "batch_ms_max": N,
-      "batches": N, "rows_per_batch": N, "below_threshold": bool}},
-   "thresholds": {...}, "regressions": [...]}
+      "batches": N, "rows_per_batch": N, "below_threshold": bool,
+      "state_rows_final": N|null, "above_state_bound": bool}},
+   "thresholds": {...}, "state_bounds": {...},
+   "regressions": [...], "state_regressions": [...]}
 
 The rate-micro-batch source emits exactly rowsPerBatch rows per
 trigger, so per-batch latency is comparable run-over-run (the plain
@@ -31,6 +33,15 @@ under its floor sets below_threshold, lists under "regressions", and
 exits 1. Floors sit ~2x under quiet-machine recordings (BASELINE.md)
 to absorb sandbox variance; a reading below threshold is a real
 regression, not noise.
+
+State-rows gate (round 16): every stateful pipeline's final-batch
+state-store row count is checked against ``_state_bounds`` — a
+pipeline over its bound (unbounded state growth, the 100 TB OOM
+class) or reporting None where state is expected lists under
+"state_regressions" and exits 1. Two pure-churn tiers
+(rolling_stats_churn, dedup_refresh_churn) exist specifically to give
+this gate teeth: on a churning keyspace, a wiring change reverting
+idle-key eviction turns their plateau into linear growth.
 
 Env: SPARK_GRAFT_CPUS (local parallelism), SPARK_GRAFT_STREAM_ROWS
 (rows per batch override for quick smokes).
@@ -109,6 +120,13 @@ THRESHOLDS = {
     # policy
     "rolling_stats_corrected_late": 12_000,
     "rolling_corr_corrected_late": 11_000,
+    # round-16 churn tiers (the STATE_BOUNDS gate's teeth — see the
+    # churn section in main()): same kernels as rolling_stats /
+    # dedup_refresh but ~1k fresh keys per batch with 1 s idle
+    # eviction armed; first recordings 36.6k / 34.2k rows/s at
+    # 50k-row batches — floors at the ~2-3x under-recording policy
+    "rolling_stats_churn": 12_000,
+    "dedup_refresh_churn": 12_000,
     # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
     # headroom and a load-overlapped r8 run read 127k — 100k restores
     # the ~2-3x under-recording policy (same correction minhash got)
@@ -164,6 +182,59 @@ THRESHOLDS = {
     # for headroom against loaded runs)
     "ivf_index": 10_000,
 }
+
+def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
+    """Per-pipeline MAX ``state_rows_final`` (round-16 gate, verdict
+    item 1): the r15 artifacts recorded the signal but nothing failed
+    on a state-growth regression — a wiring change silently reverting
+    ``evict_after_ms``/``evict_state`` to None belongs to CI, not to a
+    100 TB OOM. A pipeline above its bound (or reporting None where
+    state is expected) lands in ``state_regressions`` and exits 1,
+    exactly like the rows/s floors. Bounds sit ~1.5x over the known
+    plateau (r15 recordings) so quiet-machine variance never trips
+    them while a leak regime (linear growth per batch) always does.
+    """
+    # event time advances 1 s/batch and the run spans WARMUP+MEASURE
+    # (+ up to ~2 stop-lag) batches — watermark-bounded identity
+    # stores can hold at most every row seen during the short run
+    run_batches = WARMUP_BATCHES + MEASURE_BATCHES + 2
+    return {
+        # fixed ~4,096-key feeds (exception_class; +1 NULL-key row on
+        # the rolling tiers): one state row per key, plateau 4,096-7
+        "dedup_watermark": 6_000,
+        "dedup_refresh": 6_000,
+        "dedup_refresh_hot": 6_000,
+        # 64 ids packed per state key over the same keyspace -> 64 packs
+        "dedup_refresh_coalesced": 100,
+        "rolling_stats": 6_000,
+        "rolling_stats_corrected": 6_000,
+        "rolling_corr": 6_000,
+        "rolling_stats_corrected_late": 6_000,
+        "rolling_corr_corrected_late": 6_000,
+        # CHURN tiers: ~1,000 fresh keys/batch, 1 s idle eviction ->
+        # plateau = keys inside the timeout horizon (~2-3 batches,
+        # 2-3k). An eviction revert grows ~1k/batch to ~10k+ by the
+        # final measured batch -> trips. Bound leaves ~2x headroom
+        # over the worst plateau and ~2x separation from the leak.
+        "rolling_stats_churn": 5_000,
+        "dedup_refresh_churn": 5_000,
+        # watermark-bounded window stores: 5 levels x a handful of
+        # open windows (r15 recordings 5 / 5 / 10)
+        "windowed_agg": 64,
+        "session_window": 64,
+        "sliding_window": 128,
+        # identity/buffer stores legitimately grow with rows during
+        # the short run (watermark horizon > run span): bound at every
+        # row seen, which a buffer leak (e.g. a dropped watermark)
+        # cannot satisfy on a longer feed but this run defines
+        "embedding_dedup": rows_dedup * run_batches,
+        "interval_join": 2 * rows_filter * run_batches,
+        # banded-minhash stores: distinct (band, signature) buckets
+        # over the fixed corpus (r15 recordings 2,667 / 5,908)
+        "minhash_dedup": 6_000,
+        "minhash_dedup_any": 12_000,
+    }
+
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
 
@@ -457,6 +528,56 @@ def main() -> None:
                 ),
             }
 
+        # ---- round-16 CHURN tiers: the state-bound gate's teeth ----
+        # Every feed above has a FIXED ~4k keyspace, so its state
+        # plateaus with or without eviction — a wiring change that
+        # reverts evict_after_ms / evict_state to None would pass
+        # those tiers unnoticed. These two drive PURE CHURN (each key
+        # emits one run of ~50 consecutive rows, then never returns;
+        # ~1,000 fresh keys per batch) WITH eviction armed at a 1 s
+        # idle timeout: state must plateau near the keys active inside
+        # the timeout horizon (~2-3 batches' worth). A revert makes
+        # state grow ~1,000 rows/batch to ~10k+ by the final measured
+        # batch and trips STATE_BOUNDS (same churn shape
+        # tools/eviction_probe.py prices: flat ~200 vs unbounded 1200).
+        rows_per_key = max(rows_dedup // 1000, 1)
+        d_churn = _rate_source(spark, rows_dedup).select(
+            (F.col("value") / rows_per_key).cast("bigint").alias("ent"),
+            F.col("value").alias("row_id"),
+            F.col("timestamp").alias("event_time"),
+            (F.col("value") % 997).cast("double").alias("value"),
+        )
+        results["rolling_stats_churn"] = {
+            **_run_query(
+                rolling_stats_stream(
+                    d_churn, entity_cols=("ent",), ts_col="event_time",
+                    value_col="value", id_col="row_id",
+                    window_us=3_600_000_000, evict_after_ms=1_000,
+                ),
+                "rolling_stats_churn",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_dedup,
+        }
+        # per-key dedup under the same churn, evict_state=True: the
+        # TTL is window_ms (1 s) of wall-clock idleness — dead ids'
+        # seen-timelines must be forgotten, not retained forever
+        results["dedup_refresh_churn"] = {
+            **_run_query(
+                dedup_refresh_stream(
+                    d_churn.withColumnRenamed("ent", "dedup_id"),
+                    window_ms=1_000,
+                    id_col="dedup_id",
+                    ts_col="event_time",
+                    payload_cols=("row_id",),
+                    evict_state=True,
+                ),
+                "dedup_refresh_churn",
+                ckpt_root,
+            ),
+            "rows_per_batch": rows_dedup,
+        }
+
         # streaming windowed aggregation (tumbling 1 h per level, 10 min
         # watermark): measures the partial-agg + state-store update path
         d = _decoded(_rate_source(spark, rows_filter))
@@ -736,19 +857,35 @@ def main() -> None:
         if r.get("rows_per_sec") is None
         or r["rows_per_sec"] < THRESHOLDS.get(name, 0)
     )
+    # state-rows gate (round 16): every stateful pipeline must land
+    # under its bound; None where state is expected means the signal
+    # was lost (or the run stalled) — also a failure, never a pass
+    state_bounds = _state_bounds(rows_filter, rows_dedup)
+    state_regressions = sorted(
+        name
+        for name, bound in state_bounds.items()
+        if name in results
+        and (
+            results[name].get("state_rows_final") is None
+            or results[name]["state_rows_final"] > bound
+        )
+    )
     for name, r in results.items():
         r["below_threshold"] = name in regressions
+        r["above_state_bound"] = name in state_regressions
     print(
         json.dumps(
             {
                 "metric": "streaming_throughput",
                 "pipelines": results,
                 "thresholds": THRESHOLDS,
+                "state_bounds": state_bounds,
                 "regressions": regressions,
+                "state_regressions": state_regressions,
             }
         )
     )
-    if regressions:
+    if regressions or state_regressions:
         sys.exit(1)
 
 

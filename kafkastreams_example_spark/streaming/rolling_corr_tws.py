@@ -76,7 +76,10 @@ def make_rolling_corr_processor(
             got = self._tl.get()
             st_, sv = (got[0], got[1]) if got is not None else ((), ())
             out, kt, kv = corr_kernel(st_, sv, batch, id_col, window_us)
-            self._tl.update((list(kt), list(kv)))
+            # .tolist() (not list()) so state holds Python ints/floats,
+            # never numpy scalars — matches the applyInPandasWithState
+            # tier's state.update((kt.tolist(), kv.tolist())).
+            self._tl.update((kt.tolist(), kv.tolist()))
             rearm_tws(self._handle, self._tmr, timer_values, evict_after_ms)
             yield out
 

@@ -3601,14 +3601,40 @@ def test_rolling_stats_stream_eviction_end_to_end(spark, tmp_path):
         got = wait_for({1, 2})
         assert got[2]["n_frame"] == 2  # same-batch frame spans
         # idle past the eviction timeout (timers serviced by empty
-        # batches); then revive the entity
+        # batches) — the eviction has committed once rid 3 below is
+        # served from an empty timeline
         time.sleep(4.0)
+    finally:
+        q.stop()
+    # Revive the entity under a SECOND query on the same checkpoint
+    # with a 10-minute eviction timeout. Same ProcessingTimeTimeout
+    # state schema (evict_after_ms=None would flip the query to
+    # NoTimeout and fail restore with stateStoreValueSchemaNotCompatible
+    # — the timeout timestamp is part of the state value schema), but
+    # the timer cannot fire between the revival commit and q2.stop(),
+    # so the final statestore assertion is deterministic on any
+    # machine (no race against the 1.5 s timer during polling/stop
+    # latency; round-15 ADVICE).
+    out2 = rolling_stats_stream(
+        stream, entity_cols=("ent",), ts_col="event_time",
+        value_col="value", id_col="row_id",
+        window_us=1_000_000_000, evict_after_ms=600_000,
+    )
+    q2 = (
+        out2.writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
         _write_batch(src, "b1.json", [
             {"ent": 1, "row_id": 3, "t_us": 300, "value": 9.0},
         ])
         got = wait_for({1, 2, 3})
     finally:
-        q.stop()
+        q2.stop()
     # state was dropped: rid 3's frame covers only itself, though rids
     # 1-2 are well inside its event-time window
     assert got[3]["n_frame"] == 1 and got[3]["sum_v"] == 9.0
@@ -3699,6 +3725,110 @@ def test_rolling_faces_share_checkpoint(spark, tmp_path):
     assert set(got) == {4} and got[4]["n_frame"] == 4
     want = float(np.corrcoef([100, 200, 300, 400], [1.0, 5.0, 3.0, 2.0])[0, 1])
     assert abs(got[4]["corr"] - want) < 1e-9
+
+
+def test_rolling_corrected_restart_from_checkpoint(spark, tmp_path):
+    """Round-16 verdict item 2: the CORRECTED tier's 5-field rev state
+    (ts, vs, ids, seq, floor) across a query RESTART — the plain faces'
+    checkpoint restore is pinned elsewhere, but rev continuity is what
+    a production incident exercises. Three availableNow rounds, each a
+    NEW query on the SAME checkpoint (W = 1,000 us, retention 2W):
+
+      round 1: in-order rows at t=1000 (rid 1), 2000 (rid 2) — rev 0.
+      round 2 (restart): late row t=1600 (rid 6) + rows t=3500 (rid 3),
+        t=5000 (rid 4). The late row retro-affects rid 2's frame — the
+        correction must emit with rev 1, CONTINUING the restored seq
+        (a lost-state restart would restamp rev 0), and recompute over
+        the RESTORED round-1 timeline (n_frame 3). The round also
+        advances the prune floor to 5000 - 2W = 3000.
+      round 3 (restart): late row t=3200 (rid 5). rid 3 (t=3500) is
+        inside its affected window, but its frame reaches 2500 < floor
+        3000 — the restored floor must SUPPRESS the truncated-frame
+        correction: round 3 emits ONLY rid 5, stamped rev 2.
+
+    Finally the statestore reader confirms the persisted seq/floor."""
+    import glob
+    import json as _json
+
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    stream = (
+        spark.readStream.schema(
+            "ent BIGINT, row_id BIGINT, t_us BIGINT, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("t_us")))
+    )
+
+    def run_round(name):
+        out_dir = tmp_path / name
+        q = (
+            rolling_stats_stream(
+                stream, entity_cols=("ent",), ts_col="event_time",
+                value_col="value", id_col="row_id",
+                window_us=1_000, emit_corrections=True,
+            )
+            .writeStream.format("json")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = []
+        # part files directly — the resumed file sink's metadata log
+        # confuses the directory-level reader (see
+        # test_rolling_faces_share_checkpoint)
+        for p in glob.glob(str(out_dir / "part-*.json")):
+            with open(p) as fh:
+                got += [_json.loads(ln) for ln in fh if ln.strip()]
+        return {(r["row_id"], r["rev"]): r for r in got}
+
+    _write_batch(src, "b0.json", [
+        {"ent": 1, "row_id": 1, "t_us": 1000, "value": 1.0},
+        {"ent": 1, "row_id": 2, "t_us": 2000, "value": 5.0},
+    ])
+    r1 = run_round("out1")
+    assert set(r1) == {(1, 0), (2, 0)}  # fresh key: rev 0
+    assert r1[(2, 0)]["n_frame"] == 2  # frame [1000, 2000]
+
+    _write_batch(src, "b1.json", [
+        {"ent": 1, "row_id": 6, "t_us": 1600, "value": 2.0},
+        {"ent": 1, "row_id": 3, "t_us": 3500, "value": 4.0},
+        {"ent": 1, "row_id": 4, "t_us": 5000, "value": 8.0},
+    ])
+    r2 = run_round("out2")
+    # rev CONTINUED from the restored seq (1, not a reset 0), and the
+    # rid-2 correction recomputed over the restored timeline:
+    # frame [1000, 2000] now holds 1000, 1600, 2000
+    assert set(r2) == {(6, 1), (3, 1), (4, 1), (2, 1)}
+    corr = r2[(2, 1)]
+    assert corr["n_frame"] == 3 and corr["sum_v"] == 8.0
+    assert r2[(6, 1)]["n_frame"] == 2  # [600, 1600]: rows 1000, 1600
+
+    _write_batch(src, "b2.json", [
+        {"ent": 1, "row_id": 5, "t_us": 3200, "value": 7.0},
+    ])
+    r3 = run_round("out3")
+    # prune-floor suppression survived the restart: rid 3 is affected
+    # (3200 in [2500, 3500]) but its frame reaches below the restored
+    # floor 3000 — only the batch row emits, at the continued rev 2
+    assert set(r3) == {(5, 2)}
+    assert r3[(5, 2)]["n_frame"] == 1 and r3[(5, 2)]["sum_v"] == 7.0
+
+    # the persisted 5-field state: seq 2, floor 3000, timeline pruned
+    # to >= 3000 plus the round-3 row
+    st = spark.read.format("statestore").load(str(ckpt)).collect()
+    gs = [r["value"]["groupState"] for r in st if r["key"]["ent"] == 1]
+    assert len(gs) == 1
+    assert gs[0]["seq"] == 2 and gs[0]["floor"] == 3000
+    assert sorted(gs[0]["ts"]) == [3200, 3500, 5000]
 
 
 def test_manifest_table_writer_fencing(spark, tmp_path):

@@ -40,7 +40,8 @@ Usage:
     python tools/gate_sensitivity.py [sf_dir] --all      # full registry
 
 Output lands in GATE_SENSITIVITY_<round>.json (round from the
-GATE_ROUND env var, default r14).
+GATE_ROUND env var; when unset the run is ad-hoc and lands in
+GATE_SENSITIVITY_adhoc.json, which is never round evidence).
 """
 
 from __future__ import annotations
@@ -335,11 +336,11 @@ def main() -> int:
     # evidence artifact (it destroyed the round-14 full-registry audit
     # until git restored it). Round-named artifacts are only written
     # when GATE_ROUND is set explicitly; unnamed runs go to the
-    # _adhoc file, which is never round evidence.
+    # adhoc file, which is never round evidence.
     rnd = os.environ.get("GATE_ROUND")
     out = (
         Path(__file__).resolve().parent.parent
-        / f"GATE_SENSITIVITY_{rnd if rnd else '_adhoc'}.json"
+        / f"GATE_SENSITIVITY_{rnd if rnd else 'adhoc'}.json"
     )
     out.write_text(json.dumps(summary, indent=1, default=str))
     print(json.dumps({k: v for k, v in summary.items() if k != "per_entry"}))
