@@ -89,6 +89,17 @@ class ManifestTable:
             os.replace(tmp, fpath)
             self._fence_epoch = epoch
             return
+        self._verify_fence()
+
+    def _verify_fence(self) -> None:
+        """Fence re-check at a PUBLISH point (round-16 narrowing):
+        ``_ensure_fence`` runs at method entry, but a merge stages tmp
+        files for a while before renaming them durable — re-verifying
+        immediately before each atomic rename (and before vacuum's
+        destructive phase) shrinks the zombie-interleave window from
+        "whole merge" to "one rename". The window cannot be zero
+        without a locking filesystem; this is the honest minimum."""
+        cur = self._read_fence()
         if (
             cur is None
             or cur.get("writer") != self._writer_id
@@ -119,10 +130,15 @@ class ManifestTable:
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, sort_keys=True)
+        # a manifest file is durable the moment it is named (versions()
+        # lists the directory), so the rename is a publish — re-verify
+        # the fence immediately before it, with the tmp fully staged
+        self._verify_fence()
         os.replace(tmp, mpath)
         ptmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(ptmp, "w") as fh:
             fh.write(name)
+        self._verify_fence()
         os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
 
     def _save_schema(self, schema, batch_id: int = 0) -> None:
@@ -159,6 +175,7 @@ class ManifestTable:
         tmp = spath + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(schema.json())
+        self._verify_fence()
         os.replace(tmp, spath)
 
     def _schema_versions(self) -> list[int]:
@@ -276,15 +293,13 @@ class ManifestTable:
         instance that vacuums either already holds the fence or claims
         it — an ops process vacuuming a live table thereby TAKES
         writership and the old writer fails loudly on its NEXT
-        fence-checked write. The check is check-then-act, not a lock:
-        a vacuum landing inside the narrow window between a writer's
-        fence check and its file writes can still interleave with
-        that one in-flight commit (deleting a just-written schema
-        version or version dir before its manifest lands). The fence
-        converts SUSTAINED concurrent writing into loud failure;
-        point-in-time overlap remains operationally excluded, exactly
-        as before — run maintenance from the writer's own schedule or
-        while it is down."""
+        fence-checked write — since round 16 that includes the
+        in-flight one: the writer re-verifies the fence immediately
+        before each atomic rename, so a mid-merge supersede fails the
+        merge at its publish instead of interleaving. The residual
+        window is one rename (check-then-act, not a lock — the
+        honest minimum on a non-locking filesystem); run maintenance
+        from the writer's own schedule or while it is down."""
         import shutil
 
         if keep_last < 1:
@@ -311,6 +326,9 @@ class ManifestTable:
         expire, keep = versions[:-keep_last], versions[-keep_last:]
         if not expire:
             return []
+        # destructive phase starts here — re-verify at the last moment
+        # (round-16 narrowing, same discipline as the commit renames)
+        self._verify_fence()
         live_dirs: set[str] = set()
         for v in keep:
             with open(

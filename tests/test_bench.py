@@ -64,6 +64,35 @@ def test_bench_queries_all_registered():
     assert not dupes, dupes
 
 
+def test_streaming_state_gate_semantics():
+    """Round-16 state-rows gate: over-bound and signal-lost (None)
+    both regress; at-bound, stateless (unbounded), and
+    absent-from-this-run pipelines do not."""
+    import bench_streaming as bs
+
+    results = {
+        "at_bound": {"state_rows_final": 100},
+        "over": {"state_rows_final": 101},
+        "lost": {"state_rows_final": None},
+        "stateless": {"state_rows_final": None},  # no bound -> ignored
+    }
+    bounds = {"at_bound": 100, "over": 100, "lost": 100, "not_run": 1}
+    assert bs._state_gate(results, bounds) == ["lost", "over"]
+
+
+def test_streaming_state_bounds_cover_benched_pipelines():
+    """Every bounded pipeline must be a real benched pipeline (a rename
+    must fail CI, not silently drop its state gate), and the churn
+    tiers — the gate's teeth — must carry BOTH a floor and a bound."""
+    import bench_streaming as bs
+
+    bounds = bs._state_bounds(200_000, 50_000)
+    unknown = sorted(set(bounds) - set(bs.THRESHOLDS))
+    assert not unknown, f"state bound for un-benched pipeline: {unknown}"
+    for churn in ("rolling_stats_churn", "dedup_refresh_churn"):
+        assert churn in bounds and churn in bs.THRESHOLDS
+
+
 def test_wait_for_quiet_gate():
     """The quiet gate must pass through immediately under a huge
     threshold and flag `loaded` (without blocking) when the threshold

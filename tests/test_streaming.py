@@ -3863,6 +3863,48 @@ def test_manifest_table_writer_fencing(spark, tmp_path):
     assert w2.versions() == [0, 1, 2]
 
 
+def test_manifest_table_fencing_mid_merge_supersede(spark, tmp_path):
+    """Round-16 verdict item 6: the fence is re-verified at each
+    PUBLISH point, not just at method entry. Simulate a supersede
+    landing INSIDE a merge — after the zombie's entry check passed but
+    before its rename — by no-op'ing the zombie's entry check and
+    claiming the fence from a second writer first: the zombie's
+    apply_batch must fail at the rename-point ``_verify_fence`` and
+    leave NOTHING published (no manifest, no _CURRENT move), even
+    though its merge work (data files) already ran."""
+    import pytest
+
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    path = str(tmp_path / "cdc_mid_merge")
+    ddl = "k BIGINT, seq BIGINT, op STRING, payload STRING"
+    w1 = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    w1.apply_batch(spark.createDataFrame([(1, 10, "u", "a")], ddl), 0)
+
+    # the replacement claims the fence while w1's next merge is
+    # "in flight": disabling w1's entry check reproduces the exact
+    # interleaving (entry check passed -> supersede -> publish)
+    w2 = CdcTable(path, key="k", n_buckets=4, payload_cols=("payload",))
+    w2.apply_batch(spark.createDataFrame([(2, 20, "u", "b")], ddl), 1)
+    w1._ensure_fence = lambda: None
+    with pytest.raises(RuntimeError, match="fenced out"):
+        w1.apply_batch(spark.createDataFrame([(3, 30, "u", "z")], ddl), 2)
+
+    # nothing of the zombie's merge became durable: manifest history,
+    # the _CURRENT pointer, and the read are all the replacement's
+    assert w2.versions() == [0, 1]
+    assert w2.committed_batch() == 1
+    got = {r["k"]: r["payload"] for r in w2.read(spark).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # and vacuum's destructive phase re-verifies too: the zombie
+    # holding a stale epoch cannot expire the replacement's history
+    w1._fence_epoch = 1  # stale claim (w2 holds epoch 2)
+    with pytest.raises(RuntimeError, match="fenced out"):
+        w1.vacuum(keep_last=1)
+    assert w2.versions() == [0, 1]
+
+
 def test_rolling_stats_tws_processor_matches_apws_tier():
     """Round-15: the TWS face of the rolling-stats kernel
     (streaming/rolling_stats_tws.py), unit-tested with mock handles

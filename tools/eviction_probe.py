@@ -22,6 +22,7 @@ is reached. The probe prints one JSON line with both trajectories and
 the final ratio.
 
 Usage: python tools/eviction_probe.py [batches] [rows_per_batch]
+       [rows_per_entity]  (churn knob: entities/batch = rows/rpe)
 """
 
 from __future__ import annotations
@@ -43,11 +44,19 @@ from kafkastreams_example_spark.streaming.rolling_stats import (  # noqa: E402
 
 
 def run_once(
-    spark, n_batches: int, rows_per_batch: int, evict_after_ms: int | None
+    spark,
+    n_batches: int,
+    rows_per_batch: int,
+    evict_after_ms: int | None,
+    rows_per_entity: int | None = None,
 ) -> list[int]:
     """Drive the churning feed for n_batches and return the state
-    operator's numRowsTotal per completed batch."""
-    rows_per_entity = max(rows_per_batch // 100, 1)
+    operator's numRowsTotal per completed batch. ``rows_per_entity``
+    sets the churn rate (fresh entities per batch =
+    rows_per_batch / rows_per_entity); default keeps the original
+    ~100-entities-per-batch shape."""
+    if rows_per_entity is None:
+        rows_per_entity = max(rows_per_batch // 100, 1)
     src = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rows_per_batch)
@@ -98,13 +107,17 @@ def run_once(
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     rows_per_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    # optional churn knob (round-16 scale rehearsal): entities per
+    # batch = rows_per_batch / rows_per_entity
+    rpe = int(sys.argv[3]) if len(sys.argv) > 3 else None
     spark = get_spark(app_name="eviction-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    no_evict = run_once(spark, n_batches, rows_per_batch, None)
-    evict = run_once(spark, n_batches, rows_per_batch, 2_000)
+    no_evict = run_once(spark, n_batches, rows_per_batch, None, rpe)
+    evict = run_once(spark, n_batches, rows_per_batch, 2_000, rpe)
     record = {
         "metric": "eviction_state_rows",
         "rows_per_batch": rows_per_batch,
+        "rows_per_entity": rpe if rpe else max(rows_per_batch // 100, 1),
         "batches": n_batches,
         "evict_after_ms": 2_000,
         "state_rows_no_evict": no_evict,
