@@ -161,6 +161,22 @@ BENCH_QUERIES = [
     # round-14 additions
     "ivf_incremental",
     "zoned_read_prune",
+    # round-16 band-coverage additions (verdict item 4): every
+    # registry entry that reads >=1 s at sf0.1 must be measured (and
+    # banded) per round — these 11 were previously timed only in the
+    # oracle sweep; the remaining 73 non-headline entries all read
+    # <0.8 s (exemption ledger in BASELINE.md)
+    "dedup_cluster_profile",
+    "dedup_clusters",
+    "bigram_counts",
+    "simhash_pairs",
+    "bpe_encode",
+    "curation_funnel",
+    "jaccard_est",
+    "simhash_pairs_4band",
+    "wav_decimate",
+    "bmp_frame_sample",
+    "dedup_incremental",
 ]
 
 

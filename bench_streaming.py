@@ -134,6 +134,11 @@ THRESHOLDS = {
     # at the ~2-3x under-recording policy
     "rolling_stats_churn": 10_000,
     "dedup_refresh_churn": 25_000,
+    # coalesced face under the same churn (gated on state_ids_final
+    # from a post-run statestore read, see _ID_BOUNDS): first quiet
+    # recording 74.8k rows/s with the round-16 lazy TTL sweep in
+    # (retained ids plateau exactly 1,000) — floor at the ~3x policy
+    "dedup_refresh_coalesced_churn": 25_000,
     # quiet readings 194-258k across r7/r8; 150k left only ~1.3x
     # headroom and a load-overlapped r8 run read 127k — 100k restores
     # the ~2-3x under-recording policy (same correction minhash got)
@@ -230,6 +235,9 @@ def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
         # over the worst plateau and ~2x separation from the leak.
         "rolling_stats_churn": 5_000,
         "dedup_refresh_churn": 5_000,
+        # pack count is capped by the hash modulus (256); the tier's
+        # REAL leak signal is state_ids_final under _ID_BOUNDS
+        "dedup_refresh_coalesced_churn": 300,
         # watermark-bounded window stores: 5 levels x a handful of
         # open windows (r15 recordings 5 / 5 / 10)
         "windowed_agg": 64,
@@ -248,10 +256,14 @@ def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
     }
 
 
-def _state_gate(results: dict, bounds: dict[str, int]) -> list[str]:
-    """The state-rows gate decision, separated from main() so the
+def _state_gate(
+    results: dict,
+    bounds: dict[str, int],
+    field: str = "state_rows_final",
+) -> list[str]:
+    """The state-size gate decision, separated from main() so the
     pass/fail semantics are unit-testable: a bounded pipeline regresses
-    when its ``state_rows_final`` exceeds the bound OR is None (signal
+    when its ``field`` reading exceeds the bound OR is None (signal
     lost / run stalled — never a pass). Unbounded (stateless) pipelines
     and bounds for pipelines absent from this run are ignored."""
     return sorted(
@@ -259,10 +271,20 @@ def _state_gate(results: dict, bounds: dict[str, int]) -> list[str]:
         for name, bound in bounds.items()
         if name in results
         and (
-            results[name].get("state_rows_final") is None
-            or results[name]["state_rows_final"] > bound
+            results[name].get(field) is None
+            or results[name][field] > bound
         )
     )
+
+
+# retained-id bounds checked against "state_ids_final" (statestore
+# read, not progress): the coalesced churn tier's pack count is fixed
+# at the hash modulus, so its leak class — ids accumulating INSIDE
+# touched packs when the inline retention prune breaks — only shows in
+# the summed ids array length. With a 1 s window over the churn feed,
+# ~1-2 batches' ~1k ids may legitimately remain; a broken prune
+# retains all ~10k+ ids ever seen.
+_ID_BOUNDS = {"dedup_refresh_coalesced_churn": 5_000}
 
 
 _LEVELS = ("INFO", "WARN", "ERROR", "DEBUG", "TRACE")
@@ -606,6 +628,48 @@ def main() -> None:
             ),
             "rows_per_batch": rows_dedup,
         }
+        # coalesced dedup under the same churn. Its pack count (what
+        # numRowsTotal sees) is FIXED at the hash modulus, so the leak
+        # class here is invisible to the state-rows gate: ids retained
+        # INSIDE touched packs, bounded only by the inline event-time
+        # retention prune (dedup_refresh.py: touched packs prune aged
+        # ids; evict_state covers only all-quiet packs). Gate the real
+        # signal instead — total retained ids summed from the state
+        # store itself after the run ("state_ids_final",
+        # _ID_BOUNDS): with a 1 s window only the last ~1-2 batches'
+        # ~1k ids may remain; a broken prune retains every id ever
+        # seen (~10k+ by run end) and trips.
+        # (dedup_refresh_stream_coalesced was imported at the fixed-key
+        # coalesced tier above — same main() scope.)
+        nm = "dedup_refresh_coalesced_churn"
+        res = _run_query(
+            dedup_refresh_stream_coalesced(
+                d_churn.withColumnRenamed("ent", "dedup_id"),
+                window_ms=1_000,
+                id_col="dedup_id",
+                ts_col="event_time",
+                payload_cols=("row_id",),
+                evict_state=True,
+            ),
+            nm,
+            ckpt_root,
+        )
+        try:
+            st = spark.read.format("statestore").load(
+                os.path.join(ckpt_root, nm)
+            )
+            res["state_ids_final"] = (
+                st.select(
+                    F.sum(F.size("value.groupState.ids")).alias("n")
+                ).collect()[0]["n"]
+                or 0
+            )
+        except Exception:  # noqa: BLE001
+            # no committed batch (query stalled/crashed): the gate's
+            # None-never-passes rule reports it — one tier's failure
+            # must not take down the whole bench artifact
+            res["state_ids_final"] = None
+        results[nm] = {**res, "rows_per_batch": rows_dedup}
 
         # streaming windowed aggregation (tumbling 1 h per level, 10 min
         # watermark): measures the partial-agg + state-store update path
@@ -890,7 +954,10 @@ def main() -> None:
     # under its bound; None where state is expected means the signal
     # was lost (or the run stalled) — also a failure, never a pass
     state_bounds = _state_bounds(rows_filter, rows_dedup)
-    state_regressions = _state_gate(results, state_bounds)
+    state_regressions = sorted(
+        set(_state_gate(results, state_bounds))
+        | set(_state_gate(results, _ID_BOUNDS, field="state_ids_final"))
+    )
     for name, r in results.items():
         r["below_threshold"] = name in regressions
         r["above_state_bound"] = name in state_regressions
@@ -901,6 +968,7 @@ def main() -> None:
                 "pipelines": results,
                 "thresholds": THRESHOLDS,
                 "state_bounds": state_bounds,
+                "id_bounds": _ID_BOUNDS,
                 "regressions": regressions,
                 "state_regressions": state_regressions,
             }

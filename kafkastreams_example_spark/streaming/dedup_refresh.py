@@ -38,6 +38,7 @@ parallel consumption anyway).
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -345,9 +346,11 @@ def make_coalesced_refresh_fn(
         batch = (
             chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         )
-        st3 = state.get if state.exists else None
+        st4 = state.get if state.exists else None
         out, new_state = coalesced_kernel(
-            st3, batch, out_cols, window_ms, clock
+            st4, batch, out_cols, window_ms, clock,
+            now_ms=int(time.time() * 1000),
+            ttl_ms=window_ms if evict else None,
         )
         state.update(new_state)
         arm(state, window_ms if evict else None)
@@ -357,40 +360,79 @@ def make_coalesced_refresh_fn(
 
 
 def coalesced_kernel(
-    st3,
+    st4,
     batch: pd.DataFrame,
     out_cols: tuple[str, ...],
     window_ms: int,
     clock: str = "event",
+    now_ms: int | None = None,
+    ttl_ms: int | None = None,
 ):
     """The per-(pack, batch) kernel of the coalesced dedup tier,
     state-backend-agnostic — shared by the applyInPandasWithState
     wrapper above and the transformWithStateInPandas processor
     (dedup_refresh_tws.py), the same split every other stateful op in
-    this package now has. ``st3`` is the CSR state tuple
-    (ids, offsets, flat_ts) or None for a fresh pack. Returns
-    (out, new_st3) — survivors in the batch's deterministic
+    this package now has. ``st4`` is the CSR state tuple
+    (ids, offsets, flat_ts, last_seen) or None for a fresh pack.
+    Returns (out, new_st4) — survivors in the batch's deterministic
     (id, ts, tiebreak) order and the pruned CSR state in storable
-    form."""
+    form.
+
+    ``last_seen`` + ``ttl_ms`` (round 16): the per-id lazy TTL sweep.
+    The per-id retention prune keeps entries within a window of the
+    id's OWN max, so a DEAD id's last entry never ages — and under a
+    churning keyspace the hash spread keeps every pack touched, so the
+    pack-granularity eviction timer never fires either: ids
+    accumulated with everything ever seen (caught live by the bench's
+    state_ids_final gate at ~10k retained vs ~1k active). With
+    ``ttl_ms`` set, ids whose ``last_seen`` (processing-time ms,
+    stamped at each batch that carries the id) lags ``now_ms`` by more
+    than the TTL are forgotten BEFORE the batch is decided — the same
+    forget-after-idle contract the per-key tier's ProcessingTimeTimeout
+    enforces eagerly, evaluated lazily at pack-touch time (the pack
+    timer still covers the all-quiet pack). A swept id recurring later
+    is treated as fresh, exactly like a per-key id whose timer fired."""
     import numpy as np
 
     tiebreak = [c for c in out_cols if c not in ("ts_ms", "dedup_id")]
     batch = batch.sort_values(
         ["dedup_id", "ts_ms", *tiebreak], kind="mergesort"
     )
-    if st3 is not None:
-        ids, offs, flat = st3
-        ids, offs, flat = list(ids), list(offs), list(flat)
+    if st4 is not None:
+        ids, offs, flat, seen_ms = st4
+        ids, offs, flat, seen_ms = (
+            list(ids), list(offs), list(flat), list(seen_ms)
+        )
+        if ttl_ms is not None and now_ms is not None and ids:
+            fresh_enough = [now_ms - s <= ttl_ms for s in seen_ms]
+            if not all(fresh_enough):
+                counts0 = [offs[j + 1] - offs[j] for j in range(len(ids))]
+                flat = [
+                    t
+                    for j, ok in enumerate(fresh_enough)
+                    if ok
+                    for t in flat[offs[j] : offs[j + 1]]
+                ]
+                ids = [i for i, ok in zip(ids, fresh_enough) if ok]
+                seen_ms = [s for s, ok in zip(seen_ms, fresh_enough) if ok]
+                kept_counts = [
+                    c for c, ok in zip(counts0, fresh_enough) if ok
+                ]
+                offs = [0]
+                for c in kept_counts:
+                    offs.append(offs[-1] + c)
     else:
-        ids, offs, flat = [], [0], []
+        ids, offs, flat, seen_ms = [], [0], [], []
     # combined id table: state ids keep their codes (and CSR
     # slices); batch-new ids append with empty slices
+    now_val = int(now_ms) if now_ms is not None else 0
     code_of = {i: j for j, i in enumerate(ids)}
     for did in pd.unique(batch["dedup_id"]):
         if did not in code_of:
             code_of[did] = len(code_of)
             ids.append(did)
             offs.append(offs[-1])
+            seen_ms.append(now_val)
     codes = batch["dedup_id"].map(code_of).to_numpy(np.int64)
     ts_arr = batch["ts_ms"].to_numpy(np.int64)
     # the kernel's precondition is rows sorted by (code, ts), and
@@ -416,13 +458,34 @@ def coalesced_kernel(
     # must not grow without bound
     counts = np.diff(new_off)
     live = counts > 0
-    ids_out = [i for i, ok in zip(ids, live) if ok]
+    # ids carried by THIS batch refresh their last_seen stamp;
+    # untouched survivors keep their old stamp so the lazy TTL sweep
+    # above can age them out at a later pack touch
+    touched = np.zeros(len(ids), dtype=bool)
+    if codes.size:
+        touched[np.unique(codes)] = True
+    # .item() any numpy scalar: pd.unique on an integral id column
+    # yields np.int64 values, and storing those in state fails the
+    # JVM-side unpickle (net.razorvine PickleException on numpy.dtype)
+    # — string ids masked this until the integer-id churn tier
+    # (round 16). Same storable-form rule as every other state write.
+    ids_out = [
+        i.item() if hasattr(i, "item") else i
+        for i, ok in zip(ids, live)
+        if ok
+    ]
+    seen_out = [
+        now_val if t else int(s)
+        for s, t, ok in zip(seen_ms, touched, live)
+        if ok
+    ]
     offs_out = np.zeros(len(ids_out) + 1, dtype=np.int64)
     np.cumsum(counts[live], out=offs_out[1:])
     new_state = (
         ids_out,
         [int(x) for x in offs_out],
         [int(x) for x in new_flat],
+        seen_out,
     )
     return batch.loc[np.asarray(keep, dtype=bool), list(out_cols)], new_state
 
@@ -448,12 +511,18 @@ def dedup_refresh_stream_coalesced(
     pack's whole state deserializes/reserializes every batch even if
     one id was touched (state amplification ∝ pack size); (b)
     parallelism caps at n_state_keys — size it ≥ cluster cores ×
-    a few; (c) no per-id eviction timers (timeout granularity is the
-    pack: evict_state=True forgets a pack only once EVERY id in it
-    has been quiet a full window — touched packs instead prune aged
-    ids inline, so the leak evict_state closes is the all-quiet pack;
-    continuous triggers only, same AvailableNow caveat as the per-key
-    tier). Low-occupancy regimes (rows/key/batch ≈ 1) are where (a)
+    a few; (c) no per-id eviction TIMERS (timeout granularity is the
+    pack): evict_state=True forgets an all-quiet pack via its timer,
+    and — round 16 — forgets DEAD ids inside touched packs via the
+    kernel's lazy per-id TTL sweep (last_seen stamps, TTL =
+    window_ms), because on a churning keyspace the hash spread keeps
+    every pack touched forever and the per-id retention prune alone
+    retained every id ever seen (caught by the bench's
+    state_ids_final gate). Continuous triggers only, same
+    AvailableNow caveat as the per-key tier. State schema is 4
+    arrays since round 16 (ids/offsets/ts/last_seen): coalesced
+    checkpoints written by earlier rounds do not restore under this
+    DDL. Low-occupancy regimes (rows/key/batch ≈ 1) are where (a)
     loses to the protocol win; tools/coalesce_probe.py measures the
     crossover."""
     from pyspark.sql import functions as F
@@ -478,7 +547,8 @@ def dedup_refresh_stream_coalesced(
         ),
         outputStructType=f"`dedup_id` {id_ddl}, {out_ddl}",
         stateStructType=(
-            f"ids ARRAY<{id_ddl}>, offsets ARRAY<INT>, ts ARRAY<BIGINT>"
+            f"ids ARRAY<{id_ddl}>, offsets ARRAY<INT>, ts ARRAY<BIGINT>, "
+            "last_seen ARRAY<BIGINT>"
         ),
         outputMode="append",
         timeoutConf=(

@@ -241,7 +241,8 @@ def make_coalesced_refresh_processor(
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._csr = handle.getValueState(
                 "csr",
-                f"ids ARRAY<{id_ddl}>, offsets ARRAY<INT>, ts ARRAY<BIGINT>",
+                f"ids ARRAY<{id_ddl}>, offsets ARRAY<INT>, ts ARRAY<BIGINT>,"
+                " last_seen ARRAY<BIGINT>",
             )
             self._tmr = handle.getValueState("tmr", "expiry BIGINT")
             self._handle = handle
@@ -253,9 +254,14 @@ def make_coalesced_refresh_processor(
                 if len(chunks) == 1
                 else pd.concat(chunks, ignore_index=True)
             )
-            st3 = self._csr.get()
+            st4 = self._csr.get()
+            # the handle's processing-time clock keeps the lazy per-id
+            # TTL sweep (round 16, see coalesced_kernel) on the same
+            # clock the pack timer fires on
             out, new_state = coalesced_kernel(
-                st3, batch, out_cols, window_ms, clock
+                st4, batch, out_cols, window_ms, clock,
+                now_ms=timer_values.getCurrentProcessingTimeInMs(),
+                ttl_ms=window_ms if evict else None,
             )
             self._csr.update(new_state)
             rearm_tws(self._handle, self._tmr, timer_values,

@@ -79,6 +79,16 @@ def test_streaming_state_gate_semantics():
     bounds = {"at_bound": 100, "over": 100, "lost": 100, "not_run": 1}
     assert bs._state_gate(results, bounds) == ["lost", "over"]
 
+    # the retained-ids variant reads a different field (statestore
+    # sum, not progress numRowsTotal) through the same semantics
+    results = {
+        "coalesced": {"state_rows_final": 256, "state_ids_final": 9999},
+    }
+    assert bs._state_gate(results, {"coalesced": 5000},
+                          field="state_ids_final") == ["coalesced"]
+    assert bs._state_gate(results, {"coalesced": 10_000},
+                          field="state_ids_final") == []
+
 
 def test_streaming_state_bounds_cover_benched_pipelines():
     """Every bounded pipeline must be a real benched pipeline (a rename
