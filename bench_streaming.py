@@ -244,11 +244,15 @@ def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
         "session_window": 64,
         "sliding_window": 128,
         # identity/buffer stores legitimately grow with rows during
-        # the short run (watermark horizon > run span): bound at every
-        # row seen, which a buffer leak (e.g. a dropped watermark)
-        # cannot satisfy on a longer feed but this run defines
-        "embedding_dedup": rows_dedup * run_batches,
-        "interval_join": 2 * rows_filter * run_batches,
+        # the short run (the watermark horizon exceeds the run's 10 s
+        # event-time span, so NOTHING is evicted and a dropped
+        # watermark is indistinguishable within this run — these two
+        # bounds are row-DUPLICATION/runaway + signal-presence checks,
+        # not watermark checks). Bounds at ~1.1x the deterministic
+        # rows-seen plateau (r15/r16 recordings: exactly 500k / 1.8M
+        # at the default feed sizes).
+        "embedding_dedup": rows_dedup * 11,
+        "interval_join": rows_filter * 10,
         # banded-minhash stores: distinct (band, signature) buckets
         # over the fixed corpus (r15 recordings 2,667 / 5,908)
         "minhash_dedup": 6_000,

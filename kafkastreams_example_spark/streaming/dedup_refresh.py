@@ -38,7 +38,6 @@ parallel consumption anyway).
 
 from __future__ import annotations
 
-import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -347,9 +346,15 @@ def make_coalesced_refresh_fn(
             chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         )
         st4 = state.get if state.exists else None
+        # the state handle's batch-FIXED processing-time clock, not
+        # time.time(): every pack in a batch must sweep against the
+        # same instant, and a task retry must recompute the identical
+        # output (deterministic-recomputation contract for
+        # exactly-once sinks) — also the clock arm()'s timeout runs on
+        # (round-16 self-review)
         out, new_state = coalesced_kernel(
             st4, batch, out_cols, window_ms, clock,
-            now_ms=int(time.time() * 1000),
+            now_ms=state.getCurrentProcessingTimeMs(),
             ttl_ms=window_ms if evict else None,
         )
         state.update(new_state)

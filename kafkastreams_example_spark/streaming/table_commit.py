@@ -72,8 +72,8 @@ class ManifestTable:
         claim still stands — a different id or epoch means another
         writer took over after us, so this instance is a zombie and
         must not publish."""
-        cur = self._read_fence()
         if self._fence_epoch is None:
+            cur = self._read_fence()
             epoch = (int(cur["epoch"]) if cur else 0) + 1
             fpath = os.path.join(self.path, "_FENCE.json")
             # writer-unique tmp name: two simultaneous first-claims
@@ -138,7 +138,23 @@ class ManifestTable:
         ptmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(ptmp, "w") as fh:
             fh.write(name)
-        self._verify_fence()
+        try:
+            self._verify_fence()
+        except RuntimeError:
+            # fenced out BETWEEN the two renames: roll the manifest
+            # back before raising. versions() treats any named
+            # manifest as committed, so a zombie's half-published
+            # orphan ABOVE the replacement's newest id would otherwise
+            # steer vacuum's keep set onto it and let vacuum delete
+            # the manifest _CURRENT points to (round-16 self-review).
+            # A CRASH here (no raise) is the pre-existing case: the
+            # single writer's retry of this batch id overwrites the
+            # orphan before any later id commits.
+            try:
+                os.remove(mpath)
+            except OSError:
+                pass
+            raise
         os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
 
     def _save_schema(self, schema, batch_id: int = 0) -> None:
@@ -305,6 +321,15 @@ class ManifestTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         self._ensure_fence()
+        # the schema-orphan purge below is ALREADY destructive
+        # (os.remove of schema versions), so the last-moment re-verify
+        # must precede it, not sit between the purge and the manifest
+        # expiry: a zombie vacuum passing only the entry check could
+        # otherwise purge the replacement's just-written schema version
+        # while its manifest is still in flight (round-16 self-review —
+        # exactly the evolved-columns corruption the orphan rule
+        # guards against)
+        self._verify_fence()
         versions = self.versions()
         # while manifest history is still known, purge ORPHANED schema
         # versions (no manifest ever committed their id): after expiry
@@ -326,9 +351,6 @@ class ManifestTable:
         expire, keep = versions[:-keep_last], versions[-keep_last:]
         if not expire:
             return []
-        # destructive phase starts here — re-verify at the last moment
-        # (round-16 narrowing, same discipline as the commit renames)
-        self._verify_fence()
         live_dirs: set[str] = set()
         for v in keep:
             with open(

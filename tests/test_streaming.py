@@ -2294,6 +2294,10 @@ class _FakeGroupState:
         self._v = None
         self.hasTimedOut = False
         self.timeout_ms = None
+        self.now_ms = 0  # batch-fixed processing-time clock
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
 
     @property
     def exists(self):
@@ -3994,11 +3998,42 @@ def test_manifest_table_fencing_mid_merge_supersede(spark, tmp_path):
     got = {r["k"]: r["payload"] for r in w2.read(spark).collect()}
     assert got == {1: "a", 2: "b"}
 
-    # and vacuum's destructive phase re-verifies too: the zombie
-    # holding a stale epoch cannot expire the replacement's history
+    # supersede landing BETWEEN _commit's two renames (manifest
+    # already durable, _CURRENT not yet swapped): the half-published
+    # manifest must be ROLLED BACK, not left as an orphan versions()
+    # would treat as committed — the orphan would sit ABOVE the
+    # replacement's newest id and steer vacuum's keep set onto it,
+    # letting vacuum delete the manifest _CURRENT points to
+    # (round-16 self-review finding)
+    calls = {"n": 0}
+
+    def verify_passes_once_then_fenced():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("fenced out (simulated mid-publish)")
+
+    w1._verify_fence = verify_passes_once_then_fenced
+    with pytest.raises(RuntimeError, match="fenced out"):
+        w1.apply_batch(spark.createDataFrame([(5, 50, "u", "z2")], ddl), 3)
+    assert w2.versions() == [0, 1], "zombie's half-published manifest must be rolled back"
+    assert w2.committed_batch() == 1
+    del w1._verify_fence  # restore the real method
+
+    # and vacuum's destructive phase re-verifies BEFORE the schema-
+    # orphan purge: a zombie vacuum must not delete the replacement's
+    # just-written (not-yet-committed) schema version
+    import os as _os
+
+    orphan = _os.path.join(path, "_SCHEMA-99.json")
+    with open(orphan, "w") as fh:
+        fh.write(w2._schema_at(None).json())
     w1._fence_epoch = 1  # stale claim (w2 holds epoch 2)
     with pytest.raises(RuntimeError, match="fenced out"):
         w1.vacuum(keep_last=1)
+    assert _os.path.exists(orphan), (
+        "zombie vacuum purged the replacement's in-flight schema version"
+    )
+    _os.remove(orphan)
     assert w2.versions() == [0, 1]
 
 
