@@ -3932,6 +3932,72 @@ def test_rolling_corrected_restart_from_checkpoint(spark, tmp_path):
     assert sorted(gs[0]["ts"]) == [3200, 3500, 5000]
 
 
+def test_rolling_corrected_tws_restart_from_persisted_state():
+    """Round-16, TWS symmetry for the cross-restart pin: the corrected
+    tier's rev continuity and prune-floor suppression must survive a
+    processor RESTART through the transformWithState protocol too — a
+    NEW processor instance re-init'ed over the persisted value state
+    (mock-level analog of a query restart; the e2e run stays
+    protobuf-gated). Same timeline as
+    test_rolling_corrected_restart_from_checkpoint: W=1,000 us,
+    revs must continue 0 -> 1 -> 2 across two restarts, the round-2
+    late row re-emits rid 2's correction over the restored timeline,
+    and the restored floor suppresses rid 3's truncated-frame
+    correction in round 3."""
+    import pandas as pd
+
+    from kafkastreams_example_spark.streaming.rolling_stats_tws import (
+        make_rolling_stats_corrected_processor,
+        tws_available,
+    )
+
+    if not tws_available():
+        import pytest
+
+        pytest.skip("StatefulProcessor API unavailable")
+
+    handle = _MockHandle()
+
+    def run_round(batch_rows, now_ms):
+        # a restart = a fresh processor instance re-init'ed over the
+        # SAME persisted state (the store outlives the query)
+        proc = make_rolling_stats_corrected_processor(1_000)
+        h2 = _MockHandle()
+        h2.states = handle.states  # the persisted store
+        proc.init(h2)
+        out = pd.concat(
+            list(
+                proc.handleInputRows(
+                    (1,),
+                    [pd.DataFrame(batch_rows,
+                                  columns=["t_us", "value", "row_id"])],
+                    _MockTimerValues(now_ms),
+                )
+            ),
+            ignore_index=True,
+        )
+        return {(int(r.row_id), int(r.rev)): r for r in out.itertuples()}
+
+    r1 = run_round([(1_000, 1.0, 1), (2_000, 5.0, 2)], 0)
+    assert set(r1) == {(1, 0), (2, 0)}
+    assert r1[(2, 0)].n_frame == 2
+
+    r2 = run_round(
+        [(1_600, 2.0, 6), (3_500, 4.0, 3), (5_000, 8.0, 4)], 1_000
+    )
+    assert set(r2) == {(6, 1), (3, 1), (4, 1), (2, 1)}
+    assert r2[(2, 1)].n_frame == 3 and r2[(2, 1)].sum_v == 8.0
+
+    r3 = run_round([(3_200, 7.0, 5)], 2_000)
+    assert set(r3) == {(5, 2)}
+    assert r3[(5, 2)].n_frame == 1 and r3[(5, 2)].sum_v == 7.0
+    # the persisted 5-field state agrees with the APWS restart test's
+    # statestore assertion: seq 2, floor 3000, timeline pruned to 2W
+    ts, _vs, _ids, seq, floor = handle.states["tl"].get()
+    assert seq == 2 and floor == 3_000
+    assert sorted(ts) == [3_200, 3_500, 5_000]
+
+
 def test_manifest_table_writer_fencing(spark, tmp_path):
     """Round-15 verdict item 5: the single-writer model is now
     ENFORCED, not just documented. A second writer claiming the table
