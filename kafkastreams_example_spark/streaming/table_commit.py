@@ -348,9 +348,12 @@ class ManifestTable:
         for v in self._schema_versions():
             if committed and v not in committed and v > min(committed):
                 os.remove(os.path.join(self.path, f"_SCHEMA-{v}.json"))
-        expire, keep = versions[:-keep_last], versions[-keep_last:]
-        if not expire:
+        if not versions:
+            # nothing committed: leave any staged data dirs alone (a
+            # first batch's parquet may be durable ahead of its commit;
+            # its retry overwrites it)
             return []
+        expire, keep = versions[:-keep_last], versions[-keep_last:]
         live_dirs: set[str] = set()
         for v in keep:
             with open(
@@ -360,6 +363,11 @@ class ManifestTable:
                     live_dirs.add(os.path.dirname(p))
         for v in expire:
             os.remove(os.path.join(self.path, "manifests", f"manifest-{v}.json"))
+        # the dir sweep runs even when NOTHING expired this round: a
+        # prior vacuum that died between its manifest expiry and its
+        # sweep leaves unreferenced dirs with no manifest left to
+        # expire, so an expire-gated sweep could never reclaim them
+        # (round-16 crash-matrix finding)
         data = os.path.join(self.path, "data")
         kept = {os.path.join(data, f"version={v}") for v in keep}
         for name in os.listdir(data):

@@ -1,0 +1,303 @@
+"""Systematic crash-injection matrix for the ManifestTable commit
+protocol (streaming/table_commit.py).
+
+The existing durability tests pin SPECIFIC crash scenarios discovered
+during review (schema orphan above/below the vacuum floor, half-
+published manifest on fence loss, torn fence tmp).  This module closes
+the class: it enumerates EVERY durable filesystem mutation a merge,
+an evolving merge, and a vacuum perform (the ``os.replace`` /
+``os.remove`` / ``shutil.rmtree`` calls under the table root — the
+only operations whose effects survive a process death) and, for each
+index k, kills the writer exactly at the k-th mutation, then asserts
+the two protocol guarantees the docstrings promise:
+
+  ATOMICITY  — a fresh reader sees EITHER the pre-batch committed
+               snapshot or the post-batch one, never a torn mix; the
+               ``_CURRENT`` pointer decides which.
+  REPLAYABILITY — a fresh writer (new instance, as a restarted
+               foreachBatch job would be) replaying the same batch id
+               converges to exactly the clean-run state, and history/
+               time travel/vacuum still work afterwards.
+
+This mirrors how Delta/Iceberg test their commit protocols (kill at
+every IO boundary, then recover); the matrix is discovered at run time
+(a clean dry-run counts the mutations), so a future edit that adds a
+durable op to the protocol is automatically covered — or, if it
+reorders publishes unsafely, automatically caught.
+
+Reference anchor: the commit-protocol semantics these invariants
+protect are the replacement for KStreamDistinct.java:135-151's
+changelog-backed state store durability (restore-on-restart); here the
+"changelog" is the manifest history and the restore is a plain read.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from contextlib import contextmanager
+
+import pytest
+
+
+class InjectedCrash(Exception):
+    """Simulated process death at a durable mutation point."""
+
+
+@contextmanager
+def _inject(root: str, crash_at: int | None):
+    """Count durable mutations under ``root``; raise InjectedCrash on
+    the ``crash_at``-th (1-based).  ``crash_at=None`` = dry run (count
+    only).  Yields a dict with the running count.  Mutations outside
+    the table root (Spark temp dirs etc.) pass through uncounted."""
+    state = {"count": 0}
+    real_replace, real_remove, real_rmtree = (
+        os.replace,
+        os.remove,
+        shutil.rmtree,
+    )
+
+    def _hit(path):
+        if not str(path).startswith(root):
+            return
+        state["count"] += 1
+        if crash_at is not None and state["count"] == crash_at:
+            raise InjectedCrash(f"durable op #{state['count']}: {path}")
+
+    def replace(src, dst, **kw):
+        _hit(dst)
+        return real_replace(src, dst, **kw)
+
+    def remove(path, **kw):
+        _hit(path)
+        return real_remove(path, **kw)
+
+    def rmtree(path, *a, **kw):
+        _hit(path)
+        return real_rmtree(path, *a, **kw)
+
+    os.replace, os.remove, shutil.rmtree = replace, remove, rmtree
+    try:
+        yield state
+    finally:
+        os.replace, os.remove, shutil.rmtree = (
+            real_replace,
+            real_remove,
+            real_rmtree,
+        )
+
+
+# ---------------------------------------------------------------------------
+# MaterializedCounts: merge crash matrix
+# ---------------------------------------------------------------------------
+
+def _mc_state(table, spark, at=None):
+    return {
+        r["user_id"]: (r["n"], float(r["total"]))
+        for r in table.read(spark, at_batch=at).collect()
+    }
+
+
+B0 = [(1, 2.0), (2, 3.0)]
+B1 = [(1, 1.0), (3, 7.0)]
+S0 = {1: (1, 2.0), 2: (1, 3.0)}
+S1 = {1: (2, 3.0), 2: (1, 3.0), 3: (1, 7.0)}
+
+
+def _mc_batch(spark, rows):
+    return spark.createDataFrame(rows, "user_id BIGINT, value DOUBLE")
+
+
+def test_materialized_counts_merge_crash_matrix(spark, tmp_path):
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    # dry run: how many durable ops does a batch-1 merge perform?
+    dry = str(tmp_path / "dry")
+    t = MaterializedCounts(dry, keys=("user_id",), n_buckets=4)
+    t.apply_batch(_mc_batch(spark, B0), 0)
+    writer = MaterializedCounts(dry, keys=("user_id",), n_buckets=4)
+    with _inject(dry, None) as st:
+        writer.apply_batch(_mc_batch(spark, B1), 1)
+    n_ops = st["count"]
+    # fence claim + manifest publish + _CURRENT swap (schema unchanged
+    # after batch 0 -> no schema version write); if this grows, the
+    # matrix below grows with it
+    assert n_ops >= 3
+    assert _mc_state(writer, spark) == S1
+
+    for k in range(1, n_ops + 1):
+        root = str(tmp_path / f"k{k}")
+        setup = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        setup.apply_batch(_mc_batch(spark, B0), 0)
+        crasher = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        with _inject(root, k):
+            with pytest.raises(InjectedCrash):
+                crasher.apply_batch(_mc_batch(spark, B1), 1)
+
+        # ATOMICITY: a fresh reader sees exactly one committed snapshot
+        reader = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        committed = reader.committed_batch()
+        assert committed in (0, 1), f"k={k}: torn pointer {committed}"
+        expect = S1 if committed == 1 else S0
+        assert _mc_state(reader, spark) == expect, f"k={k}"
+        # versions() may include a half-published orphan at id 1
+        # (manifest named, pointer not swapped) — never anything else
+        assert set(reader.versions()) <= {0, 1}, f"k={k}"
+
+        # REPLAYABILITY: a fresh writer replays batch 1 and converges
+        replayer = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        replayer.apply_batch(_mc_batch(spark, B1), 1)
+        assert _mc_state(replayer, spark) == S1, f"k={k} after replay"
+        assert replayer.committed_batch() == 1
+        assert replayer.versions() == [0, 1]
+        # history intact, and maintenance still runs on the healed table
+        assert _mc_state(replayer, spark, at=0) == S0, f"k={k}"
+        replayer.vacuum(keep_last=1)
+        assert _mc_state(replayer, spark) == S1, f"k={k} after vacuum"
+
+
+# ---------------------------------------------------------------------------
+# CdcTable: EVOLVING merge crash matrix (adds the schema-version
+# publish to the op list, so the schema/commit ordering hazards from
+# rounds 13-14 are each hit by some k)
+# ---------------------------------------------------------------------------
+
+def test_cdc_table_evolving_merge_crash_matrix(spark, tmp_path):
+    from kafkastreams_example_spark.streaming.cdc_table import CdcTable
+
+    df0_sql = "k BIGINT, seq BIGINT, op STRING, payload STRING"
+    df1_sql = df0_sql + ", score DOUBLE"
+    rows0 = [(1, 10, "u", "a"), (2, 11, "u", "b")]
+    rows1 = [(1, 20, "u", "a2", 0.5), (3, 21, "u", "c", 0.9)]
+    s0 = {1: ("a",), 2: ("b",)}
+    s1 = {1: ("a2", 0.5), 2: ("b", None), 3: ("c", 0.9)}
+
+    def state(table):
+        out = {}
+        for r in table.read(spark).collect():
+            d = r.asDict()
+            out[d["k"]] = (
+                (d["payload"], d["score"])
+                if "score" in d
+                else (d["payload"],)
+            )
+        return out
+
+    def mk(root, evolved):
+        cols = ("payload", "score") if evolved else ("payload",)
+        return CdcTable(root, key="k", n_buckets=4, payload_cols=cols)
+
+    dry = str(tmp_path / "dry")
+    mk(dry, False).apply_batch(spark.createDataFrame(rows0, df0_sql), 0)
+    writer = mk(dry, True)
+    with _inject(dry, None) as st:
+        writer.apply_batch(spark.createDataFrame(rows1, df1_sql), 1)
+    n_ops = st["count"]
+    # fence + _SCHEMA-1 publish + manifest publish + _CURRENT swap
+    assert n_ops >= 4
+    assert state(writer) == s1
+
+    for k in range(1, n_ops + 1):
+        root = str(tmp_path / f"k{k}")
+        mk(root, False).apply_batch(
+            spark.createDataFrame(rows0, df0_sql), 0
+        )
+        with _inject(root, k):
+            with pytest.raises(InjectedCrash):
+                mk(root, True).apply_batch(
+                    spark.createDataFrame(rows1, df1_sql), 1
+                )
+
+        reader = mk(root, True)
+        committed = reader.committed_batch()
+        assert committed in (0, 1), f"k={k}"
+        got = state(reader)
+        # the orphaned-schema rule (_schema_at: only committed versions
+        # are honored) is what keeps the committed==0 read on the
+        # NARROW pre-evolution shape even when _SCHEMA-1.json landed
+        # before the crash
+        assert got == (s1 if committed == 1 else s0), f"k={k}: {got}"
+
+        replayer = mk(root, True)
+        replayer.apply_batch(spark.createDataFrame(rows1, df1_sql), 1)
+        assert state(replayer) == s1, f"k={k} after replay"
+        # time travel across the evolution boundary still narrow
+        old_cols = replayer.read(spark, at_batch=0).columns
+        assert "score" not in old_cols, f"k={k}: {old_cols}"
+        replayer.vacuum(keep_last=1)
+        assert state(replayer) == s1, f"k={k} after vacuum"
+
+
+# ---------------------------------------------------------------------------
+# vacuum crash matrix: maintenance dies mid-expiry; the CURRENT
+# snapshot must survive every prefix of vacuum's deletions and a
+# retried vacuum must finish the job
+# ---------------------------------------------------------------------------
+
+def test_vacuum_crash_matrix(spark, tmp_path):
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    batches = [B0, B1, [(2, 5.0)]]
+    s_final = {1: (2, 3.0), 2: (2, 8.0), 3: (1, 7.0)}
+
+    def build(root):
+        t = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        for i, rows in enumerate(batches):
+            t.apply_batch(_mc_batch(spark, rows), i)
+        # plant a schema orphan ABOVE the floor so the orphan purge
+        # (vacuum's first destructive phase) is part of the matrix
+        schema_json = open(os.path.join(root, "_SCHEMA-0.json")).read()
+        with open(os.path.join(root, "_SCHEMA-9.json"), "w") as fh:
+            fh.write(schema_json)
+        return t
+
+    dry = str(tmp_path / "dry")
+    t = build(dry)
+    vac = MaterializedCounts(dry, keys=("user_id",), n_buckets=4)
+    with _inject(dry, None) as st:
+        expired = vac.vacuum(keep_last=1)
+    n_ops = st["count"]
+    assert expired == [0, 1]
+    # fence + orphan schema remove + 2 manifest removes + >=1 rmtree
+    assert n_ops >= 5
+    assert _mc_state(vac, spark) == s_final
+
+    for k in range(1, n_ops + 1):
+        root = str(tmp_path / f"k{k}")
+        build(root)
+        vac = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        with _inject(root, k):
+            with pytest.raises(InjectedCrash):
+                vac.vacuum(keep_last=1)
+
+        # the newest snapshot survives EVERY deletion prefix
+        reader = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        assert reader.committed_batch() == 2, f"k={k}"
+        assert _mc_state(reader, spark) == s_final, f"k={k}"
+
+        # a retried vacuum (fresh maintenance process) finishes
+        retry = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        retry.vacuum(keep_last=1)
+        assert retry.versions() == [2], f"k={k}"
+        assert _mc_state(retry, spark) == s_final, f"k={k} after retry"
+        # the planted orphan is gone, and the surviving version dirs
+        # are EXACTLY the set the kept manifest references (cold
+        # buckets legitimately pin old dirs — carried-forward refs)
+        assert not os.path.exists(
+            os.path.join(root, "_SCHEMA-9.json")
+        ), f"k={k}"
+        data = os.path.join(root, "data")
+        dirs = {
+            os.path.join(data, n)
+            for n in os.listdir(data)
+            if n.startswith("version=")
+        }
+        live = {
+            os.path.dirname(p)
+            for p in retry._current_manifest().values()
+        }
+        assert dirs == live, f"k={k}: dirs={dirs} live={live}"
