@@ -231,6 +231,60 @@ def test_cdc_table_evolving_merge_crash_matrix(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# compact crash matrix: compaction rewrites the SAME logical state, so
+# the invariant is stronger than the merge matrix's either/or — the
+# table must read IDENTICALLY at every crash point (a compaction can
+# only ever be invisible or complete, never observable as data change)
+# ---------------------------------------------------------------------------
+
+def test_compact_crash_matrix(spark, tmp_path):
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    def build(root):
+        t = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        t.apply_batch(_mc_batch(spark, B0), 0)
+        t.apply_batch(_mc_batch(spark, B1), 1)
+        return t
+
+    dry = str(tmp_path / "dry")
+    t = build(dry)
+    compactor = MaterializedCounts(dry, keys=("user_id",), n_buckets=4)
+    with _inject(dry, None) as st:
+        compactor.compact(spark, 2)
+    n_ops = st["count"]
+    assert n_ops >= 3  # fence + manifest publish + _CURRENT swap
+    assert _mc_state(compactor, spark) == S1
+
+    for k in range(1, n_ops + 1):
+        root = str(tmp_path / f"k{k}")
+        build(root)
+        compactor = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        with _inject(root, k):
+            with pytest.raises(InjectedCrash):
+                compactor.compact(spark, 2)
+
+        reader = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        assert reader.committed_batch() in (1, 2), f"k={k}"
+        assert _mc_state(reader, spark) == S1, f"k={k}: compaction leaked"
+
+        # retry compaction from a fresh maintenance process, then
+        # vacuum: the compacted table collapses to one version dir
+        retry = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        retry.compact(spark, 2)
+        assert _mc_state(retry, spark) == S1, f"k={k} after retry"
+        assert retry.committed_batch() == 2
+        retry.vacuum(keep_last=1)
+        assert _mc_state(retry, spark) == S1, f"k={k} after vacuum"
+        data = os.path.join(root, "data")
+        dirs = sorted(
+            n for n in os.listdir(data) if n.startswith("version=")
+        )
+        assert dirs == ["version=2"], f"k={k}: {dirs}"
+
+
+# ---------------------------------------------------------------------------
 # vacuum crash matrix: maintenance dies mid-expiry; the CURRENT
 # snapshot must survive every prefix of vacuum's deletions and a
 # retried vacuum must finish the job
