@@ -207,9 +207,16 @@ def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
     ``evict_after_ms``/``evict_state`` to None belongs to CI, not to a
     100 TB OOM. A pipeline above its bound (or reporting None where
     state is expected) lands in ``state_regressions`` and exits 1,
-    exactly like the rows/s floors. Bounds sit ~1.5x over the known
-    plateau (r15 recordings) so quiet-machine variance never trips
-    them while a leak regime (linear growth per batch) always does.
+    exactly like the rows/s floors. Most bounds sit ~1.5x over the
+    known plateau (r15 recordings) so quiet-machine variance never
+    trips them while a leak regime (linear growth per batch) always
+    does. TWO bounds are deliberately tighter (~1.1x, sub-batch
+    headroom): interval_join and embedding_dedup, whose plateaus are
+    DETERMINISTIC rows-seen counts at the fixed final measured batch
+    (round-16 self-review: the earlier 12x-run ceilings could never
+    trip within the run). If you change the feed shape, WARMUP/
+    MEASURE, or the batch size, recompute those two plateaus — the
+    margin does not absorb an extra batch.
     """
     # event time advances 1 s/batch and the run spans WARMUP+MEASURE
     # (+ up to ~2 stop-lag) batches — watermark-bounded identity

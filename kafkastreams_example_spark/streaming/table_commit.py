@@ -134,6 +134,7 @@ class ManifestTable:
         # lists the directory), so the rename is a publish — re-verify
         # the fence immediately before it, with the tmp fully staged
         self._verify_fence()
+        pre_existing = os.path.exists(mpath)
         os.replace(tmp, mpath)
         ptmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(ptmp, "w") as fh:
@@ -142,16 +143,29 @@ class ManifestTable:
             self._verify_fence()
         except RuntimeError:
             # fenced out BETWEEN the two renames: roll the manifest
-            # back before raising. versions() treats any named
-            # manifest as committed, so a zombie's half-published
-            # orphan ABOVE the replacement's newest id would otherwise
-            # steer vacuum's keep set onto it and let vacuum delete
-            # the manifest _CURRENT points to (round-16 self-review).
+            # back before raising, so the zombie's half-published
+            # orphan never sits above the replacement's history
+            # (round-16 self-review). But ONLY a manifest this attempt
+            # exclusively created may be removed: if one already
+            # existed at this id (the replacement's deterministic
+            # replay of the same batch got here first, or a prior
+            # crash left one), or _CURRENT meanwhile names this id,
+            # "rolling back" would delete COMMITTED state and leave
+            # the pointer dangling — a wedged table, strictly worse
+            # than the orphan (post-close review finding). Those
+            # survivors are half-published orphans at worst, and
+            # vacuum now resolves them against the pointer.
             # A CRASH here (no raise) is the pre-existing case: the
             # single writer's retry of this batch id overwrites the
             # orphan before any later id commits.
             try:
-                os.remove(mpath)
+                named = False
+                ptr = os.path.join(self.path, "_CURRENT")
+                if os.path.exists(ptr):
+                    with open(ptr) as fh:
+                        named = fh.read().strip() == name
+                if not pre_existing and not named:
+                    os.remove(mpath)
             except OSError:
                 pass
             raise
@@ -302,7 +316,16 @@ class ManifestTable:
         references — the expire_snapshots half of table maintenance.
         Time travel keeps working for kept manifests and stops for the
         expired ones (that is the point: reclaiming the storage old
-        snapshots pin). Returns the expired batch ids.
+        snapshots pin). Returns the expired batch ids (committed ones
+        only — half-published orphans resolved along the way are not
+        history).
+
+        History is anchored on the ``_CURRENT`` pointer: manifests
+        ABOVE the pointed-to id are half-published debris from a
+        writer that died between ``_commit``'s two renames, never
+        committed state — vacuum deletes them rather than letting
+        keep/expire arithmetic select them (which could expire the
+        manifest the pointer names and wedge the table).
 
         Maintenance is a WRITE (it deletes manifests, schema versions
         and data dirs), so it runs under the same fence as commits: an
@@ -321,16 +344,37 @@ class ManifestTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         self._ensure_fence()
-        # the schema-orphan purge below is ALREADY destructive
-        # (os.remove of schema versions), so the last-moment re-verify
-        # must precede it, not sit between the purge and the manifest
-        # expiry: a zombie vacuum passing only the entry check could
-        # otherwise purge the replacement's just-written schema version
-        # while its manifest is still in flight (round-16 self-review —
-        # exactly the evolved-columns corruption the orphan rule
-        # guards against)
+        all_manifests = self.versions()
+        cur = self.committed_batch()
+        # anchor history on the POINTER: a manifest above the id
+        # _CURRENT names was never fully committed — it is the
+        # half-published debris of a writer that died (or was fenced
+        # out without managing a rollback) between _commit's two
+        # renames. Treating it as committed would let keep/expire
+        # select it and expire the manifest _CURRENT points to,
+        # wedging every later read AND the batch retry that would
+        # have healed the orphan (post-close review finding). Such
+        # orphans are deleted here instead: the single writer's retry
+        # of that batch id deterministically recreates them, and
+        # leaving them would keep time-travel reads at/above their id
+        # resolving to dangling paths once the sweep reclaims their
+        # staged data dirs.
+        committed_ids = [
+            v for v in all_manifests if cur is not None and v <= cur
+        ]
+        orphans = [v for v in all_manifests if v not in set(committed_ids)]
+        # destructive phase 1 (orphan manifests + orphan schema
+        # versions): re-verify the fence immediately before it, so a
+        # zombie vacuum passing only the entry check cannot purge the
+        # replacement's just-written schema version while its manifest
+        # is still in flight (round-16 self-review — exactly the
+        # evolved-columns corruption the orphan rule guards against)
         self._verify_fence()
-        versions = self.versions()
+        for v in orphans:
+            os.remove(
+                os.path.join(self.path, "manifests", f"manifest-{v}.json")
+            )
+        versions = committed_ids
         # while manifest history is still known, purge ORPHANED schema
         # versions (no manifest ever committed their id): after expiry
         # the kept-history floor rises and _schema_at's below-the-floor
@@ -361,6 +405,12 @@ class ManifestTable:
             ) as fh:
                 for p in json.load(fh).values():
                     live_dirs.add(os.path.dirname(p))
+        # destructive phase 2 (manifest expiry + dir sweep): the
+        # keep-manifest reads above took time — re-verify immediately
+        # before deleting, keeping each destructive phase one
+        # check-then-act window wide (post-close review finding: the
+        # phase-1 relocation had LEFT this phase unguarded)
+        self._verify_fence()
         for v in expire:
             os.remove(os.path.join(self.path, "manifests", f"manifest-{v}.json"))
         # the dir sweep runs even when NOTHING expired this round: a

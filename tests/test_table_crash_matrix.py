@@ -231,6 +231,102 @@ def test_cdc_table_evolving_merge_crash_matrix(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# ops-vacuum BETWEEN a mid-commit crash and the batch retry: the
+# half-published orphan manifest (durable, above _CURRENT) must not
+# derail vacuum's keep/expire arithmetic into expiring the manifest
+# the pointer names (post-close review finding) — vacuum resolves the
+# orphan against the pointer and the retry still heals the table
+# ---------------------------------------------------------------------------
+
+def test_vacuum_between_commit_crash_and_retry(spark, tmp_path):
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    root = str(tmp_path / "t")
+    setup = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    setup.apply_batch(_mc_batch(spark, B0), 0)
+
+    # discover the op index of _commit's second rename (the _CURRENT
+    # swap is the last durable op of a merge), then kill exactly there:
+    # manifest-1 lands durable while the pointer still names manifest-0
+    probe_root = str(tmp_path / "probe")
+    p = MaterializedCounts(probe_root, keys=("user_id",), n_buckets=4)
+    p.apply_batch(_mc_batch(spark, B0), 0)
+    w = MaterializedCounts(probe_root, keys=("user_id",), n_buckets=4)
+    with _inject(probe_root, None) as st:
+        w.apply_batch(_mc_batch(spark, B1), 1)
+    last_op = st["count"]
+
+    crasher = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    with _inject(root, last_op):
+        with pytest.raises(InjectedCrash):
+            crasher.apply_batch(_mc_batch(spark, B1), 1)
+    orphan = os.path.join(root, "manifests", "manifest-1.json")
+    assert os.path.exists(orphan), "setup failed: no half-published orphan"
+    reader = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    assert reader.committed_batch() == 0
+
+    # the ops vacuum runs BEFORE the job restarts (the hazard window)
+    ops = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    assert ops.vacuum(keep_last=1) == []  # nothing committed to expire
+    # the pointer's manifest survived, the orphan did not
+    assert ops.committed_batch() == 0
+    assert ops.versions() == [0]
+    assert not os.path.exists(orphan)
+    assert _mc_state(ops, spark) == S0
+
+    # and the retry still heals
+    retry = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    retry.apply_batch(_mc_batch(spark, B1), 1)
+    assert _mc_state(retry, spark) == S1
+    assert retry.versions() == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# fenced-out zombie replaying an id the replacement ALREADY committed:
+# the mid-publish rollback must not "roll back" the replacement's live
+# manifest (post-close review finding — a removal here deletes
+# committed state and leaves _CURRENT dangling)
+# ---------------------------------------------------------------------------
+
+def test_zombie_rollback_never_deletes_committed_manifest(spark, tmp_path):
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    root = str(tmp_path / "t")
+    w2 = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    w2.apply_batch(_mc_batch(spark, B0), 0)
+    w2.apply_batch(_mc_batch(spark, B1), 1)  # replacement owns batch 1
+
+    # zombie w1 wakes mid-_commit of the SAME id: entry check long
+    # past (no-op), first publish verify passes, second raises — the
+    # exact interleaving where the old unconditional rollback deleted
+    # manifest-1 out from under _CURRENT
+    w1 = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    w1._ensure_fence = lambda: None
+    calls = {"n": 0}
+
+    def verify_passes_once_then_fenced():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("fenced out (simulated mid-publish)")
+
+    w1._verify_fence = verify_passes_once_then_fenced
+    with pytest.raises(RuntimeError, match="fenced out"):
+        w1._commit(dict(w2._current_manifest()), 1)
+
+    # the committed manifest survived the zombie's rollback
+    reader = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    assert reader.committed_batch() == 1
+    assert reader.versions() == [0, 1]
+    assert _mc_state(reader, spark) == S1
+    reader.vacuum(keep_last=1)
+    assert _mc_state(reader, spark) == S1
+
+
+# ---------------------------------------------------------------------------
 # compact crash matrix: compaction rewrites the SAME logical state, so
 # the invariant is stronger than the merge matrix's either/or — the
 # table must read IDENTICALLY at every crash point (a compaction can
