@@ -5668,6 +5668,77 @@ FROM s JOIN t ON s.split = t.split
 """
 
 
+def q_training_shuffle(spark, sf_dir):
+    """Seeded epoch shuffle for training-data ordering — the step
+    after dataset_split and sequence_pack, before a corpus is consumed
+    by a training run: every document gets a pseudo-random but fully
+    DETERMINISTIC (seed, shard, position) so N data-loader workers can
+    each read one shard in `pos` order and the global visit order is a
+    reproducible permutation. A new epoch is a new seed — no data
+    movement, just a recomputed manifest.
+
+    The 100 TB-honest part is what this query does NOT do: globally
+    sort by a random key (the naive `ORDER BY hash` shuffle — a
+    full-corpus range exchange + total sort, the classic scale
+    killer; this registry carries zero global sorts). Instead the
+    permutation is factored the way training pipelines actually shard:
+    hash → shard (ONE hash-partition exchange) and a within-shard
+    sort (row_number window PARTITIONED by shard — local sort, never
+    a global one). Readers consume shards independently, so nothing
+    downstream ever needs the total order materialized in one place.
+
+    The key is a Knuth multiplicative hash over the doc id, built from
+    64-bit-safe integer arithmetic ((id mod 2^31) * 2654435761 stays
+    under 2^63) so the SQL oracle computes bit-identical keys — the
+    reproducibility-across-engines property a seeded shuffle exists to
+    provide (same discipline as q_dataset_split's md5 buckets; a
+    rand() shuffle has none of it). Ties on the key are broken by
+    doc_id, making the permutation total. Plan: scan → project → one
+    Exchange hashpartitioning(shard) → local sort + Window.
+
+    Sizing: reduce-side parallelism AND per-task sort volume both
+    equal one shard, so n_shards is chosen as corpus_bytes /
+    target_shard_bytes (a few hundred MB per shard — at 100 TB that
+    is O(100k) shards, far above any cluster's core count; 64 here
+    only because the gate corpus is tiny). Extension surface
+    (reference has no batch analytics; SURVEY §2b)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    seed, n_shards = 42, 64
+    key = F.pmod(
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+        + F.lit(seed),
+        F.lit(2147483647),
+    )
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+SQL_TRAINING_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 2147483648) * 2654435761 + 42) % 2147483647
+           AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       CAST(shuffle_key % 64 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 64
+                               ORDER BY shuffle_key, doc_id) AS INT) AS pos
+FROM h
+"""
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher-style hard quality gate (Rae et al. 2021): per-doc rule
     flags + pass verdict — the branch-on filter tier in front of every
@@ -9422,6 +9493,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "dataset_split": QuerySpec(
         q_dataset_split, SQL_DATASET_SPLIT, ("text", "pipeline")
+    ),
+    "training_shuffle": QuerySpec(
+        q_training_shuffle, SQL_TRAINING_SHUFFLE, ("text", "pipeline")
     ),
     "sequence_pack": QuerySpec(q_sequence_pack, SQL_SEQUENCE_PACK, ("text", "pipeline")),
     "bpe_pair_counts": QuerySpec(q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS, ("text",)),

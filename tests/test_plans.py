@@ -1201,3 +1201,21 @@ def test_ann_recall_eval_join_is_broadcast(spark):
     assert plan.count("SortMergeJoin") <= 1, plan  # ivf bucket join only
     assert "CartesianProduct" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_training_shuffle_one_exchange_no_global_sort(spark):
+    """The seeded epoch shuffle must be the factored form (hash to
+    shard, sort WITHIN shard), never the naive global `ORDER BY
+    random-key`: exactly one Exchange (hashpartitioning on shard —
+    no rangepartitioning anywhere, which is what a global sort would
+    compile to), the scan pruned to doc_id alone, and the key
+    arithmetic inside whole-stage codegen."""
+    from kafkastreams_example_spark.queries import q_training_shuffle
+
+    df = q_training_shuffle(spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    formatted = plan_string(df)
+    assert "ReadSchema: struct<doc_id:bigint>" in formatted, formatted
