@@ -360,6 +360,15 @@ ROUND14_FAMILY = [
     "zoned_read_prune",
 ]
 
+ROUND16_FAMILY = [
+    # training_shuffle: ~linear — one narrow projection (doc_id only),
+    # one hash exchange on the 64-way shard key, a within-shard local
+    # sort; nothing in the plan grows superlinearly and nothing is
+    # global. The probe confirms the exchange+local-sort stays linear
+    # as documents replicate 10x/30x.
+    "training_shuffle",
+]
+
 # (registry cosine_pairs has been the bucketed form since round 6, the
 # adaptive two-level grid since round 7, and knn_label_accuracy the
 # PQ-screened form since round 9 — no probed family is quadratic by
@@ -707,6 +716,8 @@ if __name__ == "__main__":
             fam = ROUND13_FAMILY
         elif "r14" in sys.argv[2:]:
             fam = ROUND14_FAMILY
+        elif "r16" in sys.argv[2:]:
+            fam = ROUND16_FAMILY
         run(fam)
     else:
         raise SystemExit(f"unknown command {sys.argv[1]!r}: use build|run")
