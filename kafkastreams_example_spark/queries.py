@@ -5706,8 +5706,14 @@ def q_training_shuffle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     seed, n_shards = 42, 64
+    # inner pmod (not %) so the key is total over ALL bigint ids: %
+    # is sign-of-dividend on both engines, and a negative residue fed
+    # to Spark's pmod vs DuckDB's % would diverge — pmod-normalizing
+    # first makes every later step operate on non-negative values,
+    # where pmod and % agree (the SQL mirrors it with the
+    # add-then-mod idiom). (id pmod 2^31) * 2654435761 stays < 2^63.
     key = F.pmod(
-        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
         + F.lit(seed),
         F.lit(2147483647),
     )
@@ -5728,7 +5734,8 @@ def q_training_shuffle(spark, sf_dir):
 SQL_TRAINING_SHUFFLE = """
 WITH h AS (
   SELECT doc_id,
-         ((doc_id % 2147483648) * 2654435761 + 42) % 2147483647
+         ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+            * 2654435761 + 42) % 2147483647
            AS shuffle_key
   FROM documents)
 SELECT doc_id, shuffle_key,
