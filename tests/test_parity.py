@@ -135,3 +135,34 @@ def test_no_zero_signal_oracles():
         con = duckdb.connect()
         register_views(con, sf_dir)
         assert audit(con) == [], sf_dir
+
+
+def test_training_shuffle_key_total_over_hostile_ids(spark):
+    """The shuffle key must be engine-identical for EVERY bigint id,
+    not just the fixture's non-negative ones: % is sign-of-dividend on
+    both engines, so a naive inner % would make Spark's pmod and
+    DuckDB's % diverge on negative ids (the pmod-then-arithmetic form
+    keeps every intermediate non-negative, where the two agree).
+    Hostile set: negatives, the -2^31-1 boundary, 0, and a 2^53+1
+    value a float round-trip would corrupt."""
+    from pyspark.sql import functions as F
+
+    ids = [-5, -2147483649, -1, 0, 7, 2147483648, 9007199254740993]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+    key = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
+        + F.lit(42),
+        F.lit(2147483647),
+    )
+    got = {r[0]: r[1] for r in df.select("doc_id", key.alias("k")).collect()}
+    con = duckdb.connect()
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT i, ((((i % 2147483648) + 2147483648) % 2147483648)"
+            " * 2654435761 + 42) % 2147483647"
+            " FROM (SELECT unnest(?) AS i)",
+            [ids],
+        ).fetchall()
+    }
+    assert got == want
