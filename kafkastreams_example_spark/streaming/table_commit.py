@@ -134,41 +134,23 @@ class ManifestTable:
         # lists the directory), so the rename is a publish — re-verify
         # the fence immediately before it, with the tmp fully staged
         self._verify_fence()
-        pre_existing = os.path.exists(mpath)
         os.replace(tmp, mpath)
         ptmp = os.path.join(self.path, "_CURRENT.tmp")
         with open(ptmp, "w") as fh:
             fh.write(name)
-        try:
-            self._verify_fence()
-        except RuntimeError:
-            # fenced out BETWEEN the two renames: roll the manifest
-            # back before raising, so the zombie's half-published
-            # orphan never sits above the replacement's history
-            # (round-16 self-review). But ONLY a manifest this attempt
-            # exclusively created may be removed: if one already
-            # existed at this id (the replacement's deterministic
-            # replay of the same batch got here first, or a prior
-            # crash left one), or _CURRENT meanwhile names this id,
-            # "rolling back" would delete COMMITTED state and leave
-            # the pointer dangling — a wedged table, strictly worse
-            # than the orphan (post-close review finding). Those
-            # survivors are half-published orphans at worst, and
-            # vacuum now resolves them against the pointer.
-            # A CRASH here (no raise) is the pre-existing case: the
-            # single writer's retry of this batch id overwrites the
-            # orphan before any later id commits.
-            try:
-                named = False
-                ptr = os.path.join(self.path, "_CURRENT")
-                if os.path.exists(ptr):
-                    with open(ptr) as fh:
-                        named = fh.read().strip() == name
-                if not pre_existing and not named:
-                    os.remove(mpath)
-            except OSError:
-                pass
-            raise
+        # fenced out BETWEEN the two renames: raise WITHOUT touching
+        # the already-named manifest. Deliberately no rollback: any
+        # os.remove here can race the replacement's own deterministic
+        # replay of this id and delete the manifest it is about to
+        # point _CURRENT at — a permanently wedged table, strictly
+        # worse than the orphan (two post-close review rounds each
+        # found a live interleaving in a guarded-remove variant).
+        # The half-published orphan above the pointer is harmless and
+        # short-lived: readers resolve through _CURRENT, the single
+        # writer's retry of this batch id overwrites it (the same
+        # story as a CRASH here, which could never roll back anyway),
+        # and vacuum deletes any orphan above the pointer it finds.
+        self._verify_fence()
         os.replace(ptmp, os.path.join(self.path, "_CURRENT"))
 
     def _save_schema(self, schema, batch_id: int = 0) -> None:
@@ -359,10 +341,11 @@ class ManifestTable:
         # leaving them would keep time-travel reads at/above their id
         # resolving to dangling paths once the sweep reclaims their
         # staged data dirs.
-        committed_ids = [
-            v for v in all_manifests if cur is not None and v <= cur
-        ]
-        orphans = [v for v in all_manifests if v not in set(committed_ids)]
+        if cur is None:
+            committed_ids, orphans = [], list(all_manifests)
+        else:
+            committed_ids = [v for v in all_manifests if v <= cur]
+            orphans = [v for v in all_manifests if v > cur]
         # destructive phase 1 (orphan manifests + orphan schema
         # versions): re-verify the fence immediately before it, so a
         # zombie vacuum passing only the entry check cannot purge the

@@ -4065,12 +4065,15 @@ def test_manifest_table_fencing_mid_merge_supersede(spark, tmp_path):
     assert got == {1: "a", 2: "b"}
 
     # supersede landing BETWEEN _commit's two renames (manifest
-    # already durable, _CURRENT not yet swapped): the half-published
-    # manifest must be ROLLED BACK, not left as an orphan versions()
-    # would treat as committed — the orphan would sit ABOVE the
-    # replacement's newest id and steer vacuum's keep set onto it,
-    # letting vacuum delete the manifest _CURRENT points to
-    # (round-16 self-review finding)
+    # already durable, _CURRENT not yet swapped): the zombie raises
+    # and deliberately LEAVES the half-published manifest in place —
+    # any remove here can race the replacement's own replay of the id
+    # and delete a manifest the pointer is about to name (post-close
+    # review: two guarded-rollback variants each had a live wedge
+    # interleaving). The orphan is inert: the pointer never moved, the
+    # read is unchanged, and vacuum resolves any manifest above the
+    # pointer instead of letting it steer the keep set (the
+    # round-16 hazard the rollback originally targeted).
     calls = {"n": 0}
 
     def verify_passes_once_then_fenced():
@@ -4081,9 +4084,16 @@ def test_manifest_table_fencing_mid_merge_supersede(spark, tmp_path):
     w1._verify_fence = verify_passes_once_then_fenced
     with pytest.raises(RuntimeError, match="fenced out"):
         w1.apply_batch(spark.createDataFrame([(5, 50, "u", "z2")], ddl), 3)
-    assert w2.versions() == [0, 1], "zombie's half-published manifest must be rolled back"
+    assert w2.versions() == [0, 1, 3], "orphan above the pointer is left in place"
     assert w2.committed_batch() == 1
+    got = {r["k"]: r["payload"] for r in w2.read(spark).collect()}
+    assert got == {1: "a", 2: "b"}, "pointer-resolved read unaffected by the orphan"
     del w1._verify_fence  # restore the real method
+    # vacuum (as the replacement, which holds the fence) resolves the
+    # zombie's orphan against the pointer rather than keeping it
+    w2.vacuum(keep_last=2)
+    assert w2.versions() == [0, 1]
+    assert w2.committed_batch() == 1
 
     # and vacuum's destructive phase re-verifies BEFORE the schema-
     # orphan purge: a zombie vacuum must not delete the replacement's

@@ -285,9 +285,10 @@ def test_vacuum_between_commit_crash_and_retry(spark, tmp_path):
 
 # ---------------------------------------------------------------------------
 # fenced-out zombie replaying an id the replacement ALREADY committed:
-# the mid-publish rollback must not "roll back" the replacement's live
-# manifest (post-close review finding — a removal here deletes
-# committed state and leaves _CURRENT dangling)
+# _commit must never "roll back" (delete) the replacement's live
+# manifest (post-close review finding — _commit now deliberately
+# performs NO remove on fence loss, because any remove can race the
+# replacement's replay of the same id and leave _CURRENT dangling)
 # ---------------------------------------------------------------------------
 
 def test_zombie_rollback_never_deletes_committed_manifest(spark, tmp_path):
@@ -302,8 +303,8 @@ def test_zombie_rollback_never_deletes_committed_manifest(spark, tmp_path):
 
     # zombie w1 wakes mid-_commit of the SAME id: entry check long
     # past (no-op), first publish verify passes, second raises — the
-    # exact interleaving where the old unconditional rollback deleted
-    # manifest-1 out from under _CURRENT
+    # exact interleaving where a rollback-on-fence-loss variant
+    # deleted manifest-1 out from under _CURRENT
     w1 = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
     w1._ensure_fence = lambda: None
     calls = {"n": 0}
