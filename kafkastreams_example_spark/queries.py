@@ -5687,14 +5687,24 @@ def q_training_shuffle(spark, sf_dir):
     a global one). Readers consume shards independently, so nothing
     downstream ever needs the total order materialized in one place.
 
-    The key is a Knuth multiplicative hash over the doc id, built from
-    64-bit-safe integer arithmetic ((id mod 2^31) * 2654435761 stays
-    under 2^63) so the SQL oracle computes bit-identical keys — the
-    reproducibility-across-engines property a seeded shuffle exists to
-    provide (same discipline as q_dataset_split's md5 buckets; a
-    rand() shuffle has none of it). Ties on the key are broken by
-    doc_id, making the permutation total. Plan: scan → project → one
-    Exchange hashpartitioning(shard) → local sort + Window.
+    The key is the first 48 bits of md5("<id>:<seed>") — the exact
+    q_dataset_split discipline, chosen over integer mixing for three
+    properties a multiplicative hash folded to 64-bit-safe arithmetic
+    could not give at the claimed scale (post-close review): (1) the
+    key space is 2^48, so a billion-doc corpus carries ~2^-18 expected
+    collisions per pair instead of the ~2.3e8 systematically
+    doc_id-ordered tie pairs a 2^31 key space produces; (2) ids are
+    hashed as STRINGS, so no id-space fold exists at all (a mod-2^31
+    fold gives ids differing by 2^31 identical keys under EVERY seed —
+    permanently correlated pairs, the opposite of an epoch shuffle);
+    (3) the seed participates inside the hash, so epochs decorrelate
+    fully rather than rotating one fixed permutation. Both engines
+    compute md5 over the identical string (negative ids included), so
+    the oracle reproduces the permutation bit-identically — the
+    property a seeded shuffle exists to provide (a rand() shuffle has
+    none of it). Ties on the 48-bit key are broken by doc_id, making
+    the permutation total. Plan: scan → project → one Exchange
+    hashpartitioning(shard) → local sort + Window.
 
     Sizing: reduce-side parallelism AND per-task sort volume both
     equal one shard, so n_shards is chosen as corpus_bytes /
@@ -5706,16 +5716,24 @@ def q_training_shuffle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     seed, n_shards = 42, 64
-    # inner pmod (not %) so the key is total over ALL bigint ids: %
-    # is sign-of-dividend on both engines, and a negative residue fed
-    # to Spark's pmod vs DuckDB's % would diverge — pmod-normalizing
-    # first makes every later step operate on non-negative values,
-    # where pmod and % agree (the SQL mirrors it with the
-    # add-then-mod idiom). (id pmod 2^31) * 2654435761 stays < 2^63.
-    key = F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
-        + F.lit(seed),
-        F.lit(2147483647),
+    # 48-bit md5 prefix keeps conv()'s result exactly representable
+    # (< 2^63 with huge margin) and bit-identical to the oracle's
+    # CAST('0x'||hex AS BIGINT); the seed is hashed INSIDE the digest
+    key = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.lit(str(seed))
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
     )
     keyed = docs.select(
         "doc_id",
@@ -5734,9 +5752,9 @@ def q_training_shuffle(spark, sf_dir):
 SQL_TRAINING_SHUFFLE = """
 WITH h AS (
   SELECT doc_id,
-         ((((doc_id % 2147483648) + 2147483648) % 2147483648)
-            * 2654435761 + 42) % 2147483647
-           AS shuffle_key
+         CAST(('0x' || substring(
+                 md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 12))
+              AS BIGINT) AS shuffle_key
   FROM documents)
 SELECT doc_id, shuffle_key,
        CAST(shuffle_key % 64 AS INT) AS shard,

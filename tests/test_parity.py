@@ -137,32 +137,60 @@ def test_no_zero_signal_oracles():
         assert audit(con) == [], sf_dir
 
 
-def test_training_shuffle_key_total_over_hostile_ids(spark):
-    """The shuffle key must be engine-identical for EVERY bigint id,
-    not just the fixture's non-negative ones: % is sign-of-dividend on
-    both engines, so a naive inner % would make Spark's pmod and
-    DuckDB's % diverge on negative ids (the pmod-then-arithmetic form
-    keeps every intermediate non-negative, where the two agree).
-    Hostile set: negatives, the -2^31-1 boundary, 0, and a 2^53+1
-    value a float round-trip would corrupt."""
-    from pyspark.sql import functions as F
+def test_training_shuffle_parity_over_hostile_ids(spark, tmp_path):
+    """Drive q_training_shuffle ITSELF (not a copy of its key
+    expression — an expression copy would keep passing after a
+    regression in the registry code) against its own SQL oracle on a
+    documents table of hostile ids: negatives, the -2^31-1 boundary,
+    0, ids differing by exactly 2^31 (the pair class a mod-2^31 key
+    fold would permanently collide), and a 2^53+1 value a float
+    round-trip would corrupt. Full-output comparison, same
+    normalization as the main gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    ids = [-5, -2147483649, -1, 0, 7, 2147483648, 9007199254740993]
-    df = spark.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
-    key = F.pmod(
-        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761)
-        + F.lit(42),
-        F.lit(2147483647),
+    from kafkastreams_example_spark.queries import (
+        REGISTRY,
+        q_training_shuffle,
     )
-    got = {r[0]: r[1] for r in df.select("doc_id", key.alias("k")).collect()}
+
+    ids = [
+        -5,
+        -2147483649,
+        -1,
+        0,
+        7,
+        7 + 2147483648,
+        2147483648,
+        9007199254740993,
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": ["t"] * len(ids),
+            "lang": ["en"] * len(ids),
+            "source": ["web"] * len(ids),
+            "n_chars": pa.array([1] * len(ids), pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    df = q_training_shuffle(spark, str(tmp_path))
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+
     con = duckdb.connect()
-    want = {
-        r[0]: r[1]
-        for r in con.execute(
-            "SELECT i, ((((i % 2147483648) + 2147483648) % 2147483648)"
-            " * 2654435761 + 42) % 2147483647"
-            " FROM (SELECT unnest(?) AS i)",
-            [ids],
-        ).fetchall()
-    }
-    assert got == want
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    cur = con.execute(REGISTRY["training_shuffle"].oracle)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert _normrows(spark_rows, spark_cols) == _normrows(
+        duck_rows, duck_cols
+    )
+    # the 2^31-apart pair must NOT collide (the fold-class regression)
+    keys = {r[0]: r[1] for r in spark_rows}
+    assert keys[7] != keys[7 + 2147483648]
