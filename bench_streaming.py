@@ -210,13 +210,16 @@ def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
     exactly like the rows/s floors. Most bounds sit ~1.5x over the
     known plateau (r15 recordings) so quiet-machine variance never
     trips them while a leak regime (linear growth per batch) always
-    does. TWO bounds are deliberately tighter (~1.1x, sub-batch
-    headroom): interval_join and embedding_dedup, whose plateaus are
+    does. TWO bounds are deliberately tighter (plateau + HALF a
+    batch): interval_join and embedding_dedup, whose plateaus are
     DETERMINISTIC rows-seen counts at the fixed final measured batch
     (round-16 self-review: the earlier 12x-run ceilings could never
-    trip within the run). If you change the feed shape, WARMUP/
-    MEASURE, or the batch size, recompute those two plateaus — the
-    margin does not absorb an extra batch.
+    trip within the run; the post-close review then caught that a
+    one-full-batch margin + the strict-> gate let a plateau+1-batch
+    regime land exactly AT the bound and pass). If you change the
+    feed shape, WARMUP/MEASURE, or the batch size, recompute those
+    two plateaus — the margin does not absorb an extra batch, by
+    construction now.
     """
     # event time advances 1 s/batch and the run spans WARMUP+MEASURE
     # (+ up to ~2 stop-lag) batches — watermark-bounded identity
@@ -255,11 +258,14 @@ def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
         # event-time span, so NOTHING is evicted and a dropped
         # watermark is indistinguishable within this run — these two
         # bounds are row-DUPLICATION/runaway + signal-presence checks,
-        # not watermark checks). Bounds at ~1.1x the deterministic
-        # rows-seen plateau (r15/r16 recordings: exactly 500k / 1.8M
-        # at the default feed sizes).
-        "embedding_dedup": rows_dedup * 11,
-        "interval_join": rows_filter * 10,
+        # not watermark checks). Bounds sit HALF a batch over the
+        # deterministic rows-seen plateau (r15/r16 recordings:
+        # exactly 500k / 1.8M at the default feed sizes), so one
+        # whole extra batch of retained rows trips the strict-> gate
+        # — plateau+batch landing exactly AT a bound would pass it
+        # (post-close review finding on the earlier one-batch margin).
+        "embedding_dedup": rows_dedup * 10 + rows_dedup // 2,
+        "interval_join": rows_filter * 9 + rows_filter // 2,
         # banded-minhash stores: distinct (band, signature) buckets
         # over the fixed corpus (r15 recordings 2,667 / 5,908)
         "minhash_dedup": 6_000,
