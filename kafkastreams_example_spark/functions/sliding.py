@@ -363,6 +363,26 @@ def rolling_corr_range(
             & ~ctx.degenerate(ctx.y)
             & np.isfinite(corr)
         )
+        # NEAR-DEGENERATE frames (|corr| → 1, e.g. any 2-point frame,
+        # whose true corr is EXACTLY ±1) are the one regime where the
+        # co-moment identity's cancellation survives entity-centering:
+        # the sf0.1 full sweep measured -0.999999 against the oracle's
+        # -1 (the 6 dp shield cannot absorb an absolute error that
+        # brushes the 6th decimal at the |corr|=1 boundary). Those few
+        # rows are recomputed EXACTLY: two-pass, frame-mean-centered
+        # over the frame slice — the textbook-stable form, affordable
+        # because it only ever runs on the |corr| > 0.999 tail (the
+        # mid-range stays on the O(1)-per-row prefix path, where the
+        # centered-prefix error is orders below the shield).
+        for i in np.flatnonzero(ok & (np.abs(corr) > 0.999)):
+            lo, hi = int(ctx.lo[i]), int(ctx.hi[i])
+            seg = ctx.m[lo:hi]
+            xs = x[lo:hi][seg]
+            ys = np.nan_to_num(ctx.y[lo:hi])[seg]
+            xs = xs - xs.mean()
+            ys = ys - ys.mean()
+            den = np.sqrt(float((xs * xs).sum()) * float((ys * ys).sum()))
+            corr[i] = (float((xs * ys).sum()) / den) if den > 0.0 else np.nan
         out = ctx.pdf[id_cols].copy()
         out[out_col] = corr
         return out[ok]

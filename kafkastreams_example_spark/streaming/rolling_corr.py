@@ -105,6 +105,18 @@ def _corr_over_frames(mt, mv, lo, hi):
         & ~degenerate(mv)
         & np.isfinite(corr)
     )
+    # NEAR-DEGENERATE frames (|corr| → 1; any 2-point frame is exactly
+    # ±1) are where the co-moment identity's cancellation survives the
+    # timeline rebase — the same regime the batch kernel's sf0.1 sweep
+    # caught at 6 dp (functions/sliding.py). Recompute those few rows
+    # exactly: two-pass, frame-mean-centered over the frame slice;
+    # mid-range frames stay on the O(1)-per-row prefix path.
+    for i in np.flatnonzero(ok & (np.abs(corr) > 0.999)):
+        l, h = int(lo[i]), int(hi[i])
+        xs = x[l:h] - x[l:h].mean()
+        ys = mv[l:h] - mv[l:h].mean()
+        den = np.sqrt(float((xs * xs).sum()) * float((ys * ys).sum()))
+        corr[i] = (float((xs * ys).sum()) / den) if den > 0.0 else np.nan
     return corr, ok
 
 
