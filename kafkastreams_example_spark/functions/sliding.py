@@ -123,6 +123,61 @@ def sparse_range_minmax(y_mn, y_mx, lo, hi):
     return out_mn, out_mx
 
 
+def exact_frame_corr(np, x, y, lo, hi, hits, m=None, budget=1 << 22):
+    """EXACT two-pass frame-mean-centered Pearson corr for the
+    |corr| → 1 near-degenerate tail — VECTORIZED (round-17 advice):
+    for rolling corr of value vs TIME, a trending entity sits at
+    |corr| → 1 pervasively, so the tail can be MOST rows and a
+    per-row Python loop doing O(frame) work per hit degrades to
+    O(rows · frame) — the exact scale cliff the prefix kernel exists
+    to avoid. Frames are instead gathered into padded (rows × max_len)
+    matrices and reduced with masked numpy row-ops; batches bound the
+    gather at ~``budget`` elements so memory stays O(budget) no matter
+    how long the frames are (worst case cost O(tail_rows · frame) in
+    NUMPY flops — same asymptotics as the loop, ~100× the constant).
+
+    ``x``/``y`` are the full (batch-local) regressor arrays, ``lo``/
+    ``hi`` the per-row frame bounds, ``hits`` the row indices to
+    recompute, ``m`` an optional validity mask over rows (None = all
+    valid — the streaming face dead-letters NULLs upstream). Returns
+    corr values aligned to ``hits``; NaN when the frame is
+    value-degenerate under exact two-pass centering (den == 0, e.g.
+    (v − mean)² underflow) — CALLERS MUST re-and their ok mask with
+    isfinite afterwards (the defined-corr emission contract)."""
+    out = np.empty(len(hits))
+    lo_h = np.asarray(lo)[hits].astype(np.int64)
+    hi_h = np.asarray(hi)[hits].astype(np.int64)
+    lens = hi_h - lo_h
+    start = 0
+    while start < len(hits):
+        # grow the batch until rows × max_len would exceed the budget
+        max_len = int(lens[start])
+        end = start + 1
+        while end < len(hits):
+            cand = max(max_len, int(lens[end]))
+            if (end - start + 1) * cand > budget:
+                break
+            max_len, end = cand, end + 1
+        max_len = max(max_len, 1)
+        offs = np.arange(max_len, dtype=np.int64)
+        idx = lo_h[start:end, None] + offs[None, :]
+        valid = offs[None, :] < lens[start:end, None]
+        idx = np.minimum(idx, len(x) - 1)  # clip pad lanes, masked out
+        w = valid if m is None else (valid & m[idx])
+        cnt = w.sum(axis=1)
+        cnt_safe = np.maximum(cnt, 1)
+        xs = np.where(w, x[idx], 0.0)
+        ys = np.where(w, y[idx], 0.0)
+        xc = np.where(w, xs - (xs.sum(axis=1) / cnt_safe)[:, None], 0.0)
+        yc = np.where(w, ys - (ys.sum(axis=1) / cnt_safe)[:, None], 0.0)
+        den = np.sqrt((xc * xc).sum(axis=1) * (yc * yc).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = (xc * yc).sum(axis=1) / den
+        out[start:end] = np.where(den > 0.0, c, np.nan)
+        start = end
+    return out
+
+
 class _FrameCtx:
     """Everything a RANGE-frame aggregate needs for one batch of
     complete entities, precomputed once: entity codes, frame bounds
@@ -368,21 +423,23 @@ def rolling_corr_range(
         # co-moment identity's cancellation survives entity-centering:
         # the sf0.1 full sweep measured -0.999999 against the oracle's
         # -1 (the 6 dp shield cannot absorb an absolute error that
-        # brushes the 6th decimal at the |corr|=1 boundary). Those few
+        # brushes the 6th decimal at the |corr|=1 boundary). Those
         # rows are recomputed EXACTLY: two-pass, frame-mean-centered
-        # over the frame slice — the textbook-stable form, affordable
-        # because it only ever runs on the |corr| > 0.999 tail (the
-        # mid-range stays on the O(1)-per-row prefix path, where the
-        # centered-prefix error is orders below the shield).
-        for i in np.flatnonzero(ok & (np.abs(corr) > 0.999)):
-            lo, hi = int(ctx.lo[i]), int(ctx.hi[i])
-            seg = ctx.m[lo:hi]
-            xs = x[lo:hi][seg]
-            ys = np.nan_to_num(ctx.y[lo:hi])[seg]
-            xs = xs - xs.mean()
-            ys = ys - ys.mean()
-            den = np.sqrt(float((xs * xs).sum()) * float((ys * ys).sum()))
-            corr[i] = (float((xs * ys).sum()) / den) if den > 0.0 else np.nan
+        # over the frame slice — the textbook-stable form. The tail
+        # can be MOST rows (value-vs-time corr of a trending entity),
+        # so the recompute is vectorized with bounded memory
+        # (exact_frame_corr), never a per-row Python loop; mid-range
+        # frames stay on the O(1)-per-row prefix path, where the
+        # centered-prefix error is orders below the shield.
+        hits = np.flatnonzero(ok & (np.abs(corr) > 0.999))
+        if len(hits):
+            corr[hits] = exact_frame_corr(
+                np, x, np.nan_to_num(ctx.y), ctx.lo, ctx.hi, hits, m=ctx.m
+            )
+            # the recompute can yield NaN (den == 0 via (v-mean)^2
+            # underflow): re-and the mask so the defined-corr emission
+            # contract survives the exact tail (round-17 advice)
+            ok &= np.isfinite(corr)
         out = ctx.pdf[id_cols].copy()
         out[out_col] = corr
         return out[ok]

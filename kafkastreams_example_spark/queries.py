@@ -5723,8 +5723,12 @@ def q_training_shuffle(spark, sf_dir):
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws(
-                        ":", F.col("doc_id").cast("string"), F.lit(str(seed))
+                    # concat (NOT concat_ws): concat_ws SKIPS NULLs, so a
+                    # NULL doc_id would hash as md5('42') and get a real
+                    # key/shard while the oracle's '||' propagates NULL →
+                    # NULL key — concat propagates NULL identically
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(f":{seed}")
                     )
                 ),
                 1,

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.sliding import US_PER_DAY
+from ..functions.sliding import US_PER_DAY, exact_frame_corr
 from ._evict import arm, expired
 
 DEFAULT_WINDOW_US = 86_400_000_000  # 24 h
@@ -108,15 +108,17 @@ def _corr_over_frames(mt, mv, lo, hi):
     # NEAR-DEGENERATE frames (|corr| → 1; any 2-point frame is exactly
     # ±1) are where the co-moment identity's cancellation survives the
     # timeline rebase — the same regime the batch kernel's sf0.1 sweep
-    # caught at 6 dp (functions/sliding.py). Recompute those few rows
-    # exactly: two-pass, frame-mean-centered over the frame slice;
-    # mid-range frames stay on the O(1)-per-row prefix path.
-    for i in np.flatnonzero(ok & (np.abs(corr) > 0.999)):
-        l, h = int(lo[i]), int(hi[i])
-        xs = x[l:h] - x[l:h].mean()
-        ys = mv[l:h] - mv[l:h].mean()
-        den = np.sqrt(float((xs * xs).sum()) * float((ys * ys).sum()))
-        corr[i] = (float((xs * ys).sum()) / den) if den > 0.0 else np.nan
+    # caught at 6 dp (functions/sliding.py). Recompute those rows
+    # exactly: two-pass, frame-mean-centered, via the shared
+    # VECTORIZED tail (the tail can be most rows for a trending
+    # entity — no per-row Python loop); mid-range frames stay on the
+    # O(1)-per-row prefix path. The recompute can yield NaN (den == 0
+    # underflow) — re-and the mask so the defined-corr emission
+    # contract holds (round-17 advice).
+    hits = np.flatnonzero(ok & (np.abs(corr) > 0.999))
+    if len(hits):
+        corr[hits] = exact_frame_corr(np, x, mv, lo, hi, hits)
+        ok &= np.isfinite(corr)
     return corr, ok
 
 

@@ -353,10 +353,33 @@ class ManifestTable:
         # is still in flight (round-16 self-review — exactly the
         # evolved-columns corruption the orphan rule guards against)
         self._verify_fence()
+        # keep the orphan bytes in hand: the remove below carries the
+        # same one-rename check-then-act window as _commit — a zombie
+        # vacuum that passed _verify_fence can delete the REPLACEMENT
+        # writer's just-renamed manifest before the replacement swaps
+        # _CURRENT, leaving the pointer naming a missing manifest
+        # (wedged if that writer dies before its next commit heals
+        # it). Healing rule (round-17 advice): re-read _CURRENT after
+        # the removes and RESTORE any manifest it now names from the
+        # saved bytes — the restored id is committed history, not an
+        # orphan, and joins the keep/expire arithmetic below.
+        removed: dict[int, str] = {}
         for v in orphans:
-            os.remove(
-                os.path.join(self.path, "manifests", f"manifest-{v}.json")
-            )
+            p = os.path.join(self.path, "manifests", f"manifest-{v}.json")
+            with open(p) as fh:
+                removed[v] = fh.read()
+            os.remove(p)
+        if removed:
+            cur_after = self.committed_batch()
+            if cur_after is not None and cur_after in removed:
+                p = os.path.join(
+                    self.path, "manifests", f"manifest-{cur_after}.json"
+                )
+                tmp = p + ".restore.tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(removed[cur_after])
+                os.replace(tmp, p)
+                committed_ids = sorted({*committed_ids, cur_after})
         versions = committed_ids
         # while manifest history is still known, purge ORPHANED schema
         # versions (no manifest ever committed their id): after expiry

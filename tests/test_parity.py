@@ -143,9 +143,12 @@ def test_training_shuffle_parity_over_hostile_ids(spark, tmp_path):
     regression in the registry code) against its own SQL oracle on a
     documents table of hostile ids: negatives, the -2^31-1 boundary,
     0, ids differing by exactly 2^31 (the pair class a mod-2^31 key
-    fold would permanently collide), and a 2^53+1 value a float
-    round-trip would corrupt. Full-output comparison, same
-    normalization as the main gate."""
+    fold would permanently collide), a 2^53+1 value a float
+    round-trip would corrupt, and a NULL id (round-17 advice: the
+    key must be built with concat, which propagates NULL like the
+    oracle's '||' — concat_ws SKIPS NULLs and would hash a NULL id
+    as md5('42'), giving it a real key/shard the oracle denies).
+    Full-output comparison, same normalization as the main gate."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -163,6 +166,7 @@ def test_training_shuffle_parity_over_hostile_ids(spark, tmp_path):
         7 + 2147483648,
         2147483648,
         9007199254740993,
+        None,
     ]
     table = pa.table(
         {

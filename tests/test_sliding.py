@@ -152,6 +152,94 @@ def test_registry_entry_matches_rows_frame_on_sparse_data(spark):
     assert {r["eid"]: pytest.approx(r["c"], abs=1e-9) for r in got} == want
 
 
+def test_trending_entity_exact_tail_pervasive(spark):
+    """A perfectly linear entity puts EVERY frame at corr = 1 exactly —
+    the |corr| > 0.999 tail is ALL rows, the regime the round-17
+    vectorized recompute (exact_frame_corr) exists for. Every output
+    must be exactly 1.0 at machine tolerance (the exact two-pass form
+    has no cancellation), and the row set must match brute force."""
+    rows = [(1, i, 100 * i, 2.5 * i + 7.0) for i in range(1, 60)]
+    rows += [(2, 100 + i, 100 * i, -3.0 * i) for i in range(1, 40)]
+    got = _run(spark, rows, w=1_500)
+    want = _brute(rows, w=1_500)
+    assert set(got) == set(want)
+    for eid, c in got.items():
+        assert c == pytest.approx(want[eid], abs=1e-12), eid
+        assert abs(c) == pytest.approx(1.0, abs=1e-12), eid
+
+
+def test_exact_frame_corr_vectorized_matches_loop_and_masks_nan():
+    """Unit-level pin of the shared exact tail: (a) batched gathers
+    (tiny budget forcing multiple batches) equal the per-frame
+    two-pass loop; (b) masked rows are excluded; (c) a frame whose
+    centered squares underflow to zero (den == 0) returns NaN — the
+    signal callers must re-and into their ok mask."""
+    import numpy as np
+
+    from kafkastreams_example_spark.functions.sliding import (
+        exact_frame_corr,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 200
+    x = np.sort(rng.uniform(0, 100, n))
+    y = 3.0 * x + rng.normal(0, 1e-6, n)  # near-perfect trend
+    lo = np.maximum(np.arange(n) - rng.integers(2, 40, n), 0)
+    hi = np.arange(n) + 1
+    m = rng.uniform(size=n) > 0.1
+    hits = np.flatnonzero((hi - lo) >= 3)
+    got = exact_frame_corr(np, x, y, lo, hi, hits, m=m, budget=64)
+    for k, i in enumerate(hits):
+        seg = m[lo[i]:hi[i]]
+        xs = x[lo[i]:hi[i]][seg]
+        ys = y[lo[i]:hi[i]][seg]
+        if len(xs) == 0:
+            continue
+        xs, ys = xs - xs.mean(), ys - ys.mean()
+        den = np.sqrt((xs * xs).sum() * (ys * ys).sum())
+        want = (xs * ys).sum() / den if den > 0 else np.nan
+        if np.isnan(want):
+            assert np.isnan(got[k]), i
+        else:
+            assert got[k] == pytest.approx(want, abs=1e-12), i
+    # (c) underflow frame: values change (exact change-count says
+    # non-degenerate) but centered squares underflow → den == 0 → NaN
+    xs2 = np.array([0.0, 1.0, 2.0])
+    ys2 = np.array([1e-200, 2e-200, 3e-200])
+    out = exact_frame_corr(
+        np, xs2, ys2, np.array([0]), np.array([3]), np.array([0])
+    )
+    assert np.isnan(out[0])
+
+
+def test_streaming_corr_ok_mask_refreshed_after_exact_tail(monkeypatch):
+    """The defined-corr emission contract must survive the exact-tail
+    recompute: if the recompute yields NaN, the row is DROPPED, not
+    emitted with corr = NaN (round-17 advice). Pinned by forcing the
+    shared tail to return NaN for a frame the prefix path found
+    finite."""
+    import numpy as np
+
+    from kafkastreams_example_spark.streaming import rolling_corr as rc
+
+    mt = np.array([100, 200, 300], dtype=np.int64)
+    mv = np.array([1.0, 2.0, 3.0])
+    lo = np.array([0, 0, 0])
+    hi = np.array([1, 2, 3])
+    corr0, ok0 = rc._corr_over_frames(mt, mv, lo, hi)
+    assert list(ok0) == [False, True, True]  # sanity: trend → |corr|=1
+
+    monkeypatch.setattr(
+        rc,
+        "exact_frame_corr",
+        lambda np_, x, y, lo_, hi_, hits, **kw: np.full(
+            len(hits), np.nan
+        ),
+    )
+    corr1, ok1 = rc._corr_over_frames(mt, mv, lo, hi)
+    assert not ok1.any(), "NaN recompute rows must leave the ok mask"
+
+
 def test_rolling_range_stats_matches_brute_force(spark):
     """count/sum/mean/std/min/max over the RANGE frame vs a quadratic
     reference — exercises the sparse-table RMQ at power-of-two frame

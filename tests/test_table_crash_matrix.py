@@ -328,6 +328,58 @@ def test_zombie_rollback_never_deletes_committed_manifest(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# zombie vacuum racing the replacement's _CURRENT swap: the orphan
+# remove is one check-then-act window wide — a zombie that passed
+# _verify_fence can delete the replacement's just-renamed manifest
+# (above the stale pointer) before the replacement swaps _CURRENT,
+# leaving the pointer naming a MISSING manifest (round-17 advice).
+# vacuum now re-reads _CURRENT after the removes and restores any
+# manifest it names from the bytes saved before deletion.
+# ---------------------------------------------------------------------------
+
+def test_zombie_vacuum_heals_current_after_racing_remove(spark, tmp_path):
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    root = str(tmp_path / "t")
+    w2 = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    w2.apply_batch(_mc_batch(spark, B0), 0)
+    w2.apply_batch(_mc_batch(spark, B1), 1)  # the replacement's batch
+    m1 = os.path.join(root, "manifests", "manifest-1.json")
+    m1_bytes = open(m1).read()
+
+    # rewind the pointer: the replacement now sits BETWEEN _commit's
+    # two renames — manifest-1 durable, _CURRENT still naming 0
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        fh.write("manifest-0.json")
+
+    zombie = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    real_remove = os.remove
+
+    def remove_then_replacement_swaps(path, **kw):
+        real_remove(path, **kw)
+        if str(path) == m1:
+            # the replacement's second rename lands inside the window
+            with open(os.path.join(root, "_CURRENT"), "w") as fh:
+                fh.write("manifest-1.json")
+
+    os.remove = remove_then_replacement_swaps
+    try:
+        zombie.vacuum(keep_last=2)
+    finally:
+        os.remove = real_remove
+
+    # the heal: _CURRENT resolves, manifest-1 restored byte-identical,
+    # history intact, the table reads the replacement's state
+    reader = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    assert reader.committed_batch() == 1
+    assert open(m1).read() == m1_bytes
+    assert reader.versions() == [0, 1]
+    assert _mc_state(reader, spark) == S1
+
+
+# ---------------------------------------------------------------------------
 # compact crash matrix: compaction rewrites the SAME logical state, so
 # the invariant is stronger than the merge matrix's either/or — the
 # table must read IDENTICALLY at every crash point (a compaction can
