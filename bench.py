@@ -180,6 +180,57 @@ BENCH_QUERIES = [
 ]
 
 
+# Drift canaries (round-17, verdict item 2): five headline queries
+# whose code has been untouched for many rounds, spanning cheap scans
+# to join-heavy shapes. Host drift (the round-15/16 regime: uniform
+# 1.2-2.3x slowdowns on UNTOUCHED code) moves the canaries and the
+# regressed query alike; a real code regression moves only its query.
+# The gate therefore normalizes every reading by the MEDIAN canary
+# ratio against quiet reference readings before comparing to band
+# tops — so the 2.3x drift headroom baked into the bands can no
+# longer hide a genuine ~1.5x code regression on a drifted run.
+CANARY_QUERIES = [
+    "agg_pricing_summary",
+    "window_rank",
+    "join_customer_orders",
+    "sql_q3_shipping",
+    "text_stats",
+]
+
+
+def canary_drift(timings: dict, refs: dict) -> float:
+    """Median ratio of measured canary walls to their quiet reference
+    readings, floored at 1.0: a faster-than-reference box must not
+    SHRINK readings below what was actually measured (normalization
+    only ever discounts shared host slowdown, never amplifies)."""
+    ratios = sorted(
+        timings[c] / refs[c]
+        for c in refs
+        if isinstance(timings.get(c), float) and refs[c] > 0
+    )
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return max(1.0, round(med, 3))
+
+
+def band_breaches(timings: dict, bands: dict, drift: float) -> list[str]:
+    """Queries whose drift-normalized reading exceeds their band top.
+    Readings are divided by the canary drift ratio first — a uniform
+    host slowdown (all canaries up together) is discounted; a query
+    that moved ALONE still breaches."""
+    return sorted(
+        q
+        for q, t in timings.items()
+        if isinstance(t, float) and q in bands and t / drift > bands[q][1]
+    )
+
+
 def run_bench(spark, sf_dir: str, queries=None, repeat: int = 2, registry=None) -> dict:
     """Time each query (per-query min over `repeat` passes) and return
     the bench record. Per-query fault isolation: one broken query must
@@ -257,6 +308,27 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     record = run_bench(spark, sf_dir, repeat=repeat)
     record["loadavg_start"] = load
+    # drift-normalized band gate (round-17): only meaningful at the
+    # SF the bands were calibrated at
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        try:
+            with open(Path(__file__).resolve().parent / "BASELINE_BANDS.json") as fh:
+                bands_doc = json.load(fh)
+            refs = bands_doc.get("canary_ref_sec", {})
+            drift = canary_drift(record["queries"], refs)
+            breaches = band_breaches(
+                record["queries"], bands_doc.get("bench_bands_sec", {}), drift
+            )
+            record["canary_drift"] = drift
+            record["band_breaches"] = breaches
+            if breaches:
+                print(
+                    f"BAND BREACH (drift-normalized x{drift}): {breaches}",
+                    file=sys.stderr,
+                )
+        except Exception as exc:  # noqa: BLE001 — the gate must never
+            # cost the round its JSON artifact
+            print(f"band gate unavailable: {exc}", file=sys.stderr)
     if loaded:
         # never blocks the round artifact (the driver must always get
         # its JSON line) — but the reading is marked as taken against

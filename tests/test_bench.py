@@ -6,6 +6,8 @@ from __future__ import annotations
 
 from types import SimpleNamespace
 
+import pytest
+
 import bench
 
 
@@ -101,6 +103,67 @@ def test_streaming_state_bounds_cover_benched_pipelines():
     assert not unknown, f"state bound for un-benched pipeline: {unknown}"
     for churn in ("rolling_stats_churn", "dedup_refresh_churn"):
         assert churn in bounds and churn in bs.THRESHOLDS
+
+
+def test_drift_normalized_band_gate():
+    """Round-17 verdict item 2: the 2-2.3x drift headroom in the bands
+    must not hide a real lone-query regression, and uniform host drift
+    must not false-trip. Proven with synthetic readings: (a) quiet box
+    + one query 2x over its top → breach; (b) the SAME 2x on every
+    query including all canaries (pure host drift) → no breach; (c)
+    drifted box AND a lone extra regression on top → still caught."""
+    refs = {
+        "agg_pricing_summary": 0.4,
+        "window_rank": 0.44,
+        "join_customer_orders": 0.38,
+        "sql_q3_shipping": 1.57,
+        "text_stats": 0.19,
+    }
+    bands = {"target_q": [0.5, 1.0], "other_q": [0.5, 2.0]}
+    quiet = {**refs, "target_q": 0.8, "other_q": 1.0}
+
+    # (a) quiet canaries, target_q alone at 2x its quiet reading
+    slow = {**quiet, "target_q": 1.6}
+    drift = bench.canary_drift(slow, refs)
+    assert drift == 1.0
+    assert bench.band_breaches(slow, bands, drift) == ["target_q"]
+
+    # (b) uniform 2x drift (canaries move too): normalized back under
+    # the tops — host drift is not a regression
+    drifted = {k: v * 2 for k, v in quiet.items()}
+    drift = bench.canary_drift(drifted, refs)
+    assert drift == pytest.approx(2.0, rel=0.01)
+    assert bench.band_breaches(drifted, bands, drift) == []
+
+    # (c) 2x drift AND target_q regressed 2.5x on top of it: the
+    # raw reading (0.8*5=4.0) normalizes to 2.0 > top 1.0 → caught,
+    # where the un-normalized band (top 1.0, headroom baked for
+    # drift) would need the reading itself compared — it IS over, but
+    # the point is the drift divisor doesn't absolve it
+    both = {**drifted, "target_q": 0.8 * 5}
+    drift = bench.canary_drift(both, refs)
+    assert bench.band_breaches(both, bands, drift) == ["target_q"]
+
+    # err entries and un-banded queries are ignored by the compare
+    messy = {**quiet, "broken": {"err": "x"}, "unbanded": 99.0}
+    assert bench.band_breaches(messy, bands, 1.0) == []
+
+
+def test_canary_refs_are_benched_and_banded_sanely():
+    """The canaries must be real headline queries (a rename must fail
+    CI) with a numeric quiet reference recorded in BASELINE_BANDS.json
+    — and the floor-at-1.0 rule must hold on a fast box."""
+    import json
+
+    doc = json.load(open("BASELINE_BANDS.json"))
+    refs = doc["canary_ref_sec"]
+    for c in bench.CANARY_QUERIES:
+        assert c in bench.BENCH_QUERIES, c
+        assert isinstance(refs.get(c), float) and refs[c] > 0, c
+    fast = {c: refs[c] / 2 for c in bench.CANARY_QUERIES}
+    assert bench.canary_drift(fast, refs) == 1.0
+    # non-numeric ledger keys in refs (the _doc note) are skipped
+    assert bench.canary_drift({}, refs) == 1.0
 
 
 def test_wait_for_quiet_gate():
