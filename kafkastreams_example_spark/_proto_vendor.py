@@ -1,0 +1,92 @@
+"""Offline activation of a vendored protobuf runtime (round 17).
+
+The transformWithStateInPandas (TWS) Python worker speaks a
+proto-encoded state-server protocol, so every TWS tier has been
+env-gated for nine rounds: this container has no ``google.protobuf``
+and no package-index network (``pip install`` / ``pip download`` both
+fail on DNS — re-verified rounds 9, 10, 14). The round-16 verdict
+(item 6) asked for ONE escalation attempt at a vendored/offline
+install; this module is that attempt, made standing.
+
+What was found: the box's google-cloud-sdk vendors a complete
+protobuf **runtime 6.32.0-dev** under
+``/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf``.
+PySpark 4.1.2's pre-generated ``StateMessage_pb2.py`` pins **gencode
+6.33.0**, and protobuf's runtime-version validator rejects a runtime
+older than the gencode — but protobuf itself ships an official
+escape hatch for exactly this window
+(``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true``,
+runtime_version.py). The 6.32/6.33 gap is one minor version on a
+stable message schema; correctness is NOT assumed from the override —
+the TWS end-to-end tests (tests/test_streaming.py) execute the real
+worker protocol and pin output semantics against the
+applyInPandasWithState tier, so the evidence bar is behavioral, not
+"it imported".
+
+Activation must happen BEFORE the Spark JVM starts: local-mode Python
+workers inherit the driver's environment at JVM launch, so both
+``PYTHONPATH`` (the vendored package dir) and the version-check
+override are exported here. ``session.get_spark`` calls this first;
+``tws_available`` calls it for JVM-less probes. A real
+``google.protobuf`` install always wins — the vendor path is only
+added when the import fails.
+
+Deploy note: on a real cluster none of this fires — install protobuf
+(>= the pyspark gencode version) into the worker environment and the
+probe short-circuits to (True, "system").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+VENDOR_DIR = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+_result: tuple[bool, str] | None = None
+
+
+def activate_vendored_protobuf() -> tuple[bool, str]:
+    """Make ``google.protobuf`` importable, preferring a real install.
+
+    Returns (available, how). Idempotent; the first call's result is
+    cached (sys.path/env mutations must not stack)."""
+    global _result
+    if _result is not None:
+        return _result
+    try:
+        import google.protobuf  # noqa: F401
+
+        _result = (True, "system protobuf")
+        return _result
+    except ImportError:
+        pass
+    if not os.path.isdir(os.path.join(VENDOR_DIR, "google", "protobuf")):
+        _result = (False, "no protobuf: not installed and no vendored copy")
+        return _result
+    # export BEFORE any JVM exists so local-mode Python workers
+    # inherit both; sys.path for this (driver) interpreter
+    os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    py_path = os.environ.get("PYTHONPATH", "")
+    if VENDOR_DIR not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            VENDOR_DIR + (os.pathsep + py_path if py_path else "")
+        )
+    if VENDOR_DIR not in sys.path:
+        sys.path.append(VENDOR_DIR)
+    try:
+        import google.protobuf as pb
+
+        # the real gate: pyspark's pinned-gencode module must load
+        # under the override (it is what the TWS worker imports)
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        _result = (
+            True,
+            f"vendored protobuf {pb.__version__} from {VENDOR_DIR} "
+            "(gencode version check overridden; TWS e2e tests carry "
+            "the correctness evidence)",
+        )
+    except Exception as exc:  # noqa: BLE001 — degrade to env-gated
+        _result = (False, f"vendored protobuf unusable: {exc}")
+    return _result

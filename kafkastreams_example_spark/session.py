@@ -34,6 +34,13 @@ def get_spark(
     and let AQE coalesce (enabled below).
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    # vendored-protobuf activation must precede JVM launch: local-mode
+    # Python workers inherit the driver env (PYTHONPATH + the protobuf
+    # version-check override) at JVM start — see _proto_vendor.py.
+    # No-op where a real protobuf is installed or none is available.
+    from ._proto_vendor import activate_vendored_protobuf
+
+    activate_vendored_protobuf()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -12,16 +12,20 @@ re-derived from the reference DeduplicationTransformer
 
 Availability: the Python StatefulProcessor worker path requires
 protobuf (state-server messages are proto-encoded). This sandbox ships
-no protobuf and has no package-index network access (pip install AND
-pip download both fail on DNS — re-verified rounds 9 and 10, so a
-vendored wheel is also unobtainable here), so the module degrades to a
-guarded factory:
-``tws_available()`` reports (usable, reason) and
-``dedup_refresh_stream_tws`` raises a clear RuntimeError when the
-runtime can't execute it — callers fall back to
-dedup_refresh.dedup_refresh_stream, which is Arrow-only and runs
-everywhere. The processor logic itself is plain Python over the shared
-core and is unit-tested without Spark (tests/test_streaming.py).
+no pip-installed protobuf and has no package-index network access
+(pip install AND pip download both fail on DNS — re-verified rounds 9
+and 10); since round 17 the probe escalates to the protobuf runtime
+VENDORED inside the box's google-cloud-sdk (_proto_vendor.py — one
+minor version behind pyspark's gencode, bridged via protobuf's
+official TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK hatch), which
+lets the TWS tiers EXECUTE here and the e2e tests carry real
+behavioral evidence. Where neither source exists the module degrades
+to a guarded factory: ``tws_available()`` reports (usable, reason)
+and ``dedup_refresh_stream_tws`` raises a clear RuntimeError —
+callers fall back to dedup_refresh.dedup_refresh_stream, which is
+Arrow-only and runs everywhere. The processor logic itself is plain
+Python over the shared core and is also unit-tested without Spark
+(tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -48,11 +52,38 @@ def tws_available() -> tuple[bool, str]:
         )
     except ImportError:
         return False, "pyspark.sql.streaming.stateful_processor not present (<4.0)"
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        return False, "protobuf not installed (required by the TWS Python worker)"
-    return True, "ok"
+    # system protobuf, else the vendored google-cloud-sdk runtime
+    # (round-17 escalation — see _proto_vendor.py; the activation also
+    # runs in session.get_spark BEFORE the JVM starts, which is what
+    # actually lets the WORKERS see it)
+    from .._proto_vendor import activate_vendored_protobuf
+
+    ok, how = activate_vendored_protobuf()
+    if not ok:
+        return False, how
+    return True, how
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def ensure_tws_state_provider(spark) -> None:
+    """TWS state (one column family per state variable + timers)
+    requires a provider with column-family support; the HDFS-backed
+    provider throws STATE_STORE_MULTIPLE_COLUMN_FAMILIES at the first
+    micro-batch. session.get_spark already defaults to RocksDB, but a
+    session tuned for tiny-state tests (tests/conftest.py pins the
+    HDFS provider to skip per-batch RocksDB spin-up) would fail every
+    TWS query — so each TWS wiring point switches the SESSION conf to
+    RocksDB before starting. Per-query: the provider is captured from
+    the session conf at query START, so already-running queries keep
+    the provider they started with."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if spark.conf.get(key, "") != _ROCKSDB_PROVIDER:
+        spark.conf.set(key, _ROCKSDB_PROVIDER)
 
 
 def make_refresh_dedup_processor(
@@ -179,6 +210,7 @@ def dedup_refresh_stream_tws(
             f"transformWithStateInPandas unavailable: {reason}; "
             "use dedup_refresh.dedup_refresh_stream (applyInPandasWithState) instead"
         )
+    ensure_tws_state_provider(decoded.sparkSession)
     processor = make_refresh_dedup_processor(
         window_ms,
         evict=evict_state,
@@ -304,6 +336,7 @@ def dedup_refresh_stream_coalesced_tws(
             "dedup_refresh.dedup_refresh_stream_coalesced "
             "(applyInPandasWithState) instead"
         )
+    ensure_tws_state_provider(decoded.sparkSession)
     keyed = decoded.select(
         F.col(id_col).alias("dedup_id"),
         F.unix_millis(F.col(ts_col)).alias("ts_ms"),

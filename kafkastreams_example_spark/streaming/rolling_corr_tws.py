@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ._evict import forget_tws, rearm_tws
-from .dedup_refresh_tws import tws_available
+from .dedup_refresh_tws import ensure_tws_state_provider, tws_available
 from .rolling_corr import (
     DEFAULT_WINDOW_US,
     corr_kernel,
@@ -183,6 +183,7 @@ def rolling_corr_stream_tws(
             "rolling_corr.rolling_corr_stream (applyInPandasWithState) "
             "instead"
         )
+    ensure_tws_state_provider(events.sparkSession)
     keyed = events.select(
         *entity_cols,
         F.col(id_col),

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ._evict import forget_tws, rearm_tws
-from .dedup_refresh_tws import tws_available
+from .dedup_refresh_tws import ensure_tws_state_provider, tws_available
 from .rolling_stats import (
     DEFAULT_WINDOW_US,
     corrected_stats_kernel,
@@ -220,6 +220,7 @@ def rolling_stats_stream_tws(
             "rolling_stats.rolling_stats_stream (applyInPandasWithState) "
             "instead"
         )
+    ensure_tws_state_provider(events.sparkSession)
     keyed = events.select(
         *entity_cols,
         F.col(id_col),

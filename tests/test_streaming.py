@@ -1093,9 +1093,21 @@ def test_tws_processor_timer_protocol():
 
 
 def test_tws_stream_end_to_end(spark, tmp_path):
-    """Full TWS streaming run — executes only where protobuf exists
-    (skipped in this sandbox); semantics must match the
-    applyInPandasWithState tier on the same input."""
+    """Full TWS streaming run — executes where protobuf exists (since
+    round 17 that includes this sandbox, via the vendored runtime);
+    semantics must match the applyInPandasWithState tier on the same
+    input.
+
+    Fixture note (round 17, first real execution): the original
+    blind-authored fixture put the third event at 720 000 ms with a
+    'dup only under refresh' comment — wrong under the reference's
+    CENTERED ±w/2 probe (720 000 is 480 000 past the refreshed
+    240 000, outside ±300 000), and the first actual run correctly
+    emitted it. The timeline now mirrors the Arrow tier's canonical
+    0/4/8/20-minute shape: 480 000 is a dup ONLY because 240 000
+    refreshed the remembered timestamp (vs the original 0 it is
+    outside the probe), and 1 200 000 is past every refresh — the
+    refresh semantics are what the third and fourth events pin."""
     from kafkastreams_example_spark.streaming.dedup_refresh_tws import tws_available
 
     ok, reason = tws_available()
@@ -1112,9 +1124,10 @@ def test_tws_stream_end_to_end(spark, tmp_path):
         "b0",
         [
             _event(1, 0, "A"),
-            _event(2, 240_000, "A"),  # dup (refresh)
-            _event(3, 720_000, "A"),  # dup only under refresh semantics
-            _event(4, 0, None),  # null id passes
+            _event(2, 240_000, "A"),    # dup (refresh: |240k-0| <= 300k)
+            _event(3, 480_000, "A"),    # dup ONLY via refresh (vs 0: 480k > 300k)
+            _event(4, 1_200_000, "A"),  # past every refresh — emits
+            _event(5, 0, None),         # null id passes
         ],
     )
     stream = (
@@ -1131,7 +1144,7 @@ def test_tws_stream_end_to_end(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    assert _read_sink(spark, tmp_path / "out") == {1, 4}
+    assert _read_sink(spark, tmp_path / "out") == {1, 4, 5}
 
 
 def test_dedup_refresh_null_string_payload(spark, tmp_path):
