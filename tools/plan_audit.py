@@ -56,10 +56,21 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
         "codegen": len(ids),
         "python": plan.count("InPandas")
         + plan.count("FlatMapGroupsInPandas")
-        + plan.count("ArrowEvalPython")
-        + plan.count("BatchEvalPython"),
+        + plan.count("ArrowEvalPython"),
+        # row-at-a-time Python (BatchEvalPython) reported SEPARATELY:
+        # the repo-wide "zero non-Arrow Python stages" claim must be
+        # auditable per entry, not lumped with the Arrow tier
+        # (round-17, verdict item 4)
+        "pyrow": plan.count("BatchEvalPython"),
         "topk": "Y" if "TakeOrderedAndProject" in plan else "",
         "gsort": "Y" if "rangepartitioning" in plan else "",
+        # AQE skew-join activation at the audit SF: OptimizeSkewedJoin
+        # marks the join "(skew=true)" and splits its shuffle reads
+        # into "AQEShuffleRead skewed" nodes. Zero at every test SF is
+        # EXPECTED (the fixtures are near-uniform); the column exists
+        # so an activation — or a future skewed fixture — is visible
+        # in the diff rather than silent (round-17, verdict item 4)
+        "skew": plan.count("skew=true") + plan.count("AQEShuffleRead skewed"),
     }
 
 
@@ -98,21 +109,26 @@ def main() -> None:
         "# Plan audit (auto-generated: python tools/plan_audit.py)",
         "",
         f"{len(rows)} registry entries compiled at `{sf_dir}`; columns are",
-        "physical-plan node counts. `python` counts Arrow-batched stages",
-        "(`mapInPandas`/`applyInPandas`/pandas UDF — never row-at-a-time",
-        "Python). `topk` = TakeOrderedAndProject; `gsort` = a global range",
-        "sort (only acceptable where ordered output IS the contract).",
+        "physical-plan node counts. `arrow py stages` counts Arrow-batched",
+        "stages (`mapInPandas`/`applyInPandas`/pandas UDF); `rowwise py`",
+        "counts row-at-a-time BatchEvalPython stages — the repo claim is",
+        "ZERO everywhere. `topk` = TakeOrderedAndProject; `gsort` = a global",
+        "range sort (only acceptable where ordered output IS the contract).",
+        "`aqe skew` counts OptimizeSkewedJoin activations (skew=true /",
+        "skewed shuffle reads) — expected 0 on the near-uniform fixtures;",
+        "the column makes an activation visible in the diff.",
         "Broadcast counts at this audit SF include AQE stat-driven choices",
         "that become shuffle joins on bigger inputs; forced broadcasts are",
         "only ever bounded sides (see the F.broadcast audit in BASELINE.md).",
         "",
-        "| entry | exchanges | bcast joins | merge joins | scans | codegen spans | python stages | topk | global sort |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| entry | exchanges | bcast joins | merge joins | scans | codegen spans | arrow py stages | rowwise py | topk | global sort | aqe skew |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
             f"| {r['name']} | {r['exchanges']} | {r['bcast']} | {r['smj']} | "
-            f"{r['scans']} | {r['codegen']} | {r['python']} | {r['topk']} | {r['gsort']} |"
+            f"{r['scans']} | {r['codegen']} | {r['python']} | {r['pyrow']} | "
+            f"{r['topk']} | {r['gsort']} | {r['skew'] or ''} |"
         )
     if errs:
         lines += ["", "## Errors", ""]
