@@ -45,6 +45,67 @@ class InjectedCrash(Exception):
 
 
 @contextmanager
+def _interleave(root: str, at: int, callback):
+    """Two-process interleaving (round-17 verdict item 7): run
+    ``callback()`` immediately AFTER the ``at``-th durable mutation
+    under ``root`` (1-based) — simulating a concurrent ops process
+    scheduled exactly at that boundary, instead of killing the writer
+    there. Mutations performed BY the callback (its own fence claim,
+    removes, sweeps) are not counted or re-triggered (reentrancy
+    guard). Yields a dict with the running count."""
+    state = {"count": 0, "in_callback": False}
+    real_replace, real_remove, real_rmtree = (
+        os.replace,
+        os.remove,
+        shutil.rmtree,
+    )
+
+    def _hit(path) -> bool:
+        if state["in_callback"] or not str(path).startswith(root):
+            return False
+        state["count"] += 1
+        return state["count"] == at
+
+    def _fire():
+        state["in_callback"] = True
+        try:
+            callback()
+        finally:
+            state["in_callback"] = False
+
+    def replace(src, dst, **kw):
+        fire = _hit(dst)
+        out = real_replace(src, dst, **kw)
+        if fire:
+            _fire()
+        return out
+
+    def remove(path, **kw):
+        fire = _hit(path)
+        out = real_remove(path, **kw)
+        if fire:
+            _fire()
+        return out
+
+    def rmtree(path, *a, **kw):
+        fire = _hit(path)
+        out = real_rmtree(path, *a, **kw)
+        if fire:
+            _fire()
+        return out
+
+    os.replace, os.remove, shutil.rmtree = replace, remove, rmtree
+    try:
+        yield state
+    finally:
+        os.replace, os.remove, shutil.rmtree = (
+            real_replace,
+            real_remove,
+            real_rmtree,
+        )
+
+
+@contextmanager
 def _inject(root: str, crash_at: int | None):
     """Count durable mutations under ``root``; raise InjectedCrash on
     the ``crash_at``-th (1-based).  ``crash_at=None`` = dry run (count
@@ -431,6 +492,141 @@ def test_compact_crash_matrix(spark, tmp_path):
             n for n in os.listdir(data) if n.startswith("version=")
         )
         assert dirs == ["version=2"], f"k={k}: {dirs}"
+
+
+# ---------------------------------------------------------------------------
+# two-process interleavings (round-17): the crash matrices kill ONE
+# writer at each durable op; these run a SECOND process's full
+# operation at each boundary instead and assert the same guarantees.
+# ---------------------------------------------------------------------------
+
+def test_vacuum_during_merge_interleaving(spark, tmp_path):
+    """An ops vacuum lands at EVERY durable-op boundary of a live
+    merge (the vacuum claims the fence — the documented supersede).
+    Invariants at each boundary: the merge either commits fully
+    before the vacuum supersedes it or fails loudly on its next
+    fence-checked publish (never a torn commit); the table then reads
+    EITHER the pre-batch or post-batch state; and a fresh writer
+    replaying the batch id converges to the clean-run state."""
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    # dry run: count the merge's durable ops
+    dry = str(tmp_path / "dry")
+    t = MaterializedCounts(dry, keys=("user_id",), n_buckets=4)
+    t.apply_batch(_mc_batch(spark, B0), 0)
+    w = MaterializedCounts(dry, keys=("user_id",), n_buckets=4)
+    with _inject(dry, None) as st:
+        w.apply_batch(_mc_batch(spark, B1), 1)
+    n_ops = st["count"]
+    assert n_ops >= 3
+
+    for k in range(1, n_ops + 1):
+        root = str(tmp_path / f"k{k}")
+        setup = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        setup.apply_batch(_mc_batch(spark, B0), 0)
+        writer = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        vac_result = {}
+
+        def ops_vacuum():
+            ops = MaterializedCounts(
+                root, keys=("user_id",), n_buckets=4
+            )
+            vac_result["expired"] = ops.vacuum(keep_last=1)
+
+        outcome = None
+        with _interleave(root, k, ops_vacuum):
+            try:
+                writer.apply_batch(_mc_batch(spark, B1), 1)
+                outcome = "committed"
+            except RuntimeError as exc:
+                assert "fenced out" in str(exc), f"k={k}: {exc}"
+                outcome = "fenced"
+        assert vac_result.get("expired") is not None, f"k={k}: vacuum never ran"
+
+        # ATOMICITY: pre-batch or post-batch, never torn
+        reader = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        cb = reader.committed_batch()
+        assert cb in (0, 1), f"k={k}"
+        state = _mc_state(reader, spark)
+        assert state == (S1 if cb == 1 else S0), f"k={k} ({outcome})"
+        if outcome == "committed":
+            assert cb == 1, f"k={k}: merge reported success but lost"
+
+        # REPLAYABILITY: a fresh writer (post-supersede) heals
+        retry = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        retry.apply_batch(_mc_batch(spark, B1), 1)
+        assert _mc_state(retry, spark) == S1, f"k={k} after retry"
+        retry.vacuum(keep_last=1)
+        assert _mc_state(retry, spark) == S1, f"k={k} after vacuum"
+
+
+def test_compact_under_concurrent_reader(spark, tmp_path):
+    """Snapshot isolation under maintenance: a reader that resolved
+    the manifest BEFORE compaction keeps reading its exact snapshot
+    from the resolved paths at EVERY durable-op boundary of the
+    compaction (compact never destroys data dirs — only vacuum does),
+    and time travel to the pre-compact batch survives the compaction.
+    After a subsequent vacuum the old snapshot's dirs are reclaimed
+    (that is vacuum's contract) but re-resolution still reads the
+    same logical state."""
+    from kafkastreams_example_spark.streaming.mat_view import (
+        MaterializedCounts,
+    )
+
+    root = str(tmp_path / "t")
+    t = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    t.apply_batch(_mc_batch(spark, B0), 0)
+    t.apply_batch(_mc_batch(spark, B1), 1)
+
+    reader = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+    pinned_paths = sorted(set(reader._current_manifest().values()))
+    pinned_batch = reader.committed_batch()
+
+    def pinned_state():
+        df = spark.read.parquet(*pinned_paths)
+        return {
+            r["user_id"]: (r["n"], float(r["total"]))
+            for r in df.collect()
+        }
+
+    # dry-run compaction on a twin table to count its durable ops
+    twin = str(tmp_path / "twin")
+    t2 = MaterializedCounts(twin, keys=("user_id",), n_buckets=4)
+    t2.apply_batch(_mc_batch(spark, B0), 0)
+    t2.apply_batch(_mc_batch(spark, B1), 1)
+    c2 = MaterializedCounts(twin, keys=("user_id",), n_buckets=4)
+    with _inject(twin, None) as st:
+        c2.compact(spark, 2)
+    n_ops = st["count"]
+
+    # the CONCURRENT reader observes its pinned snapshot at every
+    # boundary of the real table's compaction; a FRESH compactor per
+    # pass (as a restarted maintenance job would be) keeps the
+    # durable-op sequence identical — fence claim included — so k
+    # sweeps every boundary
+    observed = []
+    for k in range(1, n_ops + 1):
+        compactor = MaterializedCounts(root, keys=("user_id",), n_buckets=4)
+        with _interleave(root, k, lambda: observed.append(pinned_state())):
+            compactor.compact(spark, 2 + k)  # fresh id per pass
+    assert len(observed) == n_ops, (len(observed), n_ops)
+    assert all(s == S1 for s in observed), observed
+
+    # post-compact: pinned paths still read; time travel to the
+    # pre-compact batch still resolves
+    assert pinned_state() == S1
+    assert _mc_state(compactor, spark, at=pinned_batch) == S1
+    assert _mc_state(compactor, spark) == S1
+
+    # vacuum reclaims the old snapshot (the pinned paths die — that
+    # is the documented end of a snapshot's life), re-resolution holds
+    compactor.vacuum(keep_last=1)
+    assert _mc_state(
+        MaterializedCounts(root, keys=("user_id",), n_buckets=4), spark
+    ) == S1
+    assert not any(os.path.exists(p) for p in pinned_paths)
 
 
 # ---------------------------------------------------------------------------
