@@ -140,7 +140,7 @@ def make_refresh_dedup_processor(
             self._tmr = handle.getValueState("tmr", "expiry BIGINT")
             self._handle = handle
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             import numpy as np
 
             chunks = list(rows)
@@ -165,12 +165,18 @@ def make_refresh_dedup_processor(
             self._seen.update((list(seen),))
             # idle-key eviction TTL (KStreamDistinct.java:135-141) —
             # delete-then-register via the shared helper
-            rearm_tws(self._handle, self._tmr, timer_values,
+            rearm_tws(self._handle, self._tmr, timerValues,
                       window_ms if evict else None)
             emit = order[np.asarray(keep, dtype=bool)]
             yield pd.DataFrame({c: cols[c][emit] for c in out_cols})
 
-        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        # param names MUST be the API's camelCase: the TWS runtime
+        # invokes handleExpiredTimer with KEYWORD arguments
+        # (timerValues=..., expiredTimerInfo=...) — snake_case
+        # params raise TypeError at the first real timer firing
+        # (caught by the round-17 eviction e2e; mock tests call
+        # positionally and never saw it)
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # delete-then-register above guarantees this only fires for
             # a key idle a full window — forget it entirely. An eviction
             # emits no rows (the previous empty all-object-dtype frame
@@ -279,7 +285,7 @@ def make_coalesced_refresh_processor(
             self._tmr = handle.getValueState("tmr", "expiry BIGINT")
             self._handle = handle
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             chunks = list(rows)
             batch = (
                 chunks[0]
@@ -292,15 +298,15 @@ def make_coalesced_refresh_processor(
             # clock the pack timer fires on
             out, new_state = coalesced_kernel(
                 st4, batch, out_cols, window_ms, clock,
-                now_ms=timer_values.getCurrentProcessingTimeInMs(),
+                now_ms=timerValues.getCurrentProcessingTimeInMs(),
                 ttl_ms=window_ms if evict else None,
             )
             self._csr.update(new_state)
-            rearm_tws(self._handle, self._tmr, timer_values,
+            rearm_tws(self._handle, self._tmr, timerValues,
                       window_ms if evict else None)
             yield out
 
-        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # every id in the pack idle a full retention window
             forget_tws(self._csr, self._tmr)
             return

@@ -94,7 +94,7 @@ def make_rolling_stats_processor(
             self._tmr = handle.getValueState("tmr", "expiry BIGINT")
             self._handle = handle
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             chunks = list(rows)
             batch = (
                 chunks[0]
@@ -108,10 +108,16 @@ def make_rolling_stats_processor(
             # never numpy scalars — matches the applyInPandasWithState
             # tier's state.update((kt.tolist(), kv.tolist())).
             self._tl.update((kt.tolist(), kv.tolist()))
-            rearm_tws(self._handle, self._tmr, timer_values, evict_after_ms)
+            rearm_tws(self._handle, self._tmr, timerValues, evict_after_ms)
             yield out
 
-        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        # param names MUST be the API's camelCase: the TWS runtime
+        # invokes handleExpiredTimer with KEYWORD arguments
+        # (timerValues=..., expiredTimerInfo=...) — snake_case
+        # params raise TypeError at the first real timer firing
+        # (caught by the round-17 eviction e2e; mock tests call
+        # positionally and never saw it)
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # delete-then-register guarantees this fires only for a key
             # idle a full eviction period — timeline forgotten, nothing
             # emitted (same contract as _evict.expired on the
@@ -166,7 +172,7 @@ def make_rolling_stats_corrected_processor(
             self._tmr = handle.getValueState("tmr", "expiry BIGINT")
             self._handle = handle
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             chunks = list(rows)
             batch = (
                 chunks[0]
@@ -178,10 +184,10 @@ def make_rolling_stats_corrected_processor(
                 st5, batch, id_col, window_us, retention_windows
             )
             self._tl.update(new_state)
-            rearm_tws(self._handle, self._tmr, timer_values, evict_after_ms)
+            rearm_tws(self._handle, self._tmr, timerValues, evict_after_ms)
             yield out
 
-        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             forget_tws(self._tl, self._tmr)
             return
             yield  # unreachable — keeps this a generator yielding nothing

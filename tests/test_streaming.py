@@ -2251,6 +2251,154 @@ def test_dedup_refresh_coalesced_parity(spark, tmp_path):
     assert 3 in base  # the null-id bypass row came through
 
 
+def test_dedup_refresh_coalesced_tws_parity(spark, tmp_path):
+    """Round-17 (first round TWS executes here): the coalesced TWS
+    tier must emit exactly the per-key applyInPandasWithState tier's
+    survivors on the same multi-batch out-of-order fixture as
+    test_dedup_refresh_coalesced_parity — REAL cross-batch TWS state
+    (value-state CSR packs restored between availableNow runs), not
+    the mock-handle protocol test."""
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        dedup_refresh_stream,
+    )
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        dedup_refresh_stream_coalesced_tws,
+        tws_available,
+    )
+
+    ok, reason = tws_available()
+    if not ok:
+        pytest.skip(f"TWS not executable here: {reason}")
+
+    batches = [
+        [_event(0, 0, "A"), _event(1, 10_000, "B"),
+         _event(2, 20_000, "C"), _event(3, 5_000, None)],
+        [_event(4, 60_000, "A"), _event(5, 11_000, "B"),
+         _event(6, 11 * MIN, "A")],
+        [_event(7, 30_000, "C"), _event(8, 10 * MIN + 30_000, "A"),
+         _event(9, 25 * MIN, "B")],
+    ]
+
+    def run(fn, base):
+        src, ckpt, out_dir = base / "src", base / "ckpt", base / "out"
+        src.mkdir(parents=True)
+        stream = (
+            spark.readStream.schema(
+                "row_id BIGINT, ts_ms BIGINT, dedup_id STRING"
+            )
+            .json(str(src))
+            .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+        )
+        out = fn(stream)
+        for i, rows in enumerate(batches):
+            _write_batch(src, f"b{i}.json", rows)
+            q = (
+                out.writeStream.format("json")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        return _read_sink(spark, out_dir)
+
+    base = run(lambda s: dedup_refresh_stream(s), tmp_path / "pk")
+    for packs in (1, 4):
+        got = run(
+            lambda s: dedup_refresh_stream_coalesced_tws(
+                s, n_state_keys=packs
+            ),
+            tmp_path / f"tws{packs}",
+        )
+        assert got == base, (packs, sorted(got), sorted(base))
+    assert 3 in base  # the null-id bypass row came through
+
+
+def test_tws_eviction_timer_fires_end_to_end(spark, tmp_path):
+    """First REAL firing of a TWS processing-time timer (round 17 —
+    every prior timer test ran against mock handles; the first
+    attempt at this e2e caught a real bug: the runtime invokes
+    handleExpiredTimer with camelCase KEYWORD arguments, which the
+    snake_case processor signatures rejected with TypeError). With
+    ``evict_state=True`` an idle key's state is forgotten one window
+    after its last activity, so an exact duplicate arriving after the
+    TTL emits AGAIN.
+
+    One CONTINUOUS query (a 1 s processing-time trigger; separate
+    availableNow runs would each pay ~10 s of query startup, longer
+    than any test-sized TTL, so the in-TTL suppression check would be
+    impossible): seed key A and confirm emission, send the exact
+    duplicate well inside the 15 s TTL (suppressed), idle past the
+    TTL — Spark's no-data micro-batches keep running, so the expired
+    timer fires and forgets A — then the same duplicate again, now
+    emitted."""
+    import time as _t
+
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        dedup_refresh_stream_tws,
+        tws_available,
+    )
+
+    ok, reason = tws_available()
+    if not ok:
+        pytest.skip(f"TWS not executable here: {reason}")
+
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("row_id BIGINT, ts_ms BIGINT, dedup_id STRING")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    window_ms = 15_000
+    out = dedup_refresh_stream_tws(
+        stream, window_ms=window_ms, evict_state=True
+    )
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def sink() -> set[int]:
+        try:
+            return _read_sink(spark, out_dir)
+        except Exception:  # noqa: BLE001 — sink dir not created yet
+            return set()
+
+    def wait_for(expect: set[int], timeout_s: float = 60.0) -> set[int]:
+        deadline = _t.monotonic() + timeout_s
+        got = sink()
+        while got != expect and _t.monotonic() < deadline:
+            _t.sleep(0.5)
+            got = sink()
+        return got
+
+    try:
+        _write_batch(src, "b0.json", [_event(1, 1_000, "A")])
+        assert wait_for({1}) == {1}
+        t_seed = _t.monotonic()
+        # exact duplicate well inside the TTL: must stay suppressed
+        _write_batch(src, "b1.json", [_event(2, 1_000, "A")])
+        _t.sleep(5.0)
+        assert sink() == {1}, "in-TTL duplicate leaked"
+        assert _t.monotonic() - t_seed < window_ms / 1000.0, (
+            "in-TTL check took longer than the TTL — timing invalid"
+        )
+        # idle past the TTL: the timer fires in a no-data micro-batch
+        # and forgets key A entirely
+        _t.sleep(window_ms / 1000.0 + 5.0)
+        # the SAME duplicate again: emitted only if A was forgotten
+        _write_batch(src, "b2.json", [_event(4, 1_000, "A")])
+        assert wait_for({1, 4}) == {1, 4}
+    finally:
+        q.stop()
+
+
 def test_probe_and_remember_many_matches_per_id_reference():
     """The band-offset multi-id kernel must decide exactly like the
     per-id reference on randomized state/batch/clock fixtures —
@@ -3961,10 +4109,16 @@ def test_rolling_corrected_tws_restart_from_persisted_state():
 
     from kafkastreams_example_spark.streaming.rolling_stats_tws import (
         make_rolling_stats_corrected_processor,
-        tws_available,
     )
 
-    if not tws_available():
+    # mock-handle test: needs only the StatefulProcessor API, not an
+    # executable TWS runtime (the old `if not tws_available()` guard
+    # was always-truthy — tws_available returns a tuple)
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
         import pytest
 
         pytest.skip("StatefulProcessor API unavailable")
