@@ -117,6 +117,14 @@ THRESHOLDS = {
     # state; correction set empty on the in-order feed): first
     # recording 33.1k rows/s — floor at the same policy
     "rolling_stats_corrected": 11_000,
+    # round-17 transformWithState twins (first executable round —
+    # vendored protobuf): same feeds as their APWS tiers; first quiet
+    # recordings 49.8k (dedup — the proto state server outruns APWS's
+    # Arrow state columns on this protocol-bound shape) and 22.3k
+    # (rolling stats) rows/s at 50k-row batches — floors at the
+    # ~2-3x under-recording policy
+    "dedup_refresh_tws": 18_000,
+    "rolling_stats_tws": 8_000,
     # round-15 late-heavy feeds (1 in LATE_EVERY rows W/2 late across
     # the REAL entities — see the offset-3 note at the feed, one
     # batch ≈ one window): prices the corrected tiers' emit
@@ -236,6 +244,10 @@ def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
         "rolling_stats": 6_000,
         "rolling_stats_corrected": 6_000,
         "rolling_corr": 6_000,
+        # TWS twins (round 17): numRowsTotal counts primary state rows
+        # — measured plateau 4,096/4,097 on the same ~4k-key feeds
+        "dedup_refresh_tws": 6_000,
+        "rolling_stats_tws": 6_000,
         "rolling_stats_corrected_late": 6_000,
         "rolling_corr_corrected_late": 6_000,
         # CHURN tiers: ~1,000 fresh keys/batch, 1 s idle eviction ->
@@ -530,6 +542,52 @@ def main() -> None:
             ),
             "rows_per_batch": rows_dedup,
         }
+
+        # round-17: the transformWithState (v2 state API) faces
+        # EXECUTE here now (vendored protobuf — _proto_vendor.py), so
+        # the TWS twins of dedup_refresh and rolling_stats are benched
+        # on the SAME feeds as their applyInPandasWithState tiers —
+        # the reading prices the proto state-server round-trips
+        # against APWS's Arrow state columns. Gated: environments
+        # without any protobuf skip these two, keeping the bench
+        # green-by-construction elsewhere.
+        from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+            dedup_refresh_stream_tws,
+            tws_available,
+        )
+
+        if tws_available()[0]:
+            d_tws = _decoded(_rate_source(spark, rows_dedup)).withColumn(
+                "dedup_id", F.col("event.exception.exception_class")
+            )
+            results["dedup_refresh_tws"] = {
+                **_run_query(
+                    dedup_refresh_stream_tws(
+                        d_tws, id_col="dedup_id", ts_col="event_time",
+                        payload_cols=("row_id",),
+                    ),
+                    "dedup_refresh_tws",
+                    ckpt_root,
+                ),
+                "rows_per_batch": rows_dedup,
+            }
+
+            from kafkastreams_example_spark.streaming.rolling_stats_tws import (
+                rolling_stats_stream_tws,
+            )
+
+            results["rolling_stats_tws"] = {
+                **_run_query(
+                    rolling_stats_stream_tws(
+                        d, entity_cols=("ent",), ts_col="event_time",
+                        value_col="value", id_col="row_id",
+                        window_us=3_600_000_000,
+                    ),
+                    "rolling_stats_tws",
+                    ckpt_root,
+                ),
+                "rows_per_batch": rows_dedup,
+            }
 
         # round-15 LATE-HEAVY tier for both corrected faces: the
         # in-order feeds above have an EMPTY correction set, so they
