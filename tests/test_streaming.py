@@ -4518,7 +4518,61 @@ def test_rolling_corr_tws_processor_matches_apws_tier():
     assert list(handle.states["tl"].get()[0]) == [5100]
 
 
-def test_vacuum_takes_writership_under_fencing(spark, tmp_path):
+def test_statestore_reader_on_tws_state(spark, tmp_path):
+    """Offline state audit for the v2 state API (round 17 — first
+    round TWS executes here): Spark's state data source reads a
+    transformWithState checkpoint PER STATE VARIABLE (option
+    stateVarName, matching the handle.getValueState name), so the
+    dedup TWS tier's remembered timelines are inspectable offline
+    exactly like the APWS tier's GroupState — the operational story
+    (audit a live table's state without the query) carries over to
+    the new API."""
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        dedup_refresh_stream_tws,
+        tws_available,
+    )
+
+    ok, reason = tws_available()
+    if not ok:
+        pytest.skip(f"TWS not executable here: {reason}")
+
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b0.json",
+        [
+            _event(1, 1_000, "A"),
+            _event(2, 2_000, "A"),   # in-window dup: suppressed, REMEMBERED
+            _event(3, 5_000, "B"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("row_id BIGINT, ts_ms BIGINT, dedup_id STRING")
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    q = (
+        dedup_refresh_stream_tws(stream)
+        .writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _read_sink(spark, out_dir) == {1, 3}
+
+    st = (
+        spark.read.format("statestore")
+        .option("stateVarName", "seen")
+        .load(str(ckpt))
+        .collect()
+    )
+    seen = {r["key"][0]: sorted(r["value"][0]) for r in st}
+    # the reference remembers EVERY processed timestamp — the
+    # suppressed dup's 2000 included (refresh semantics)
+    assert seen == {"A": [1_000, 2_000], "B": [5_000]}
     """vacuum() is a write and claims the fence (round-15): an ops
     instance vacuuming a live table TAKES writership — the vacuum
     itself succeeds, and the old writer's next publish fails loudly
