@@ -119,10 +119,11 @@ THRESHOLDS = {
     "rolling_stats_corrected": 11_000,
     # round-17 transformWithState twins (first executable round —
     # vendored protobuf): same feeds as their APWS tiers; first quiet
-    # recordings 49.8k (dedup — the proto state server outruns APWS's
-    # Arrow state columns on this protocol-bound shape) and 22.3k
-    # (rolling stats) rows/s at 50k-row batches — floors at the
-    # ~2-3x under-recording policy
+    # full-run recordings 48.4k (dedup) and 21.0k (rolling stats)
+    # rows/s at 50k-row batches — ~0.75x their APWS twins on the same
+    # quiet run (64.8k / 28.3k; the proto state-server round-trips
+    # cost ~a third over APWS's Arrow state columns at this key
+    # density) — floors at the ~2-3x under-recording policy
     "dedup_refresh_tws": 18_000,
     "rolling_stats_tws": 8_000,
     # round-15 late-heavy feeds (1 in LATE_EVERY rows W/2 late across
