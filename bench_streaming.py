@@ -126,6 +126,12 @@ THRESHOLDS = {
     # density) — floors at the ~2-3x under-recording policy
     "dedup_refresh_tws": 18_000,
     "rolling_stats_tws": 8_000,
+    # corr face of the TWS twin: shared-session probe 21.2k rows/s
+    # (vs 26.2k APWS corr, 24.0k stats TWS same run) — same policy.
+    # A cold first-query probe once read 3.2k (session warmup on the
+    # heaviest face); the floor stays below that regime deliberately
+    # since the bench's WARMUP_BATCHES absorb it.
+    "rolling_corr_tws": 7_000,
     # round-15 late-heavy feeds (1 in LATE_EVERY rows W/2 late across
     # the REAL entities — see the offset-3 note at the feed, one
     # batch ≈ one window): prices the corrected tiers' emit
@@ -249,6 +255,7 @@ def _state_bounds(rows_filter: int, rows_dedup: int) -> dict[str, int]:
         # — measured plateau 4,096/4,097 on the same ~4k-key feeds
         "dedup_refresh_tws": 6_000,
         "rolling_stats_tws": 6_000,
+        "rolling_corr_tws": 6_000,
         "rolling_stats_corrected_late": 6_000,
         "rolling_corr_corrected_late": 6_000,
         # CHURN tiers: ~1,000 fresh keys/batch, 1 s idle eviction ->
@@ -585,6 +592,23 @@ def main() -> None:
                         window_us=3_600_000_000,
                     ),
                     "rolling_stats_tws",
+                    ckpt_root,
+                ),
+                "rows_per_batch": rows_dedup,
+            }
+
+            from kafkastreams_example_spark.streaming.rolling_corr_tws import (
+                rolling_corr_stream_tws,
+            )
+
+            results["rolling_corr_tws"] = {
+                **_run_query(
+                    rolling_corr_stream_tws(
+                        d, entity_cols=("ent",), ts_col="event_time",
+                        value_col="value", id_col="row_id",
+                        window_us=3_600_000_000,
+                    ),
+                    "rolling_corr_tws",
                     ckpt_root,
                 ),
                 "rows_per_batch": rows_dedup,

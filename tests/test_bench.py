@@ -174,3 +174,28 @@ def test_wait_for_quiet_gate():
     assert not flagged and load >= 0.0
     load, flagged = bench.wait_for_quiet(threshold=0.0, budget_sec=0)
     assert flagged
+
+
+def test_registry_md_is_fresh():
+    """REGISTRY.md is generated from the QuerySpec table
+    (tools/gen_registry.py); a registry change without regeneration
+    would hand reviewers a stale index. Compare entry names and
+    oracle kinds (not line numbers — those shift with unrelated
+    edits) between the committed table and the live registry."""
+    import re
+
+    from kafkastreams_example_spark.queries import REGISTRY
+
+    rows = {}
+    for ln in open("REGISTRY.md"):
+        m = re.match(r"\| ([a-z0-9_]+) \| .* \| (sql|rows-only) \| ", ln)
+        if m:
+            rows[m.group(1)] = m.group(2)
+    assert set(rows) == set(REGISTRY), (
+        "REGISTRY.md out of date — run: python tools/gen_registry.py "
+        f"(missing: {sorted(set(REGISTRY) - set(rows))}, "
+        f"stale: {sorted(set(rows) - set(REGISTRY))})"
+    )
+    for name, spec in REGISTRY.items():
+        want = "sql" if spec.oracle else "rows-only"
+        assert rows[name] == want, (name, rows[name], want)

@@ -4518,6 +4518,94 @@ def test_rolling_corr_tws_processor_matches_apws_tier():
     assert list(handle.states["tl"].get()[0]) == [5100]
 
 
+def test_rolling_stats_tws_eviction_timer_end_to_end(spark, tmp_path):
+    """Real TWS timer on the ROLLING face (round 17; the dedup face
+    has its own timer e2e — this pins the shared _evict machinery on
+    the second processor class): with ``evict_after_ms`` an idle
+    entity's timeline is dropped wholesale, so a post-TTL row serves
+    from an EMPTY timeline (n_frame restarts at 1) instead of
+    counting the pre-idle rows its 1 h window would otherwise
+    retain."""
+    import time as _t
+
+    from kafkastreams_example_spark.streaming.rolling_stats_tws import (
+        rolling_stats_stream_tws,
+        tws_available,
+    )
+
+    ok, reason = tws_available()
+    if not ok:
+        pytest.skip(f"TWS not executable here: {reason}")
+
+    src, ckpt, out_dir = tmp_path / "src", tmp_path / "ckpt", tmp_path / "out"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "row_id BIGINT, ts_ms BIGINT, ent STRING, value DOUBLE"
+        )
+        .json(str(src))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    out = rolling_stats_stream_tws(
+        stream,
+        entity_cols=("ent",),
+        ts_col="event_time",
+        value_col="value",
+        id_col="row_id",
+        window_us=3_600_000_000,  # 1 h — nothing ages out by event time
+        evict_after_ms=15_000,
+    )
+    q = (
+        out.writeStream.format("json")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def frames() -> dict[int, int]:
+        try:
+            df = spark.read.schema("row_id BIGINT, n_frame BIGINT").json(
+                str(out_dir)
+            )
+            return {
+                r["row_id"]: r["n_frame"]
+                for r in df.collect()
+                if r["row_id"] is not None
+            }
+        except Exception:  # noqa: BLE001 — sink dir not created yet
+            return {}
+
+    def wait_rows(n: int, timeout_s: float = 60.0) -> dict[int, int]:
+        deadline = _t.monotonic() + timeout_s
+        got = frames()
+        while len(got) < n and _t.monotonic() < deadline:
+            _t.sleep(0.5)
+            got = frames()
+        return got
+
+    def rows(*triples):
+        return [
+            {"row_id": rid, "ts_ms": ts, "ent": "E", "value": v}
+            for rid, ts, v in triples
+        ]
+
+    try:
+        _write_batch(src, "b0.json", rows((1, 1_000, 5.0), (2, 2_000, 7.0)))
+        got = wait_rows(2)
+        assert got == {1: 1, 2: 2}, got  # growing frame, pre-idle
+        # idle past the TTL: the timer fires in a no-data micro-batch
+        _t.sleep(20.0)
+        _write_batch(src, "b1.json", rows((3, 3_000, 9.0)))
+        got = wait_rows(3)
+        # the revived entity serves from an EMPTY timeline: n_frame 1,
+        # NOT 3 (its 1 h window would otherwise still hold rows 1-2)
+        assert got == {1: 1, 2: 2, 3: 1}, got
+    finally:
+        q.stop()
+
+
 def test_statestore_reader_on_tws_state(spark, tmp_path):
     """Offline state audit for the v2 state API (round 17 — first
     round TWS executes here): Spark's state data source reads a
