@@ -98,7 +98,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships one file per table; the scale-probe
+        # replicated corpora mix plain files with Spark DIRECTORY
+        # layouts (part-*.parquet under <table>.parquet/) — glob the
+        # directory form so the same sweep runs at every fixture
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if Path(p).is_dir() else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     fails = []
     for name in names:
         # per-query fault isolation: a throwing query records one ERROR
