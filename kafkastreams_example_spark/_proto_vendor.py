@@ -65,14 +65,27 @@ def activate_vendored_protobuf() -> tuple[bool, str]:
         _result = (False, "no protobuf: not installed and no vendored copy")
         return _result
     # export BEFORE any JVM exists so local-mode Python workers
-    # inherit both; sys.path for this (driver) interpreter
+    # inherit both; sys.path for this (driver) interpreter. The
+    # vendor dir is APPENDED on both (post-close review): it must
+    # never shadow other PYTHONPATH entries (the appengine dir ships
+    # a whole `google` package plus top-level modules). Honest limit:
+    # PYTHONPATH entries still precede a worker interpreter's OWN
+    # site-packages, so on a deployment whose workers use a DIFFERENT
+    # python env that has real protobuf while the driver's does not,
+    # workers would see the vendored copy — the "real install wins"
+    # probe is driver-side. That split-env shape does not exist here
+    # (local mode, one env); on a real cluster install protobuf in
+    # both envs and none of this fires.
+    prev_check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+    prev_pypath = os.environ.get("PYTHONPATH")
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
-    py_path = os.environ.get("PYTHONPATH", "")
+    py_path = prev_pypath or ""
     if VENDOR_DIR not in py_path.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
-            VENDOR_DIR + (os.pathsep + py_path if py_path else "")
+            (py_path + os.pathsep if py_path else "") + VENDOR_DIR
         )
-    if VENDOR_DIR not in sys.path:
+    added_sys_path = VENDOR_DIR not in sys.path
+    if added_sys_path:
         sys.path.append(VENDOR_DIR)
     try:
         import google.protobuf as pb
@@ -87,6 +100,24 @@ def activate_vendored_protobuf() -> tuple[bool, str]:
             "(gencode version check overridden; TWS e2e tests carry "
             "the correctness evidence)",
         )
-    except Exception as exc:  # noqa: BLE001 — degrade to env-gated
+    except Exception as exc:  # noqa: BLE001 — degrade to env-gated,
+        # UNDOING the env/sys.path mutations: leaving the version
+        # check disabled and a broken vendor dir on PYTHONPATH would
+        # leak into every later subprocess and wave through a
+        # legitimate gencode mismatch elsewhere (post-close review)
+        if prev_check is None:
+            os.environ.pop(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None
+            )
+        else:
+            os.environ[
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+            ] = prev_check
+        if prev_pypath is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = prev_pypath
+        if added_sys_path and VENDOR_DIR in sys.path:
+            sys.path.remove(VENDOR_DIR)
         _result = (False, f"vendored protobuf unusable: {exc}")
     return _result

@@ -183,14 +183,19 @@ def test_registry_md_is_fresh():
     oracle kinds (not line numbers — those shift with unrelated
     edits) between the committed table and the live registry."""
     import re
+    from pathlib import Path
 
     from kafkastreams_example_spark.queries import REGISTRY
 
     rows = {}
-    for ln in open("REGISTRY.md"):
-        m = re.match(r"\| ([a-z0-9_]+) \| .* \| (sql|rows-only) \| ", ln)
-        if m:
-            rows[m.group(1)] = m.group(2)
+    # repo-root-anchored, not cwd-relative (post-close review: pytest
+    # invoked from another directory must not FileNotFoundError here)
+    reg_md = Path(__file__).resolve().parent.parent / "REGISTRY.md"
+    with open(reg_md) as fh:
+        for ln in fh:
+            m = re.match(r"\| ([a-z0-9_]+) \| .* \| (sql|rows-only) \| ", ln)
+            if m:
+                rows[m.group(1)] = m.group(2)
     assert set(rows) == set(REGISTRY), (
         "REGISTRY.md out of date — run: python tools/gen_registry.py "
         f"(missing: {sorted(set(REGISTRY) - set(rows))}, "

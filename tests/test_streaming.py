@@ -21,6 +21,32 @@ from kafkastreams_example_spark.streaming.dedup_refresh import dedup_refresh_str
 
 MIN = 60 * 1000  # ms
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+
+
+@pytest.fixture(autouse=True)
+def _restore_state_provider():
+    """The TWS wiring points flip the SESSION's state-store provider
+    to RocksDB (ensure_tws_state_provider — TWS cannot run on the
+    HDFS provider), which would otherwise leak past the TWS test into
+    every later streaming test and silently drop the HDFS-provider
+    tiny-state configuration conftest.py deliberately pins (post-close
+    review: test-order-dependent config drift). Restore the provider
+    after each test; no session started yet → nothing to restore
+    (conftest's fixture pins HDFS at session build)."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    prev = s.conf.get(_PROVIDER_KEY, _HDFS_PROVIDER) if s else None
+    yield
+    s2 = SparkSession.getActiveSession()
+    if s2 is not None:
+        s2.conf.set(_PROVIDER_KEY, prev if prev is not None else _HDFS_PROVIDER)
+
 
 def _event(row_id: int, ts_ms: int, exc: str | None):
     return {"row_id": row_id, "ts_ms": ts_ms, "dedup_id": exc}
@@ -2385,10 +2411,12 @@ def test_tws_eviction_timer_fires_end_to_end(spark, tmp_path):
         # exact duplicate well inside the TTL: must stay suppressed
         _write_batch(src, "b1.json", [_event(2, 1_000, "A")])
         _t.sleep(5.0)
+        if _t.monotonic() - t_seed >= window_ms / 1000.0:
+            # a loaded box can stretch the write+poll past the TTL —
+            # the timing premise is void, not the product behavior
+            # (post-close review: skip, don't fail)
+            pytest.skip("in-TTL check outlasted the TTL on this box")
         assert sink() == {1}, "in-TTL duplicate leaked"
-        assert _t.monotonic() - t_seed < window_ms / 1000.0, (
-            "in-TTL check took longer than the TTL — timing invalid"
-        )
         # idle past the TTL: the timer fires in a no-data micro-batch
         # and forgets key A entirely
         _t.sleep(window_ms / 1000.0 + 5.0)
@@ -4661,6 +4689,9 @@ def test_statestore_reader_on_tws_state(spark, tmp_path):
     # the reference remembers EVERY processed timestamp — the
     # suppressed dup's 2000 included (refresh semantics)
     assert seen == {"A": [1_000, 2_000], "B": [5_000]}
+
+
+def test_vacuum_takes_writership_under_fencing(spark, tmp_path):
     """vacuum() is a write and claims the fence (round-15): an ops
     instance vacuuming a live table TAKES writership — the vacuum
     itself succeeds, and the old writer's next publish fails loudly
