@@ -178,6 +178,10 @@ def project(
         )
         expr = dot - F.lit(mux)
         if round_to is not None:
-            expr = F.round(expr, round_to)
+            # + 0.0 collapses signed zero (IEEE: -0.0 + 0.0 = +0.0):
+            # a projection residual can round to -0.0 in one engine
+            # and +0.0 in the other (x30 sweep finding) — the oracle
+            # applies the same normalization
+            expr = F.round(expr, round_to) + F.lit(0.0)
         cols.append(expr.alias(f"pc{i}"))
     return emb.select("vec_id", *cols)

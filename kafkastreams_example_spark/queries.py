@@ -3454,9 +3454,10 @@ def _sql_pca_projections(ctes: list, fin: str, r: int) -> list[str]:
             f"       FROM mu CROSS JOIN {fin} px)"
         )
         projs.append(
+            # + 0.0 collapses signed zero, mirroring functions/pca.py
             f"round(list_sum(list_transform(list_zip(dv, "
             f"(SELECT x{c} FROM {fin})), p -> p[1] * p[2]))"
-            f" - (SELECT s FROM p{c}_mux), 6) AS pc{c + 1}"
+            f" - (SELECT s FROM p{c}_mux), 6) + 0.0 AS pc{c + 1}"
         )
     return projs
 

@@ -37,7 +37,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # -0.0 + 0.0 is +0.0 (IEEE): signed zero must not split the
+        # compare (the x30 sweep caught a '-0' vs '0' false mismatch)
+        return f"{v + 0.0:.9g}" if v == 0.0 else f"{v:.9g}"
     if isinstance(v, int):
         # exact — the float-style 9-sig-fig collapse would silently
         # equate different large ints (epoch ms, big sums)

@@ -26,7 +26,13 @@ def norm(v):
     if isinstance(v, bool):
         return v
     if isinstance(v, float):
-        return "nan" if math.isnan(v) else f"{v:.9g}"
+        if math.isnan(v):
+            return "nan"
+        # collapse signed zero: a score that ROUNDS to zero can carry
+        # either sign per engine ("%.9g" of -0.0 is '-0' — the x30
+        # sweep caught embedding_pca_topr differing only there); IEEE
+        # -0.0 == 0.0, so the compare must not split on it
+        return f"{v + 0.0:.9g}" if v == 0.0 else f"{v:.9g}"
     if isinstance(v, int):
         # ints compare EXACTLY — 9-sig-fig collapse is for absorbing
         # float formatting skew only; applying it to ≥10-digit ints
