@@ -94,11 +94,21 @@ def activate_vendored_protobuf() -> tuple[bool, str]:
         # under the override (it is what the TWS worker imports)
         import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
+        # Honest limit of the success path (round-18 advice): the
+        # override env var stays set process- and worker-wide for the
+        # session, so protobuf's gencode/runtime validator is disabled
+        # for EVERY consumer in this process, not just pyspark's
+        # StateMessage — an unrelated future gencode mismatch would be
+        # waved through instead of raising. Acceptable only because
+        # this box has exactly one protobuf consumer (the TWS worker)
+        # and the vendored runtime is the only runtime; on any real
+        # deployment the probe returns "system protobuf" above and no
+        # override is ever set.
         _result = (
             True,
             f"vendored protobuf {pb.__version__} from {VENDOR_DIR} "
-            "(gencode version check overridden; TWS e2e tests carry "
-            "the correctness evidence)",
+            "(gencode version check overridden PROCESS-WIDE for this "
+            "session; TWS e2e tests carry the correctness evidence)",
         )
     except Exception as exc:  # noqa: BLE001 — degrade to env-gated,
         # UNDOING the env/sys.path mutations: leaving the version
@@ -119,5 +129,20 @@ def activate_vendored_protobuf() -> tuple[bool, str]:
             os.environ["PYTHONPATH"] = prev_pypath
         if added_sys_path and VENDOR_DIR in sys.path:
             sys.path.remove(VENDOR_DIR)
+        # purge partially-imported vendored modules (round-18 advice):
+        # a failed `import google.protobuf` can still leave `google`,
+        # `google.protobuf`, and submodules cached in sys.modules,
+        # resolved against the now-removed vendor path — a later REAL
+        # protobuf install in this process would silently keep hitting
+        # the broken vendored halves. Only purge when the vendor dir
+        # was the source (a real install above returned early).
+        for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
+            m_obj = sys.modules[mod]
+            f = getattr(m_obj, "__file__", None) or ""
+            paths = list(getattr(m_obj, "__path__", []) or [])
+            if f.startswith(VENDOR_DIR) or (
+                not f and any(p.startswith(VENDOR_DIR) for p in paths)
+            ):
+                del sys.modules[mod]
         _result = (False, f"vendored protobuf unusable: {exc}")
     return _result

@@ -132,9 +132,14 @@ def exact_frame_corr(np, x, y, lo, hi, hits, m=None, budget=1 << 22):
     O(rows · frame) — the exact scale cliff the prefix kernel exists
     to avoid. Frames are instead gathered into padded (rows × max_len)
     matrices and reduced with masked numpy row-ops; batches bound the
-    gather at ~``budget`` elements so memory stays O(budget) no matter
-    how long the frames are (worst case cost O(tail_rows · frame) in
-    NUMPY flops — same asymptotics as the loop, ~100× the constant).
+    gather at ~``budget`` elements, so peak memory is
+    O(max(budget, longest_frame)) × ~7 float64 temporaries — a single
+    frame longer than the budget is still gathered whole (the batch
+    degenerates to that one row of frame_len elements; chunking within
+    a frame would need running-sum reductions this exact two-pass
+    centering deliberately avoids). Worst case cost is
+    O(tail_rows · frame) in NUMPY flops — same asymptotics as the
+    loop, ~100× the constant.
 
     ``x``/``y`` are the full (batch-local) regressor arrays, ``lo``/
     ``hi`` the per-row frame bounds, ``hits`` the row indices to

@@ -178,13 +178,24 @@ def grouped_exact_percentile(
     bound for fixed-precision telemetry — then a running sum over the
     per-group histogram locates the two straddling ranks of position
     (n−1)·p and interpolates with the TWO-SIDED weighting
-    (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi — the exact expression BOTH
-    Spark's Percentile and DuckDB's quantile_cont evaluate (not the
-    algebraically-equal v_lo + (v_hi−v_lo)·frac, which lands an ulp
-    away at fractional positions; measured at p=0.9 on the fixture) —
-    so results are bit-identical to the built-in in both engines
-    (pinned by tests/test_operators.py::
-    test_grouped_exact_median_matches_builtin).
+    (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi, SHORT-CIRCUITING to v_lo
+    whenever v_lo == v_hi. Both pieces are required for bit-equality
+    with Spark's Percentile, which is itself histogram-based: when the
+    two straddling ranks fall inside ONE distinct-value bucket it
+    returns the bucket value with no arithmetic at all, and only
+    otherwise evaluates the two-sided expression. Neither pure form
+    matches alone — the one-sided v_lo + frac·(v_hi−v_lo) lands an ulp
+    off at 34/401 fuzz cases (e.g. p=0.9 on the fixture), and the pure
+    two-sided form multiplies rounding INTO the duplicated-value case
+    ((0.8)·(−3) + (0.2)·(−3) = −3.0000000000000004 ≠ −3.0, the r17
+    hypothesis falsifier, now pinned at tests/test_properties.py::
+    test_percentile_duplicated_straddle_regression). Bit-equality with
+    the built-in is additionally pinned by tests/test_operators.py::
+    test_grouped_exact_median_matches_builtin. (Signed zeros are the
+    one documented divergence: SQL groupBy normalizes −0.0 to 0.0 in
+    the histogram key while the built-in's Java map keeps them
+    distinct; −0.0 == 0.0 everywhere downstream, so no == contract can
+    observe it.)
 
     Plan: one two-phase count aggregation over the scan, then two
     window passes over the HISTOGRAM (hash-partitioned by group, sorted
@@ -228,9 +239,16 @@ def grouped_exact_percentile(
     interp = (hi_d - F.col("__pos")) * F.col("__v1") + (
         F.col("__pos") - lo_d
     ) * F.col("__v2")
+    # v1 == v2 short-circuit: when both straddling ranks sit in the
+    # same histogram bucket the built-in returns the value untouched;
+    # evaluating the two-sided product instead injects an ulp (the r17
+    # falsifier: 0.8·(−3) + 0.2·(−3) = −3.0000000000000004).
     return picked.select(
         *keys,
-        F.when(lo_d == hi_d, F.col("__v1")).otherwise(interp).alias(out),
+        F.when(lo_d == hi_d, F.col("__v1"))
+        .when(F.col("__v1") == F.col("__v2"), F.col("__v1"))
+        .otherwise(interp)
+        .alias(out),
     )
 
 
@@ -250,8 +268,10 @@ def grouped_exact_percentiles(
     requested percentiles (out_name → p) from ONE shared value
     histogram and one rank pass — a caller needing p05+p95 (winsorize,
     IQR fences) pays one corpus scan, not one per percentile. Same
-    bounded-state and two-sided-interpolation bit-equality contract as
-    the single-p kernel; identical per-p results (each p's straddling
+    bounded-state and interpolation bit-equality contract as the
+    single-p kernel — two-sided weighting with the v1 == v2
+    short-circuit, see grouped_exact_percentile — and identical per-p
+    results (each p's straddling
     ranks are picked with per-p guards over the union filter, so
     adding a percentile never perturbs another's value)."""
     from pyspark.sql.window import Window
@@ -291,8 +311,14 @@ def grouped_exact_percentiles(
         interp = (hi_d - pos_c) * F.col(f"__v1_{out}") + (
             pos_c - lo_d
         ) * F.col(f"__v2_{out}")
+        # Same v1 == v2 short-circuit as the single-p kernel (r17
+        # falsifier): same-bucket straddles return the value untouched.
         sel.append(
             F.when(lo_d == hi_d, F.col(f"__v1_{out}"))
+            .when(
+                F.col(f"__v1_{out}") == F.col(f"__v2_{out}"),
+                F.col(f"__v1_{out}"),
+            )
             .otherwise(interp)
             .alias(out)
         )

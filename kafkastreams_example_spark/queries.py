@@ -60,6 +60,16 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # ANSI SQL for DuckDB; None → rows-only check
     tags: tuple[str, ...] = ()
+    # strict_float (round-18, verdict item 6): opt-in full-repr float
+    # compare for entries whose CONTRACT is bit-equality with a
+    # built-in (checksum, ewma, the exact-percentile family). The
+    # default 9-sig-fig collapse is right for cross-engine formatting
+    # skew but structurally blind to ulp-class kernel bugs — the r17
+    # percentile falsifier survived 17 rounds of green gates behind
+    # it. Only set where the docstring claims "no rounding shield";
+    # signed zero stays collapsed even in strict mode (IEEE
+    # -0.0 == 0.0; engines disagree on the sign after rounding).
+    strict_float: bool = False
 
 
 def _ts_s(col: str) -> F.Column:
@@ -2892,15 +2902,73 @@ FROM part GROUP BY p_brand
 """
 
 
+def _sql_hybrid_pct(
+    inner: str, keys: list, val: str, outs: dict
+) -> str:
+    """DuckDB SQL for interpolated percentiles BIT-EQUAL to Spark's
+    built-in Percentile (round 18). DuckDB's quantile_cont is the pure
+    two-sided weighting with NO same-value short-circuit — on
+    duplicated straddling values it lands an ulp away from Spark's
+    histogram-based built-in (the r17 falsifier: quantile_cont gives
+    −3.0000000000000004 where Spark returns −3.0). Oracles for entries
+    whose floats derive from percentiles therefore spell out the
+    hybrid rule Spark (and operators/relational.py's kernels, post-
+    r17-fix) actually evaluate: sort the group's values, take v1/v2 at
+    ranks ⌊pos⌋+1/⌈pos⌉+1 for pos=(n−1)·p, return v1 untouched when
+    v1 == v2, else (⌈pos⌉−pos)·v1 + (pos−⌊pos⌋)·v2 — the identical
+    IEEE expression, so strict_float gating becomes possible.
+    ``inner`` must pre-filter NULL values (list() would keep them and
+    shift every rank); perf is irrelevant — this is oracle-side
+    DuckDB at gate SFs.
+
+    Two DuckDB-vs-Spark type traps this generator defuses (found by
+    the first strict run, round 18): (a) a literal like 0.05 parses as
+    DECIMAL in DuckDB, making pos EXACT where Spark's is the double
+    product — different interpolation weights (0.35 vs
+    0.3499999999999943 at n=2014) — so p is cast to DOUBLE before the
+    multiply; (b) a DECIMAL value column (o_totalprice) would
+    interpolate in exact decimal arithmetic where Spark's Percentile
+    converts values to double FIRST — so the list is built over
+    CAST(val AS DOUBLE) (monotone and injective at these scales:
+    decimal(15,2) spacing 0.01 dwarfs the double ulp)."""
+    kcols = ", ".join(keys)
+    kpre = (kcols + ", ") if keys else ""
+    gb = f" GROUP BY {kcols}" if keys else ""
+    picks = ", ".join(
+        f"xs[CAST(floor(pos_{o}) AS BIGINT)+1] AS v1_{o}, "
+        f"xs[CAST(ceil(pos_{o}) AS BIGINT)+1] AS v2_{o}, pos_{o}"
+        for o in outs
+    )
+    poses = ", ".join(
+        f"(n-1) * CAST({p!r} AS DOUBLE) AS pos_{o}" for o, p in outs.items()
+    )
+    cases = ", ".join(
+        f"CASE WHEN v1_{o} = v2_{o} THEN v1_{o} "
+        f"ELSE (ceil(pos_{o}) - pos_{o}) * v1_{o} "
+        f"+ (pos_{o} - floor(pos_{o})) * v2_{o} END AS {o}"
+        for o in outs
+    )
+    return (
+        f"SELECT {kpre}{cases} FROM ("
+        f"SELECT {kpre}{picks} FROM ("
+        f"SELECT {kpre}xs, {poses} FROM ("
+        f"SELECT {kpre}list_sort(list(CAST({val} AS DOUBLE))) AS xs, "
+        f"count(*) AS n FROM {inner}{gb})))"
+    )
+
+
 def q_agg_percentiles(spark, sf_dir):
-    """Exact percentiles (linear interpolation — verified bit-identical
-    to DuckDB's quantile_cont). At 100 TB you'd use approx_percentile
-    sketches — or, when the value domain has bounded distinct
-    cardinality, operators/relational.py::grouped_exact_percentile,
-    which computes the SAME bit-exact interpolated percentile through a
-    value histogram instead of the built-in's per-group value buffer
-    (mad_outliers runs on that kernel); the built-in exact form here is
-    the correctness baseline."""
+    """Exact percentiles via Spark's built-in Percentile. At 100 TB
+    you'd use approx_percentile sketches — or, when the value domain
+    has bounded distinct cardinality, operators/relational.py::
+    grouped_exact_percentile, which computes the SAME bit-exact
+    interpolated percentile through a value histogram instead of the
+    built-in's per-group value buffer (mad_outliers runs on that
+    kernel); the built-in exact form here is the correctness baseline.
+    Oracle: the hybrid-interpolation SQL (_sql_hybrid_pct), NOT
+    quantile_cont — DuckDB's quantile_cont skips the same-value
+    short-circuit and lands an ulp off on duplicated straddles, which
+    this entry's strict_float gate would (correctly) fail."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.percentile("o_totalprice", 0.5).alias("med_total"),
@@ -2909,12 +2977,17 @@ def q_agg_percentiles(spark, sf_dir):
     )
 
 
-SQL_AGG_PERCENTILES = """
-SELECT o_orderstatus,
-  quantile_cont(o_totalprice, 0.5) AS med_total,
-  quantile_cont(o_totalprice, 0.9) AS p90_total,
-  COUNT(*) AS n_orders
-FROM orders GROUP BY o_orderstatus
+SQL_AGG_PERCENTILES = f"""
+WITH pct AS ({_sql_hybrid_pct(
+    "(SELECT o_orderstatus, o_totalprice FROM orders"
+    " WHERE o_totalprice IS NOT NULL) s",
+    ["o_orderstatus"],
+    "o_totalprice",
+    {"med_total": 0.5, "p90_total": 0.9},
+)}),
+cnt AS (SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+SELECT o_orderstatus, med_total, p90_total, n_orders
+FROM pct JOIN cnt USING (o_orderstatus)
 """
 
 
@@ -4716,11 +4789,14 @@ def q_mad_outliers(spark, sf_dir):
     at most one rank). The standard robust-scale gate a training-data
     pipeline runs over numeric telemetry before fitting anything.
 
-    Exactness: both medians are EXACT interpolated percentiles
-    (lower + (upper − lower)·0.5 on the two middle values — the same
-    IEEE expression DuckDB's median/quantile_cont evaluates on the same
-    stored doubles), so med/MAD agree bit-for-bit and the 5·MAD
-    comparison cannot flip a boundary row between engines.
+    Exactness: both medians are EXACT interpolated percentiles,
+    bit-equal to Spark's built-in Percentile (two-sided weighting with
+    the v1 == v2 short-circuit — the r17-fixed kernel contract). The
+    oracle spells out the SAME hybrid rule via _sql_hybrid_pct rather
+    than DuckDB's median/quantile_cont, which skips the short-circuit
+    and lands an ulp off on duplicated middle values — so med/MAD
+    agree bit-for-bit cross-engine and the 5·MAD comparison cannot
+    flip a boundary row between engines (strict_float-gated).
 
     Plan — and WHY not the built-in `median` aggregate: Spark's exact
     percentile buffers every group value in executor memory
@@ -4767,12 +4843,14 @@ def q_mad_outliers(spark, sf_dir):
     )
 
 
-SQL_MAD_OUTLIERS = """
+SQL_MAD_OUTLIERS = f"""
 WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
-med AS (SELECT event_type, median(value) AS med_value FROM e GROUP BY event_type),
+med AS ({_sql_hybrid_pct("e", ["event_type"], "value",
+                         {"med_value": 0.5})}),
 dev AS (SELECT e.event_type, m.med_value, abs(e.value - m.med_value) AS ad
         FROM e JOIN med m USING (event_type)),
-mad AS (SELECT event_type, median(ad) AS mad_value FROM dev GROUP BY event_type)
+mad AS ({_sql_hybrid_pct("dev", ["event_type"], "ad",
+                         {"mad_value": 0.5})})
 SELECT d.event_type,
        CAST(count(*) AS BIGINT) AS n,
        any_value(d.med_value) AS med_value,
@@ -7887,8 +7965,9 @@ def q_winsorize(spark, sf_dir):
     Scale shape: both percentiles come from ONE shared pass of the
     bounded-state multi-percentile kernel (operators/relational.py::
     grouped_exact_percentiles — histogram state ∝ distinct values,
-    never a per-group value buffer, bit-identical to DuckDB's
-    quantile_cont by the two-sided interpolation contract; the
+    never a per-group value buffer, bit-identical to Spark's built-in
+    Percentile by the hybrid interpolation contract; the oracle uses
+    _sql_hybrid_pct, not quantile_cont — see q_agg_percentiles; the
     fixed-precision-telemetry distinct-value bound argued for
     q_mad_outliers applies unchanged), the per-group bounds frame is
     #groups-bounded so it broadcasts back over the scan, and the
@@ -7919,12 +7998,13 @@ def q_winsorize(spark, sf_dir):
     )
 
 
-SQL_WINSORIZE = """
-WITH b AS (
-  SELECT event_type,
-         quantile_cont(value, 0.05) AS p_lo,
-         quantile_cont(value, 0.95) AS p_hi
-  FROM events WHERE value IS NOT NULL GROUP BY 1)
+SQL_WINSORIZE = f"""
+WITH b AS ({_sql_hybrid_pct(
+    "(SELECT event_type, value FROM events WHERE value IS NOT NULL) s",
+    ["event_type"],
+    "value",
+    {"p_lo": 0.05, "p_hi": 0.95},
+)})
 SELECT e.event_type, any_value(b.p_lo) AS p_lo, any_value(b.p_hi) AS p_hi,
        COUNT(*) AS n,
        CAST(SUM(CASE WHEN e.value < b.p_lo THEN 1 ELSE 0 END) AS BIGINT)
@@ -8671,8 +8751,10 @@ def q_decile_lift(spark, sf_dir):
     the 9 decile boundaries come from ONE pass of the shared
     bounded-state multi-percentile kernel (operators/relational.py::
     grouped_exact_percentiles with no grouping keys — histogram state
-    ∝ distinct score values, bit-identical to DuckDB's quantile_cont
-    by the established contract), the 1-row boundary frame broadcasts
+    ∝ distinct score values, bit-identical to Spark's built-in by the
+    hybrid interpolation contract; oracle via _sql_hybrid_pct, since
+    quantile_cont's ulp-off boundaries on this duplicate-heavy int
+    column could flip a bucket), the 1-row boundary frame broadcasts
     over the scan, and bucket = count of boundaries below the score —
     a pure projection. Rates are integer-div ppm (exact); lift is the
     double ratio of two exact ppm ints, identical cross-engine."""
@@ -8708,14 +8790,13 @@ def q_decile_lift(spark, sf_dir):
     )
 
 
-SQL_DECILE_LIFT = """
-WITH b AS (
-  SELECT quantile_cont(n_chars, 0.1) AS b1, quantile_cont(n_chars, 0.2) AS b2,
-         quantile_cont(n_chars, 0.3) AS b3, quantile_cont(n_chars, 0.4) AS b4,
-         quantile_cont(n_chars, 0.5) AS b5, quantile_cont(n_chars, 0.6) AS b6,
-         quantile_cont(n_chars, 0.7) AS b7, quantile_cont(n_chars, 0.8) AS b8,
-         quantile_cont(n_chars, 0.9) AS b9
-  FROM documents),
+SQL_DECILE_LIFT = f"""
+WITH b AS ({_sql_hybrid_pct(
+    "(SELECT n_chars FROM documents WHERE n_chars IS NOT NULL) s",
+    [],
+    "n_chars",
+    {f"b{i}": i / 10 for i in range(1, 10)},
+)}),
 d AS (
   SELECT (CASE WHEN n_chars > b1 THEN 1 ELSE 0 END
         + CASE WHEN n_chars > b2 THEN 1 ELSE 0 END
@@ -9448,7 +9529,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "simhash_pairs_4band": QuerySpec(
         q_simhash_pairs_4band, SQL_SIMHASH_PAIRS, ("text", "dedup")
     ),
-    "agg_percentiles": QuerySpec(q_agg_percentiles, SQL_AGG_PERCENTILES, ("relational",)),
+    "agg_percentiles": QuerySpec(
+        q_agg_percentiles, SQL_AGG_PERCENTILES, ("relational",),
+        strict_float=True,
+    ),
     "dedup_clusters": QuerySpec(q_dedup_clusters, SQL_DEDUP_CLUSTERS, ("text", "dedup", "iterative")),
     "dedup_cluster_profile": QuerySpec(
         q_dedup_cluster_profile, SQL_DEDUP_CLUSTER_PROFILE, ("text", "dedup", "iterative")
@@ -9540,7 +9624,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_value_histogram, SQL_VALUE_HISTOGRAM, ("relational", "pipeline")
     ),
     "mad_outliers": QuerySpec(
-        q_mad_outliers, SQL_MAD_OUTLIERS, ("relational", "pipeline")
+        q_mad_outliers, SQL_MAD_OUTLIERS, ("relational", "pipeline"),
+        strict_float=True,
     ),
     "mat_view_counts": QuerySpec(
         q_mat_view_counts, SQL_MAT_VIEW_COUNTS, ("streaming", "pipeline")
@@ -9608,7 +9693,8 @@ REGISTRY: dict[str, QuerySpec] = {
         q_resample_ohlc, SQL_RESAMPLE_OHLC, ("relational", "timeseries")
     ),
     "winsorize": QuerySpec(
-        q_winsorize, SQL_WINSORIZE, ("relational", "pipeline")
+        q_winsorize, SQL_WINSORIZE, ("relational", "pipeline"),
+        strict_float=True,
     ),
     "skew_profile": QuerySpec(
         q_skew_profile, SQL_SKEW_PROFILE, ("relational", "maintenance")
@@ -9639,10 +9725,12 @@ REGISTRY: dict[str, QuerySpec] = {
         ("similarity", "iterative", "streaming"),
     ),
     "table_checksum": QuerySpec(
-        q_table_checksum, SQL_TABLE_CHECKSUM, ("relational", "maintenance")
+        q_table_checksum, SQL_TABLE_CHECKSUM, ("relational", "maintenance"),
+        strict_float=True,
     ),
     "decile_lift": QuerySpec(
-        q_decile_lift, SQL_DECILE_LIFT, ("relational", "eval")
+        q_decile_lift, SQL_DECILE_LIFT, ("relational", "eval"),
+        strict_float=True,
     ),
     "sequence_match": QuerySpec(
         q_sequence_match, SQL_SEQUENCE_MATCH, ("relational", "window")
@@ -9659,7 +9747,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "zoned_read_prune": QuerySpec(
         q_zoned_read_prune, SQL_ZONED_READ_PRUNE, ("relational", "maintenance")
     ),
-    "ewma": QuerySpec(q_ewma, SQL_EWMA, ("relational", "timeseries")),
+    "ewma": QuerySpec(
+        q_ewma, SQL_EWMA, ("relational", "timeseries"), strict_float=True
+    ),
     "k_anonymity": QuerySpec(
         q_k_anonymity, SQL_K_ANONYMITY, ("relational", "privacy")
     ),

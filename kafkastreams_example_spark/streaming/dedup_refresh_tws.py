@@ -80,10 +80,26 @@ def ensure_tws_state_provider(spark) -> None:
     TWS query — so each TWS wiring point switches the SESSION conf to
     RocksDB before starting. Per-query: the provider is captured from
     the session conf at query START, so already-running queries keep
-    the provider they started with."""
+    the provider they started with. The flip is PERMANENT for the
+    session (round-18 advice: the provider can't be set per-query via
+    conf): any LATER stateful query started on the same session also
+    gets RocksDB, even if the caller had deliberately pinned another
+    provider — the flip is logged here and called out in every public
+    *_tws wiring docstring; restore the conf key yourself after query
+    start if the old provider matters (tests/test_streaming.py's
+    autouse fixture does exactly that)."""
+    import logging
+
     key = "spark.sql.streaming.stateStore.providerClass"
-    if spark.conf.get(key, "") != _ROCKSDB_PROVIDER:
+    prev = spark.conf.get(key, "")
+    if prev != _ROCKSDB_PROVIDER:
         spark.conf.set(key, _ROCKSDB_PROVIDER)
+        logging.getLogger(__name__).info(
+            "TWS wiring flipped %s from %r to RocksDB for the whole "
+            "session (later stateful queries inherit it)",
+            key,
+            prev or "<unset>",
+        )
 
 
 def make_refresh_dedup_processor(
@@ -207,6 +223,11 @@ def dedup_refresh_stream_tws(
     Raises RuntimeError with the blocking reason when the runtime can't
     execute TWS (no protobuf / PySpark < 4) — callers catch and fall
     back to the applyInPandasWithState tier.
+
+    Session side effect: flips the session's stateStore providerClass
+    to RocksDB permanently (TWS needs column families; the conf can't
+    be set per-query) — later stateful queries on this session inherit
+    RocksDB; see ensure_tws_state_provider.
     """
     from pyspark.sql import functions as F
 
@@ -332,7 +353,9 @@ def dedup_refresh_stream_coalesced_tws(
     same contract as dedup_refresh.dedup_refresh_stream_coalesced
     (ids packed xxhash64 % n_state_keys per state key, null ids
     bypass). Raises RuntimeError with the blocking reason when the
-    runtime can't execute TWS."""
+    runtime can't execute TWS. Session side effect: permanently flips
+    the session's stateStore providerClass to RocksDB (see
+    ensure_tws_state_provider)."""
     from pyspark.sql import functions as F
 
     ok, reason = tws_available()

@@ -179,7 +179,10 @@ def rolling_corr_stream_tws(
     same contract as rolling_corr.rolling_corr_stream (defined-corr
     emission, NULL rows dead-lettered; ``emit_corrections=True`` adds
     the per-key ``rev``, integral id required). Raises RuntimeError
-    with the blocking reason when the runtime can't execute TWS."""
+    with the blocking reason when the runtime can't execute TWS.
+    Session side effect: permanently flips the session's stateStore
+    providerClass to RocksDB (see
+    dedup_refresh_tws.ensure_tws_state_provider)."""
     from pyspark.sql import functions as F
 
     ok, reason = tws_available()

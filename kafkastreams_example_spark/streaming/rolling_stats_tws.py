@@ -216,7 +216,9 @@ def rolling_stats_stream_tws(
     ``emit_corrections=True`` adds the per-key ``rev`` and requires an
     integral id column). Raises RuntimeError with the blocking reason
     when the runtime can't execute TWS — callers catch and fall back
-    to the applyInPandasWithState tier."""
+    to the applyInPandasWithState tier. Session side effect:
+    permanently flips the session's stateStore providerClass to
+    RocksDB (see dedup_refresh_tws.ensure_tws_state_provider)."""
     from pyspark.sql import functions as F
 
     ok, reason = tws_available()

@@ -359,10 +359,21 @@ class ManifestTable:
         # writer's just-renamed manifest before the replacement swaps
         # _CURRENT, leaving the pointer naming a missing manifest
         # (wedged if that writer dies before its next commit heals
-        # it). Healing rule (round-17 advice): re-read _CURRENT after
-        # the removes and RESTORE any manifest it now names from the
-        # saved bytes — the restored id is committed history, not an
-        # orphan, and joins the keep/expire arithmetic below.
+        # it). Healing rule (round-17 advice, loop form per round-18
+        # advice): after the removes, re-read _CURRENT and RESTORE any
+        # removed manifest it names from the saved bytes, REPEATING
+        # until a stable read — two consecutive reads agree and the
+        # named manifest (if ours) is already restored. A single
+        # re-read narrowed the window but a replacement writer
+        # swapping _CURRENT just after it still left the pointer
+        # naming a deleted manifest; the loop closes that for any
+        # finite number of swaps observed while vacuuming. The
+        # iteration bound is a liveness backstop, not a correctness
+        # hole: a writer still swapping past it is alive by
+        # definition, and every id it can swap TO from here on is
+        # either already restored below or a manifest vacuum never
+        # touched. The restored ids are committed history, not
+        # orphans, and join the keep/expire arithmetic below.
         removed: dict[int, str] = {}
         for v in orphans:
             p = os.path.join(self.path, "manifests", f"manifest-{v}.json")
@@ -370,16 +381,29 @@ class ManifestTable:
                 removed[v] = fh.read()
             os.remove(p)
         if removed:
-            cur_after = self.committed_batch()
-            if cur_after is not None and cur_after in removed:
-                p = os.path.join(
-                    self.path, "manifests", f"manifest-{cur_after}.json"
-                )
-                tmp = p + ".restore.tmp"
-                with open(tmp, "w") as fh:
-                    fh.write(removed[cur_after])
-                os.replace(tmp, p)
-                committed_ids = sorted({*committed_ids, cur_after})
+            restored: set[int] = set()
+            prev: object = object()  # never equals a first read
+            for _ in range(8):
+                cur_after = self.committed_batch()
+                if (
+                    cur_after is not None
+                    and cur_after in removed
+                    and cur_after not in restored
+                ):
+                    p = os.path.join(
+                        self.path, "manifests", f"manifest-{cur_after}.json"
+                    )
+                    tmp = p + ".restore.tmp"
+                    with open(tmp, "w") as fh:
+                        fh.write(removed[cur_after])
+                    os.replace(tmp, p)
+                    restored.add(cur_after)
+                    committed_ids = sorted({*committed_ids, cur_after})
+                    prev = object()  # force a confirming re-read
+                    continue
+                if cur_after == prev:
+                    break
+                prev = cur_after
         versions = committed_ids
         # while manifest history is still known, purge ORPHANED schema
         # versions (no manifest ever committed their id): after expiry

@@ -160,6 +160,53 @@ def test_oracle_harness_detects_mismatches(spark):
     assert fails == ["bad_value", "bad_rows", "bad_cols"]
 
 
+def test_strict_float_gate_trips_on_one_ulp(spark):
+    """Gate-sensitivity mutant for the round-18 strict_float mode: an
+    oracle one ulp off from the Spark result must PASS the default
+    9-sig-fig compare (that blindness is why the r17 percentile bug
+    survived 17 rounds of green gates) and FAIL strict compare; an
+    exactly-equal oracle must pass strict; and strict must NOT split
+    on signed zero (−0.0 vs 0.0 stays collapsed — the x30 rule)."""
+    import math
+
+    import duckdb
+
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "oracle_check",
+        Path(__file__).resolve().parent.parent / "tools" / "oracle_check.py",
+    )
+    oc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(oc)
+
+    v = -3.0
+    v_ulp = math.nextafter(v, -math.inf)  # -3.0000000000000004
+    fn = lambda s, d: s.createDataFrame(  # noqa: E731
+        [(1, v)], "k INT, pct DOUBLE"
+    )
+    con = duckdb.connect()
+    exact = f"SELECT 1 AS k, CAST({v!r} AS DOUBLE) AS pct"
+    off = f"SELECT 1 AS k, CAST({v_ulp!r} AS DOUBLE) AS pct"
+
+    ok, _ = oc.compare_query(spark, con, fn, off, ".", strict_float=False)
+    assert ok, "9-sig-fig compare must absorb one ulp (documented blindness)"
+    ok, detail = oc.compare_query(spark, con, fn, off, ".", strict_float=True)
+    assert not ok, f"strict compare must trip on one ulp: {detail}"
+    ok, _ = oc.compare_query(spark, con, fn, exact, ".", strict_float=True)
+    assert ok, "strict compare must pass on bit-equal values"
+
+    zfn = lambda s, d: s.createDataFrame(  # noqa: E731
+        [(1, -0.0)], "k INT, pct DOUBLE"
+    )
+    ok, _ = oc.compare_query(
+        spark, con, zfn, "SELECT 1 AS k, CAST(0.0 AS DOUBLE) AS pct", ".",
+        strict_float=True,
+    )
+    assert ok, "strict compare must collapse signed zero"
+
+
 def test_bucketed_pairs_subset_of_exact(spark):
     """Within-bucket semantics ⊆ all-pairs semantics, for ANY vector
     multiset and threshold: every pair the two-level PQ bucketing emits
@@ -447,6 +494,176 @@ def test_grouped_exact_percentile_property(spark, rows, p):
         for r in df.groupBy("k").agg(F.percentile("v", p).alias("pct")).collect()
     }
     assert got == want, (p, got, want)
+
+
+def test_percentile_duplicated_straddle_regression(spark):
+    """Pinned round-17 hypothesis falsifier: when both straddling ranks
+    hold the SAME value (v1 == v2 == −3, frac 0.2), the pure two-sided
+    weighting rounds to −3.0000000000000004 while the built-in's
+    histogram lookup returns −3.0 untouched. The kernel must
+    short-circuit v1 == v2 — in the single-p kernel AND each p of the
+    multi-p kernel (the winsorize path)."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_example_spark.operators.relational import (
+        grouped_exact_percentile,
+        grouped_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (0, -3.0), (0, -3.0)], "k INT, v DOUBLE"
+    )
+    [got] = grouped_exact_percentile(df, ["k"], "v", 0.1).collect()
+    [want] = df.groupBy("k").agg(F.percentile("v", 0.1).alias("pct")).collect()
+    assert repr(got["pct"]) == repr(want["pct"]) == "-3.0"
+
+    [multi] = grouped_exact_percentiles(
+        df, ["k"], "v", {"p10": 0.1, "p90": 0.9}
+    ).collect()
+    [want90] = df.groupBy("k").agg(F.percentile("v", 0.9).alias("pct")).collect()
+    assert repr(multi["p10"]) == "-3.0"
+    assert repr(multi["p90"]) == repr(want90["pct"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sets(
+        st.sampled_from([0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95]),
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_grouped_exact_percentiles_multi_p_property(spark, rows, ps):
+    """Round-18 fuzz extension: the MULTI-p kernel (the winsorize /
+    decile-boundary path) against one built-in Percentile per p —
+    same strategy that falsified the single-p kernel in round 17
+    (duplicated values, negatives, singleton groups). Bit-equality
+    per p, and computing several ps from the shared histogram must
+    not perturb any single p's value."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_example_spark.operators.relational import (
+        grouped_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(rows, "k INT, v DOUBLE")
+    names = {f"p{int(p * 100):02d}": p for p in sorted(ps)}
+    got = {
+        r["k"]: {out: r[out] for out in names}
+        for r in grouped_exact_percentiles(df, ["k"], "v", names).collect()
+    }
+    want = {
+        r["k"]: {out: r[out] for out in names}
+        for r in df.groupBy("k")
+        .agg(
+            *[
+                F.percentile("v", F.lit(p)).alias(out)
+                for out, p in names.items()
+            ]
+        )
+        .collect()
+    }
+    assert got == want, (names, got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_ewma_fold_bit_equality_property(spark, vals, alpha):
+    """Round-18 fuzz extension: the EWMA left fold (q_ewma's
+    F.aggregate expression) against the same IEEE operation sequence
+    evaluated in pure Python — s_i = α·x_i + (1−α)·s_{i−1} seeded
+    with x_0. The query's cross-engine bit-equality claim rests on
+    'identical fold, identical order'; this pins the Spark expression
+    to exactly that recurrence (any reassociation — e.g. fma-style
+    fusion or acc + α·(x−acc) — would surface as an ulp here)."""
+    from pyspark.sql import functions as F
+
+    a = alpha
+    df = spark.createDataFrame([(vals,)], "xs ARRAY<DOUBLE>")
+    ewma = F.aggregate(
+        F.slice("xs", 2, F.size("xs") - 1),
+        F.element_at("xs", 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    [row] = df.select(ewma.alias("ewma")).collect()
+    want = vals[0]
+    for x in vals[1:]:
+        want = a * x + (1.0 - a) * want
+    assert repr(row["ewma"]) == repr(want), (vals, a, row["ewma"], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_decile_boundary_assignment_property(spark, scores):
+    """Round-18 fuzz extension: decile boundaries from the keyless
+    multi-p kernel must be bit-equal to nine built-in Percentiles,
+    and the broadcast bucket rule (count of boundaries strictly below
+    the score) must agree with the same rule evaluated in Python over
+    the built-in boundaries — the q_decile_lift path, with the
+    duplicated-value histograms that broke round 17."""
+    from pyspark.sql import functions as F
+
+    from kafkastreams_example_spark.operators.relational import (
+        grouped_exact_percentiles,
+    )
+
+    df = spark.createDataFrame([(s,) for s in scores], "v DOUBLE")
+    ps = {f"b{i}": i / 10 for i in range(1, 10)}
+    [bounds] = grouped_exact_percentiles(df, [], "v", ps).collect()
+    [want_b] = df.agg(
+        *[F.percentile("v", F.lit(p)).alias(out) for out, p in ps.items()]
+    ).collect()
+    for out in ps:
+        assert repr(bounds[out]) == repr(want_b[out]), (out, scores)
+    got = [
+        r["decile"]
+        for r in df.crossJoin(
+            F.broadcast(grouped_exact_percentiles(df, [], "v", ps))
+        )
+        .select(
+            "v",
+            sum(
+                [(F.col("v") > F.col(f"b{i}")).cast("int") for i in range(1, 10)],
+                F.lit(0),
+            ).alias("decile"),
+        )
+        .orderBy("v", "decile")
+        .collect()
+    ]
+    want = sorted(
+        sum(1 for i in range(1, 10) if s > want_b[f"b{i}"]) for s in scores
+    )
+    assert sorted(got) == want, (scores, got, want)
 
 
 # ---------------------------------------------------------------------------

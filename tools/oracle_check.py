@@ -22,12 +22,19 @@ from kafkastreams_example_spark.schema import TABLE_NAMES  # noqa: E402
 from kafkastreams_example_spark.session import get_spark  # noqa: E402
 
 
-def norm(v):
+def norm(v, strict_float: bool = False):
     if isinstance(v, bool):
         return v
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if strict_float:
+            # strict mode (round-18 gate hardening): full repr — one
+            # ulp of divergence fails the gate. Reserved for entries
+            # whose contract is bit-equality with a built-in; signed
+            # zero still collapses (v + 0.0) — engines legitimately
+            # disagree on the zero's sign (x30 sweep evidence).
+            return repr(v + 0.0) if v == 0.0 else repr(v)
         # collapse signed zero: a score that ROUNDS to zero can carry
         # either sign per engine ("%.9g" of -0.0 is '-0' — the x30
         # sweep caught embedding_pca_topr differing only there); IEEE
@@ -41,13 +48,16 @@ def norm(v):
     return v
 
 
-def compare_query(spark, con, fn, oracle: str, sf_dir: str):
+def compare_query(
+    spark, con, fn, oracle: str, sf_dir: str, strict_float: bool = False
+):
     """Run a query callable against its DuckDB oracle and compare with
     the driver's exact discipline (row count + column set + order-
     insensitive normalized values). Returns (ok, detail). Shared by the
     gate replica below and tools/gate_sensitivity.py (the mutation
     audit must test the SAME comparator the gate uses, or it audits
-    nothing)."""
+    nothing). ``strict_float=True`` compares floats by full repr
+    (QuerySpec.strict_float — the kernel-contract entries)."""
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
     # toPandas(), not collect(): the driver compares pandas frames on
@@ -66,11 +76,15 @@ def compare_query(spark, con, fn, oracle: str, sf_dir: str):
     oi = sorted(range(len(scols)), key=lambda i: scols[i])
     di = sorted(range(len(dcols)), key=lambda i: dcols[i])
     key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
-    a = sorted([tuple(norm(r[i]) for i in oi) for r in srows], key=key)
-    b = sorted([tuple(norm(r[i]) for i in di) for r in drows], key=key)
+    a = sorted(
+        [tuple(norm(r[i], strict_float) for i in oi) for r in srows], key=key
+    )
+    b = sorted(
+        [tuple(norm(r[i], strict_float) for i in di) for r in drows], key=key
+    )
     ok = a == b and sorted(scols) == sorted(c.lower() for c in dcols)
     if ok:
-        return True, f"rows={len(srows)}"
+        return True, f"rows={len(srows)}" + (" [strict]" if strict_float else "")
     bad = [(x, y) for x, y in zip(a, b) if x != y][:2]
     return False, f"rows={len(srows)}/{len(drows)} first={bad}"
 
@@ -85,7 +99,14 @@ def _check_one(spark, con, name: str, sf_dir: str, fails: list[str]) -> None:
             f"[{time.perf_counter()-t0:.1f}s]"
         )
         return
-    ok, detail = compare_query(spark, con, spec.fn, spec.oracle, sf_dir)
+    ok, detail = compare_query(
+        spark,
+        con,
+        spec.fn,
+        spec.oracle,
+        sf_dir,
+        strict_float=getattr(spec, "strict_float", False),
+    )
     if not ok:
         fails.append(name)
         print(f"{name}: MISMATCH {detail}")

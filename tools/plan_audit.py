@@ -14,7 +14,13 @@ rows land on the driver. That is cheap at the default sf0.001 audit
 fixture but becomes a full run with driver-memory risk at larger SFs;
 main() warns when pointed at anything other than a sf0.001 dir.
 
-Usage: python tools/plan_audit.py [sf_dir] [out_md]
+Usage: python tools/plan_audit.py [sf_dir] [out_md] [entry ...]
+
+Optional trailing entry names restrict the audit to a subset — the
+round-18 use case: re-auditing the join-heavy families at the x10
+fixture, where AQE's stat-driven broadcast-vs-shuffle choices (never
+observed above sf0.1 before) actually flip, without paying a full
+203-entry execution at that scale.
 """
 
 from __future__ import annotations
@@ -96,11 +102,15 @@ def main() -> None:
             f"with driver-memory risk, not a compile-only pass.",
             file=sys.stderr,
         )
+    names = sys.argv[3:] or sorted(REGISTRY)
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"plan_audit: unknown entries {unknown}")
     spark = get_spark(app_name="plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
     rows, errs = [], []
     t0 = time.time()
-    for name in sorted(REGISTRY):
+    for name in sorted(names):
         try:
             rows.append(audit_one(spark, name, sf_dir))
         except Exception as exc:  # noqa: BLE001

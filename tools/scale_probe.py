@@ -693,6 +693,13 @@ def run(family: list[str] | None = None) -> None:
 
 if __name__ == "__main__":
     if sys.argv[1] == "build":
+        # round 18: optional explicit factor list ("build 10 100") —
+        # the x100 numerics rung needs a fixture the default (10, 30)
+        # pair never materializes, and rebuilding x30 just to get
+        # there would double the build for nothing
+        cli_factors = tuple(int(a) for a in sys.argv[2:] if a.isdigit())
+        if cli_factors:
+            FACTORS = cli_factors
         build()
     elif sys.argv[1] == "run":
         fam = None
