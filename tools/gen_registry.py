@@ -61,8 +61,10 @@ def main() -> None:
         "`kafkastreams_example_spark/queries.py` — the engine's declared",
         "surface (SURVEY.md §2c points here). Every entry has a",
         "`queries()` callable; `oracle` says how the driver verifies it",
-        "(`sql` = full DuckDB value compare, `rows-only` = the weaker",
-        "row-count check for non-SQL-expressible ops). `band` is the",
+        "(`sql` = full DuckDB value compare, `sql-strict` = the same",
+        "compare with full-repr floats — the round-18 kernel-contract",
+        "tier, one ulp fails; `rows-only` = the weaker row-count check",
+        "for non-SQL-expressible ops). `band` is the",
         "calibrated sf0.1 wall-clock band from BASELINE_BANDS.json",
         "(drift-normalized by bench.py's canary gate); unbanded entries",
         "are the documented <1 s exemption ledger (BASELINE.md). Scale",
@@ -80,7 +82,11 @@ def main() -> None:
                 n=name,
                 t=", ".join(spec.tags) or "—",
                 s=_site(spec.fn),
-                o="sql" if spec.oracle else "rows-only",
+                o=(
+                    "sql-strict"
+                    if spec.oracle and getattr(spec, "strict_float", False)
+                    else "sql" if spec.oracle else "rows-only"
+                ),
                 b="Y" if name in benched else "",
                 bd=f"[{band[0]}, {band[1]}]" if band else "",
                 d=_summary(spec.fn),
@@ -89,7 +95,8 @@ def main() -> None:
     n_sql = sum(1 for s in REGISTRY.values() if s.oracle)
     lines += [
         "",
-        f"_{len(REGISTRY)} entries: {n_sql} sql-oracled, "
+        f"_{len(REGISTRY)} entries: {n_sql} sql-oracled "
+        f"({sum(1 for s in REGISTRY.values() if s.oracle and getattr(s, 'strict_float', False))} strict-float), "
         f"{len(REGISTRY) - n_sql} rows-only; {len(benched & set(REGISTRY))} "
         "benched headline queries._",
     ]
