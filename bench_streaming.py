@@ -117,18 +117,23 @@ THRESHOLDS = {
     # state; correction set empty on the in-order feed): first
     # recording 33.1k rows/s — floor at the same policy
     "rolling_stats_corrected": 11_000,
-    # round-17 transformWithState twins (first executable round —
-    # vendored protobuf): same feeds as their APWS tiers; first quiet
-    # full-run recordings 48.4k (dedup) and 21.0k (rolling stats)
-    # rows/s at 50k-row batches — ~0.75x their APWS twins on the same
-    # quiet run (64.8k / 28.3k; the proto state-server round-trips
-    # cost ~a third over APWS's Arrow state columns at this key
-    # density) — floors at the ~2-3x under-recording policy
-    "dedup_refresh_tws": 18_000,
+    # transformWithState twins (executable since round 17 — vendored
+    # protobuf): same feeds as their APWS tiers; the proto
+    # state-server round-trips cost ~a quarter-to-third over APWS's
+    # Arrow state columns at this key density. Round-18 floor
+    # re-derivation (verdict item 3, tools/tws_floor_probe.py): three
+    # PROCESS-FRESH quiet runs read dedup 37.4-53.1k, stats
+    # 18.7-22.8k, corr 18.5-20.3k rows/s at 50k-row batches — floors
+    # at ~2.5x under the WORST quiet reading. Process-fresh matters:
+    # within one session, repeated streaming queries degrade
+    # monotonically (dedup 54.1k -> 41.8k -> 22.7k over three
+    # back-to-back runs — state-store/worker residue accumulates per
+    # query), so in-session repeats under-read the regime
+    # bench_streaming actually measures (each pipeline once).
+    "dedup_refresh_tws": 15_000,
     "rolling_stats_tws": 8_000,
-    # corr face of the TWS twin: shared-session probe 21.2k rows/s
-    # (vs 26.2k APWS corr, 24.0k stats TWS same run) — same policy.
-    # A cold first-query probe once read 3.2k (session warmup on the
+    # corr face: same derivation (worst quiet 18.5k). A cold
+    # first-query probe once read 3.2k (session warmup on the
     # heaviest face); the floor stays below that regime deliberately
     # since the bench's WARMUP_BATCHES absorb it.
     "rolling_corr_tws": 7_000,
