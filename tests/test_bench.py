@@ -193,7 +193,9 @@ def test_registry_md_is_fresh():
     reg_md = Path(__file__).resolve().parent.parent / "REGISTRY.md"
     with open(reg_md) as fh:
         for ln in fh:
-            m = re.match(r"\| ([a-z0-9_]+) \| .* \| (sql|rows-only) \| ", ln)
+            m = re.match(
+                r"\| ([a-z0-9_]+) \| .* \| (sql-strict|sql|rows-only) \| ", ln
+            )
             if m:
                 rows[m.group(1)] = m.group(2)
     assert set(rows) == set(REGISTRY), (
@@ -202,5 +204,9 @@ def test_registry_md_is_fresh():
         f"stale: {sorted(set(rows) - set(REGISTRY))})"
     )
     for name, spec in REGISTRY.items():
-        want = "sql" if spec.oracle else "rows-only"
+        want = (
+            "sql-strict"
+            if spec.oracle and getattr(spec, "strict_float", False)
+            else "sql" if spec.oracle else "rows-only"
+        )
         assert rows[name] == want, (name, rows[name], want)

@@ -644,7 +644,14 @@ def test_decile_boundary_assignment_property(spark, scores):
         *[F.percentile("v", F.lit(p)).alias(out) for out, p in ps.items()]
     ).collect()
     for out in ps:
-        assert repr(bounds[out]) == repr(want_b[out]), (out, scores)
+        # + 0.0 collapses signed zero, matching the gate comparator:
+        # SQL groupBy normalizes -0.0 to 0.0 in the kernel's histogram
+        # key while the built-in keeps the sign — the kernel's one
+        # documented divergence (IEEE-equal, so no == can observe it)
+        assert repr(bounds[out] + 0.0) == repr(want_b[out] + 0.0), (
+            out,
+            scores,
+        )
     got = [
         r["decile"]
         for r in df.crossJoin(

@@ -239,8 +239,14 @@ def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
     tree = ast.parse(src)
     cands = _candidates(tree)
     picks = _spread(cands, MUTANTS_PER_ENTRY)
-    # sanity: the unmutated entry must pass, or the audit means nothing
-    ok, detail = compare_query(spark, con, spec.fn, spec.oracle, sf_dir)
+    # sanity: the unmutated entry must pass, or the audit means nothing.
+    # strict_float entries are audited under the SAME strict compare
+    # the gate replica applies to them (round 18) — auditing a strict
+    # entry at 9 sig figs would overstate the gate's blindness
+    strict = getattr(spec, "strict_float", False)
+    ok, detail = compare_query(
+        spark, con, spec.fn, spec.oracle, sf_dir, strict_float=strict
+    )
     if not ok:
         return {"baseline": f"FAIL {detail}", "mutants": [], "killed": 0,
                 "survived": 0}
@@ -261,7 +267,9 @@ def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
             code = compile(mutated, f"<mutant:{name}>", "exec")
             exec(code, ns)  # noqa: S102 — audit tool, own source only
             mfn = ns[spec.fn.__name__]
-            mok, mdetail = compare_query(spark, con, mfn, spec.oracle, sf_dir)
+            mok, mdetail = compare_query(
+                spark, con, mfn, spec.oracle, sf_dir, strict_float=strict
+            )
             killed = not mok
             how = "MISMATCH" if killed else "SURVIVED"
         except Exception as exc:  # noqa: BLE001 — a throwing mutant is caught
