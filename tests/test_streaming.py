@@ -4863,3 +4863,76 @@ def test_coalesced_tws_processor_matches_apws_tier():
             proc.handleExpiredTimer(("k",), _MockTimerValues(10**9), None)
         ) == []
         assert handle.states["csr"].get() is None
+
+
+def test_proto_vendor_rollback_purges_partial_imports(tmp_path):
+    """_proto_vendor failure path (round-18 advice): a vendor dir whose
+    google.protobuf import FAILS must roll back env/sys.path AND purge
+    the partially-imported vendored google* modules from sys.modules —
+    otherwise a later real protobuf install in the same process keeps
+    resolving against the broken vendored halves. The test snapshots
+    and restores the real activation state (the session may already
+    run on the vendored runtime)."""
+    import os
+    import sys
+
+    from kafkastreams_example_spark import _proto_vendor as pv
+
+    # broken vendor: `google` package resolves, `google.protobuf` raises
+    vendor = tmp_path / "vendor"
+    (vendor / "google" / "protobuf").mkdir(parents=True)
+    (vendor / "google" / "__init__.py").write_text("")
+    (vendor / "google" / "protobuf" / "__init__.py").write_text(
+        "raise ImportError('broken vendored protobuf')\n"
+    )
+
+    saved_mods = {
+        m: sys.modules[m]
+        for m in list(sys.modules)
+        if m == "google" or m.startswith("google.")
+    }
+    saved_result = pv._result
+    saved_dir = pv.VENDOR_DIR
+    saved_check = os.environ.get("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK")
+    saved_pypath = os.environ.get("PYTHONPATH")
+    saved_sys_path = list(sys.path)
+    try:
+        for m in saved_mods:
+            del sys.modules[m]
+        pv._result = None
+        # strip the REAL vendor dir too: if an earlier test activated
+        # the session's vendored runtime, the "system protobuf" probe
+        # would succeed off sys.path and never reach the failure path
+        sys.path[:] = [p for p in sys.path if p != saved_dir]
+        pv.VENDOR_DIR = str(vendor)
+        os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
+
+        ok, reason = pv.activate_vendored_protobuf()
+
+        assert not ok and "unusable" in reason
+        # env + sys.path rolled back
+        assert "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" not in os.environ
+        assert str(vendor) not in sys.path
+        assert str(vendor) not in (os.environ.get("PYTHONPATH") or "")
+        # the partially-imported vendored modules are purged: nothing
+        # under the vendor dir (by __file__ or namespace __path__)
+        # remains cached
+        for m in [x for x in sys.modules if x == "google" or x.startswith("google.")]:
+            obj = sys.modules[m]
+            f = getattr(obj, "__file__", None) or ""
+            paths = list(getattr(obj, "__path__", []) or [])
+            assert not f.startswith(str(vendor)), m
+            assert not any(p.startswith(str(vendor)) for p in paths), m
+    finally:
+        for m in [x for x in sys.modules if x == "google" or x.startswith("google.")]:
+            del sys.modules[m]
+        sys.modules.update(saved_mods)
+        sys.path[:] = saved_sys_path
+        pv._result = saved_result
+        pv.VENDOR_DIR = saved_dir
+        if saved_check is not None:
+            os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = saved_check
+        if saved_pypath is not None:
+            os.environ["PYTHONPATH"] = saved_pypath
+        elif "PYTHONPATH" in os.environ:
+            del os.environ["PYTHONPATH"]
