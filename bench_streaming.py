@@ -34,6 +34,17 @@ exits 1. Floors sit ~2x under quiet-machine recordings (BASELINE.md)
 to absorb sandbox variance; a reading below threshold is a real
 regression, not noise.
 
+Host-stall defense (round 19): before gating, every below-floor
+reading is re-probed ONCE in a fresh process (`--only NAME` re-runs
+exactly one pipeline and prints {"single": {...}}). A hypervisor
+pause that stalled one pipeline's batches clears on the re-probe and
+the fresh reading replaces it (both recorded under "stall_reprobe"
+and the top-level "reprobes"); a genuine code regression fails the
+re-probe too and still exits 1. More than MAX_REPROBES breaches skip
+re-probing (host-wide drift / real multi-pipeline regression — raw
+readings reported). See reprobe_below_floor and the synthetic-stall
+tests in tests/test_bench.py.
+
 State-rows gate (round 16): every stateful pipeline's final-batch
 state-store row count is checked against ``_state_bounds`` — a
 pipeline over its bound (unbounded state growth, the 100 TB OOM
@@ -412,23 +423,31 @@ def _run_query(df, name: str, ckpt_root: str, sink_fn=None) -> dict:
     }
 
 
-def main() -> None:
-    spark = get_spark(app_name="bench-streaming")
-    spark.sparkContext.setLogLevel("ERROR")
-    rows_filter = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
-    # the Python stateful path moves every row through Arrow + pandas;
-    # smaller batches keep the bench under a minute
-    rows_dedup = max(rows_filter // 4, 1000)
-
-    ckpt_root = tempfile.mkdtemp(prefix="bench_streaming_ckpt_")
+def run_pipelines(
+    spark,
+    ckpt_root: str,
+    rows_filter: int,
+    rows_dedup: int,
+    only: str | None = None,
+) -> dict[str, dict]:
+    """Run every benched pipeline (or exactly ``only``) and return the
+    per-pipeline measurement dicts. Split out of main() in round 19 so
+    the host-stall defense can re-run ONE pipeline in a fresh process
+    (``--only NAME``) — the process-fresh re-probe that distinguishes
+    a hypervisor pause from a real code regression."""
     results: dict[str, dict] = {}
-    try:
+
+    def _w(name: str) -> bool:
+        return only is None or name == only
+
+    if _w("filter"):
         d = _decoded(_rate_source(spark, rows_filter))
         results["filter"] = {
             **_run_query(filter_pipeline(d), "filter", ckpt_root),
             "rows_per_batch": rows_filter,
         }
 
+    if _w("dedup_watermark"):
         d = _decoded(_rate_source(spark, rows_filter))
         results["dedup_watermark"] = {
             **_run_query(
@@ -437,6 +456,7 @@ def main() -> None:
             "rows_per_batch": rows_filter,
         }
 
+    if _w("dedup_refresh"):
         d = _decoded(_rate_source(spark, rows_dedup)).withColumn(
             "dedup_id", F.col("event.exception.exception_class")
         )
@@ -451,9 +471,10 @@ def main() -> None:
             "rows_per_batch": rows_dedup,
         }
 
-        # same operator, same ~4k key space, 4x the rows per batch
-        # (~48 rows/key): the per-key protocol floor amortizes and the
-        # number reflects the vectorized kernel
+    # same operator, same ~4k key space, 4x the rows per batch
+    # (~48 rows/key): the per-key protocol floor amortizes and the
+    # number reflects the vectorized kernel
+    if _w("dedup_refresh_hot"):
         d = _decoded(_rate_source(spark, rows_filter)).withColumn(
             "dedup_id", F.col("event.exception.exception_class")
         )
@@ -468,13 +489,14 @@ def main() -> None:
             "rows_per_batch": rows_filter,
         }
 
-        # round-13 key-coalesced tier: same workload as dedup_refresh_hot,
-        # ids packed 64-per-state-key, decisions vectorized across the
-        # pack (probe: 1.19-1.21x over per-key; parity-tested)
-        from kafkastreams_example_spark.streaming.dedup_refresh import (
-            dedup_refresh_stream_coalesced,
-        )
+    # round-13 key-coalesced tier: same workload as dedup_refresh_hot,
+    # ids packed 64-per-state-key, decisions vectorized across the
+    # pack (probe: 1.19-1.21x over per-key; parity-tested)
+    from kafkastreams_example_spark.streaming.dedup_refresh import (
+        dedup_refresh_stream_coalesced,
+    )
 
+    if _w("dedup_refresh_coalesced"):
         d = _decoded(_rate_source(spark, rows_filter)).withColumn(
             "dedup_id", F.col("event.exception.exception_class")
         )
@@ -490,21 +512,24 @@ def main() -> None:
             "rows_per_batch": rows_filter,
         }
 
-        # round-13 per-event trailing-window stats (streaming OVER
-        # aggregation — the RANGE kernel's streaming face); ~4k
-        # entities via the exception-class id, value synthesized from
-        # the rate value
-        from kafkastreams_example_spark.streaming.rolling_stats import (
-            rolling_stats_stream,
-        )
+    # round-13 per-event trailing-window stats (streaming OVER
+    # aggregation — the RANGE kernel's streaming face); ~4k
+    # entities via the exception-class id, value synthesized from
+    # the rate value
+    from kafkastreams_example_spark.streaming.rolling_stats import (
+        rolling_stats_stream,
+    )
 
-        d = (
-            _decoded(_rate_source(spark, rows_dedup))
-            .withColumn("ent", F.col("event.exception.exception_class"))
-            .withColumn(
-                "value", (F.col("row_id") % 997).cast("double")
-            )
+    # shared feed for the rolling family (stats/corrected/corr + TWS
+    # twins) — lazy plan construction, cheap to build unconditionally
+    d = (
+        _decoded(_rate_source(spark, rows_dedup))
+        .withColumn("ent", F.col("event.exception.exception_class"))
+        .withColumn(
+            "value", (F.col("row_id") % 997).cast("double")
         )
+    )
+    if _w("rolling_stats"):
         results["rolling_stats"] = {
             **_run_query(
                 rolling_stats_stream(
@@ -518,10 +543,11 @@ def main() -> None:
             "rows_per_batch": rows_dedup,
         }
 
-        # round-14 corrected-emission tier: same kernel + row ids and
-        # a per-key rev sequence in state; on this in-order feed the
-        # correction set is empty, so the reading prices the tier's
-        # bookkeeping overhead (id array state amplification + rev)
+    # round-14 corrected-emission tier: same kernel + row ids and
+    # a per-key rev sequence in state; on this in-order feed the
+    # correction set is empty, so the reading prices the tier's
+    # bookkeeping overhead (id array state amplification + rev)
+    if _w("rolling_stats_corrected"):
         results["rolling_stats_corrected"] = {
             **_run_query(
                 rolling_stats_stream(
@@ -535,14 +561,15 @@ def main() -> None:
             "rows_per_batch": rows_dedup,
         }
 
-        # round-14 two-series face of the same kernel: per-event
-        # trailing-window Pearson corr of value against time — same
-        # state layout, plus co-moment prefixes and exact
-        # change-count degeneracy per (entity, batch)
-        from kafkastreams_example_spark.streaming.rolling_corr import (
-            rolling_corr_stream,
-        )
+    # round-14 two-series face of the same kernel: per-event
+    # trailing-window Pearson corr of value against time — same
+    # state layout, plus co-moment prefixes and exact
+    # change-count degeneracy per (entity, batch)
+    from kafkastreams_example_spark.streaming.rolling_corr import (
+        rolling_corr_stream,
+    )
 
+    if _w("rolling_corr"):
         results["rolling_corr"] = {
             **_run_query(
                 rolling_corr_stream(
@@ -556,20 +583,21 @@ def main() -> None:
             "rows_per_batch": rows_dedup,
         }
 
-        # round-17: the transformWithState (v2 state API) faces
-        # EXECUTE here now (vendored protobuf — _proto_vendor.py), so
-        # the TWS twins of dedup_refresh and rolling_stats are benched
-        # on the SAME feeds as their applyInPandasWithState tiers —
-        # the reading prices the proto state-server round-trips
-        # against APWS's Arrow state columns. Gated: environments
-        # without any protobuf skip these two, keeping the bench
-        # green-by-construction elsewhere.
-        from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
-            dedup_refresh_stream_tws,
-            tws_available,
-        )
+    # round-17: the transformWithState (v2 state API) faces
+    # EXECUTE here now (vendored protobuf — _proto_vendor.py), so
+    # the TWS twins of dedup_refresh and rolling_stats are benched
+    # on the SAME feeds as their applyInPandasWithState tiers —
+    # the reading prices the proto state-server round-trips
+    # against APWS's Arrow state columns. Gated: environments
+    # without any protobuf skip these two, keeping the bench
+    # green-by-construction elsewhere.
+    from kafkastreams_example_spark.streaming.dedup_refresh_tws import (
+        dedup_refresh_stream_tws,
+        tws_available,
+    )
 
-        if tws_available()[0]:
+    if tws_available()[0]:
+        if _w("dedup_refresh_tws"):
             d_tws = _decoded(_rate_source(spark, rows_dedup)).withColumn(
                 "dedup_id", F.col("event.exception.exception_class")
             )
@@ -585,10 +613,11 @@ def main() -> None:
                 "rows_per_batch": rows_dedup,
             }
 
-            from kafkastreams_example_spark.streaming.rolling_stats_tws import (
-                rolling_stats_stream_tws,
-            )
+        from kafkastreams_example_spark.streaming.rolling_stats_tws import (
+            rolling_stats_stream_tws,
+        )
 
+        if _w("rolling_stats_tws"):
             results["rolling_stats_tws"] = {
                 **_run_query(
                     rolling_stats_stream_tws(
@@ -602,10 +631,11 @@ def main() -> None:
                 "rows_per_batch": rows_dedup,
             }
 
-            from kafkastreams_example_spark.streaming.rolling_corr_tws import (
-                rolling_corr_stream_tws,
-            )
+        from kafkastreams_example_spark.streaming.rolling_corr_tws import (
+            rolling_corr_stream_tws,
+        )
 
+        if _w("rolling_corr_tws"):
             results["rolling_corr_tws"] = {
                 **_run_query(
                     rolling_corr_stream_tws(
@@ -619,90 +649,93 @@ def main() -> None:
                 "rows_per_batch": rows_dedup,
             }
 
-        # round-15 LATE-HEAVY tier for both corrected faces: the
-        # in-order feeds above have an EMPTY correction set, so they
-        # price only the tiers' bookkeeping — the real cost is emit
-        # amplification under lateness. Here 1 row in LATE_EVERY
-        # arrives W/2 late, and event time is scaled so one batch
-        # spans ~one window (us_per_row = W / rows_per_batch): each
-        # late row then retro-affects ~half its entity's in-window
-        # state rows — a steady-state lateness regime, not a
-        # degenerate all-rows-in-one-window pileup. Output rows are
-        # counted in the sink: correction_ratio = emitted / input
-        # over the measured batches (stats face: > 1.0 means
-        # re-emissions; corr face: undefined-corr rows are dropped so
-        # the ratio also nets out the defined-frame contract).
-        # The late predicate uses offset 3, NOT 0: _decoded nulls the
-        # exception class (= ent) when row_id % 5 == 0, and LATE_EVERY
-        # is a multiple of 5 — a % == 0 cut would concentrate EVERY
-        # late row on the single NULL-entity key and leave the ~4k
-        # real entities on the empty-correction in-order path
-        # (round-15 review finding); % == 3 is never ≡ 0 (mod 5), so
-        # late rows spread across the real entities.
-        W_us = 3_600_000_000
-        us_per_row = max(W_us // rows_dedup, 1)
-        base_t = F.col("row_id") * F.lit(us_per_row)
-        late_t = F.when(
-            F.col("row_id") % LATE_EVERY == 3, base_t - F.lit(W_us // 2)
-        ).otherwise(base_t)
-        d_late = (
-            _decoded(_rate_source(spark, rows_dedup))
-            .withColumn("ent", F.col("event.exception.exception_class"))
-            .withColumn("value", (F.col("row_id") % 997).cast("double"))
-            .withColumn("event_time", F.timestamp_micros(late_t))
+    # round-15 LATE-HEAVY tier for both corrected faces: the
+    # in-order feeds above have an EMPTY correction set, so they
+    # price only the tiers' bookkeeping — the real cost is emit
+    # amplification under lateness. Here 1 row in LATE_EVERY
+    # arrives W/2 late, and event time is scaled so one batch
+    # spans ~one window (us_per_row = W / rows_per_batch): each
+    # late row then retro-affects ~half its entity's in-window
+    # state rows — a steady-state lateness regime, not a
+    # degenerate all-rows-in-one-window pileup. Output rows are
+    # counted in the sink: correction_ratio = emitted / input
+    # over the measured batches (stats face: > 1.0 means
+    # re-emissions; corr face: undefined-corr rows are dropped so
+    # the ratio also nets out the defined-frame contract).
+    # The late predicate uses offset 3, NOT 0: _decoded nulls the
+    # exception class (= ent) when row_id % 5 == 0, and LATE_EVERY
+    # is a multiple of 5 — a % == 0 cut would concentrate EVERY
+    # late row on the single NULL-entity key and leave the ~4k
+    # real entities on the empty-correction in-order path
+    # (round-15 review finding); % == 3 is never ≡ 0 (mod 5), so
+    # late rows spread across the real entities.
+    W_us = 3_600_000_000
+    us_per_row = max(W_us // rows_dedup, 1)
+    base_t = F.col("row_id") * F.lit(us_per_row)
+    late_t = F.when(
+        F.col("row_id") % LATE_EVERY == 3, base_t - F.lit(W_us // 2)
+    ).otherwise(base_t)
+    d_late = (
+        _decoded(_rate_source(spark, rows_dedup))
+        .withColumn("ent", F.col("event.exception.exception_class"))
+        .withColumn("value", (F.col("row_id") % 997).cast("double"))
+        .withColumn("event_time", F.timestamp_micros(late_t))
+    )
+    for nm, builder in (
+        ("rolling_stats_corrected_late", rolling_stats_stream),
+        ("rolling_corr_corrected_late", rolling_corr_stream),
+    ):
+        if not _w(nm):
+            continue
+        out_counts: dict[int, int] = {}
+        res = _run_query(
+            builder(
+                d_late, entity_cols=("ent",), ts_col="event_time",
+                value_col="value", id_col="row_id", window_us=W_us,
+                emit_corrections=True,
+            ),
+            nm,
+            ckpt_root,
+            sink_fn=lambda bdf, bid, c=out_counts: c.__setitem__(
+                bid, bdf.count()
+            ),
         )
-        for nm, builder in (
-            ("rolling_stats_corrected_late", rolling_stats_stream),
-            ("rolling_corr_corrected_late", rolling_corr_stream),
-        ):
-            out_counts: dict[int, int] = {}
-            res = _run_query(
-                builder(
-                    d_late, entity_cols=("ent",), ts_col="event_time",
-                    value_col="value", id_col="row_id", window_us=W_us,
-                    emit_corrections=True,
-                ),
-                nm,
-                ckpt_root,
-                sink_fn=lambda bdf, bid, c=out_counts: c.__setitem__(
-                    bid, bdf.count()
-                ),
-            )
-            measured_out = sum(
-                v
-                for k, v in out_counts.items()
-                if WARMUP_BATCHES <= k < WARMUP_BATCHES + MEASURE_BATCHES
-            )
-            measured_in = MEASURE_BATCHES * rows_dedup
-            results[nm] = {
-                **res,
-                "rows_per_batch": rows_dedup,
-                "correction_ratio": (
-                    round(measured_out / measured_in, 3)
-                    if measured_in
-                    else None
-                ),
-            }
+        measured_out = sum(
+            v
+            for k, v in out_counts.items()
+            if WARMUP_BATCHES <= k < WARMUP_BATCHES + MEASURE_BATCHES
+        )
+        measured_in = MEASURE_BATCHES * rows_dedup
+        results[nm] = {
+            **res,
+            "rows_per_batch": rows_dedup,
+            "correction_ratio": (
+                round(measured_out / measured_in, 3)
+                if measured_in
+                else None
+            ),
+        }
 
-        # ---- round-16 CHURN tiers: the state-bound gate's teeth ----
-        # Every feed above has a FIXED ~4k keyspace, so its state
-        # plateaus with or without eviction — a wiring change that
-        # reverts evict_after_ms / evict_state to None would pass
-        # those tiers unnoticed. These two drive PURE CHURN (each key
-        # emits one run of ~50 consecutive rows, then never returns;
-        # ~1,000 fresh keys per batch) WITH eviction armed at a 1 s
-        # idle timeout: state must plateau near the keys active inside
-        # the timeout horizon (~2-3 batches' worth). A revert makes
-        # state grow ~1,000 rows/batch to ~10k+ by the final measured
-        # batch and trips STATE_BOUNDS (same churn shape
-        # tools/eviction_probe.py prices: flat ~200 vs unbounded 1200).
-        rows_per_key = max(rows_dedup // 1000, 1)
-        d_churn = _rate_source(spark, rows_dedup).select(
-            (F.col("value") / rows_per_key).cast("bigint").alias("ent"),
-            F.col("value").alias("row_id"),
-            F.col("timestamp").alias("event_time"),
-            (F.col("value") % 997).cast("double").alias("value"),
-        )
+    # ---- round-16 CHURN tiers: the state-bound gate's teeth ----
+    # Every feed above has a FIXED ~4k keyspace, so its state
+    # plateaus with or without eviction — a wiring change that
+    # reverts evict_after_ms / evict_state to None would pass
+    # those tiers unnoticed. These two drive PURE CHURN (each key
+    # emits one run of ~50 consecutive rows, then never returns;
+    # ~1,000 fresh keys per batch) WITH eviction armed at a 1 s
+    # idle timeout: state must plateau near the keys active inside
+    # the timeout horizon (~2-3 batches' worth). A revert makes
+    # state grow ~1,000 rows/batch to ~10k+ by the final measured
+    # batch and trips STATE_BOUNDS (same churn shape
+    # tools/eviction_probe.py prices: flat ~200 vs unbounded 1200).
+    rows_per_key = max(rows_dedup // 1000, 1)
+    d_churn = _rate_source(spark, rows_dedup).select(
+        (F.col("value") / rows_per_key).cast("bigint").alias("ent"),
+        F.col("value").alias("row_id"),
+        F.col("timestamp").alias("event_time"),
+        (F.col("value") % 997).cast("double").alias("value"),
+    )
+    if _w("rolling_stats_churn"):
         results["rolling_stats_churn"] = {
             **_run_query(
                 rolling_stats_stream(
@@ -715,9 +748,10 @@ def main() -> None:
             ),
             "rows_per_batch": rows_dedup,
         }
-        # per-key dedup under the same churn, evict_state=True: the
-        # TTL is window_ms (1 s) of wall-clock idleness — dead ids'
-        # seen-timelines must be forgotten, not retained forever
+    # per-key dedup under the same churn, evict_state=True: the
+    # TTL is window_ms (1 s) of wall-clock idleness — dead ids'
+    # seen-timelines must be forgotten, not retained forever
+    if _w("dedup_refresh_churn"):
         results["dedup_refresh_churn"] = {
             **_run_query(
                 dedup_refresh_stream(
@@ -733,19 +767,20 @@ def main() -> None:
             ),
             "rows_per_batch": rows_dedup,
         }
-        # coalesced dedup under the same churn. Its pack count (what
-        # numRowsTotal sees) is FIXED at the hash modulus, so the leak
-        # class here is invisible to the state-rows gate: ids retained
-        # INSIDE touched packs, bounded only by the inline event-time
-        # retention prune (dedup_refresh.py: touched packs prune aged
-        # ids; evict_state covers only all-quiet packs). Gate the real
-        # signal instead — total retained ids summed from the state
-        # store itself after the run ("state_ids_final",
-        # _ID_BOUNDS): with a 1 s window only the last ~1-2 batches'
-        # ~1k ids may remain; a broken prune retains every id ever
-        # seen (~10k+ by run end) and trips.
-        # (dedup_refresh_stream_coalesced was imported at the fixed-key
-        # coalesced tier above — same main() scope.)
+    # coalesced dedup under the same churn. Its pack count (what
+    # numRowsTotal sees) is FIXED at the hash modulus, so the leak
+    # class here is invisible to the state-rows gate: ids retained
+    # INSIDE touched packs, bounded only by the inline event-time
+    # retention prune (dedup_refresh.py: touched packs prune aged
+    # ids; evict_state covers only all-quiet packs). Gate the real
+    # signal instead — total retained ids summed from the state
+    # store itself after the run ("state_ids_final",
+    # _ID_BOUNDS): with a 1 s window only the last ~1-2 batches'
+    # ~1k ids may remain; a broken prune retains every id ever
+    # seen (~10k+ by run end) and trips.
+    # (dedup_refresh_stream_coalesced was imported at the fixed-key
+    # coalesced tier above — same run_pipelines scope.)
+    if _w("dedup_refresh_coalesced_churn"):
         nm = "dedup_refresh_coalesced_churn"
         res = _run_query(
             dedup_refresh_stream_coalesced(
@@ -776,35 +811,39 @@ def main() -> None:
             res["state_ids_final"] = None
         results[nm] = {**res, "rows_per_batch": rows_dedup}
 
-        # streaming windowed aggregation (tumbling 1 h per level, 10 min
-        # watermark): measures the partial-agg + state-store update path
+    # streaming windowed aggregation (tumbling 1 h per level, 10 min
+    # watermark): measures the partial-agg + state-store update path
+    if _w("windowed_agg"):
         d = _decoded(_rate_source(spark, rows_filter))
         results["windowed_agg"] = {
             **_run_query(windowed_count_pipeline(d), "windowed_agg", ckpt_root),
             "rows_per_batch": rows_filter,
         }
 
-        # streaming session windows (5 min gap per level, 10 min
-        # watermark): measures the dynamic-window state-merge path —
-        # heavier than tumbling because overlapping session candidates
-        # merge in the state store before emission
+    # streaming session windows (5 min gap per level, 10 min
+    # watermark): measures the dynamic-window state-merge path —
+    # heavier than tumbling because overlapping session candidates
+    # merge in the state store before emission
+    if _w("session_window"):
         d = _decoded(_rate_source(spark, rows_filter))
         results["session_window"] = {
             **_run_query(session_window_pipeline(d), "session_window", ckpt_root),
             "rows_per_batch": rows_filter,
         }
 
-        # sliding windows (10 min window / 5 min slide per level): each
-        # event lands in window/slide = 2 state rows, so the expected
-        # cost is ~2x tumbling — the hopping-window class used for
-        # trend smoothing (r8 verdict item 8: tested but unbenched)
+    # sliding windows (10 min window / 5 min slide per level): each
+    # event lands in window/slide = 2 state rows, so the expected
+    # cost is ~2x tumbling — the hopping-window class used for
+    # trend smoothing (r8 verdict item 8: tested but unbenched)
+    if _w("sliding_window"):
         d = _decoded(_rate_source(spark, rows_filter))
         results["sliding_window"] = {
             **_run_query(sliding_window_pipeline(d), "sliding_window", ckpt_root),
             "rows_per_batch": rows_filter,
         }
 
-        # streaming embedding near-dup ingest gate (round 9): stateless
+    # streaming embedding near-dup ingest gate (round 9): stateless
+    if _w("embedding_dedup"):
         # per-row PQ assignment (codebooks as literal arrays), probed
         # rows anti-join a static corpus index on bucket + cosine, the
         # any-band counting trick closes the verdict. Corpus/index are
@@ -846,9 +885,10 @@ def main() -> None:
         }
         e_index.unpersist()
 
-        # watermarked stream-stream interval join (impression→click
-        # attribution, 1:1 key match): measures symmetric join-state
-        # buffering. numInputRows counts BOTH sides.
+    # watermarked stream-stream interval join (impression→click
+    # attribution, 1:1 key match): measures symmetric join-state
+    # buffering. numInputRows counts BOTH sides.
+    if _w("interval_join"):
         n_join = rows_filter // 2
         imps = _rate_source(spark, n_join).select(
             F.col("value").alias("ad_id"), F.col("timestamp").alias("imp_time")
@@ -862,10 +902,11 @@ def main() -> None:
             ),
             "rows_per_batch": 2 * n_join,
         }
-        # stream-static broadcast enrichment: events keyed into the
-        # sf customer dim (bounded snapshot, explicitly broadcast) —
-        # measures the per-batch broadcast-probe path, the canonical
-        # streaming dimension lookup
+    # stream-static broadcast enrichment: events keyed into the
+    # sf customer dim (bounded snapshot, explicitly broadcast) —
+    # measures the per-batch broadcast-probe path, the canonical
+    # streaming dimension lookup
+    if _w("static_enrich"):
         cust = spark.read.parquet(
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
             + "/customer.parquet"
@@ -887,19 +928,20 @@ def main() -> None:
             "rows_per_batch": rows_filter,
         }
 
-        # LLM-ingest pipelines over a synthetic document stream:
-        # ~14-token docs, 90% in-window duplicate mass for the dedup
-        def _doc_stream(n):
-            return _rate_source(spark, n).select(
-                F.col("timestamp").alias("event_time"),
-                F.col("value").alias("doc_id"),
-                F.concat(
-                    F.lit("sample document body number "),
-                    (F.col("value") % 5000).cast("string"),
-                    F.lit(" with the quick brown fox and some filler tokens"),
-                ).alias("text"),
-            )
+    # LLM-ingest pipelines over a synthetic document stream:
+    # ~14-token docs, 90% in-window duplicate mass for the dedup
+    def _doc_stream(n):
+        return _rate_source(spark, n).select(
+            F.col("timestamp").alias("event_time"),
+            F.col("value").alias("doc_id"),
+            F.concat(
+                F.lit("sample document body number "),
+                (F.col("value") % 5000).cast("string"),
+                F.lit(" with the quick brown fox and some filler tokens"),
+            ).alias("text"),
+        )
 
+    if _w("quality_filter"):
         results["quality_filter"] = {
             **_run_query(
                 quality_filter_pipeline(_doc_stream(rows_filter)),
@@ -908,6 +950,7 @@ def main() -> None:
             ),
             "rows_per_batch": rows_filter,
         }
+    if _w("minhash_dedup"):
         results["minhash_dedup"] = {
             **_run_query(
                 minhash_band_dedup_pipeline(_doc_stream(rows_dedup)),
@@ -916,8 +959,9 @@ def main() -> None:
             ),
             "rows_per_batch": rows_dedup,
         }
-        # any-band tier: 2 chained stateful stages, n_bands x the state
-        # rows — the exact-recall upgrade's throughput price on record
+    # any-band tier: 2 chained stateful stages, n_bands x the state
+    # rows — the exact-recall upgrade's throughput price on record
+    if _w("minhash_dedup_any"):
         results["minhash_dedup_any"] = {
             **_run_query(
                 minhash_band_dedup_any_pipeline(_doc_stream(rows_dedup)),
@@ -927,7 +971,8 @@ def main() -> None:
             "rows_per_batch": rows_dedup,
         }
 
-        # continuous heavy-hitters: each batch reduced to Misra-Gries
+    # continuous heavy-hitters: each batch reduced to Misra-Gries
+    if _w("topk_terms"):
         # partition summaries in the cluster, folded into a k-bounded
         # driver sketch (functions/sketches.StreamingTopK). Term stream
         # is zipf-ish (u³ skew over ~5000 ids) so the decrement path is
@@ -953,7 +998,8 @@ def main() -> None:
             "rows_per_batch": rows_filter,
         }
 
-        # CDC apply: the rate stream as a change log (value IS the log
+    # CDC apply: the rate stream as a change log (value IS the log
+    if _w("cdc_apply"):
         # offset — globally monotonic across batches, the seq contract),
         # 50k churning keys, 10% deletes. Each batch pays a real
         # argmax merge + bucket-pruned parquet rewrite.
@@ -977,7 +1023,8 @@ def main() -> None:
             "rows_per_batch": rows_dedup,
         }
 
-        # incremental term index: every batch explodes ~15 distinct
+    # incremental term index: every batch explodes ~15 distinct
+    if _w("term_index"):
         # terms + 1 stats row per doc and upserts the vocabulary-keyed
         # MaterializedCounts table (bucket-pruned parquet rewrite per
         # batch — real index maintenance; serves q_bm25_incremental's
@@ -1005,7 +1052,8 @@ def main() -> None:
             "rows_per_batch": rows_dedup,
         }
 
-        # round-14 streaming IVF ingest: per row an O(C·dim) codegen
+    # round-14 streaming IVF ingest: per row an O(C·dim) codegen
+    if _w("ivf_index"):
         # argmax against a FROZEN 16-centroid dim-8 codebook (pure
         # projection, no shuffle, no Python), then the bucket-pruned
         # posting-list upsert — the third index-as-you-land pipeline
@@ -1042,19 +1090,153 @@ def main() -> None:
             ),
             "rows_per_batch": rows_dedup,
         }
+    return results
+
+
+# ---- round-19 host-stall defense -----------------------------------
+# Two of the three round-18 close runs tripped ONE-OFF floor breaches
+# on DIFFERENT pipelines, each reading 1.5-3x ABOVE floor when
+# re-probed process-fresh, with dmesg showing hypervisor timer stalls
+# (BASELINE.md round-18 honesty note) — the exact false-positive
+# class the batch bench closed with canary-drift normalization
+# (bench.py:201-230). Streaming has no stable intra-run canary (each
+# pipeline runs once, and a stall is a PAUSE, not a uniform slowdown),
+# so the defense here is the one the adjudications actually performed
+# by hand: any pipeline reading below its floor is re-run ONCE in a
+# FRESH PROCESS (fresh interpreter + JVM — the same regime the floors
+# were pinned from). A stalled first reading clears on re-probe and is
+# replaced (both readings recorded under "stall_reprobe"); a genuine
+# code regression fails the re-probe too and still gates. A cap keeps
+# a systemically slow box from triggering a re-probe storm: above
+# MAX_REPROBES breaches the readings are reported raw — that is drift
+# or a real multi-pipeline regression, not a one-off stall.
+
+MAX_REPROBES = 4
+
+
+def _floor_breaches(results: dict, thresholds: dict) -> list[str]:
+    """Pipelines reading below floor. rows_per_sec None means ZERO
+    measured batches inside the deadline — a total stall is the worst
+    regression, not an exemption."""
+    return sorted(
+        name
+        for name, r in results.items()
+        if r.get("rows_per_sec") is None
+        or r["rows_per_sec"] < thresholds.get(name, 0)
+    )
+
+
+def reprobe_below_floor(
+    results: dict,
+    thresholds: dict,
+    reprobe_fn,
+    max_reprobes: int = MAX_REPROBES,
+) -> tuple[dict, dict]:
+    """The stall-defense decision, separated from main() so the
+    pass/fail semantics are unit-testable (tests/test_bench.py):
+    every below-floor pipeline gets ONE process-fresh re-probe via
+    ``reprobe_fn(name) -> result | None``. A re-probe at-or-above
+    floor REPLACES the stalled reading (state fields included — the
+    fresh run is the authoritative measurement); a re-probe still
+    below floor (or a failed re-probe, None) keeps the original
+    reading and the pipeline gates as a real regression. Returns
+    (updated results, reprobe log for the artifact)."""
+    breaches = _floor_breaches(results, thresholds)
+    if not breaches:
+        return results, {}
+    if len(breaches) > max_reprobes:
+        return results, {
+            "systemic": (
+                f"{len(breaches)} below-floor pipelines exceed the "
+                f"re-probe cap ({max_reprobes}) — host-wide drift or a "
+                "real multi-pipeline regression, not a one-off stall; "
+                "readings reported raw"
+            ),
+            "breaches": breaches,
+        }
+    out = dict(results)
+    attempted: dict[str, dict] = {}
+    for name in breaches:
+        first = results[name]
+        fresh = reprobe_fn(name)
+        fresh_rps = (fresh or {}).get("rows_per_sec")
+        rec = {
+            "first_rows_per_sec": first.get("rows_per_sec"),
+            "reprobed_rows_per_sec": fresh_rps,
+            "cleared": bool(
+                fresh_rps is not None and fresh_rps >= thresholds.get(name, 0)
+            ),
+        }
+        base = fresh if rec["cleared"] else first
+        out[name] = {**base, "stall_reprobe": rec}
+        attempted[name] = rec
+    return out, {"attempted": attempted}
+
+
+def _subprocess_reprobe(name: str) -> dict | None:
+    """Re-run ONE pipeline in a fresh interpreter + JVM (``--only``)
+    and return its measurement dict, or None if the re-probe itself
+    failed — the caller then keeps the original below-floor reading."""
+    import subprocess
+
+    here = Path(__file__).resolve()
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(here), "--only", name],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            cwd=str(here.parent),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0:
+        return None
+    for ln in reversed(proc.stdout.strip().splitlines()):
+        if ln.startswith("{"):
+            try:
+                return json.loads(ln).get("single", {}).get(name)
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
+def main() -> None:
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+        if only not in THRESHOLDS:
+            raise SystemExit(
+                f"bench_streaming --only: unknown pipeline {only!r}"
+            )
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows_filter = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
+    # the Python stateful path moves every row through Arrow + pandas;
+    # smaller batches keep the bench under a minute
+    rows_dedup = max(rows_filter // 4, 1000)
+
+    ckpt_root = tempfile.mkdtemp(prefix="bench_streaming_ckpt_")
+    try:
+        results = run_pipelines(
+            spark, ckpt_root, rows_filter, rows_dedup, only=only
+        )
     finally:
         shutil.rmtree(ckpt_root, ignore_errors=True)
         spark.stop()
 
-    # rows_per_sec None means the pipeline produced ZERO measured
-    # batches inside the deadline — a total stall is the worst
-    # regression, not an exemption
-    regressions = sorted(
-        name
-        for name, r in results.items()
-        if r.get("rows_per_sec") is None
-        or r["rows_per_sec"] < THRESHOLDS.get(name, 0)
+    if only is not None:
+        # single-pipeline mode: print the raw measurement, no gates —
+        # this IS the process-fresh re-probe the parent run consumes
+        print(json.dumps({"single": results}))
+        return
+
+    # host-stall defense (round 19): process-fresh re-probe of every
+    # below-floor reading before gating — see the block comment above
+    results, reprobes = reprobe_below_floor(
+        results, THRESHOLDS, _subprocess_reprobe
     )
+    regressions = _floor_breaches(results, THRESHOLDS)
     # state-rows gate (round 16): every stateful pipeline must land
     # under its bound; None where state is expected means the signal
     # was lost (or the run stalled) — also a failure, never a pass
@@ -1074,6 +1256,7 @@ def main() -> None:
                 "thresholds": THRESHOLDS,
                 "state_bounds": state_bounds,
                 "id_bounds": _ID_BOUNDS,
+                "reprobes": reprobes,
                 "regressions": regressions,
                 "state_regressions": state_regressions,
             }

@@ -136,12 +136,17 @@ def activate_vendored_protobuf() -> tuple[bool, str]:
         # protobuf install in this process would silently keep hitting
         # the broken vendored halves. Only purge when the vendor dir
         # was the source (a real install above returned early).
+        # prefix match with a trailing separator (round-19 advice): a
+        # bare startswith(VENDOR_DIR) would also purge modules loaded
+        # from a SIBLING directory sharing the prefix (e.g.
+        # .../google_appengine_extras)
+        vendor_prefix = VENDOR_DIR.rstrip(os.sep) + os.sep
         for mod in [m for m in sys.modules if m == "google" or m.startswith("google.")]:
             m_obj = sys.modules[mod]
             f = getattr(m_obj, "__file__", None) or ""
             paths = list(getattr(m_obj, "__path__", []) or [])
-            if f.startswith(VENDOR_DIR) or (
-                not f and any(p.startswith(VENDOR_DIR) for p in paths)
+            if f.startswith(vendor_prefix) or (
+                not f and any(p.startswith(vendor_prefix) for p in paths)
             ):
                 del sys.modules[mod]
         _result = (False, f"vendored protobuf unusable: {exc}")

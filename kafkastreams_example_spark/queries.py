@@ -9021,6 +9021,22 @@ def _history_cap_guard(result, n_col, entity_col, cap, where):
     return F.when(F.col(n_col) > cap, F.raise_error(msg)).otherwise(result)
 
 
+def ewma_fold(vals, alpha):
+    """The EWMA left fold s_i = α·x_i + (1−α)·s_{i−1}, seeded with the
+    FIRST element, as one Column over an array<double> — the exact
+    IEEE operation sequence q_ewma's cross-engine bit-equality gate
+    pins. SHARED with tests/test_properties.py::
+    test_ewma_fold_bit_equality_property (round-19 advice): the fuzz
+    must exercise THE expression the query ships, so a reassociation
+    here (fma fusion, acc + α·(x−acc)) fails the fuzz, not just the
+    strict-float oracle tier."""
+    return F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+
+
 def q_ewma(spark, sf_dir):
     """Per-entity exponential smoothing (EWMA, α=0.3): the final
     smoothed value of each (user, event_type) series — the
@@ -9049,11 +9065,7 @@ def q_ewma(spark, sf_dir):
         F.count("*").alias("n"),
     )
     vals = F.transform("xs", lambda s: s.getField("value"))
-    ewma = F.aggregate(
-        F.slice(vals, 2, F.size(vals) - 1),
-        F.element_at(vals, 1),
-        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
-    )
+    ewma = ewma_fold(vals, a)
     from .functions.sliding import DEFAULT_HISTORY_CAP
 
     guarded = _history_cap_guard(

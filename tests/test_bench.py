@@ -210,3 +210,121 @@ def test_registry_md_is_fresh():
             else "sql" if spec.oracle else "rows-only"
         )
         assert rows[name] == want, (name, rows[name], want)
+
+
+def test_stall_reprobe_clears_false_breach():
+    """Round-19 host-stall defense, synthetic stall: a pipeline whose
+    FIRST reading sits below floor (the hypervisor-pause signature)
+    but whose process-fresh re-probe clears the floor must be
+    replaced by the fresh reading — state fields included — and no
+    longer gate; both readings land under stall_reprobe."""
+    import bench_streaming as bs
+
+    results = {
+        "stalled": {
+            "rows_per_sec": 4_500.0,
+            "state_rows_final": 9_999,
+            "rows_per_batch": 50_000,
+        },
+        "healthy": {"rows_per_sec": 500_000.0, "rows_per_batch": 50_000},
+    }
+    thresholds = {"stalled": 10_000, "healthy": 100_000}
+    calls = []
+
+    def reprobe(name):
+        calls.append(name)
+        return {
+            "rows_per_sec": 21_000.0,
+            "state_rows_final": 4_096,
+            "rows_per_batch": 50_000,
+        }
+
+    out, log = bs.reprobe_below_floor(results, thresholds, reprobe)
+    assert calls == ["stalled"]
+    assert bs._floor_breaches(out, thresholds) == []
+    rec = out["stalled"]
+    assert rec["rows_per_sec"] == 21_000.0
+    assert rec["state_rows_final"] == 4_096  # fresh run is authoritative
+    assert rec["stall_reprobe"] == {
+        "first_rows_per_sec": 4_500.0,
+        "reprobed_rows_per_sec": 21_000.0,
+        "cleared": True,
+    }
+    assert log["attempted"]["stalled"]["cleared"]
+    # the healthy pipeline is untouched
+    assert "stall_reprobe" not in out["healthy"]
+
+
+def test_stall_reprobe_keeps_real_regression():
+    """A re-probe still below floor (or failing outright, None) keeps
+    the ORIGINAL reading and the pipeline still gates — the defense
+    must not absorb genuine code regressions."""
+    import bench_streaming as bs
+
+    results = {
+        "regressed": {"rows_per_sec": 4_500.0, "rows_per_batch": 50_000},
+        "dead": {"rows_per_sec": None, "rows_per_batch": 50_000},
+    }
+    thresholds = {"regressed": 10_000, "dead": 10_000}
+
+    def reprobe(name):
+        return {"rows_per_sec": 5_000.0} if name == "regressed" else None
+
+    out, log = bs.reprobe_below_floor(results, thresholds, reprobe)
+    assert bs._floor_breaches(out, thresholds) == ["dead", "regressed"]
+    assert out["regressed"]["rows_per_sec"] == 4_500.0  # original kept
+    assert not out["regressed"]["stall_reprobe"]["cleared"]
+    assert out["dead"]["stall_reprobe"]["reprobed_rows_per_sec"] is None
+    assert not out["dead"]["stall_reprobe"]["cleared"]
+
+
+def test_stall_reprobe_total_stall_triggers():
+    """rows_per_sec None (ZERO measured batches — a total stall) is a
+    breach and must trigger a re-probe, not an exemption; a fresh run
+    above floor clears it."""
+    import bench_streaming as bs
+
+    results = {"frozen": {"rows_per_sec": None, "rows_per_batch": 50_000}}
+    calls = []
+
+    def reprobe(name):
+        calls.append(name)
+        return {"rows_per_sec": 30_000.0, "rows_per_batch": 50_000}
+
+    out, _ = bs.reprobe_below_floor(results, {"frozen": 10_000}, reprobe)
+    assert calls == ["frozen"]
+    assert bs._floor_breaches(out, {"frozen": 10_000}) == []
+
+
+def test_stall_reprobe_systemic_cap():
+    """More breaches than MAX_REPROBES means host-wide drift or a real
+    multi-pipeline regression — NOT a one-off stall: no re-probes run
+    (a re-probe storm on a slow box would stretch the bench by many
+    JVM starts) and the raw readings gate."""
+    import bench_streaming as bs
+
+    results = {
+        f"p{i}": {"rows_per_sec": 1.0, "rows_per_batch": 1} for i in range(6)
+    }
+    thresholds = {f"p{i}": 10_000 for i in range(6)}
+    calls = []
+
+    out, log = bs.reprobe_below_floor(
+        results, thresholds, lambda n: calls.append(n), max_reprobes=4
+    )
+    assert calls == []
+    assert "systemic" in log and len(log["breaches"]) == 6
+    assert bs._floor_breaches(out, thresholds) == sorted(results)
+
+
+def test_stall_reprobe_noop_when_green():
+    """No breach, no re-probe: a green run must not pay a single
+    subprocess."""
+    import bench_streaming as bs
+
+    results = {"ok": {"rows_per_sec": 1e6}}
+    calls = []
+    out, log = bs.reprobe_below_floor(
+        results, {"ok": 10_000}, lambda n: calls.append(n)
+    )
+    assert calls == [] and log == {} and out == results

@@ -1768,3 +1768,48 @@ def test_mmr_rerank_parametric_k(spark):
         mmr_rerank(emb, k=0)
     with pytest.raises(ValueError):
         mmr_rerank(emb, k=11, pool=10)
+
+
+def test_mad_outliers_exact_boundary_row_excluded(spark, tmp_path):
+    """Round-19 (verdict item 3): a row sitting EXACTLY at the 5·MAD
+    cut must be excluded by the strict `>` — the boundary-equality
+    mutant class (`>` -> `>=`) that survived the r14/r18 mutation
+    audits because no sf0.01 row occupied the cut. Group 'boundary' =
+    [8,10,10,12,20]: median 10, ads [2,0,0,2,10], MAD 2, cut 10; the
+    value-20 row lands ad == 10.0 exactly (small integers in doubles —
+    bit-exact), so n_outliers MUST be 0 under `>` and flips to 1 under
+    `>=`. Group 'clear' pins the generic path (ad 20 > 10 → 1). The
+    same fixture backs the gate-side kill in
+    tools/gate_sensitivity.py::_bf_mad_outliers (BOUNDARY MISMATCH)."""
+    from kafkastreams_example_spark.queries import q_mad_outliers
+
+    rows = [(i, "boundary", v) for i, v in enumerate([8.0, 10.0, 10.0, 12.0, 20.0])]
+    rows += [(10 + i, "clear", v) for i, v in enumerate([8.0, 10.0, 10.0, 12.0, 30.0])]
+    spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = {
+        r["event_type"]: r for r in q_mad_outliers(spark, str(tmp_path)).collect()
+    }
+    b = out["boundary"]
+    assert b["med_value"] == 10.0 and b["mad_value"] == 2.0
+    assert b["n_outliers"] == 0, "exact-boundary row (ad == 5·MAD) must not flag"
+    assert b["outlier_frac"] == 0.0
+    c = out["clear"]
+    assert c["n_outliers"] == 1 and c["med_value"] == 10.0 and c["mad_value"] == 2.0
+
+
+def test_boundary_fixture_entries_are_registered():
+    """Every gate_sensitivity boundary fixture must name a real
+    registry entry (a renamed query must fail CI, not silently drop
+    its boundary gate)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from kafkastreams_example_spark.queries import REGISTRY
+    from tools.gate_sensitivity import BOUNDARY_FIXTURES
+
+    unknown = sorted(set(BOUNDARY_FIXTURES) - set(REGISTRY))
+    assert not unknown, unknown

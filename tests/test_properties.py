@@ -591,23 +591,21 @@ def test_grouped_exact_percentiles_multi_p_property(spark, rows, ps):
     st.floats(min_value=0.05, max_value=0.95),
 )
 def test_ewma_fold_bit_equality_property(spark, vals, alpha):
-    """Round-18 fuzz extension: the EWMA left fold (q_ewma's
-    F.aggregate expression) against the same IEEE operation sequence
-    evaluated in pure Python — s_i = α·x_i + (1−α)·s_{i−1} seeded
-    with x_0. The query's cross-engine bit-equality claim rests on
-    'identical fold, identical order'; this pins the Spark expression
-    to exactly that recurrence (any reassociation — e.g. fma-style
-    fusion or acc + α·(x−acc) — would surface as an ulp here)."""
+    """Round-18 fuzz extension: the EWMA left fold — the SHARED
+    queries.ewma_fold expression q_ewma ships (round-19 advice: a
+    local re-declaration here would let a reassociation in q_ewma's
+    own fold slip past this fuzz) — against the same IEEE operation
+    sequence evaluated in pure Python: s_i = α·x_i + (1−α)·s_{i−1}
+    seeded with x_0. The query's cross-engine bit-equality claim
+    rests on 'identical fold, identical order'; any reassociation
+    (fma-style fusion, acc + α·(x−acc)) surfaces as an ulp here."""
     from pyspark.sql import functions as F
+
+    from kafkastreams_example_spark.queries import ewma_fold
 
     a = alpha
     df = spark.createDataFrame([(vals,)], "xs ARRAY<DOUBLE>")
-    ewma = F.aggregate(
-        F.slice("xs", 2, F.size("xs") - 1),
-        F.element_at("xs", 1),
-        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
-    )
-    [row] = df.select(ewma.alias("ewma")).collect()
+    [row] = df.select(ewma_fold(F.col("xs"), a).alias("ewma")).collect()
     want = vals[0]
     for x in vals[1:]:
         want = a * x + (1.0 - a) * want

@@ -4907,9 +4907,20 @@ def test_proto_vendor_rollback_purges_partial_imports(tmp_path):
         pv.VENDOR_DIR = str(vendor)
         os.environ.pop("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", None)
 
+        # sibling-prefix probe (round-19 advice): a module loaded from
+        # a directory that merely SHARES the vendor dir's string prefix
+        # (vendor + "_extras") must survive the purge — the purge
+        # matches VENDOR_DIR + os.sep, not a bare startswith
+        import types
+
+        sibling = types.ModuleType("google.sibling_probe")
+        sibling.__file__ = str(vendor) + "_extras" + os.sep + "google" + os.sep + "x.py"
+        sys.modules["google.sibling_probe"] = sibling
+
         ok, reason = pv.activate_vendored_protobuf()
 
         assert not ok and "unusable" in reason
+        assert "google.sibling_probe" in sys.modules
         # env + sys.path rolled back
         assert "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK" not in os.environ
         assert str(vendor) not in sys.path
@@ -4917,12 +4928,13 @@ def test_proto_vendor_rollback_purges_partial_imports(tmp_path):
         # the partially-imported vendored modules are purged: nothing
         # under the vendor dir (by __file__ or namespace __path__)
         # remains cached
+        vendor_prefix = str(vendor) + os.sep
         for m in [x for x in sys.modules if x == "google" or x.startswith("google.")]:
             obj = sys.modules[m]
             f = getattr(obj, "__file__", None) or ""
             paths = list(getattr(obj, "__path__", []) or [])
-            assert not f.startswith(str(vendor)), m
-            assert not any(p.startswith(str(vendor)) for p in paths), m
+            assert not f.startswith(vendor_prefix), m
+            assert not any(p.startswith(vendor_prefix) for p in paths), m
     finally:
         for m in [x for x in sys.modules if x == "google" or x.startswith("google.")]:
             del sys.modules[m]

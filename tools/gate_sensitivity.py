@@ -115,6 +115,118 @@ DEFAULT_ENTRIES = [
     "semdedup",
 ]
 
+# ---- round-19 boundary fixtures ------------------------------------
+# The dominant survivor class in GATE_SENSITIVITY_r14/r18 is
+# "boundary-unoccupied": a cmp mutant (> -> >=) survives only because
+# no sf0.01 row sits EXACTLY at the predicate's cut, and the survivor
+# was adjudicated by argument — the weakest evidence tier the repo
+# accepts. These builders write tiny synthetic tables that OCCUPY the
+# adjudicated boundaries (a row exactly at 5·MAD, a group with exactly
+# 50 orders, a price exactly at the 1000.0 cut, a zero-token document,
+# a NULL in a checksummed column); audit_entry then runs every mutant
+# against the boundary fixture as a SECOND gate, so the cmp mutant
+# dies by MISMATCH instead of adjudication. Values are small integers
+# in doubles — exact in binary floating point on both engines, so the
+# boundary equality is bit-clean cross-engine.
+
+
+def _bf_mad_outliers(spark, d: str) -> None:
+    """events with a row whose |value − median| is EXACTLY 5·MAD:
+    group 'boundary' = [8,10,10,12,20] → median 10 (middle of 5),
+    ads [2,0,0,2,10] → MAD 2, cut 5·2 = 10; the value-20 row lands
+    ad == 10, excluded by `>`, included by `>=`. Group 'clear' keeps
+    one strict outlier (ad 20 > 10) so the generic path stays hot."""
+    rows = [(i, "boundary", v) for i, v in enumerate([8.0, 10.0, 10.0, 12.0, 20.0])]
+    rows += [(10 + i, "clear", v) for i, v in enumerate([8.0, 10.0, 10.0, 12.0, 30.0])]
+    spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+
+def _bf_table_checksum(spark, d: str) -> None:
+    """lineitem with NULLs in checksummed columns (l_partkey, and a
+    NULL l_shipdate) so the '\\N' canonicalization sentinel is
+    actually exercised: the semstr mutant '\\N_x' now changes real
+    hashed bytes on the Spark side only → checksum MISMATCH."""
+    from datetime import datetime
+
+    rows = [
+        (1, 10, 100, 1, "A", "F", datetime(1995, 3, 1)),
+        (1, None, 100, 2, "A", "F", datetime(1995, 3, 2)),
+        (2, 20, None, 1, "N", "O", None),
+        (3, 30, 300, 1, "R", "F", datetime(1995, 4, 1)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+
+def _bf_agg_having(spark, d: str) -> None:
+    """orders with a priority group of EXACTLY 50 orders (the HAVING
+    n_orders > 50 cut) next to a 51-order group."""
+    rows = [(i, "AT-CUT", 100.25) for i in range(50)]
+    rows += [(100 + i, "ABOVE", 200.50) for i in range(51)]
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, o_totalprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+
+def _bf_agg_boolean(spark, d: str) -> None:
+    """orders occupying BOTH price cuts exactly: group 'A' holds a row
+    at 1000.0 (bool_and(> 1000) flips under >=), group 'B' a row at
+    400000.0 (bool_or(> 400000) flips under >=)."""
+    rows = [
+        (1, "A", 1000.0, "1-URGENT"),
+        (2, "A", 2000.0, "5-LOW"),
+        (3, "B", 500.0, "5-LOW"),
+        (4, "B", 400000.0, "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+
+def _bf_doc_chunking(spark, d: str) -> None:
+    """documents with a ZERO-token doc (empty text): its single empty
+    chunk carries n_tokens == 0, dropped by `> 0`, kept by `>= 0`."""
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, " ".join(f"tok{i}" for i in range(40)), "en", "web", 240),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+BOUNDARY_FIXTURES = {
+    "mad_outliers": _bf_mad_outliers,
+    "table_checksum": _bf_table_checksum,
+    "agg_having": _bf_agg_having,
+    "agg_boolean": _bf_agg_boolean,
+    "doc_chunking": _bf_doc_chunking,
+}
+
+
+def _boundary_con(d: str):
+    """DuckDB connection with views over the fixture dir's tables
+    (Spark writes each table as a directory of part files)."""
+    import os
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        p = f"{d}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.isfile(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
 _CMP_SWAP = {
     ast.Gt: ast.GtE,
     ast.GtE: ast.Gt,
@@ -233,7 +345,9 @@ def _spread(cands, k):
     return [ordered[int(i * step)] for i in range(k)]
 
 
-def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
+def audit_entry(
+    spark, con, name: str, sf_dir: str, bdir: str | None = None, bcon=None
+) -> dict:
     spec = REGISTRY[name]
     src = textwrap.dedent(inspect.getsource(spec.fn))
     tree = ast.parse(src)
@@ -250,6 +364,20 @@ def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
     if not ok:
         return {"baseline": f"FAIL {detail}", "mutants": [], "killed": 0,
                 "survived": 0}
+    if bdir is not None:
+        # the boundary fixture is itself oracle-gated: the unmutated
+        # query must agree with its oracle ON the occupied boundary,
+        # or the second gate audits nothing
+        bok, bdetail = compare_query(
+            spark, bcon, spec.fn, spec.oracle, bdir, strict_float=strict
+        )
+        if not bok:
+            return {
+                "baseline": f"BOUNDARY-FAIL {bdetail}",
+                "mutants": [],
+                "killed": 0,
+                "survived": 0,
+            }
     results = []
     for kind, idx, desc in picks:
         # drop temp views between runs: a mutant that renames only the
@@ -272,6 +400,23 @@ def audit_entry(spark, con, name: str, sf_dir: str) -> dict:
             )
             killed = not mok
             how = "MISMATCH" if killed else "SURVIVED"
+            if not killed and bdir is not None:
+                # second gate (round 19): the boundary fixture — a
+                # survivor here is equivalent even ON the occupied
+                # boundary, not merely boundary-unoccupied at sf0.01
+                for t in spark.catalog.listTables():
+                    if t.isTemporary:
+                        spark.catalog.dropTempView(t.name)
+                try:
+                    mbok, _ = compare_query(
+                        spark, bcon, mfn, spec.oracle, bdir,
+                        strict_float=strict,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    mbok = False
+                    mdetail = f"boundary {type(exc).__name__}"
+                if not mbok:
+                    killed, how = True, "BOUNDARY MISMATCH"
         except Exception as exc:  # noqa: BLE001 — a throwing mutant is caught
             killed, how = True, f"ERROR {type(exc).__name__}"
             mdetail = str(exc).splitlines()[0][:120]
@@ -324,8 +469,23 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     t0 = time.time()
     report = {}
+    import tempfile
+
     for name in names:
-        report[name] = audit_entry(spark, con, name, sf_dir)
+        bdir = bcon = None
+        tmp = None
+        if name in BOUNDARY_FIXTURES:
+            tmp = tempfile.TemporaryDirectory(prefix=f"gate_boundary_{name}_")
+            bdir = tmp.name
+            BOUNDARY_FIXTURES[name](spark, bdir)
+            bcon = _boundary_con(bdir)
+        try:
+            report[name] = audit_entry(spark, con, name, sf_dir, bdir, bcon)
+        finally:
+            if bcon is not None:
+                bcon.close()
+            if tmp is not None:
+                tmp.cleanup()
     total_m = sum(len(r["mutants"]) for r in report.values())
     total_k = sum(r["killed"] for r in report.values())
     summary = {

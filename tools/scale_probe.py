@@ -697,7 +697,18 @@ if __name__ == "__main__":
         # the x100 numerics rung needs a fixture the default (10, 30)
         # pair never materializes, and rebuilding x30 just to get
         # there would double the build for nothing
-        cli_factors = tuple(int(a) for a in sys.argv[2:] if a.isdigit())
+        # non-numeric trailing args ERROR instead of silently falling
+        # through to the default (10, 30) pair (round-19 advice): a
+        # typo like "build x100" must not trigger the doubled build
+        # the explicit factor list exists to avoid
+        bad = [a for a in sys.argv[2:] if not a.isdigit()]
+        if bad:
+            raise SystemExit(
+                f"scale_probe build: non-numeric factor args {bad} "
+                "(usage: scale_probe.py build [FACTOR ...], factors are "
+                "plain integers like '10 100')"
+            )
+        cli_factors = tuple(int(a) for a in sys.argv[2:])
         if cli_factors:
             FACTORS = cli_factors
         build()
