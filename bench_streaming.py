@@ -55,7 +55,12 @@ this gate teeth: on a churning keyspace, a wiring change reverting
 idle-key eviction turns their plateau into linear growth.
 
 Env: SPARK_GRAFT_CPUS (local parallelism), SPARK_GRAFT_STREAM_ROWS
-(rows per batch override for quick smokes).
+(rows per batch override for quick smokes); drill hooks
+SPARK_GRAFT_STREAM_PIPELINES (comma-separated subset for the gated
+run) and SPARK_GRAFT_STREAM_FLOORS (JSON overlay on THRESHOLDS) —
+together they stage a real below-floor breach cheaply so the
+subprocess re-probe is exercised end-to-end in CI; never set in
+normal bench runs.
 """
 
 from __future__ import annotations
@@ -428,7 +433,7 @@ def run_pipelines(
     ckpt_root: str,
     rows_filter: int,
     rows_dedup: int,
-    only: str | None = None,
+    only: str | frozenset | None = None,
 ) -> dict[str, dict]:
     """Run every benched pipeline (or exactly ``only``) and return the
     per-pipeline measurement dicts. Split out of main() in round 19 so
@@ -438,7 +443,9 @@ def run_pipelines(
     results: dict[str, dict] = {}
 
     def _w(name: str) -> bool:
-        return only is None or name == only
+        if only is None:
+            return True
+        return name == only if isinstance(only, str) else name in only
 
     if _w("filter"):
         d = _decoded(_rate_source(spark, rows_filter))
@@ -1209,6 +1216,31 @@ def main() -> None:
             raise SystemExit(
                 f"bench_streaming --only: unknown pipeline {only!r}"
             )
+    # end-to-end drill hooks (round 19): SPARK_GRAFT_STREAM_PIPELINES
+    # limits the GATED run to a comma-separated subset, and
+    # SPARK_GRAFT_STREAM_FLOORS overlays THRESHOLDS with a JSON dict —
+    # together they stage a REAL below-floor breach cheaply (one tiny
+    # pipeline, an impossible floor), driving the subprocess re-probe
+    # end-to-end (tests/test_bench.py::
+    # test_stall_defense_subprocess_drill). Neither is set in normal
+    # bench runs, where the full pipeline set gates under THRESHOLDS.
+    thresholds = dict(THRESHOLDS)
+    floors_env = os.environ.get("SPARK_GRAFT_STREAM_FLOORS")
+    if floors_env:
+        overlay = json.loads(floors_env)
+        unknown = sorted(set(overlay) - set(thresholds))
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_STREAM_FLOORS: unknown pipelines {unknown}"
+            )
+        thresholds.update(overlay)
+    subset_env = os.environ.get("SPARK_GRAFT_STREAM_PIPELINES")
+    subset = frozenset(x for x in (subset_env or "").split(",") if x)
+    if subset and (bad := sorted(subset - set(thresholds))):
+        raise SystemExit(
+            f"SPARK_GRAFT_STREAM_PIPELINES: unknown pipelines {bad}"
+        )
+
     spark = get_spark(app_name="bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
     rows_filter = int(os.environ.get("SPARK_GRAFT_STREAM_ROWS", "200000"))
@@ -1219,7 +1251,8 @@ def main() -> None:
     ckpt_root = tempfile.mkdtemp(prefix="bench_streaming_ckpt_")
     try:
         results = run_pipelines(
-            spark, ckpt_root, rows_filter, rows_dedup, only=only
+            spark, ckpt_root, rows_filter, rows_dedup,
+            only=only if only is not None else (subset or None),
         )
     finally:
         shutil.rmtree(ckpt_root, ignore_errors=True)
@@ -1234,9 +1267,9 @@ def main() -> None:
     # host-stall defense (round 19): process-fresh re-probe of every
     # below-floor reading before gating — see the block comment above
     results, reprobes = reprobe_below_floor(
-        results, THRESHOLDS, _subprocess_reprobe
+        results, thresholds, _subprocess_reprobe
     )
-    regressions = _floor_breaches(results, THRESHOLDS)
+    regressions = _floor_breaches(results, thresholds)
     # state-rows gate (round 16): every stateful pipeline must land
     # under its bound; None where state is expected means the signal
     # was lost (or the run stalled) — also a failure, never a pass
@@ -1253,7 +1286,7 @@ def main() -> None:
             {
                 "metric": "streaming_throughput",
                 "pipelines": results,
-                "thresholds": THRESHOLDS,
+                "thresholds": thresholds,
                 "state_bounds": state_bounds,
                 "id_bounds": _ID_BOUNDS,
                 "reprobes": reprobes,

@@ -328,3 +328,50 @@ def test_stall_reprobe_noop_when_green():
         results, {"ok": 10_000}, lambda n: calls.append(n)
     )
     assert calls == [] and log == {} and out == results
+
+
+def test_stall_defense_subprocess_drill():
+    """End-to-end drill of the REAL re-probe machinery (the unit tests
+    above stub reprobe_fn): an impossible floor on one tiny pipeline
+    forces a genuine breach, the gated run spawns the actual
+    `--only filter` subprocess (fresh interpreter + JVM), the fresh
+    reading also lands below the impossible floor, and the run exits 1
+    with BOTH real measurements recorded under stall_reprobe — proving
+    the subprocess path (spawn, JSON parse, merge, gate) live, not
+    just the decision logic."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_STREAM_ROWS": "3000",
+        "SPARK_GRAFT_STREAM_PIPELINES": "filter",
+        "SPARK_GRAFT_STREAM_FLOORS": '{"filter": 1000000000}',
+    }
+    proc = subprocess.run(
+        [sys.executable, str(repo / "bench_streaming.py")],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(repo),
+        env=env,
+    )
+    assert proc.returncode == 1, proc.stderr[-500:]
+    line = next(
+        ln
+        for ln in reversed(proc.stdout.strip().splitlines())
+        if ln.startswith('{"metric"')
+    )
+    d = json.loads(line)
+    assert d["regressions"] == ["filter"]
+    rec = d["reprobes"]["attempted"]["filter"]
+    # both readings are REAL measurements from two separate processes
+    assert rec["first_rows_per_sec"] and rec["first_rows_per_sec"] > 0
+    assert rec["reprobed_rows_per_sec"] and rec["reprobed_rows_per_sec"] > 0
+    assert not rec["cleared"]
+    assert d["pipelines"]["filter"]["stall_reprobe"] == rec
+    assert d["pipelines"]["filter"]["below_threshold"]
