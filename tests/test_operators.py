@@ -1813,3 +1813,37 @@ def test_boundary_fixture_entries_are_registered():
 
     unknown = sorted(set(BOUNDARY_FIXTURES) - set(REGISTRY))
     assert not unknown, unknown
+
+
+def test_ewma_history_cap_guard_names_the_query(spark, tmp_path):
+    """The retention-contract guard on q_ewma must fire DIAGNOSABLY —
+    error naming the query ('q_ewma'), the entity, and the row count —
+    when one entity's history exceeds DEFAULT_HISTORY_CAP. Pins the
+    guard's wiring through the REAL query path, and kills the 'q_ewma'
+    label mutant class (GATE_SENSITIVITY_r18's adjudicated-structural
+    survivor) by test: a mutated label no longer matches."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafkastreams_example_spark.functions.sliding import (
+        DEFAULT_HISTORY_CAP,
+    )
+    from kafkastreams_example_spark.queries import q_ewma
+
+    n = DEFAULT_HISTORY_CAP + 1
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+            F.lit(7).alias("user_id"),
+            F.lit("hot").alias("event_type"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "events.parquet"))
+    )
+    with pytest.raises(
+        Exception, match="q_ewma: entity history exceeds the retention"
+    ):
+        q_ewma(spark, str(tmp_path)).collect()
