@@ -250,11 +250,20 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
+        # the round keeps a per-node __chg flag (new label < old label —
+        # labels only ever decrease) so the convergence probe below is a
+        # filter over the ALREADY-CHECKPOINTED frame instead of a second
+        # join+shuffle of old vs new labels per round (optimization
+        # round 20; the propagated label expression is unchanged)
+        new_lab = F.least(
+            F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+        )
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+                new_lab.alias("lab"),
+                (new_lab < F.col("lab")).alias("__chg"),
             )
         )
         # localCheckpoint, not persist: persist caches data but the
@@ -263,18 +272,12 @@ def dedup_clusters(
         # rounds; checkpointing truncates lineage each iteration
         new_labels = new_labels.localCheckpoint(eager=True)
         if probe_convergence:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lab") != F.col("o.lab"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("__chg")).limit(1).count()
+            labels = new_labels.drop("__chg")
             if changed == 0:
                 break
         else:
-            labels = new_labels
+            labels = new_labels.drop("__chg")
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 

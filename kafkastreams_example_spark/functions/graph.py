@@ -19,6 +19,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Lineage-control cadence for the lazily unrolled fixed-iteration loop
+# (the functions/similarity.py trainer policy): checkpoint every
+# this-many rounds, eagerly only at the end.
+_CHECKPOINT_EVERY = 5
+
 
 def pagerank(
     edges: DataFrame,
@@ -71,15 +76,36 @@ def pagerank(
         .persist()
     )
     try:
-        # sinks: nodes with no outgoing edge (left anti against deg)
-        dangling = nodes.join(
-            deg, nodes["node"] == deg["src"], "left_anti"
-        ).localCheckpoint(eager=True)
-        has_sinks = dangling.count() > 0
-        ranks = nodes.select("node", F.lit(1.0 / n).alias("r")).localCheckpoint(
-            eager=True
+        # ONE narrow agg derives both runtime stats (node count, sink
+        # count) instead of separate count() jobs; the sink node FRAME
+        # is only materialized when sinks exist (optimization round 20 —
+        # the common sink-free graph pays zero extra jobs for it)
+        stats = (
+            nodes.join(deg, nodes["node"] == deg["src"], "left")
+            .agg(
+                F.count("*").alias("n"),
+                F.count(F.when(F.col("outdeg").isNull(), 1)).alias("n_sinks"),
+            )
+            .first()
         )
-        for _ in range(iters):
+        n, has_sinks = stats["n"], stats["n_sinks"] > 0
+        dangling = None
+        if has_sinks:
+            dangling = nodes.join(
+                deg, nodes["node"] == deg["src"], "left_anti"
+            ).localCheckpoint(eager=True)
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+        # Per-round driver actions are only REQUIRED when a scalar must
+        # leave the cluster mid-loop (dangling mass, convergence delta).
+        # The fixed-iteration sink-free form instead unrolls LAZILY into
+        # one job (checkpoint every _CHECKPOINT_EVERY rounds bounds plan
+        # depth; the final checkpoint is eager so the returned frame is
+        # materialized while the wedge cache is still alive). Arithmetic
+        # is identical either way — checkpoints never change values.
+        lazy_unroll = tol is None and not has_sinks
+        if not lazy_unroll:
+            ranks = ranks.localCheckpoint(eager=True)
+        for it in range(iters):
             dmass = 0.0
             if has_sinks:
                 dmass = (
@@ -92,18 +118,25 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("m").alias("acc"))
             )
-            new_ranks = (
-                nodes.join(contrib, F.col("node") == F.col("dst"), "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base / n)
-                        + damping
-                        * (F.coalesce(F.col("acc"), F.lit(0.0)) + F.lit(dmass / n))
-                    ).alias("r"),
-                )
-                .localCheckpoint(eager=True)
+            new_ranks = nodes.join(
+                contrib, F.col("node") == F.col("dst"), "left"
+            ).select(
+                "node",
+                (
+                    F.lit(base / n)
+                    + damping
+                    * (F.coalesce(F.col("acc"), F.lit(0.0)) + F.lit(dmass / n))
+                ).alias("r"),
             )
+            if lazy_unroll:
+                # non-eager checkpoint every round: lineage stays flat
+                # and each round's RDD computes exactly once, but the
+                # whole fixed-iteration run executes inside the FINAL
+                # round's single eager job instead of one job per round
+                new_ranks = new_ranks.localCheckpoint(eager=it == iters - 1)
+                ranks = new_ranks
+                continue
+            new_ranks = new_ranks.localCheckpoint(eager=True)
             if tol is not None:
                 prev = ranks.select("node", F.col("r").alias("r_prev"))
                 delta = (

@@ -22,6 +22,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Lineage-control cadence for the fixed-iteration trainers: unrolled
+# rounds checkpoint every this-many iterations (plus an eager final
+# checkpoint) instead of blocking once per round — the registry's 2-3
+# round trainings become ONE Spark job; deep loops keep bounded plans.
+_CHECKPOINT_EVERY = 5
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -265,7 +272,7 @@ def _lloyd_iterations(unit: DataFrame, k: int, iters: int, id_col: str) -> DataF
     cents = unit.filter(F.col(id_col) < k).select(
         F.col(id_col).cast("int").alias("cent_id"), F.col("uv").alias("cv")
     )
-    for _ in range(iters):
+    for it in range(iters):
         # argmax-by-cosine via max_by, NOT a row_number window: the
         # window form sorts/shuffles all k·n candidate rows (each
         # carrying the dim-float vector); max_by partial-aggregates
@@ -297,11 +304,21 @@ def _lloyd_iterations(unit: DataFrame, k: int, iters: int, id_col: str) -> DataF
             )
             .select("cent_id", _unit(F.col("mv")).alias("cv_new"))
         )
-        cents = (
-            cents.join(means, "cent_id", "left")
-            .select("cent_id", F.coalesce("cv_new", "cv").alias("cv"))
-            .localCheckpoint(eager=True)
+        cents = cents.join(means, "cent_id", "left").select(
+            "cent_id", F.coalesce("cv_new", "cv").alias("cv")
         )
+        # Checkpoint policy (optimization round 20, guide §1.2/§5): the
+        # loop used to localCheckpoint EVERY round EAGERLY — one
+        # blocking Spark job per iteration. A NON-eager checkpoint
+        # keeps both properties that matter (the round's RDD computes
+        # once even though `cents` is referenced twice — the broadcast
+        # scorer and the empty-cluster fallback join — and the lineage
+        # truncates so plans stay flat) without the per-round job
+        # barrier: the whole training now executes inside the FINAL
+        # round's single eager job. Values are unchanged —
+        # checkpointing never alters arithmetic, only when it runs.
+        last = it == iters - 1
+        cents = cents.localCheckpoint(eager=last)
     return cents
 
 
@@ -367,7 +384,7 @@ def _lloyd_euclid(vecs: DataFrame, k: int, iters: int, off: int) -> DataFrame:
     cents = vecs.filter((F.col("id") >= off) & (F.col("id") < off + k)).select(
         (F.col("id") - off).cast("int").alias("cent_id"), F.col("hv").alias("cv")
     )
-    for _ in range(iters):
+    for it in range(iters):
         assigned = (
             F.broadcast(cents)
             .join(vecs, how="cross")
@@ -387,11 +404,16 @@ def _lloyd_euclid(vecs: DataFrame, k: int, iters: int, off: int) -> DataFrame:
                 ).alias("mv")
             )
         )
-        cents = (
-            cents.join(means, "cent_id", "left")
-            .select("cent_id", F.coalesce("mv", "cv").alias("cv"))
-            .localCheckpoint(eager=True)
+        cents = cents.join(means, "cent_id", "left").select(
+            "cent_id", F.coalesce("mv", "cv").alias("cv")
         )
+        # same non-eager-until-final checkpoint policy as
+        # _lloyd_iterations: the training executes as ONE job; the final
+        # checkpoint is eager so the codebook materializes while the
+        # caller's half-vector caches are still persisted
+        # (bucketed_assign unpersists right after)
+        last = it == iters - 1
+        cents = cents.localCheckpoint(eager=last)
     return cents
 
 

@@ -70,6 +70,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE apply inside CACHED plans too (off by default): the
+        # engine stages several reused intermediates via persist()
+        # (shingle frames, merge deltas, normalized corpora), and
+        # without this every cached frame materializes at the raw
+        # shuffle-partition width — its consumers then each pay one
+        # task per un-coalesced partition. Scale-independent: at any
+        # size AQE picks the partition count from actual bytes
+        # (advisoryPartitionSizeInBytes), which is exactly what a
+        # cached intermediate should use (guide §2.2).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # Arrow for any pandas-UDF path (similarity / multimodal / stateful).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # RocksDB-backed state for streaming stateful ops (dedup): the Spark

@@ -195,22 +195,32 @@ def write_zoned(
         *[f"_mn{j}" for j in range(d)],
         *[f"_mx{j}" for j in range(d)],
     )
-    zoned.write.mode(mode).partitionBy("zbucket").parquet(path)
-    stats = (
-        zoned.groupBy("zbucket")
-        .agg(
-            F.count("*").alias("n_rows"),
-            *[
-                f
-                for j, c in enumerate(zone_cols)
-                for f in (
-                    F.min(c).alias(f"_smn{j}"),
-                    F.max(c).alias(f"_smx{j}"),
-                )
-            ],
+    # persist: the zoned frame feeds TWO actions (the data write and the
+    # sidecar stats agg) — without it the whole quantize+interleave
+    # pipeline re-runs per action (guide §5). Clustering by zbucket
+    # before the partitionBy write gives ~1 file per bucket instead of
+    # (scan tasks × buckets) small files (guide §6: aim for few, larger
+    # files — the pruned READ then opens one file per surviving bucket).
+    zoned = zoned.repartition(F.col("zbucket")).persist()
+    try:
+        zoned.write.mode(mode).partitionBy("zbucket").parquet(path)
+        stats = (
+            zoned.groupBy("zbucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                *[
+                    f
+                    for j, c in enumerate(zone_cols)
+                    for f in (
+                        F.min(c).alias(f"_smn{j}"),
+                        F.max(c).alias(f"_smx{j}"),
+                    )
+                ],
+            )
+            .collect()  # bounded: one row per bucket
         )
-        .collect()  # bounded: one row per bucket
-    )
+    finally:
+        zoned.unpersist()
     # NULL zone values: `least(NULL, scale)` skips the NULL, so such
     # rows quantize deterministically into the TOP bucket (never a
     # NULL partition dir); per-bucket min/max exclude NULLs, and a

@@ -124,47 +124,53 @@ class CdcTable(ManifestTable):
         if committed is not None and batch_id <= committed:
             return
         spark = batch_df.sparkSession
+        # persist across the two actions (hot-bucket collect, merge
+        # write): the per-key argmax over the batch would otherwise run
+        # once per action (guide §5: reused AND expensive)
         delta = self._latest_per_key(
             batch_df.withColumn(
                 "bucket",
                 F.pmod(F.xxhash64(self.key), F.lit(self.n_buckets)).cast("int"),
             )
-        )
-        data_schema = delta.select(
-            self.key, self.seq_col, *self.payload_cols
-        ).schema
-        # versioned save: an ADDITIVE payload-column change records a
-        # new schema version at this batch id (no data rewrite); a
-        # non-additive change raises before anything is written
-        self._save_schema(data_schema, batch_id)
-        hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
-        manifest = self._current_manifest()
-        if not hot:
-            self._commit(manifest, batch_id)
-            return
-        cur_paths = [manifest[str(b)] for b in hot if str(b) in manifest]
-        merged = delta
-        if cur_paths:
-            cur = (
-                # explicit current schema: bucket files written BEFORE
-                # an additive evolution NULL-fill the new columns here,
-                # so old state merges with new-schema deltas untouched
-                self._read_paths(spark, cur_paths, data_schema)
-                # state rows are live upserts by construction
-                .select(
-                    "bucket",
-                    self.key,
-                    self.seq_col,
-                    F.lit("u").alias(self.op_col),
-                    *self.payload_cols,
+        ).persist()
+        try:
+            data_schema = delta.select(
+                self.key, self.seq_col, *self.payload_cols
+            ).schema
+            # versioned save: an ADDITIVE payload-column change records a
+            # new schema version at this batch id (no data rewrite); a
+            # non-additive change raises before anything is written
+            self._save_schema(data_schema, batch_id)
+            hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+            manifest = self._current_manifest()
+            if not hot:
+                self._commit(manifest, batch_id)
+                return
+            cur_paths = [manifest[str(b)] for b in hot if str(b) in manifest]
+            merged = delta
+            if cur_paths:
+                cur = (
+                    # explicit current schema: bucket files written BEFORE
+                    # an additive evolution NULL-fill the new columns here,
+                    # so old state merges with new-schema deltas untouched
+                    self._read_paths(spark, cur_paths, data_schema)
+                    # state rows are live upserts by construction
+                    .select(
+                        "bucket",
+                        self.key,
+                        self.seq_col,
+                        F.lit("u").alias(self.op_col),
+                        *self.payload_cols,
+                    )
                 )
-            )
-            merged = self._latest_per_key(delta.unionByName(cur))
-        # a winning delete erases the key: absence in the rewritten
-        # bucket IS the tombstone (single-writer ordered batches)
-        merged = merged.filter(F.col(self.op_col) != "d").drop(self.op_col)
-        vdir = os.path.join(self.path, "data", f"version={batch_id}")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+                merged = self._latest_per_key(delta.unionByName(cur))
+            # a winning delete erases the key: absence in the rewritten
+            # bucket IS the tombstone (single-writer ordered batches)
+            merged = merged.filter(F.col(self.op_col) != "d").drop(self.op_col)
+            vdir = os.path.join(self.path, "data", f"version={batch_id}")
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        finally:
+            delta.unpersist()
         # a hot bucket whose merged content is ENTIRELY deletions wrote
         # no bucket dir — it must leave the manifest (the empty bucket),
         # not dangle a path. Survivors come from the write's own output

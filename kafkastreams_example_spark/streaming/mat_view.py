@@ -116,31 +116,38 @@ class MaterializedCounts(ManifestTable):
         if committed is not None and batch_id <= committed:
             return  # replay of an already-committed batch
         spark = batch_df.sparkSession
-        delta = self._delta(batch_df)
-        self._save_schema(
-            delta.select(*self.keys, "n", "total").schema, batch_id
-        )
-        hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
-        if not hot:
-            self._commit(self._current_manifest(), batch_id)
-            return
-        manifest = self._current_manifest()
-        cur_paths = [manifest[str(b)] for b in hot if str(b) in manifest]
-        merged = delta
-        if cur_paths:
-            cur = self._read_paths(spark, cur_paths).select(
-                "bucket", *self.keys, "n", "total"
+        # persist across the two actions below (hot-bucket collect, then
+        # the merge write): without it the whole delta pipeline — for
+        # index feeds, a full signature/assignment pass over the batch —
+        # recomputes once per action (guide §5: reused AND expensive)
+        delta = self._delta(batch_df).persist()
+        try:
+            self._save_schema(
+                delta.select(*self.keys, "n", "total").schema, batch_id
             )
-            merged = (
-                delta.unionByName(cur)
-                .groupBy("bucket", *self.keys)
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("total").cast("decimal(38,2)").alias("total"),
+            hot = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+            if not hot:
+                self._commit(self._current_manifest(), batch_id)
+                return
+            manifest = self._current_manifest()
+            cur_paths = [manifest[str(b)] for b in hot if str(b) in manifest]
+            merged = delta
+            if cur_paths:
+                cur = self._read_paths(spark, cur_paths).select(
+                    "bucket", *self.keys, "n", "total"
                 )
-            )
-        vdir = os.path.join(self.path, "data", f"version={batch_id}")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+                merged = (
+                    delta.unionByName(cur)
+                    .groupBy("bucket", *self.keys)
+                    .agg(
+                        F.sum("n").alias("n"),
+                        F.sum("total").cast("decimal(38,2)").alias("total"),
+                    )
+                )
+            vdir = os.path.join(self.path, "data", f"version={batch_id}")
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(vdir)
+        finally:
+            delta.unpersist()
         new_manifest = dict(manifest)
         for b in hot:
             new_manifest[str(b)] = os.path.join(vdir, f"bucket={b}")
