@@ -521,12 +521,31 @@ def bucketed_assign(
             "id", F.slice("uv", half + 1, (F.size("uv") - half).cast("int")).alias("hv")
         ).persist()
         try:
-            ac = _lloyd_euclid(avecs, c1, iters, off).select(
-                F.col("cent_id").cast("bigint").alias("a_id"), F.col("cv").alias("av")
-            )
-            bc = _lloyd_euclid(bvecs, c2, iters, off + c1).select(
-                F.col("cent_id").cast("bigint").alias("b_id"), F.col("cv").alias("bv")
-            )
+            # the two subspace trainings are INDEPENDENT jobs — overlap
+            # them (guide §2.6) so the B training back-fills executor
+            # slots the A training's job tail leaves idle; each call
+            # ends in its own eager localCheckpoint, so both codebooks
+            # are materialized when the pool joins
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            _inherit = inheritable_thread_target(emb.sparkSession)
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fa = pool.submit(
+                    _inherit(_lloyd_euclid), avecs, c1, iters, off
+                )
+                fb = pool.submit(
+                    _inherit(_lloyd_euclid), bvecs, c2, iters, off + c1
+                )
+                ac = fa.result().select(
+                    F.col("cent_id").cast("bigint").alias("a_id"),
+                    F.col("cv").alias("av"),
+                )
+                bc = fb.result().select(
+                    F.col("cent_id").cast("bigint").alias("b_id"),
+                    F.col("cv").alias("bv"),
+                )
         finally:
             # training materialized eagerly (per-iteration localCheckpoint
             # cut ac/bc loose); the final scoring below re-derives the

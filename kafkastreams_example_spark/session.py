@@ -83,6 +83,12 @@ def get_spark(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
         )
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # build-side size conditions hold (guide §3.1/§9): same results,
+        # no per-partition sort. Sort-merge remains the fallback
+        # whenever the size checks fail, so the OOM-safety story at
+        # scale is unchanged.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Arrow for any pandas-UDF path (similarity / multimodal / stateful).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # RocksDB-backed state for streaming stateful ops (dedup): the Spark
