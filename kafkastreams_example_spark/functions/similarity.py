@@ -146,32 +146,63 @@ def ivf_topk(
         )
     else:
         cents = centroids.select("cent_id", "cv")
+    carr = _codebook_row(cents)
 
-    def nearest(df: DataFrame, side_id: str, rank_limit: int, out: str) -> DataFrame:
-        scored = F.broadcast(cents).join(df, how="cross").select(
-            F.col(side_id), "cent_id", _dot(F.col("uv"), F.col("cv")).alias("cs")
-        )
-        w = Window.partitionBy(side_id).orderBy(F.col("cs").desc(), F.col("cent_id"))
-        return (
-            scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= rank_limit)
-            .select(side_id, F.col("cent_id").alias(out))
-        )
+    def nearest(df: DataFrame, side_id: str, rank_limit: int, out: str,
+                keep_uv: bool = False) -> DataFrame:
+        # per-row top-rank_limit over the collected codebook array
+        # (round 20, guide §2.4): replaces a row_number window that
+        # sorted and EXCHANGED all k·n scored rows. Ordering identical:
+        # ascending (o, cent_id) with o = nanvl(-cs, -inf) ≡ the
+        # window's (cs DESC, cent_id ASC) — both rank a NaN score
+        # first, though unit vectors cannot produce one.
+        neg_inf = F.lit(float("-inf"))
+        top = F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("carr"),
+                    lambda c: F.struct(
+                        F.nanvl(-_dot(F.col("uv"), c["cv"]), neg_inf).alias("o"),
+                        c["cent_id"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+            rank_limit,
+        )["cid"]
+        cols = [F.col(side_id), F.explode(top).alias(out)]
+        if keep_uv:
+            cols.append(F.col("uv"))
+        return df.join(F.broadcast(carr), how="cross").select(*cols)
 
-    if assignments is None:
-        assigned = nearest(unit, id_col, 1, "bucket")  # home bucket
-    else:
-        assigned = assignments.select(id_col, "bucket")
     queries = unit.filter(F.col(id_col).isin(query_ids))
     probes = nearest(queries, id_col, n_probe, "bucket").withColumnRenamed(
         id_col, "query_id"
     )
 
-    # home bucket is unique per vector (row_number rank 1), so no pair
-    # can arrive twice through different probed buckets — no distinct
-    cand = assigned.join(unit, id_col).select(
-        F.col(id_col).alias("cand_id"), "bucket", F.col("uv").alias("cv2")
-    )
+    # home bucket is unique per vector (top-1), so no pair can arrive
+    # twice through different probed buckets — no distinct
+    if assignments is None:
+        # the home-bucket pass keeps each vector's uv in its own row,
+        # so the former assigned⋈unit re-attach join (an n-row shuffle
+        # of vector-fat rows) is gone (round 20, guide §8.4: the
+        # placement decision travels WITH the payload row instead of
+        # being joined back on)
+        cand = nearest(unit, id_col, 1, "bucket", keep_uv=True).select(
+            F.col(id_col).alias("cand_id"), "bucket", F.col("uv").alias("cv2")
+        )
+    else:
+        # committed posting lists: drop non-probed buckets BEFORE
+        # re-attaching vectors (round 20, guide §3.2/§8.4) — only the
+        # probed n_probe/C fraction of the corpus pays the id join,
+        # and the hot-bucket set is a broadcast of ≤ q·n_probe rows
+        hot = probes.select("bucket").distinct()
+        cand = (
+            assignments.select(id_col, "bucket")
+            .join(F.broadcast(hot), "bucket")
+            .join(unit, id_col)
+            .select(F.col(id_col).alias("cand_id"), "bucket", F.col("uv").alias("cv2"))
+        )
 
     qv = queries.select(F.col(id_col).alias("query_id"), F.col("uv").alias("qv"))
     scored = (
@@ -212,18 +243,23 @@ def ivf_assign(
     buckets) per batch, while the codebook stays fixed at its
     train-time snapshot."""
     unit = emb.select(F.col(id_col), _unit(F.col(vec_col)).alias("uv"))
-    cents = centroids.select("cent_id", "cv")
-    return (
-        F.broadcast(cents)
-        .join(unit, how="cross")
-        .select(id_col, "cent_id", _dot(F.col("uv"), F.col("cv")).alias("cs"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                "cent_id",
-                F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc")),
-            ).alias("bucket")
-        )
+    carr = _codebook_row(centroids.select("cent_id", "cv"))
+    # per-row argmax over the codebook array (guide §2.4): the ingest
+    # batch is never exchanged at all — assignment is one narrow
+    # projection; tie-break identical to the max_by form (see
+    # _codebook_row)
+    return unit.join(F.broadcast(carr), how="cross").select(
+        id_col,
+        F.array_max(
+            F.transform(
+                F.col("carr"),
+                lambda c: F.struct(
+                    _dot(F.col("uv"), c["cv"]).alias("cs"),
+                    (-c["cent_id"]).alias("nc"),
+                    c["cent_id"].alias("cent_id"),
+                ),
+            )
+        )["cent_id"].alias("bucket"),
     )
 
 
@@ -273,24 +309,31 @@ def _lloyd_iterations(unit: DataFrame, k: int, iters: int, id_col: str) -> DataF
         F.col(id_col).cast("int").alias("cent_id"), F.col("uv").alias("cv")
     )
     for it in range(iters):
-        # argmax-by-cosine via max_by, NOT a row_number window: the
-        # window form sorts/shuffles all k·n candidate rows (each
-        # carrying the dim-float vector); max_by partial-aggregates
-        # map-side, so the shuffle carries one best-so-far row per
-        # vector per task. Tie-break matches the oracle exactly:
-        # highest cs, then lowest cent_id (max of -cent_id).
+        # argmax-by-cosine computed PER ROW over the collected codebook
+        # array (round 20, guide §2.4): the previous max_by aggregation
+        # re-keyed k·n scored rows by id through a hash Exchange even
+        # though every id's k candidates are born in one task — scoring
+        # all k centroids inside one array_max projection keeps the
+        # assignment pass exchange-free. Tie-break identical: array_max
+        # over STRUCT(cs, -cent_id) ≡ max_by by (cs, -cent_id) —
+        # highest cs, then lowest cent_id, NaN largest in both.
+        carr = _codebook_row(cents)
         assigned = (
-            F.broadcast(cents)
-            .join(unit, how="cross")
-            .select(id_col, "cent_id", "uv", _dot(F.col("uv"), F.col("cv")).alias("cs"))
-            .groupBy(id_col)
-            .agg(
-                F.max_by(
-                    F.struct("cent_id", "uv"),
-                    F.struct(F.col("cs"), (-F.col("cent_id")).alias("nc")),
-                ).alias("best")
+            unit.join(F.broadcast(carr), how="cross")
+            .select(
+                id_col,
+                F.array_max(
+                    F.transform(
+                        F.col("carr"),
+                        lambda c: F.struct(
+                            _dot(F.col("uv"), c["cv"]).alias("cs"),
+                            (-c["cent_id"]).alias("nc"),
+                            c["cent_id"].alias("cent_id"),
+                        ),
+                    )
+                )["cent_id"].alias("cent_id"),
+                "uv",
             )
-            .select(id_col, F.col("best.cent_id").alias("cent_id"), F.col("best.uv").alias("uv"))
         )
         means = (
             assigned.select("cent_id", F.posexplode("uv").alias("pos", "x"))
@@ -371,6 +414,44 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _codebook_row(
+    cents: DataFrame, id_field: str = "cent_id", vec_field: str = "cv"
+) -> DataFrame:
+    """Collapse an O(√C)-row codebook into ONE row holding the whole
+    codebook as ARRAY<STRUCT<cent_id, cv>> sorted by cent_id.
+
+    Cross-joining (broadcast) this single row lets every corpus row
+    score all centroids INSIDE one projection (array transform +
+    array_max / array_sort / array_min), replacing the
+    broadcast-cross-join → per-id re-aggregation pattern: the per-pass
+    Exchange that carried one best-so-far row per vector disappears
+    outright (guide §2.4 — each id's k scored rows were already born in
+    a single task, the groupBy(id) hash exchange only re-proved that),
+    and the k·n intermediate scored rows are never materialized as
+    rows. The broadcast payload is identical to before (the same O(√C)
+    codebook, one row instead of k).
+
+    Equivalence notes (each call site's oracle re-proves these):
+    - argmax by (cs DESC, cent_id ASC) ≡ array_max over
+      STRUCT(cs, -cent_id, cent_id) — same NaN rule (NaN ranks largest
+      in max_by AND array_max).
+    - argmin by (d2 ASC, cent_id ASC) ≡ array_min over
+      STRUCT(d2, cent_id) — NaN never wins a min in either form.
+    - top-n by (o ASC, cent_id ASC) ≡ slice(array_sort(STRUCT(o,
+      cent_id)), 1, n) — the exact collect_list/array_sort/slice
+      comparator the aggregate form used.
+    """
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_field).alias("cent_id"), F.col(vec_field).alias("cv")
+                )
+            )
+        ).alias("carr")
+    )
+
+
 def _lloyd_euclid(vecs: DataFrame, k: int, iters: int, off: int) -> DataFrame:
     """Fixed-iteration Lloyd k-means under squared-Euclidean distance
     over (id, hv) subspace vectors; init = the k vectors with id in
@@ -385,13 +466,24 @@ def _lloyd_euclid(vecs: DataFrame, k: int, iters: int, off: int) -> DataFrame:
         (F.col("id") - off).cast("int").alias("cent_id"), F.col("hv").alias("cv")
     )
     for it in range(iters):
+        # per-row argmin over the collected codebook array — same
+        # exchange-elimination as _lloyd_iterations (guide §2.4);
+        # array_min over STRUCT(d2, cent_id) ≡ min_by by (d2, cent_id)
+        carr = _codebook_row(cents)
         assigned = (
-            F.broadcast(cents)
-            .join(vecs, how="cross")
-            .select("cent_id", "hv", _sqdist(F.col("hv"), F.col("cv")).alias("d2"), "id")
-            .groupBy("id")
-            .agg(F.min_by(F.struct("cent_id", "hv"), F.struct("d2", "cent_id")).alias("best"))
-            .select(F.col("best.cent_id").alias("cent_id"), F.col("best.hv").alias("hv"))
+            vecs.join(F.broadcast(carr), how="cross")
+            .select(
+                F.array_min(
+                    F.transform(
+                        F.col("carr"),
+                        lambda c: F.struct(
+                            _sqdist(F.col("hv"), c["cv"]).alias("d2"),
+                            c["cent_id"].alias("cent_id"),
+                        ),
+                    )
+                )["cent_id"].alias("cent_id"),
+                "hv",
+            )
         )
         means = (
             assigned.select("cent_id", F.posexplode("hv").alias("pos", "x"))
@@ -552,12 +644,16 @@ def bucketed_assign(
             # halves from the scan once — one narrow pass, no cache leak
             avecs.unpersist()
             bvecs.unpersist()
-        ascored = F.broadcast(ac).join(avecs, how="cross").select(
-            "id", "a_id", _sqdist(F.col("hv"), F.col("av")).alias("o")
+        # score the halves inline over unit (same slice expressions
+        # that defined avecs/bvecs — identical arithmetic); the
+        # persisted half frames now serve only the training passes
+        a_score = lambda hv: lambda c: F.struct(  # noqa: E731
+            _sqdist(hv, c["cv"]).alias("o"), c["cent_id"].alias("cid")
         )
-        bscored = F.broadcast(bc).join(bvecs, how="cross").select(
-            "id", "b_id", _sqdist(F.col("hv"), F.col("bv")).alias("o")
-        )
+        hv_a = F.slice(F.col("uv"), F.lit(1), half)
+        hv_b = F.slice(F.col("uv"), half + 1, (F.size("uv") - half).cast("int"))
+        a_scored = F.transform(F.col("acarr"), a_score(hv_a))
+        b_scored = F.transform(F.col("bcarr"), a_score(hv_b))
     elif codebook == "prefix":
         ac = unit.filter((F.col("id") >= off) & (F.col("id") < off + c1)).select(
             (F.col("id") - off).alias("a_id"), F.col("uv").alias("av")
@@ -566,38 +662,42 @@ def bucketed_assign(
             (F.col("id") >= off + c1) & (F.col("id") < off + c1 + c2)
         ).select((F.col("id") - off - c1).alias("b_id"), F.col("uv").alias("bv"))
         neg_inf = F.lit(float("-inf"))
-        ascored = F.broadcast(ac).join(unit, how="cross").select(
-            "id", "a_id", F.nanvl(-_dot(F.col("uv"), F.col("av")), neg_inf).alias("o")
+        cos_score = lambda c: F.struct(  # noqa: E731
+            F.nanvl(-_dot(F.col("uv"), c["cv"]), neg_inf).alias("o"),
+            c["cent_id"].alias("cid"),
         )
-        bscored = F.broadcast(bc).join(unit, how="cross").select(
-            "id", "b_id", F.nanvl(-_dot(F.col("uv"), F.col("bv")), neg_inf).alias("o")
-        )
+        a_scored = F.transform(F.col("acarr"), cos_score)
+        b_scored = F.transform(F.col("bcarr"), cos_score)
     else:
         raise ValueError(f"unknown codebook {codebook!r}: use 'prefix' or 'trained'")
-    aassign = (
-        ascored.groupBy("id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct(F.col("o"), F.col("a_id")))),
-                1,
-                n_probe,
-            ).alias("top")
+    # ONE narrow pass assigns every vector (round 20, guide §2.4/§8.4):
+    # both subspace codebooks are collected to single array rows
+    # (broadcast, same O(√C) payload as before) and each row computes
+    # its top-n_probe A cells (slice(array_sort) — the exact
+    # collect_list/array_sort/slice comparator the per-id aggregation
+    # used) and best B cell (array_min ≡ min_by by (o, b_id)) inline.
+    # The former shape — two broadcast cross joins, two groupBy(id)
+    # exchanges, an aassign⋈bassign join and a cells⋈unit re-attach of
+    # the vector column — collapses to zero exchanges. Empty/sparse
+    # codebook semantics preserved: an empty A array explodes to no
+    # rows (the old inner join dropped the id the same way); an empty B
+    # array yields NULL → coalesce to cell 0 (the old LEFT join rule).
+    acarr = _codebook_row(ac, "a_id", "av").withColumnRenamed("carr", "acarr")
+    bcarr = _codebook_row(bc, "b_id", "bv").withColumnRenamed("carr", "bcarr")
+    a_top = F.slice(F.array_sort(a_scored), 1, n_probe)["cid"]
+    b_best = F.array_min(b_scored)["cid"]
+    return (
+        unit.join(F.broadcast(acarr), how="cross")
+        .join(F.broadcast(bcarr), how="cross")
+        .select(
+            "id", "uv", F.explode(a_top).alias("a_id"), b_best.alias("b_id")
         )
-        .select("id", F.explode("top.a_id").alias("a_id"))
+        .select(
+            (F.col("a_id") * c2 + F.coalesce(F.col("b_id"), F.lit(0))).alias("bucket"),
+            "id",
+            "uv",
+        )
     )
-    bassign = bscored.groupBy("id").agg(
-        F.min_by(F.col("b_id"), F.struct(F.col("o"), F.col("b_id"))).alias("b_id")
-    )
-    # LEFT join + coalesce: when the B-codebook id block is empty or
-    # sparse (tiny corpus), every vector falls back to B cell 0 —
-    # assignment degrades to A-only bucketing instead of silently
-    # dropping the corpus from dedup (an inner join would empty
-    # `members` whenever bc matched nothing)
-    cells = aassign.join(bassign, "id", "left").select(
-        "id",
-        (F.col("a_id") * c2 + F.coalesce(F.col("b_id"), F.lit(0))).alias("bucket"),
-    )
-    return cells.join(unit, "id").select("bucket", "id", "uv")
 
 
 def bucketed_cosine_pairs(

@@ -3665,18 +3665,31 @@ def q_semdedup(spark, sf_dir):
         F.col("vec_id").alias("cid"),
         *[F.col(f"pc{i}").alias(f"c{i}") for i in (1, 2, 3)],
     )
-    dist = sum(
-        (F.col(f"pc{i}") - F.col(f"c{i}")) * (F.col(f"pc{i}") - F.col(f"c{i}"))
+    # per-row argmin over the collected codebook array (round 20, guide
+    # §2.4): the former broadcast cross join + groupBy(vec_id) min_by
+    # re-keyed n·C scored rows through a hash Exchange (and each of the
+    # THREE consumers of `assign` — both self-join sides and the final
+    # dup probe — re-ran it); the per-row form is exchange-free and
+    # cheap to recompute. Arithmetic identical: same (pc−c)² operand
+    # order, array_min over STRUCT(dist, cid) ≡ min_by by (dist, cid).
+    carr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c1", "c2", "c3"))).alias("carr")
+    )
+    dist = lambda c: sum(  # noqa: E731
+        (F.col(f"pc{i}") - c[f"c{i}"]) * (F.col(f"pc{i}") - c[f"c{i}"])
         for i in (1, 2, 3)
     )
-    assign = (
-        red.crossJoin(F.broadcast(cents))
-        .select("vec_id", "pc1", "pc2", "pc3", "cid", dist.alias("dist"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct("dist", "cid")).alias("cluster"),
-            *[F.min(f"pc{i}").alias(f"pc{i}") for i in (1, 2, 3)],
-        )
+    assign = red.join(F.broadcast(carr), how="cross").select(
+        "vec_id",
+        F.array_min(
+            F.transform(
+                F.col("carr"),
+                lambda c: F.struct(dist(c).alias("dist"), c["cid"].alias("cid")),
+            )
+        )["cid"].alias("cluster"),
+        "pc1",
+        "pc2",
+        "pc3",
     )
     a, b = assign.alias("a"), assign.alias("b")
     na = sum(F.col(f"a.pc{i}") * F.col(f"a.pc{i}") for i in (1, 2, 3))
@@ -4617,20 +4630,31 @@ def q_kmeans_centroids(spark, sf_dir):
     (_sql_kmeans_centroids), verified value-identical to DuckDB at
     sf0.001 and sf0.01; quality is additionally pinned by the ≥0.8 IVF
     recall floor test."""
-    from pyspark.sql import Window
-
-    from .functions.similarity import _dot, _unit, kmeans_centroids
+    from .functions.similarity import _codebook_row, _dot, _unit, kmeans_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, k=8, iters=3)
     unit = emb.select("vec_id", _unit(F.col("embedding")).alias("uv"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    # per-row argmax over the collected codebook array (round 20,
+    # guide §2.4): replaces a row_number window that sorted and
+    # exchanged all k·n scored rows. Ordering identical: array_max over
+    # STRUCT(cs, -cent_id) ≡ rank 1 of (cs DESC, cent_id ASC), NaN
+    # largest in both. Two-step select so the array_max struct computes
+    # once (CollapseProject keeps non-cheap aliased exprs staged).
+    best = F.array_max(
+        F.transform(
+            F.col("carr"),
+            lambda c: F.struct(
+                _dot(F.col("uv"), c["cv"]).alias("cs"),
+                (-c["cent_id"]).alias("nc"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+    )
     assigned = (
-        F.broadcast(cents)
-        .join(unit, how="cross")
-        .select("vec_id", "cent_id", _dot(F.col("uv"), F.col("cv")).alias("cs"))
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
+        unit.join(F.broadcast(_codebook_row(cents)), how="cross")
+        .select("vec_id", best.alias("best"))
+        .select("vec_id", F.col("best.cent_id").alias("cent_id"), F.col("best.cs").alias("cs"))
     )
     return assigned.groupBy("cent_id").agg(
         F.count("*").alias("n_members"),

@@ -517,19 +517,43 @@ def test_sql_q17_scalar_subquery_decorrelates(spark):
 
 
 def test_bucketed_assign_exchanges_are_narrow(spark):
-    """r7 verdict finding: the PQ assignment top-n_probe selection must
-    exchange NARROW (id, cell, score) rows — the embedding column may
-    reach at most ONE exchange (the single n-row uv re-join by id at
-    the end), never the n·√C-amplified codebook-scoring stage."""
+    """r7 verdict finding, tightened in round 20: the PQ assignment
+    must never exchange vector-fat rows. Since the per-row rewrite
+    (cell selection computed inline over the collected codebook array)
+    the only exchanges left are the two O(√C)-row codebook collects —
+    the corpus rows, WITH their embedding column, never shuffle at all
+    (the old shape exchanged one best-so-far row per vector per
+    selection agg plus an n-row uv re-join)."""
     from kafkastreams_example_spark.functions.similarity import bucketed_assign
     from kafkastreams_example_spark.plans.explain import exchange_inputs
 
     emb = load_table(spark, SF_DIR, "embeddings")
     members = bucketed_assign(emb, grid=(4, 4), n_probe=2)
     inputs = exchange_inputs(members)
-    assert len(inputs) >= 2  # the two codebook-selection aggs do shuffle
     fat = [ln for ln in inputs if "uv#" in ln]
-    assert len(fat) <= 1, f"vector-fat exchanges: {fat}"
+    assert not fat, f"vector-fat exchanges: {fat}"
+    # every surviving exchange is a single-partition codebook collect,
+    # never a corpus-keyed hash repartition
+    plan = plan_string(members, "formatted")
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_ivf_assignment_pass_is_exchange_free(spark):
+    """Round-20 per-row rewrite guard: frozen-codebook IVF assignment
+    (the ingest half of the incremental inverted file) must compute
+    each vector's bucket INSIDE the scan projection — array_max over
+    the collected codebook array — with no corpus-keyed hash exchange
+    anywhere in the plan. The former shape (broadcast cross join →
+    groupBy(id) max_by) exchanged one best-so-far row per ingested
+    vector per batch."""
+    from kafkastreams_example_spark.functions.similarity import ivf_assign, kmeans_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_centroids(emb, k=8, iters=1)
+    assigned = ivf_assign(emb, cents)
+    plan = plan_string(assigned, "formatted")
+    assert "array_max" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_bucketed_assign_sparse_ids_bucket_like_dense(spark):
@@ -766,13 +790,15 @@ def test_bloom_semi_join_filters_before_exchange(spark):
 
 def test_semdedup_assignment_is_hash_agg(spark):
     """semdedup's nearest-centroid assignment must compile to a
-    min_by hash aggregation with map-side partials — never a window
-    sort over the n·C cross-join — and the whole entry must stay
-    JVM-side (no Python stage) with no global sort."""
+    PER-ROW array_min over the collected codebook array (round 20: the
+    former min_by hash aggregation re-keyed the n·C cross-join through
+    an Exchange; the per-row form is exchange-free) — never a window
+    sort — and the whole entry must stay JVM-side (no Python stage)
+    with no global sort."""
     from kafkastreams_example_spark.queries import q_semdedup
 
     plan = plan_string(q_semdedup(spark, SF_DIR), "simple")
-    assert "min_by" in plan, plan
+    assert "array_min" in plan, plan
     assert "Window" not in plan, plan
     assert "Python" not in plan and "BatchEvalPython" not in plan
     assert "rangepartitioning" not in plan  # no global sort anywhere
