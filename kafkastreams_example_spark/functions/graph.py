@@ -54,21 +54,21 @@ def pagerank(
     Returns (node BIGINT, r DOUBLE); ranks sum to 1 up to float
     summation error."""
     base = (1.0 - damping) if teleport is None else teleport
+    # persist the NORMALIZED EDGE FRAME itself, not just the weighted
+    # form (round 20, guide §5): nodes, degrees, the stats agg and the
+    # weighted wedges all derive from e — without this cache each
+    # derivation re-ran the caller's whole edge construction (for the
+    # registry entry: a lineitem⋈orders join + distinct, measured 3-4
+    # full rebuilds per pagerank call)
     e = edges.select(
         F.col(src).cast("bigint").alias("src"), F.col(dst).cast("bigint").alias("dst")
-    )
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
-    if n == 0:
-        # empty graph → empty ranks (round-10 review fix: a reusable
-        # operator must not ZeroDivisionError on a filtered-to-nothing
-        # edge frame)
-        return nodes.select("node", F.lit(0.0).alias("r"))
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     wedges = (
         e.join(deg, "src")
@@ -77,9 +77,10 @@ def pagerank(
     )
     try:
         # ONE narrow agg derives both runtime stats (node count, sink
-        # count) instead of separate count() jobs; the sink node FRAME
-        # is only materialized when sinks exist (optimization round 20 —
-        # the common sink-free graph pays zero extra jobs for it)
+        # count) — it also serves the empty-graph check, so the former
+        # separate nodes.count() job is gone (round 20); the sink node
+        # FRAME is only materialized when sinks exist (the common
+        # sink-free graph pays zero extra jobs for it)
         stats = (
             nodes.join(deg, nodes["node"] == deg["src"], "left")
             .agg(
@@ -89,6 +90,11 @@ def pagerank(
             .first()
         )
         n, has_sinks = stats["n"], stats["n_sinks"] > 0
+        if n == 0:
+            # empty graph → empty ranks (round-10 review fix: a
+            # reusable operator must not ZeroDivisionError on a
+            # filtered-to-nothing edge frame)
+            return nodes.select("node", F.lit(0.0).alias("r"))
         dangling = None
         if has_sinks:
             dangling = nodes.join(
@@ -151,4 +157,5 @@ def pagerank(
                 ranks = new_ranks
     finally:
         wedges.unpersist()
+        e.unpersist()
     return ranks
