@@ -1187,31 +1187,53 @@ def _subprocess_reprobe(name: str) -> dict | None:
     import subprocess
 
     here = Path(__file__).resolve()
+    # start_new_session so a timeout can kill the whole process GROUP:
+    # killing only the direct python child leaves its JVM grandchild
+    # alive, stealing CPU from subsequent sequential re-probes and
+    # making a LATER pipeline's reading spuriously low (r19 advice)
+    proc = subprocess.Popen(
+        [sys.executable, str(here), "--only", name],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        cwd=str(here.parent),
+        start_new_session=True,
+    )
     try:
-        proc = subprocess.run(
-            [sys.executable, str(here), "--only", name],
-            capture_output=True,
-            text=True,
-            timeout=1200,
-            cwd=str(here.parent),
-        )
+        stdout, _ = proc.communicate(timeout=1200)
     except subprocess.TimeoutExpired:
+        import signal
+
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        proc.communicate()
         return None
     if proc.returncode != 0:
         return None
-    for ln in reversed(proc.stdout.strip().splitlines()):
+    for ln in reversed(stdout.strip().splitlines()):
+        # a stray '{'-prefixed log line printed AFTER the payload must
+        # not convert a successful re-probe into a failed one — skip
+        # non-payload lines and keep scanning earlier output (r19
+        # advice: match only the payload, never return on log noise)
         if ln.startswith("{"):
             try:
-                return json.loads(ln).get("single", {}).get(name)
+                doc = json.loads(ln)
             except json.JSONDecodeError:
-                return None
+                continue
+            if "single" in doc:
+                return doc.get("single", {}).get(name)
     return None
 
 
 def main() -> None:
     only = None
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
+        idx = sys.argv.index("--only") + 1
+        if idx >= len(sys.argv):
+            raise SystemExit("bench_streaming --only: missing pipeline name")
+        only = sys.argv[idx]
         if only not in THRESHOLDS:
             raise SystemExit(
                 f"bench_streaming --only: unknown pipeline {only!r}"

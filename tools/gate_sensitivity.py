@@ -415,8 +415,13 @@ def audit_entry(
                 except Exception as exc:  # noqa: BLE001
                     mbok = False
                     mdetail = f"boundary {type(exc).__name__}"
-                if not mbok:
-                    killed, how = True, "BOUNDARY MISMATCH"
+                    # distinct label: an error-kill on the boundary
+                    # fixture is NOT mismatch evidence (r19 advice —
+                    # the sf0.01 path already separates ERROR kills)
+                    killed, how = True, f"BOUNDARY ERROR {type(exc).__name__}"
+                else:
+                    if not mbok:
+                        killed, how = True, "BOUNDARY MISMATCH"
         except Exception as exc:  # noqa: BLE001 — a throwing mutant is caught
             killed, how = True, f"ERROR {type(exc).__name__}"
             mdetail = str(exc).splitlines()[0][:120]
