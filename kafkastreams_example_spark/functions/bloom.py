@@ -184,7 +184,14 @@ def bloom_semi_join(
     renderings diverge), both sides widen to DOUBLE before hashing —
     equi-join-equal values then render identically and the bloom stays
     false-negative-free (round-13 ADVICE)."""
-    keys = dim_keys.select(key_col).distinct()
+    # persist the distinct key frame: it is scanned by the filter BUILD
+    # action (and the auto-sizing count when n_bits is None) and again
+    # by the exact semi join — without the persist the dim scan +
+    # distinct exchange run once per consumer (guide §3.2: the build
+    # side is scanned twice; make the second scan read the cache). The
+    # returned frame is lazy, so the cache is left to the session —
+    # it is exactly the O(keys) frame the semi join must hold anyway.
+    keys = dim_keys.select(key_col).distinct().persist()
     fact_fam = _key_family(dict(fact.dtypes)[key_col])
     dim_fam = _key_family(dict(keys.dtypes)[key_col])
     widen = (

@@ -48,11 +48,17 @@ def minhash_signatures(
     frame so ensemble pipelines (dedup_candidates_union) can tokenize
     once, persist, and feed several signal generators."""
     ex = tokens if tokens is not None else _exploded_tokens(docs, text_col, id_col)
-    aggs = [
+    return ex.groupBy(id_col).agg(*minhash_signature_aggs(num_hashes))
+
+
+def minhash_signature_aggs(num_hashes: int = 8) -> list:
+    """The MinHash min-aggregates over the `tok` column — exposed so a
+    caller aggregating the token frame for several signals at once can
+    ride them on its own groupBy (guide §2.3)."""
+    return [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -63,6 +69,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
     max_bucket: int = 64,
     tokens: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band
     (band hash = md5 over its rows_per_band signature slots).
@@ -73,8 +80,12 @@ def minhash_lsh_pairs(
     bucket means the band carries no discriminative signal (boilerplate
     / tiny vocabulary), and pairing it is O(bucket²) for no precision.
     At 100 TB this cap is what bounds the worst-case join fan-out.
-    """
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, tokens=tokens)
+
+    `sig` optionally supplies a pre-built signature frame (id, mh0..)
+    so a caller that already materialized signatures can band it
+    directly without re-aggregating."""
+    if sig is None:
+        sig = minhash_signatures(docs, text_col, id_col, num_hashes, tokens=tokens)
     exploded = minhash_bands(sig, id_col, num_hashes, rows_per_band)
     from pyspark.sql import Window
 
@@ -281,6 +292,14 @@ def dedup_clusters(
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 
+def simhash_token_hash(bits: int = 60) -> Column:
+    """Portable token hash of the `tok` column: first bits/4 md5 hex
+    chars as a (positive, < 2^60) bigint — identical across engines."""
+    return F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast(
+        "bigint"
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
@@ -297,14 +316,23 @@ def simhash(
     32-bit fingerprint at hamming ≤ 3 is collision-dense on
     template-heavy text (measured: 1.6M pairs over 5k synthetic docs) —
     the same reason production simhash dedup uses 64-bit fingerprints.
+
     Implemented as explode(tokens × bits) → two hash-aggregations —
-    shuffle O(docs × bits), fine for a fingerprint stage; at extreme
-    scale the per-doc loop would move into one pandas_udf projection
-    (no shuffle at all), kept expression-only here for oracle parity.
+    shuffle O(docs × bits) after map-side partials, fine for a
+    fingerprint stage. Round-21 measurement note (guide §1 — measure,
+    then keep what wins): a single groupBy(doc) with 61 sum/count
+    accumulators (one shuffle, no 60× row explosion) was built and
+    A/B'd at sf0.1 — it LOST in steady state (fingerprint 1.16 s vs
+    0.35 s under the bench action; Manku pairs 4.9 s vs 3.3 s) both as
+    a post-aggregation fold (CollapseProject inlines the 60-term fold
+    into every downstream band/key expression) and with the fold inside
+    the aggregate's result expression (the 61-wide update path loses
+    codegen efficiency), so the explode form stays. At extreme scale
+    the per-doc loop would move into one pandas_udf projection (no
+    shuffle at all), kept expression-only here for oracle parity.
     """
     ex = tokens if tokens is not None else _exploded_tokens(docs, text_col, id_col)
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("bigint")
-    ex = ex.select(id_col, h.alias("h"))
+    ex = ex.select(id_col, simhash_token_hash(bits).alias("h"))
     bit = ex.select(
         id_col, F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"), F.col("h")
     ).select(

@@ -19,12 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# Lineage-control cadence for the lazily unrolled fixed-iteration loop
-# (the functions/similarity.py trainer policy): checkpoint every
-# this-many rounds, eagerly only at the end.
-_CHECKPOINT_EVERY = 5
-
-
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -104,10 +98,11 @@ def pagerank(
         # Per-round driver actions are only REQUIRED when a scalar must
         # leave the cluster mid-loop (dangling mass, convergence delta).
         # The fixed-iteration sink-free form instead unrolls LAZILY into
-        # one job (checkpoint every _CHECKPOINT_EVERY rounds bounds plan
-        # depth; the final checkpoint is eager so the returned frame is
-        # materialized while the wedge cache is still alive). Arithmetic
-        # is identical either way — checkpoints never change values.
+        # one job (a NON-EAGER localCheckpoint every round keeps lineage
+        # flat; only the final round's checkpoint is eager, so the
+        # returned frame is materialized while the wedge cache is still
+        # alive). Arithmetic is identical either way — checkpoints
+        # never change values.
         lazy_unroll = tol is None and not has_sinks
         if not lazy_unroll:
             ranks = ranks.localCheckpoint(eager=True)

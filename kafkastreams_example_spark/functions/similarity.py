@@ -22,13 +22,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-# Lineage-control cadence for the fixed-iteration trainers: unrolled
-# rounds checkpoint every this-many iterations (plus an eager final
-# checkpoint) instead of blocking once per round — the registry's 2-3
-# round trainings become ONE Spark job; deep loops keep bounded plans.
-_CHECKPOINT_EVERY = 5
-
-
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -248,18 +241,29 @@ def ivf_assign(
     # batch is never exchanged at all — assignment is one narrow
     # projection; tie-break identical to the max_by form (see
     # _codebook_row)
-    return unit.join(F.broadcast(carr), how="cross").select(
-        id_col,
-        F.array_max(
-            F.transform(
-                F.col("carr"),
-                lambda c: F.struct(
-                    _dot(F.col("uv"), c["cv"]).alias("cs"),
-                    (-c["cent_id"]).alias("nc"),
-                    c["cent_id"].alias("cent_id"),
-                ),
-            )
-        )["cent_id"].alias("bucket"),
+    return (
+        unit.join(F.broadcast(carr), how="cross")
+        # empty-codebook contract (round-20 ADVICE): array_max over an
+        # empty collected codebook would be NULL — preserve the
+        # pre-round-20 inner-join behavior (no assignments at all)
+        # instead of emitting NULL buckets that an ingest path could
+        # upsert. The guard tests the broadcast array's size, NOT the
+        # computed bucket, so the scoring transform below is never
+        # evaluated twice per row.
+        .filter(F.size(F.col("carr")) > 0)
+        .select(
+            id_col,
+            F.array_max(
+                F.transform(
+                    F.col("carr"),
+                    lambda c: F.struct(
+                        _dot(F.col("uv"), c["cv"]).alias("cs"),
+                        (-c["cent_id"]).alias("nc"),
+                        c["cent_id"].alias("cent_id"),
+                    ),
+                )
+            )["cent_id"].alias("bucket"),
+        )
     )
 
 
@@ -622,7 +626,17 @@ def bucketed_assign(
 
             from pyspark import inheritable_thread_target
 
+            # inheritable_thread_target(session) is only a decorator
+            # factory under py4j pinned-thread mode (the default); with
+            # PYSPARK_PIN_THREAD=false the fallback returns its argument
+            # unchanged — i.e. the SparkSession itself, not a callable
+            # (round-20 ADVICE). Guard on callability and run the
+            # trainings without thread-property inheritance in that
+            # legacy mode (plain functions still work there because
+            # non-pinned py4j shares one JVM thread anyway).
             _inherit = inheritable_thread_target(emb.sparkSession)
+            if not callable(_inherit):
+                _inherit = lambda fn: fn  # noqa: E731
             with ThreadPoolExecutor(max_workers=2) as pool:
                 fa = pool.submit(
                     _inherit(_lloyd_euclid), avecs, c1, iters, off

@@ -528,6 +528,16 @@ def q_fk_integrity(spark, sf_dir):
         ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
         ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
     ]
+    # One pass per edge (optimization round 21, guide §2.3): the
+    # former n_rows / n_keys / n_orphans triple computed three
+    # independent aggregate subtrees whose crossJoins re-scanned the
+    # child table per scalar (56 parquet scans across the 7 edges,
+    # zero reuse in the plan). Instead reduce the child ONCE to
+    # per-key row counts, left-join the distinct parent keys, and fold
+    # all three scalars from that single keyspace-bound frame:
+    # n_rows = Σ per-key counts (child rows with non-null key, exactly
+    # the old count), n_keys = frame rows, n_orphans = keys whose
+    # parent probe missed. Two scans per edge, one shuffle.
     out = None
     for name, ct, ck, pt, pk in edges:
         child = load_table(spark, sf_dir, ct).filter(F.col(ck).isNotNull())
@@ -535,15 +545,22 @@ def q_fk_integrity(spark, sf_dir):
             load_table(spark, sf_dir, pt)
             .select(F.col(pk).alias(ck))
             .distinct()
+            .withColumn("__p", F.lit(1))
         )
-        dk = child.select(ck).distinct()
+        dk = child.groupBy(ck).agg(F.count("*").alias("__cnt"))
         row = (
-            child.agg(F.count("*").alias("n_rows"))
-            .crossJoin(dk.agg(F.count("*").alias("n_keys")))
-            .crossJoin(
-                dk.join(parent, ck, "left_anti").agg(
-                    F.count("*").alias("n_orphans")
-                )
+            # parent is distinct on the key, so the left join cannot
+            # fan out: one row per child key, __p NULL iff orphan
+            dk.join(parent, ck, "left")
+            .agg(
+                # coalesce: an EMPTY child edge must read 0, not NULL
+                # (and keeps the column non-nullable like the old
+                # count(*) form)
+                F.coalesce(F.sum("__cnt"), F.lit(0).cast("bigint")).alias(
+                    "n_rows"
+                ),
+                F.count("*").alias("n_keys"),
+                F.count(F.when(F.col("__p").isNull(), 1)).alias("n_orphans"),
             )
             .select(F.lit(name).alias("fk"), "n_rows", "n_keys", "n_orphans")
         )
@@ -4090,18 +4107,29 @@ def q_graph_triangles(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("s")
     ).distinct()
+    # persist the staged intermediates (optimization round 21, guide
+    # §5 — the pagerank round-20 fix applied here): the edge frame `e`
+    # (self-join + distinct, the dominant build) feeds deg, the
+    # orientation join AND the edge-count agg — the pre-round plan
+    # re-derived the lineitem self-join 72-scans deep with zero reuse.
+    # deg feeds both orientation sides + the wedge agg; the oriented
+    # frame `o` feeds the neighbor-array agg and the per-edge probe.
+    # All are the operator's O(m)-narrow staged tables; persists
+    # materialize inside the single returned action.
     e = (
         li.alias("a")
         .join(li.alias("b"), "k")
         .filter(F.col("a.s") < F.col("b.s"))
         .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
@@ -4115,6 +4143,7 @@ def q_graph_triangles(spark, sf_dir):
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        .persist()
     )
     # adjacency-intersection evaluation of the SAME count the oracle's
     # wedge/EXISTS form computes: a triangle {u,v,w} (w highest in the
@@ -4125,7 +4154,9 @@ def q_graph_triangles(spark, sf_dir):
     # shuffles, instead of exploding the O(m^1.5) wedge rows through an
     # exchange — measured 3.5x faster at sf0.1 (14.0 → 4.0 s quiet min-of-2), same
     # asymptotics, all work inside codegen (array_intersect).
-    nbrs = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nb"))
+    nbrs = o.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nb")
+    ).persist()
     per_edge = (
         o.join(nbrs.select(F.col("src"), F.col("nb").alias("nb_u")), "src")
         .join(
@@ -6604,7 +6635,12 @@ def q_dedup_candidates_union(spark, sf_dir):
     distinct-token frame; it is built ONCE and persisted so the
     tokenize→explode→distinct pass (the dominant narrow cost) runs one
     time instead of twice — at warehouse scale this intermediate is a
-    staged table shared by every signal generator."""
+    staged table shared by every signal generator. (Round-21
+    measurement note: fusing the MinHash and SimHash signature
+    aggregations into one groupBy(doc_id) pass was built and A/B'd —
+    it LOST at sf0.1 because the fused form forces the slower
+    61-accumulator SimHash kernel; see functions/dedup_approx.simhash.)
+    """
     docs = load_table(spark, sf_dir, "documents")
     # the token frame is a STAGED intermediate (persisted, read by
     # three generators): build it at cluster-width parallelism. The
