@@ -321,6 +321,17 @@ def main() -> None:
             )
             record["canary_drift"] = drift
             record["band_breaches"] = breaches
+            # drift-normalized per-query seconds (round-20 verdict item
+            # 7): host drift made raw cross-round numbers incomparable
+            # (r20 ran at drift 1.714 vs r19's 1.0, so every untouched
+            # query read as a phantom regression). RAW stays primary —
+            # `queries` is untouched; this extra top-level map lets any
+            # consumer compare rounds without reconstructing the canary.
+            record["queries_norm"] = {
+                q: round(t / drift, 3)
+                for q, t in record["queries"].items()
+                if isinstance(t, float)
+            }
             if breaches:
                 print(
                     f"BAND BREACH (drift-normalized x{drift}): {breaches}",
@@ -334,9 +345,15 @@ def main() -> None:
         # its JSON line) — but the reading is marked as taken against
         # the discipline, so bands are compared with that knowledge
         record["loaded"] = True
-    print(json.dumps(record))
+    # the JSON record is the LAST stdout line of the process (round-20
+    # verdict item 7): the r19 driver record kept only an output tail
+    # and the mid-run JSON line was truncated, so the whole round
+    # compared as unparseable — session teardown and the artifact
+    # auto-commit (stderr-only) run BEFORE the line is printed, and
+    # nothing may write to stdout after it.
     spark.stop()
     _commit_round_artifacts()
+    print(json.dumps(record))
 
 
 def _commit_round_artifacts() -> None:

@@ -80,16 +80,23 @@ def get_spark(
         # size AQE picks the partition count from actual bytes
         # (advisoryPartitionSizeInBytes), which is exactly what a
         # cached intermediate should use (guide §2.2).
+        # Both planner toggles are env-overridable (round-20 ADVICE):
+        # they are session-global, so a large-scale deployment that
+        # wants to restore sort-merge preference (or raw cached-plan
+        # partitioning) can flip them without a code change.
         .config(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
+            os.environ.get("SPARK_GRAFT_CACHED_PLAN_AQE", "true"),
         )
         # Let the planner pick shuffled-hash over sort-merge when its
         # build-side size conditions hold (guide §3.1/§9): same results,
         # no per-partition sort. Sort-merge remains the fallback
         # whenever the size checks fail, so the OOM-safety story at
         # scale is unchanged.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # Arrow for any pandas-UDF path (similarity / multimodal / stateful).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # RocksDB-backed state for streaming stateful ops (dedup): the Spark

@@ -115,6 +115,20 @@ def _json_bound(v, up: bool):
     return math.nextafter(f, math.inf if up else -math.inf)
 
 
+# Hot-bucket salt threshold for write_zoned: a z-bucket whose measured
+# row count exceeds this spreads over ceil(n/this) write tasks instead
+# of serializing into one (guide §2.5 skew / §6 file sizing). The
+# default targets parquet files in the recommended hundreds-of-MB range
+# for typical ~100-byte rows; env-overridable so a deployment can match
+# its real row width. Every test-SF bucket is far below it, so local
+# layouts (and the bench) are unchanged: ~1 file per small bucket.
+import os as _os
+
+_SALT_ROWS_PER_TASK = int(
+    _os.environ.get("SPARK_GRAFT_ZONED_ROWS_PER_TASK", "4000000")
+)
+
+
 def write_zoned(
     df: DataFrame,
     path: str,
@@ -197,13 +211,10 @@ def write_zoned(
     )
     # persist: the zoned frame feeds TWO actions (the data write and the
     # sidecar stats agg) — without it the whole quantize+interleave
-    # pipeline re-runs per action (guide §5). Clustering by zbucket
-    # before the partitionBy write gives ~1 file per bucket instead of
-    # (scan tasks × buckets) small files (guide §6: aim for few, larger
-    # files — the pruned READ then opens one file per surviving bucket).
-    zoned = zoned.repartition(F.col("zbucket")).persist()
+    # pipeline re-runs per action (guide §5). Stats run FIRST so their
+    # per-bucket row counts can drive the write's salting below.
+    zoned = zoned.persist()
     try:
-        zoned.write.mode(mode).partitionBy("zbucket").parquet(path)
         stats = (
             zoned.groupBy("zbucket")
             .agg(
@@ -219,6 +230,58 @@ def write_zoned(
             )
             .collect()  # bounded: one row per bucket
         )
+        # Clustering by zbucket before the partitionBy write gives ~1
+        # file per bucket instead of (scan tasks × buckets) small files
+        # (guide §6: aim for few, larger files — the pruned READ then
+        # opens one file per surviving bucket). Salt guard (round-20
+        # verdict item 10, guide §2.5): a plain repartition(zbucket)
+        # is one task per bucket, so a single hot z-bucket at scale
+        # serializes its whole write into one task. Buckets whose
+        # MEASURED row count exceeds _SALT_ROWS_PER_TASK therefore
+        # spread over ceil(n/target) deterministic salt values
+        # (xxhash64 of the row's zone columns — never rand(), which
+        # duplicates/loses rows under task retry); small buckets keep
+        # salt 0 and still land in ~1 file each.
+        salt_n = {
+            int(r["zbucket"]): max(
+                1, -(-int(r["n_rows"]) // _SALT_ROWS_PER_TASK)
+            )
+            for r in stats
+        }
+        if any(n > 1 for n in salt_n.values()):
+            # hot path: spread each oversized bucket over its salt
+            # range. The repartition carries an EXPLICIT partition
+            # count (one per (bucket, salt) group) because an
+            # expression-only repartition is AQE-coalescible — tiny
+            # test-scale groups would be merged right back into one
+            # task, and at production scale the explicit count is
+            # exactly the number of target files.
+            salt_map = F.create_map(
+                *[
+                    F.lit(x)
+                    for b, n in sorted(salt_n.items())
+                    for x in (b, n)
+                ]
+            )
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in zone_cols]),
+                F.element_at(salt_map, F.col("zbucket")),
+            ).cast("int")
+            out = (
+                zoned.withColumn("__salt", salt)
+                .repartition(
+                    sum(salt_n.values()),
+                    F.col("zbucket"),
+                    F.col("__salt"),
+                )
+                .drop("__salt")
+            )
+        else:
+            # cold path (every test SF and any well-spread layout):
+            # the AQE-coalescible cluster-by keeps the round-20
+            # behavior — ~1 file per bucket, few write tasks.
+            out = zoned.repartition(F.col("zbucket"))
+        out.write.mode(mode).partitionBy("zbucket").parquet(path)
     finally:
         zoned.unpersist()
     # NULL zone values: `least(NULL, scale)` skips the NULL, so such

@@ -356,3 +356,51 @@ def test_zone_pruned_read_with_null_zone_values(spark, tmp_path):
         ).collect()
     )
     assert got == want == [1, 5]  # NULL rows dropped under BOTH
+
+
+def test_write_zoned_salts_hot_buckets(spark, tmp_path, monkeypatch):
+    """Round-21 salt guard (guide §2.5): a z-bucket whose measured row
+    count exceeds _SALT_ROWS_PER_TASK must spread over several write
+    tasks (several files in its partition dir) instead of serializing
+    into one, while the data read back stays exactly the input and
+    small-bucket layouts keep ~1 file. The threshold is monkeypatched
+    low so a hot bucket is constructible at test scale."""
+    import os
+
+    from kafkastreams_example_spark.sources import sinks
+    from kafkastreams_example_spark.sources.sinks import (
+        read_zone_pruned,
+        write_zoned,
+    )
+
+    # x clusters tightly around two centers -> few hot buckets; one
+    # center carries 900 of the 1000 rows
+    rows = [(i, 5 if i < 900 else 1000 + i, i % 7) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id BIGINT, x BIGINT, y BIGINT")
+    path_hot = str(tmp_path / "z_hot")
+    monkeypatch.setattr(sinks, "_SALT_ROWS_PER_TASK", 100)
+    write_zoned(df, path_hot, ("x", "y"), n_buckets=4)
+
+    def files_per_bucket(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("zbucket="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet")]
+                )
+        return out
+
+    per_bucket = files_per_bucket(path_hot)
+    assert max(per_bucket.values()) > 1, per_bucket  # hot bucket split
+    back = spark.read.option("basePath", path_hot).parquet(path_hot)
+    assert sorted(r["id"] for r in back.collect()) == list(range(1000))
+    # pruned read stays filter-equivalent over the salted layout
+    pruned = read_zone_pruned(spark, path_hot, {"x": (0, 10)})
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(900))
+
+    # default threshold: every test bucket is small -> 1 file each
+    monkeypatch.setattr(sinks, "_SALT_ROWS_PER_TASK", 4000000)
+    path_cold = str(tmp_path / "z_cold")
+    write_zoned(df, path_cold, ("x", "y"), n_buckets=4)
+    assert max(files_per_bucket(path_cold).values()) == 1
